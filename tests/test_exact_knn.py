@@ -1,0 +1,77 @@
+"""Exact-kNN correctness against an independent NumPy oracle.
+
+Mirrors the reference's oracle tests (tests/test_composite_algorithm.py:17-58:
+Composite(BruteForce+Linear) vs pure-NumPy argsort) and its padding contract
+(lsh.py:279-283)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from tests.conftest import make_vector_df
+from vectordb_retrieval_spark.operators.exact import exact_knn, exact_knn_expr, ground_truth
+
+
+def numpy_oracle(base, queries, k, metric):
+    q = queries.astype(np.float64)
+    b = base.astype(np.float64)
+    if metric == "l2":
+        d = np.sqrt(((q[:, None, :] - b[None, :, :]) ** 2).sum(-1))
+    elif metric == "cosine":
+        qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        bn = b / np.linalg.norm(b, axis=1, keepdims=True)
+        d = 1.0 - qn @ bn.T
+    else:
+        d = -(q @ b.T)
+    order = np.lexsort((np.arange(b.shape[0])[None, :].repeat(len(q), 0), d), axis=1)
+    return order[:, :k]
+
+
+@pytest.mark.parametrize("metric", ["l2", "cosine", "ip"])
+def test_exact_knn_matches_numpy_oracle(spark, tiny_vectors, metric):
+    base, queries = tiny_vectors
+    base_df = make_vector_df(spark, base)
+    query_df = make_vector_df(spark, queries, id_name="qid")
+    k = 5
+    got = exact_knn(base_df, query_df, k, metric).orderBy("qid", "rank").collect()
+    want = numpy_oracle(base, queries, k, metric)
+    assert len(got) == len(queries) * k
+    for row in got:
+        assert row["id"] == want[row["qid"], row["rank"] - 1]
+
+
+def test_exact_knn_expr_agrees_with_kernel(spark, tiny_vectors):
+    base, queries = tiny_vectors
+    base_df = make_vector_df(spark, base)
+    query_df = make_vector_df(spark, queries, id_name="qid")
+    a = exact_knn(base_df, query_df, 4, "l2").orderBy("qid", "rank").collect()
+    b = exact_knn_expr(base_df, query_df, 4, "l2").orderBy("qid", "rank").collect()
+    assert [(r["qid"], r["id"]) for r in a] == [(r["qid"], r["id"]) for r in b]
+    for ra, rb in zip(a, b):
+        assert ra["dist"] == pytest.approx(rb["dist"], abs=1e-9)
+
+
+def test_padding_when_k_exceeds_base(spark, tiny_vectors):
+    base, queries = tiny_vectors
+    base_df = make_vector_df(spark, base[:3])
+    query_df = make_vector_df(spark, queries, id_name="qid")
+    k = 5
+    res = exact_knn(base_df, query_df, k, "l2", pad=True).orderBy("qid", "rank").collect()
+    assert len(res) == len(queries) * k
+    for row in res:
+        if row["rank"] > 3:
+            assert row["id"] == -1 and row["dist"] == float("inf")
+        else:
+            assert row["id"] >= 0
+
+
+def test_ground_truth_arrays(spark, tiny_vectors):
+    base, queries = tiny_vectors
+    gt = (
+        ground_truth(make_vector_df(spark, base), make_vector_df(spark, queries, id_name="qid"), 3)
+        .orderBy("qid")
+        .collect()
+    )
+    want = numpy_oracle(base, queries, 3, "l2")
+    assert [list(r["gt"]) for r in gt] == [list(w) for w in want]

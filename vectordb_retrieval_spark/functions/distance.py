@@ -1,0 +1,90 @@
+"""Distance kernels — the engine's scalar core.
+
+Two forms, mirroring the reference's vectorized math
+(reference: src/algorithms/modular.py:341-385 broadcast distances;
+src/utils/vector_utils.py:20-51 gram-matrix form):
+
+1. ``distance_col`` — a Catalyst Column expression over two
+   ``array<float/double>`` columns.  Stays JVM-side / codegen'd; used for
+   candidate rerank joins where each row carries both vectors.
+2. ``pairwise_distances`` — a NumPy block kernel (queries × base block)
+   used inside ``mapInPandas`` partitions.  This is the hot path: one
+   BLAS matmul per Arrow batch instead of per-row array loops.
+
+Supported metrics (same trio as the reference, base_algorithm.py /
+vector_utils.py): ``l2`` (euclidean), ``cosine`` (1 − cos sim), ``ip``
+(inner product, negated so "smaller is better" holds uniformly —
+reference: modular.py:367-368).
+
+All arithmetic is float64 so orderings agree with a DuckDB double oracle
+computing on the same float32 inputs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+METRICS = ("l2", "cosine", "ip")
+
+
+def _dot(a: Column, b: Column) -> Column:
+    # Sequential left-to-right double accumulation — same association
+    # order as DuckDB's list_dot_product, so cross-engine orderings agree.
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def distance_col(a: Column, b: Column, metric: str = "l2") -> Column:
+    """Column-expression distance between two array columns (double)."""
+    if metric == "l2":
+        diff = F.zip_with(a, b, lambda x, y: x.cast("double") - y.cast("double"))
+        return F.sqrt(F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v * v))
+    if metric == "cosine":
+        return 1.0 - _dot(a, b) / (_norm(a) * _norm(b))
+    if metric == "ip":
+        return -_dot(a, b)
+    raise ValueError(f"unknown metric {metric!r}; expected one of {METRICS}")
+
+
+def similarity_col(a: Column, b: Column, metric: str = "cosine") -> Column:
+    """Similarity orientation (bigger is better) for rerank/score outputs."""
+    if metric == "cosine":
+        return _dot(a, b) / (_norm(a) * _norm(b))
+    if metric == "ip":
+        return _dot(a, b)
+    return -distance_col(a, b, metric)
+
+
+def normalize_rows(mat: np.ndarray) -> np.ndarray:
+    """Zero-safe row L2 normalization (reference: lsh.py:13-24)."""
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    return mat / norms
+
+
+def pairwise_distances(queries: np.ndarray, base: np.ndarray, metric: str = "l2") -> np.ndarray:
+    """(n_q, n_b) float64 distance matrix; smaller is always better.
+
+    L2 uses the gram expansion ‖x‖²+‖y‖²−2x·y (one GEMM), clamped at 0
+    before sqrt (reference: vector_utils.py:32-39).
+    """
+    q = np.asarray(queries, dtype=np.float64)
+    b = np.asarray(base, dtype=np.float64)
+    if metric == "l2":
+        sq = (q * q).sum(axis=1)[:, None] + (b * b).sum(axis=1)[None, :] - 2.0 * (q @ b.T)
+        np.maximum(sq, 0.0, out=sq)
+        return np.sqrt(sq)
+    if metric == "cosine":
+        return 1.0 - normalize_rows(q) @ normalize_rows(b).T
+    if metric == "ip":
+        return -(q @ b.T)
+    raise ValueError(f"unknown metric {metric!r}; expected one of {METRICS}")
