@@ -1,0 +1,115 @@
+"""Retrieval-quality metrics suite.
+
+Same metric family as the reference (src/evaluation/metrics.py:4-262):
+recall@k, precision@k, MAP@k, NDCG@k (binary relevance), hit_rate@k,
+MRR, latency stats — re-expressed as ONE exploded-join + window +
+groupBy pass over DataFrames instead of per-query Python loops
+(reference loops per query; here every metric is a distributed
+aggregation, so the pass scales with cluster size).
+
+Input contract: ``pred`` and ``gt`` are exploded ranked results,
+DataFrame(qid, id, rank) with rank 1-based ascending (the output shape
+of ``operators.exact.exact_knn`` / any searcher in this engine).
+
+Definitions (binary relevance; GT set = gt rows with rank <= k):
+- recall@k    = |gt_k ∩ pred_k| / |gt_k|
+- precision@k = |gt_k ∩ pred_k| / k
+- AP@k        = Σ_{i∈hits} (cum_hits(i)/i) / |gt_k|          (MAP = mean)
+- DCG@k       = Σ_{i∈hits} 1/log2(i+1);  IDCG@k = Σ_{i=1..|gt_k|} 1/log2(i+1)
+- hit_rate@k  = mean(1 if any hit else 0)
+- MRR         = mean(1/first_hit_rank, else 0)
+
+Queries with no predicted rows still count (as zeros) — the per-query
+frame is right-anchored on the ground-truth query set, matching the
+reference's fixed-shape result arrays.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _per_query(pred: DataFrame, gt: DataFrame, k: int) -> DataFrame:
+    p = pred.filter(F.col("rank") <= k).select("qid", "id", "rank")
+    g = gt.filter(F.col("rank") <= k).select("qid", "id")
+    gt_sizes = g.groupBy("qid").agg(F.count("*").alias("n_gt"))
+
+    marked = p.join(g.withColumn("_hit", F.lit(1)), ["qid", "id"], "left").withColumn(
+        "hit", F.coalesce(F.col("_hit"), F.lit(0))
+    )
+    w = Window.partitionBy("qid").orderBy("rank")
+    scored = marked.withColumn("cum_hits", F.sum("hit").over(w)).select(
+        "qid",
+        "hit",
+        "rank",
+        (F.col("hit") * F.col("cum_hits") / F.col("rank")).alias("ap_term"),
+        (F.col("hit") / F.log2(F.col("rank") + 1)).alias("dcg_term"),
+        F.when(F.col("hit") == 1, F.col("rank")).alias("hit_rank"),
+    )
+    agg = scored.groupBy("qid").agg(
+        F.sum("hit").alias("n_hit"),
+        F.sum("ap_term").alias("ap_sum"),
+        F.sum("dcg_term").alias("dcg"),
+        F.min("hit_rank").alias("first_hit"),
+    )
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), F.least(F.col("n_gt"), F.lit(k))),
+        F.lit(0.0),
+        lambda acc, i: acc + 1.0 / F.log2(i.cast("double") + 1.0),
+    )
+    return (
+        gt_sizes.join(agg, "qid", "left")
+        .fillna(0, subset=["n_hit", "ap_sum", "dcg"])
+        .select(
+            "qid",
+            (F.col("n_hit") / F.col("n_gt")).alias("recall"),
+            (F.col("n_hit") / F.lit(float(k))).alias("precision"),
+            (F.col("ap_sum") / F.col("n_gt")).alias("ap"),
+            (F.col("dcg") / idcg).alias("ndcg"),
+            (F.col("n_hit") > 0).cast("double").alias("any_hit"),
+            F.coalesce(1.0 / F.col("first_hit"), F.lit(0.0)).alias("rr"),
+        )
+    )
+
+
+def retrieval_metrics(pred: DataFrame, gt: DataFrame, k: int) -> DataFrame:
+    """One-row DataFrame: k, n_queries, recall, precision, map, ndcg,
+    hit_rate, mrr (means over the ground-truth query set)."""
+    per_q = _per_query(pred, gt, k)
+    return per_q.agg(
+        F.lit(k).alias("k"),
+        F.count("*").alias("n_queries"),
+        F.avg("recall").alias("recall"),
+        F.avg("precision").alias("precision"),
+        F.avg("ap").alias("map"),
+        F.avg("ndcg").alias("ndcg"),
+        F.avg("any_hit").alias("hit_rate"),
+        F.avg("rr").alias("mrr"),
+    )
+
+
+def retrieval_metrics_multi(pred: DataFrame, gt: DataFrame, ks: list[int]) -> DataFrame:
+    """Multi-k evaluation sweep (reference: evaluation.py:13-66 merges
+    k ∈ {1,10,100} ∪ configured): one metrics row per cutoff."""
+    out = None
+    for k in sorted(set(ks)):
+        row = retrieval_metrics(pred, gt, k)
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def latency_stats(times: DataFrame, col: str = "t") -> DataFrame:
+    """Latency statistics (reference: metrics.py:212-237): mean, median,
+    p95, p99, min, max — exact percentiles with linear interpolation so
+    a DuckDB ``quantile_cont`` oracle agrees."""
+    c = F.col(col).cast("double")
+    return times.agg(
+        F.count(c).alias("n"),
+        F.avg(c).alias("mean"),
+        F.expr(f"percentile({col}, 0.5)").alias("p50"),
+        F.expr(f"percentile({col}, 0.95)").alias("p95"),
+        F.expr(f"percentile({col}, 0.99)").alias("p99"),
+        F.min(c).alias("min"),
+        F.max(c).alias("max"),
+    )
