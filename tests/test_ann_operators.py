@@ -1,0 +1,186 @@
+"""ANN operator correctness: recall vs the exact oracle, exactness of the
+cluster-pruned searcher, self-retrieval invariants (mirrors the
+reference's test strategy: tests/test_composite_algorithm.py,
+tests/algorithms/test_covertree_v2_2.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from tests.conftest import make_vector_df
+from vectordb_retrieval_spark.operators.exact import exact_knn
+
+N_BASE, N_Q, DIM, K = 1500, 12, 16, 10
+
+
+@pytest.fixture(scope="module")
+def vecs():
+    rng = np.random.RandomState(7)
+    return rng.randn(N_BASE, DIM).astype(np.float32), rng.randn(N_Q, DIM).astype(
+        np.float32
+    )
+
+
+@pytest.fixture(scope="module")
+def dfs(spark, vecs):
+    base, queries = vecs
+    return make_vector_df(spark, base), make_vector_df(spark, queries, id_name="qid")
+
+
+@pytest.fixture(scope="module")
+def exact_ids(dfs):
+    base_df, query_df = dfs
+    rows = exact_knn(base_df, query_df, K, "l2").collect()
+    out = {}
+    for r in rows:
+        out.setdefault(r["qid"], set()).add(r["id"])
+    return out
+
+
+def recall_of(result_rows, exact_ids):
+    per_q = {}
+    for r in result_rows:
+        per_q.setdefault(r["qid"], set()).add(r["id"])
+    vals = [len(per_q.get(q, set()) & ids) / len(ids) for q, ids in exact_ids.items()]
+    return sum(vals) / len(vals)
+
+
+def test_ivf_full_probe_is_exact(dfs, exact_ids):
+    from vectordb_retrieval_spark.operators.ivf import IVFIndexer, IVFSearcher
+
+    base_df, query_df = dfs
+    art = IVFIndexer(nlist=16, seed=1).build(base_df)
+    res = IVFSearcher(nprobe=16).attach(art).search(query_df, K).collect()
+    assert recall_of(res, exact_ids) == 1.0
+
+
+def test_ivf_partial_probe_recall(dfs, exact_ids):
+    from vectordb_retrieval_spark.operators.ivf import IVFIndexer, IVFSearcher
+
+    base_df, query_df = dfs
+    art = IVFIndexer(nlist=16, seed=1).build(base_df)
+    res = IVFSearcher(nprobe=4).attach(art).search(query_df, K).collect()
+    assert recall_of(res, exact_ids) >= 0.5
+
+
+def test_ivf_sq8_high_recall(dfs, exact_ids):
+    from vectordb_retrieval_spark.operators.ivf import IVFIndexer, IVFSearcher
+    from vectordb_retrieval_spark.operators.quant import SQ8Codec
+
+    base_df, query_df = dfs
+    art = IVFIndexer(nlist=8, seed=1, codec=SQ8Codec()).build(base_df)
+    res = IVFSearcher(nprobe=8).attach(art).search(query_df, K).collect()
+    assert recall_of(res, exact_ids) >= 0.9  # full probe; only SQ8 loss remains
+
+
+def test_sq8_roundtrip_error_bounded(vecs):
+    from vectordb_retrieval_spark.operators.quant import SQ8Codec
+
+    base, _ = vecs
+    codec = SQ8Codec()
+    codec.vmin = base.min(axis=0).astype(np.float64)
+    scale = (base.max(axis=0) - base.min(axis=0)) / 255.0
+    codec.scale = scale
+    err = np.abs(codec.decode(codec.encode(base)) - base)
+    assert err.max() <= scale.max() * 0.5 + 1e-6
+
+
+def test_pq_adc_recall(dfs, exact_ids):
+    from vectordb_retrieval_spark.operators.pq import PQADCSearcher, PQIndexer
+
+    base_df, query_df = dfs
+    art = PQIndexer(m=8, ksub=64, seed=3).build(base_df)
+    res = PQADCSearcher().attach(art).search(query_df, K).collect()
+    assert recall_of(res, exact_ids) >= 0.5
+
+
+def test_lsh_recall_and_shape(dfs, exact_ids):
+    from vectordb_retrieval_spark.operators.lsh import LSHIndexer, LSHSearcher
+
+    base_df, query_df = dfs
+    art = LSHIndexer(
+        DIM, num_tables=8, hash_size=4, metric="l2", seed=5, bucket_width=12.0
+    ).build(base_df)
+    res = LSHSearcher(candidate_multiplier=16).attach(art).search(query_df, K).collect()
+    assert recall_of(res, exact_ids) >= 0.4
+    per_q = {}
+    for r in res:
+        per_q.setdefault(r["qid"], []).append(r)
+    for rows in per_q.values():
+        assert len(rows) <= K
+
+
+def test_lsh_self_retrieval(spark, vecs):
+    """An indexed vector must be its own nearest neighbor with dist≈0
+    (reference: tests/test_composite_algorithm.py:108-166)."""
+    from vectordb_retrieval_spark.operators.lsh import LSHIndexer, LSHSearcher
+
+    base, _ = vecs
+    base_df = make_vector_df(spark, base[:300])
+    self_queries = make_vector_df(spark, base[:20], id_name="qid")
+    art = LSHIndexer(DIM, num_tables=4, hash_size=8, metric="cosine", seed=5).build(
+        base_df
+    )
+    res = (
+        LSHSearcher().attach(art).search(self_queries, 1).orderBy("qid").collect()
+    )
+    assert len(res) == 20
+    for r in res:
+        assert r["id"] == r["qid"]
+        assert abs(r["dist"]) < 1e-6
+
+
+def test_cluster_pruned_exact_is_exact_on_gaussian(dfs, exact_ids):
+    """On unclusterable (pure Gaussian) data the bound may admit every
+    cluster — but results must still be exact."""
+    from vectordb_retrieval_spark.operators.cluster_pruned import (
+        ClusterPrunedExactIndexer,
+        ClusterPrunedExactSearcher,
+    )
+
+    base_df, query_df = dfs
+    art = ClusterPrunedExactIndexer(nlist=24, seed=2).build(base_df)
+    searcher = ClusterPrunedExactSearcher(nprobe=4).attach(art)
+    res = searcher.search(query_df, K).collect()
+    assert recall_of(res, exact_ids) == 1.0
+
+
+def test_cluster_pruned_exact_prunes_clustered_data(spark):
+    """On clusterable data the triangle-inequality bound must skip most
+    clusters (sub-linear ndis — the CoverTree capability)."""
+    from vectordb_retrieval_spark.operators.cluster_pruned import (
+        ClusterPrunedExactIndexer,
+        ClusterPrunedExactSearcher,
+    )
+
+    rng = np.random.RandomState(11)
+    centers = rng.randn(30, DIM).astype(np.float32) * 10.0
+    assign = rng.randint(0, 30, size=1200)
+    base = centers[assign] + rng.randn(1200, DIM).astype(np.float32) * 0.2
+    queries = base[rng.choice(1200, size=10, replace=False)] + 0.01
+    base_df = make_vector_df(spark, base)
+    query_df = make_vector_df(spark, queries, id_name="qid")
+
+    exact = exact_knn(base_df, query_df, K, "l2").collect()
+    want = {}
+    for r in exact:
+        want.setdefault(r["qid"], set()).add(r["id"])
+
+    art = ClusterPrunedExactIndexer(nlist=30, seed=3).build(base_df)
+    searcher = ClusterPrunedExactSearcher(nprobe=2).attach(art)
+    res = searcher.search(query_df, K).collect()
+    assert recall_of(res, want) == 1.0
+    assert searcher.ndis_accum.value < 10 * 1200 * 0.5
+
+
+def test_composite_registry_roundtrip(dfs, exact_ids):
+    from vectordb_retrieval_spark.registry import get_algorithm_instance
+
+    base_df, query_df = dfs
+    algo = get_algorithm_instance(
+        {"type": "brute_force", "metric": "l2"}, {"type": "linear"}
+    )
+    algo.build_index(base_df)
+    res = algo.batch_search(query_df, K).collect()
+    assert recall_of(res, exact_ids) == 1.0

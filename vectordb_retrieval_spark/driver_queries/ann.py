@@ -1,0 +1,316 @@
+"""ANN-operator driver queries with SQL-reproducible configurations.
+
+The seeded projection matrices are inlined into the oracle SQL as
+DOUBLE[] literals (exact float64 round-trip via repr), so DuckDB
+recomputes the very same hashes the Spark kernels produce — the
+reference's "exact reproducibility of randomized structures"
+requirement (SURVEY.md §7.4#3) carried across engines.
+
+KMeans-trained variants (ivf_kmeans_search, pq_adc_search) are
+registered without oracles (rows-only checks): their cluster structure
+is not SQL-expressible, but their retrieval quality is covered by
+tests/test_ann_operators.py recall assertions, and the
+cluster-pruned-exact query proves the probe machinery against the
+plain exact-kNN oracle.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vectordb_retrieval_spark.driver_queries.common import (
+    K,
+    QUERY_FILTER,
+    emb,
+    round6,
+    sql_float_list,
+)
+from vectordb_retrieval_spark.driver_queries.knn import DIST_EXPRS, KNN_ORACLE
+from vectordb_retrieval_spark.functions.hashing import make_offsets, make_projections
+from vectordb_retrieval_spark.functions.kernels import collect_vectors
+from vectordb_retrieval_spark.operators.cluster_pruned import (
+    ClusterPrunedExactIndexer,
+    ClusterPrunedExactSearcher,
+)
+from vectordb_retrieval_spark.operators.ivf import (
+    FixedCentroidIVFIndexer,
+    IVFIndexer,
+    IVFSearcher,
+)
+from vectordb_retrieval_spark.operators.lsh import LSHIndexer, LSHSearcher
+from vectordb_retrieval_spark.operators.pq import PQADCSearcher, PQIndexer
+from vectordb_retrieval_spark.operators.quant import SQ8Codec
+
+DIM = 64
+SIGN_TABLES, SIGN_BITS, SEED = 2, 8, 42
+E2_TABLES, E2_BITS, E2_WIDTH = 2, 4, 4.0
+MULTIPLIER = 8.0
+N_FIXED_CENTROIDS = 8
+NPROBE_FIXED = 3
+
+_SIGN_P = make_projections(DIM, SIGN_TABLES, SIGN_BITS, SEED)
+_E2_P = make_projections(DIM, E2_TABLES, E2_BITS, SEED)
+_E2_B = make_offsets(E2_TABLES, E2_BITS, E2_WIDTH, SEED)
+
+
+def _sign_indexer() -> LSHIndexer:
+    return LSHIndexer(
+        DIM, num_tables=SIGN_TABLES, hash_size=SIGN_BITS, metric="cosine", seed=SEED
+    )
+
+
+def _e2_indexer() -> LSHIndexer:
+    return LSHIndexer(
+        DIM,
+        num_tables=E2_TABLES,
+        hash_size=E2_BITS,
+        metric="l2",
+        seed=SEED,
+        bucket_width=E2_WIDTH,
+    )
+
+
+def _buckets_query(spark: SparkSession, sf_dir: str, indexer: LSHIndexer) -> DataFrame:
+    art = indexer.build(emb(spark, sf_dir), id_col="vec_id", vec_col="embedding")
+    return art.tables["buckets"].select("id", "table_id", "bucket")
+
+
+def lsh_search_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = emb(spark, sf_dir)
+    art = _sign_indexer().build(base, id_col="vec_id", vec_col="embedding")
+    qs = base.filter(F.expr(QUERY_FILTER))
+    res = (
+        LSHSearcher(candidate_multiplier=MULTIPLIER)
+        .attach(art)
+        .search(qs, K, qid_col="vec_id", vec_col="embedding")
+    )
+    return res.select("qid", "id", "rank")
+
+
+def ivf_fixed_centroids(spark: SparkSession, sf_dir: str):
+    cdf = emb(spark, sf_dir).filter(F.col("vec_id") < N_FIXED_CENTROIDS).orderBy(
+        "vec_id"
+    )
+    _, cents = collect_vectors(cdf, "vec_id", "embedding")
+    return cents
+
+
+def ivf_fixed_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cents = ivf_fixed_centroids(spark, sf_dir)
+    art = FixedCentroidIVFIndexer(cents, metric="l2").build(
+        emb(spark, sf_dir), id_col="vec_id", vec_col="embedding"
+    )
+    return art.tables["assignment"].select("id", F.col("cluster_id").cast("int"))
+
+
+def ivf_fixed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = emb(spark, sf_dir)
+    cents = ivf_fixed_centroids(spark, sf_dir)
+    art = FixedCentroidIVFIndexer(cents, metric="l2").build(
+        base, id_col="vec_id", vec_col="embedding"
+    )
+    qs = base.filter(F.expr(QUERY_FILTER))
+    res = (
+        IVFSearcher(nprobe=NPROBE_FIXED)
+        .attach(art)
+        .search(qs, K, qid_col="vec_id", vec_col="embedding")
+    )
+    return res.select("qid", "id", "rank")
+
+
+def sq8_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    codec = SQ8Codec().fit(
+        emb(spark, sf_dir).select(F.col("embedding").alias("vec")), "vec"
+    )
+    rows = [
+        (i, float(codec.vmin[i]), float(codec.vmax[i]))
+        for i in range(len(codec.vmin))
+    ]
+    return round6(spark.createDataFrame(rows, "dim int, vmin double, vmax double"))
+
+
+def cluster_pruned_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = emb(spark, sf_dir)
+    art = ClusterPrunedExactIndexer(nlist=16, seed=7).build(
+        base, id_col="vec_id", vec_col="embedding"
+    )
+    qs = base.filter(F.expr(QUERY_FILTER))
+    res = (
+        ClusterPrunedExactSearcher(nprobe=2)
+        .attach(art)
+        .search(qs, K, qid_col="vec_id", vec_col="embedding")
+    )
+    return res.select("qid", "id", "rank")
+
+
+def ivf_kmeans_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = emb(spark, sf_dir)
+    art = IVFIndexer(nlist=16, seed=SEED, max_iter=10).build(
+        base, id_col="vec_id", vec_col="embedding"
+    )
+    qs = base.filter(F.expr(QUERY_FILTER))
+    res = IVFSearcher(nprobe=4).attach(art).search(
+        qs, K, qid_col="vec_id", vec_col="embedding"
+    )
+    return res.select("qid", "id", "rank")
+
+
+def pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = emb(spark, sf_dir)
+    art = PQIndexer(m=8, ksub=32, metric="l2", seed=SEED).build(
+        base, id_col="vec_id", vec_col="embedding"
+    )
+    qs = base.filter(F.expr(QUERY_FILTER))
+    res = PQADCSearcher().attach(art).search(
+        qs, K, qid_col="vec_id", vec_col="embedding"
+    )
+    return res.select("qid", "id", "rank")
+
+
+# ---------------------------------------------------------------- oracle SQL
+
+
+def _sign_bucket_expr(table: int, src: str) -> str:
+    terms = [
+        f"(CASE WHEN list_dot_product({src}, {sql_float_list(_SIGN_P[table][i])})"
+        f" >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(SIGN_BITS)
+    ]
+    return "CAST(" + " + ".join(terms) + " AS VARCHAR)"
+
+
+def _e2_bucket_expr(table: int, src: str) -> str:
+    parts = [
+        "CAST(CAST(floor((list_dot_product("
+        f"{src}, {sql_float_list(_E2_P[table][i])}) + {_E2_B[table][i]!r})"
+        f" / {E2_WIDTH!r}) AS BIGINT) AS VARCHAR)"
+        for i in range(E2_BITS)
+    ]
+    return "concat_ws('_', " + ", ".join(parts) + ")"
+
+
+def _buckets_oracle(expr_fn, n_tables: int) -> str:
+    selects = [
+        f"SELECT vec_id AS id, {t} AS table_id, "
+        f"{expr_fn(t, 'CAST(b.embedding AS DOUBLE[])')} AS bucket FROM embeddings b"
+        for t in range(n_tables)
+    ]
+    return " UNION ALL ".join(selects)
+
+
+def _lsh_search_oracle() -> str:
+    cap = max(K, math.ceil(MULTIPLIER * K))
+    bh = _buckets_oracle(_sign_bucket_expr, SIGN_TABLES)
+    return f"""
+WITH bh AS ({bh}),
+qh AS (SELECT * FROM bh WHERE id % 10 = 0),
+votes AS (
+  SELECT q.id AS qid, b.id, count(*) AS v
+  FROM qh q JOIN bh b ON q.table_id = b.table_id AND q.bucket = b.bucket
+  GROUP BY q.id, b.id
+),
+capped AS (
+  SELECT qid, id FROM (
+    SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY v DESC, id) AS rn
+    FROM votes
+  ) WHERE rn <= {cap}
+),
+rr AS (
+  SELECT c.qid, c.id,
+         row_number() OVER (
+           PARTITION BY c.qid
+           ORDER BY 1.0 - list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+                                                 CAST(be.embedding AS DOUBLE[])),
+                    c.id
+         ) AS rank
+  FROM capped c
+  JOIN embeddings qe ON qe.vec_id = c.qid
+  JOIN embeddings be ON be.vec_id = c.id
+)
+SELECT qid, id, rank FROM rr WHERE rank <= {K}
+"""
+
+
+_IVF_FIXED_COMMON = f"""
+c AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id < {N_FIXED_CENTROIDS}
+),
+assign AS (
+  SELECT id, cid AS cluster_id FROM (
+    SELECT b.vec_id AS id, c.cid,
+           row_number() OVER (
+             PARTITION BY b.vec_id
+             ORDER BY list_distance(CAST(b.embedding AS DOUBLE[]), c.cv), c.cid
+           ) AS rn
+    FROM embeddings b CROSS JOIN c
+  ) WHERE rn = 1
+)
+"""
+
+_IVF_ASSIGN_ORACLE = f"WITH {_IVF_FIXED_COMMON} SELECT id, CAST(cluster_id AS INT) AS cluster_id FROM assign"
+
+_IVF_SEARCH_ORACLE = f"""
+WITH {_IVF_FIXED_COMMON},
+q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id % 10 = 0
+),
+probe AS (
+  SELECT qid, cid AS cluster_id FROM (
+    SELECT q.qid, c.cid,
+           row_number() OVER (
+             PARTITION BY q.qid ORDER BY list_distance(q.qv, c.cv), c.cid
+           ) AS rn
+    FROM q CROSS JOIN c
+  ) WHERE rn <= {NPROBE_FIXED}
+),
+cand AS (
+  SELECT p.qid, a.id FROM probe p JOIN assign a ON a.cluster_id = p.cluster_id
+),
+rr AS (
+  SELECT cand.qid, cand.id,
+         row_number() OVER (
+           PARTITION BY cand.qid
+           ORDER BY list_distance(q2.qv, CAST(be.embedding AS DOUBLE[])), cand.id
+         ) AS rank
+  FROM cand
+  JOIN q q2 ON q2.qid = cand.qid
+  JOIN embeddings be ON be.vec_id = cand.id
+)
+SELECT qid, id, rank FROM rr WHERE rank <= {K}
+"""
+
+_SQ8_ORACLE = f"""
+SELECT CAST(t.i - 1 AS INT) AS dim,
+       round(CAST(min(b.embedding[t.i]) AS DOUBLE), 6) AS vmin,
+       round(CAST(max(b.embedding[t.i]) AS DOUBLE), 6) AS vmax
+FROM embeddings b
+CROSS JOIN (SELECT CAST(range AS INT) AS i FROM range(1, {DIM + 1})) t
+GROUP BY t.i
+"""
+
+QUERIES = {
+    "lsh_sign_buckets": lambda spark, sf: _buckets_query(spark, sf, _sign_indexer()),
+    "lsh_e2lsh_buckets": lambda spark, sf: _buckets_query(spark, sf, _e2_indexer()),
+    "lsh_search_cosine": lsh_search_cosine,
+    "ivf_fixed_assign": ivf_fixed_assign,
+    "ivf_fixed_search": ivf_fixed_search,
+    "sq8_calibration": sq8_calibration,
+    "cluster_pruned_exact_search": cluster_pruned_search,
+    "ivf_kmeans_search": ivf_kmeans_search,
+    "pq_adc_search": pq_adc_search,
+}
+
+ORACLES = {
+    "lsh_sign_buckets": _buckets_oracle(_sign_bucket_expr, SIGN_TABLES),
+    "lsh_e2lsh_buckets": _buckets_oracle(_e2_bucket_expr, E2_TABLES),
+    "lsh_search_cosine": _lsh_search_oracle(),
+    "ivf_fixed_assign": _IVF_ASSIGN_ORACLE,
+    "ivf_fixed_search": _IVF_SEARCH_ORACLE,
+    "sq8_calibration": _SQ8_ORACLE,
+    "cluster_pruned_exact_search": KNN_ORACLE.format(dist_expr=DIST_EXPRS["l2"]),
+}

@@ -1,0 +1,40 @@
+"""Shared helpers for the driver query catalogue."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+K = 10
+QUERY_FILTER = "vec_id % 10 = 0"
+
+
+def emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def round6(df: DataFrame) -> DataFrame:
+    """Round every double column to 6 dp (both engines round identically
+    on values not adjacent to a rounding boundary)."""
+    return df.select(
+        *[
+            F.round(F.col(f.name), 6).alias(f.name)
+            if isinstance(f.dataType, (T.DoubleType, T.FloatType))
+            else F.col(f.name)
+            for f in df.schema.fields
+        ]
+    )
+
+
+def sql_float_list(vals) -> str:
+    """A DuckDB DOUBLE[] literal that parses to the exact float64s."""
+    return "[" + ", ".join(repr(float(v)) for v in vals) + "]"

@@ -1,0 +1,54 @@
+"""Exact-kNN driver queries (L2 / cosine / IP)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vectordb_retrieval_spark.driver_queries.common import K, QUERY_FILTER, emb
+from vectordb_retrieval_spark.operators.exact import exact_knn
+
+
+def knn_query(spark: SparkSession, sf_dir: str, metric: str) -> DataFrame:
+    base = emb(spark, sf_dir)
+    queries = base.filter(F.expr(QUERY_FILTER))
+    res = exact_knn(
+        base, queries, K, metric, id_col="vec_id", vec_col="embedding", qid_col="vec_id"
+    )
+    return res.select("qid", "id", "rank")
+
+
+KNN_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id % 10 = 0
+),
+d AS (
+  SELECT q.qid, b.vec_id AS id, {dist_expr} AS dist
+  FROM q CROSS JOIN embeddings b
+),
+r AS (
+  SELECT qid, id,
+         row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank
+  FROM d
+)
+SELECT qid, id, rank FROM r WHERE rank <= 10
+"""
+
+DIST_EXPRS = {
+    "l2": "list_distance(q.qv, CAST(b.embedding AS DOUBLE[]))",
+    "cosine": "1.0 - list_cosine_similarity(q.qv, CAST(b.embedding AS DOUBLE[]))",
+    "ip": "-list_dot_product(q.qv, CAST(b.embedding AS DOUBLE[]))",
+}
+
+QUERIES = {
+    "knn_exact_l2": lambda spark, sf: knn_query(spark, sf, "l2"),
+    "knn_exact_cosine": lambda spark, sf: knn_query(spark, sf, "cosine"),
+    "knn_exact_ip": lambda spark, sf: knn_query(spark, sf, "ip"),
+}
+
+ORACLES = {
+    "knn_exact_l2": KNN_ORACLE.format(dist_expr=DIST_EXPRS["l2"]),
+    "knn_exact_cosine": KNN_ORACLE.format(dist_expr=DIST_EXPRS["cosine"]),
+    "knn_exact_ip": KNN_ORACLE.format(dist_expr=DIST_EXPRS["ip"]),
+}

@@ -1,0 +1,143 @@
+"""Retrieval-metric driver queries: pred = truncated-vector L2 searcher,
+gt = exact L2 — both deterministic and SQL-reproducible."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vectordb_retrieval_spark.driver_queries.common import (
+    K,
+    QUERY_FILTER,
+    emb,
+    round6,
+)
+from vectordb_retrieval_spark.metrics import (
+    latency_stats,
+    retrieval_metrics,
+    retrieval_metrics_multi,
+)
+from vectordb_retrieval_spark.operators.exact import exact_knn
+
+
+def pred_gt(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    base = emb(spark, sf_dir)
+    qs = base.filter(F.expr(QUERY_FILTER))
+    trunc = base.withColumn("trunc", F.slice("embedding", 1, 8))
+    qtrunc = qs.withColumn("trunc", F.slice("embedding", 1, 8))
+    pred = exact_knn(
+        trunc, qtrunc, K, "l2", id_col="vec_id", vec_col="trunc", qid_col="vec_id"
+    )
+    gt = exact_knn(
+        base, qs, K, "l2", id_col="vec_id", vec_col="embedding", qid_col="vec_id"
+    )
+    return pred, gt
+
+
+def metrics_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pred, gt = pred_gt(spark, sf_dir)
+    return round6(retrieval_metrics(pred, gt, K))
+
+
+def metrics_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pred, gt = pred_gt(spark, sf_dir)
+    return round6(retrieval_metrics_multi(pred, gt, [1, 5, 10]))
+
+
+def latency_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("value").alias("t")
+    )
+    return round6(latency_stats(ev, "t"))
+
+
+METRICS_CTE = """
+WITH q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id % 10 = 0
+),
+dl AS (
+  SELECT q.qid, b.vec_id AS id,
+         row_number() OVER (
+           PARTITION BY q.qid
+           ORDER BY list_distance(q.qv, CAST(b.embedding AS DOUBLE[])), b.vec_id
+         ) AS rank
+  FROM q CROSS JOIN embeddings b
+),
+gt AS (SELECT qid, id FROM dl WHERE rank <= {k}),
+dp AS (
+  SELECT q.qid, b.vec_id AS id,
+         row_number() OVER (
+           PARTITION BY q.qid
+           ORDER BY list_distance(q.qv[1:8], CAST(b.embedding AS DOUBLE[])[1:8]),
+                    b.vec_id
+         ) AS rank
+  FROM q CROSS JOIN embeddings b
+),
+pred AS (SELECT qid, id, rank FROM dp WHERE rank <= {k}),
+sizes AS (SELECT qid, count(*) AS n_gt FROM gt GROUP BY qid),
+marked AS (
+  SELECT p.qid, p.rank,
+         CASE WHEN g.id IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM pred p LEFT JOIN gt g ON p.qid = g.qid AND p.id = g.id
+),
+scored AS (
+  SELECT qid, hit, rank,
+         sum(hit) OVER (PARTITION BY qid ORDER BY rank) AS cum
+  FROM marked
+),
+perq_raw AS (
+  SELECT qid,
+         sum(hit) AS n_hit,
+         sum(hit * cum * 1.0 / rank) AS ap_sum,
+         sum(hit * 1.0 / log2(rank + 1)) AS dcg,
+         min(CASE WHEN hit = 1 THEN rank END) AS first_hit
+  FROM scored GROUP BY qid
+),
+perq AS (
+  SELECT s.qid,
+         coalesce(p.n_hit, 0) * 1.0 / s.n_gt AS recall,
+         coalesce(p.n_hit, 0) * 1.0 / {k} AS precision,
+         coalesce(p.ap_sum, 0) / s.n_gt AS ap,
+         coalesce(p.dcg, 0)
+           / list_sum(list_transform(generate_series(1, least(s.n_gt, {k})),
+                                     i -> 1.0 / log2(i + 1))) AS ndcg,
+         CASE WHEN coalesce(p.n_hit, 0) > 0 THEN 1.0 ELSE 0.0 END AS any_hit,
+         coalesce(1.0 / p.first_hit, 0.0) AS rr
+  FROM sizes s LEFT JOIN perq_raw p ON s.qid = p.qid
+)
+SELECT CAST({k} AS BIGINT) AS k,
+       count(*) AS n_queries,
+       round(avg(recall), 6) AS recall,
+       round(avg(precision), 6) AS precision,
+       round(avg(ap), 6) AS map,
+       round(avg(ndcg), 6) AS ndcg,
+       round(avg(any_hit), 6) AS hit_rate,
+       round(avg(rr), 6) AS mrr
+FROM perq
+"""
+
+LATENCY_ORACLE = """
+SELECT count(*) AS n,
+       round(avg(value), 6) AS mean,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(quantile_cont(value, 0.99), 6) AS p99,
+       round(min(value), 6) AS min,
+       round(max(value), 6) AS max
+FROM events
+"""
+
+QUERIES = {
+    "retrieval_metrics_at_10": metrics_at_10,
+    "retrieval_metrics_sweep": metrics_sweep,
+    "latency_stats_events": latency_events,
+}
+
+ORACLES = {
+    "retrieval_metrics_at_10": METRICS_CTE.format(k=10),
+    "retrieval_metrics_sweep": " UNION ALL ".join(
+        f"({METRICS_CTE.format(k=k)})" for k in (1, 5, 10)
+    ),
+    "latency_stats_events": LATENCY_ORACLE,
+}

@@ -1,0 +1,168 @@
+"""Exact cluster-pruned kNN — the CoverTree replacement (SURVEY.md §7.1
+step 7).
+
+The reference's CoverTreeV2_2 (covertree_v2_2.py:1-624) provides *exact*
+kNN with a sub-linear number of distance computations via
+branch-and-bound over a pointer tree — inherently sequential and not
+Spark-shaped.  This operator delivers the same capability with the same
+bound family (triangle inequality, cf. covertree_v2_2.py:457-473) in a
+two-phase distributed plan:
+
+1. probe the ``nprobe`` nearest clusters exactly → per-query kth-best
+   distance T_q (an upper bound on the true kth-neighbor distance);
+2. every unprobed cluster c with lower bound
+   d(q, centroid_c) − radius_c > T_q provably contains no better
+   neighbor and is skipped; the rest are scanned and merged.
+
+Result is bit-identical to exact search (recall 1.0) while scanning only
+the clusters the bound admits.  The scanned-vector count is surfaced
+through a Spark accumulator, mirroring the reference's ``ndis`` operation
+counter (base_algorithm.py:91-96, covertree_v2_2.py:510-517).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vectordb_retrieval_spark.artifacts import IndexArtifact
+from vectordb_retrieval_spark.functions.distance import pairwise_distances
+from vectordb_retrieval_spark.functions.kernels import (
+    attach_query_distance,
+    collect_vectors,
+)
+from vectordb_retrieval_spark.operators.ivf import IVFIndexer
+from vectordb_retrieval_spark.operators.topk import topk_per_query
+
+
+class ClusterPrunedExactIndexer(IVFIndexer):
+    """IVF-flat index + per-cluster covering radii."""
+
+    def __init__(self, nlist: int = 64, metric: str = "l2", seed: int = 42, max_iter: int = 20):
+        super().__init__(nlist=nlist, metric=metric, seed=seed, max_iter=max_iter, codec=None)
+
+    def build(
+        self, base_df: DataFrame, id_col: str = "id", vec_col: str = "vec"
+    ) -> IndexArtifact:
+        art = super().build(base_df, id_col, vec_col)
+        cents = art.params["centroids"]
+        spark = base_df.sparkSession
+        bc = spark.sparkContext.broadcast(cents)
+
+        def kernel(batches):
+            centroids = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                mat = np.vstack(pdf["vec"].to_numpy()).astype(np.float64)
+                cid = pdf["cluster_id"].to_numpy(dtype=np.int64)
+                d = np.sqrt(((mat - centroids[cid]) ** 2).sum(axis=1))
+                yield pd.DataFrame({"cluster_id": cid, "r": d})
+
+        radii_rows = (
+            art.tables["assignment"]
+            .select("cluster_id", "vec")
+            .mapInPandas(kernel, schema="cluster_id long, r double")
+            .groupBy("cluster_id")
+            .agg(F.max("r").alias("r"))
+            .collect()
+        )
+        radii = np.zeros(len(cents))
+        for row in radii_rows:
+            radii[row["cluster_id"]] = row["r"]
+        art.params["radii"] = radii
+        art.kind = "cluster_pruned_exact"
+        return art
+
+
+class ClusterPrunedExactSearcher:
+    """Two-phase exact search with triangle-inequality cluster pruning.
+
+    Only supports L2 (the bound is metric-specific; cosine reduces to L2
+    on normalized vectors, which ``IVFIndexer(metric='cosine')`` already
+    produces)."""
+
+    def __init__(self, nprobe: int = 4):
+        self.nprobe = nprobe
+        self.artifact: IndexArtifact | None = None
+        self.ndis_accum = None  # LongAccumulator, set on first search
+
+    def attach(self, artifact: IndexArtifact) -> "ClusterPrunedExactSearcher":
+        self.artifact = artifact
+        return self
+
+    def search(
+        self, query_df: DataFrame, k: int, qid_col: str = "qid", vec_col: str = "vec"
+    ) -> DataFrame:
+        art = self.artifact
+        cents = art.params["centroids"]
+        radii = art.params["radii"]
+        metric = art.params["metric"]
+        spark = query_df.sparkSession
+        if self.ndis_accum is None:
+            self.ndis_accum = spark.sparkContext.accumulator(0)
+        accum = self.ndis_accum
+
+        qids, qmat = collect_vectors(query_df, qid_col, vec_col)
+        if metric == "cosine":
+            from vectordb_retrieval_spark.functions.distance import normalize_rows
+
+            qmat = normalize_rows(qmat.astype(np.float64)).astype(np.float32)
+        qc = pairwise_distances(qmat, cents, "l2")  # (n_q, nlist)
+
+        nprobe = min(self.nprobe, qc.shape[1])
+        order = np.lexsort((np.broadcast_to(np.arange(qc.shape[1]), qc.shape), qc), axis=1)
+        probed = order[:, :nprobe]
+
+        assignment = art.tables["assignment"]
+
+        def scan(probe_pairs: pd.DataFrame) -> DataFrame:
+            probe_df = spark.createDataFrame(probe_pairs, "qid long, cluster_id int")
+            cands = assignment.join(F.broadcast(probe_df), "cluster_id").select(
+                "qid", "id", "vec"
+            )
+
+            def counted(batches):
+                for pdf in batches:
+                    accum.add(len(pdf))
+                    yield pdf
+
+            cands = cands.mapInPandas(
+                counted, schema="qid long, id long, vec array<float>"
+            )
+            return attach_query_distance(cands, qids, qmat, "l2")
+
+        phase1_pairs = pd.DataFrame(
+            {
+                "qid": np.repeat(qids, nprobe),
+                "cluster_id": probed.reshape(-1).astype(np.int32),
+            }
+        )
+        scored1 = scan(phase1_pairs).cache()
+        top1 = topk_per_query(scored1, k)
+        # per-query exact upper bound T_q = kth-best distance so far
+        tq_rows = (
+            top1.groupBy("qid").agg(F.max("dist").alias("t"), F.count("*").alias("n")).collect()
+        )
+        tq = {int(r["qid"]): (r["t"] if r["n"] >= k else np.inf) for r in tq_rows}
+        t_arr = np.array([tq.get(int(q), np.inf) for q in qids])
+
+        # lower bound per (query, cluster): d(q, c) − r_c; prune if > T_q
+        lower = qc - radii[None, :]
+        need = lower <= t_arr[:, None]
+        need[np.arange(len(qids))[:, None], probed] = False  # already scanned
+        extra_q, extra_c = np.nonzero(need)
+        if len(extra_q) == 0:
+            scored1.unpersist()
+            return top1
+        phase2_pairs = pd.DataFrame(
+            {
+                "qid": qids[extra_q],
+                "cluster_id": extra_c.astype(np.int32),
+            }
+        )
+        scored2 = scan(phase2_pairs)
+        result = topk_per_query(scored1.unionByName(scored2), k)
+        return result

@@ -1,0 +1,245 @@
+"""IVF (inverted-file) index family — the engine's main approximate path.
+
+Reference counterpart: FAISS factory "IVF{nlist},Flat|SQ8|PQ{m}"
+(modular.py:224-309, configs/benchmark_config.yaml:36-72).  Spark-first
+re-design (SURVEY.md §7.1 step 6):
+
+- **build**: MLlib KMeans learns ``nlist`` centroids (the coarse
+  quantizer); the base table becomes an assignment table
+  (cluster_id, id, vec-or-codes).  At cluster scale this table is
+  written Parquet-partitioned by ``cluster_id`` so probing prunes
+  partitions at the scan (Catalyst partition pruning) — locally it is
+  repartitioned on cluster_id, same plan shape.
+- **search**: the query→centroid scoring runs on the driver (centroids
+  are tiny); each query selects its ``nprobe`` nearest clusters; the
+  broadcast (qid, cluster_id) probe list joins the assignment table —
+  only probed clusters are scanned — and the surviving candidates get
+  exact distances via the broadcast-query kernel, then window top-k.
+
+Optional ``codec`` (SQ8/PQ from operators.quant) stores compressed codes
+in the assignment table; the searcher decodes inside the distance
+kernel, so memory/scan cost matches the reference's compressed indexes.
+
+Cosine is handled FAISS-style: vectors and queries are L2-normalized at
+build/search, then L2 clustering + IP/L2 scoring coincide with cosine
+ordering (reference normalizes at the same points, modular.py:159-166).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vectordb_retrieval_spark.artifacts import IndexArtifact
+from vectordb_retrieval_spark.functions.distance import (
+    normalize_rows,
+    pairwise_distances,
+)
+from vectordb_retrieval_spark.functions.kernels import (
+    collect_vectors,
+    rowwise_distance,
+)
+from vectordb_retrieval_spark.operators.topk import topk_per_query
+
+
+def _norm_df(df: DataFrame, vec_col: str) -> DataFrame:
+    """L2-normalize an array<float> column (zero-safe), JVM-side."""
+    v = F.col(vec_col)
+    norm = F.sqrt(
+        F.aggregate(v, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double"))
+    )
+    safe = F.when(norm == 0.0, F.lit(1.0)).otherwise(norm)
+    return df.withColumn(
+        vec_col, F.transform(v, lambda x: (x.cast("double") / safe).cast("float"))
+    )
+
+
+class IVFIndexer:
+    """KMeans coarse quantizer + cluster-assigned base table."""
+
+    def __init__(
+        self,
+        nlist: int = 100,
+        metric: str = "l2",
+        seed: int = 42,
+        max_iter: int = 20,
+        codec=None,
+    ):
+        self.nlist = nlist
+        self.metric = metric
+        self.seed = seed
+        self.max_iter = max_iter
+        self.codec = codec
+        self.centroids: np.ndarray | None = None
+
+    def build(
+        self, base_df: DataFrame, id_col: str = "id", vec_col: str = "vec"
+    ) -> IndexArtifact:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        base = base_df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        if self.metric == "cosine":
+            base = _norm_df(base, "vec")
+        feats = base.withColumn("features", array_to_vector("vec"))
+        km = KMeans(k=self.nlist, seed=self.seed, maxIter=self.max_iter)
+        model = km.fit(feats)
+        self.centroids = np.vstack([c for c in model.clusterCenters()]).astype(
+            np.float64
+        )
+        assigned = (
+            model.transform(feats)
+            .withColumnRenamed("prediction", "cluster_id")
+            .select("cluster_id", "id", "vec")
+        )
+        radii = None
+        if self.codec is not None:
+            self.codec.fit(assigned, vec_col="vec")
+            assigned = self.codec.encode_df(assigned, vec_col="vec").select(
+                "cluster_id", "id", "codes"
+            )
+        # partition by cluster so probe joins scan only probed clusters
+        assigned = assigned.repartition("cluster_id")
+        return IndexArtifact(
+            kind="ivf",
+            tables={"assignment": assigned},
+            params={
+                "centroids": self.centroids,
+                "metric": self.metric,
+                "codec": self.codec,
+            },
+            metadata={"nlist": self.nlist, "seed": self.seed, "metric": self.metric},
+        )
+
+
+class FixedCentroidIVFIndexer(IVFIndexer):
+    """IVF with caller-supplied centroids (no KMeans) — used for
+    SQL-reproducible correctness checks and for pre-trained quantizers."""
+
+    def __init__(self, centroids: np.ndarray, metric: str = "l2", codec=None):
+        super().__init__(nlist=len(centroids), metric=metric, codec=codec)
+        self.centroids = np.asarray(centroids, dtype=np.float64)
+
+    def build(
+        self, base_df: DataFrame, id_col: str = "id", vec_col: str = "vec"
+    ) -> IndexArtifact:
+        base = base_df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        if self.metric == "cosine":
+            base = _norm_df(base, "vec")
+        spark = base.sparkSession
+        bc = spark.sparkContext.broadcast(self.centroids)
+
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            cents = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                mat = np.vstack(pdf["vec"].to_numpy()).astype(np.float32)
+                d = pairwise_distances(mat, cents, "l2")
+                pdf = pdf[["id", "vec"]].copy()
+                pdf.insert(0, "cluster_id", d.argmin(axis=1).astype(np.int32))
+                yield pdf
+
+        assigned = base.mapInPandas(
+            kernel, schema="cluster_id int, id long, vec array<float>"
+        )
+        if self.codec is not None:
+            self.codec.fit(assigned, vec_col="vec")
+            assigned = self.codec.encode_df(assigned, vec_col="vec").select(
+                "cluster_id", "id", "codes"
+            )
+        assigned = assigned.repartition("cluster_id")
+        return IndexArtifact(
+            kind="ivf",
+            tables={"assignment": assigned},
+            params={
+                "centroids": self.centroids,
+                "metric": self.metric,
+                "codec": self.codec,
+            },
+            metadata={"nlist": self.nlist, "metric": self.metric, "fixed": True},
+        )
+
+
+class IVFSearcher:
+    """nprobe-pruned candidate scan + exact (or decoded) rerank."""
+
+    def __init__(self, nprobe: int = 8):
+        self.nprobe = nprobe
+        self.artifact: IndexArtifact | None = None
+
+    def attach(self, artifact: IndexArtifact) -> "IVFSearcher":
+        self.artifact = artifact
+        return self
+
+    def probe_clusters(self, qids: np.ndarray, qmat: np.ndarray) -> pd.DataFrame:
+        """(qid, cluster_id) pairs: nprobe nearest centroids per query
+        (ties by cluster_id asc)."""
+        art = self.artifact
+        cents = art.params["centroids"]
+        d = pairwise_distances(qmat, cents, "l2")
+        nprobe = min(self.nprobe, d.shape[1])
+        order = np.lexsort(
+            (np.broadcast_to(np.arange(d.shape[1]), d.shape), d), axis=1
+        )[:, :nprobe]
+        return pd.DataFrame(
+            {
+                "qid": np.repeat(qids, nprobe),
+                "cluster_id": order.reshape(-1).astype(np.int32),
+            }
+        )
+
+    def search(
+        self,
+        query_df: DataFrame,
+        k: int,
+        qid_col: str = "qid",
+        vec_col: str = "vec",
+    ) -> DataFrame:
+        art = self.artifact
+        if art is None:
+            raise RuntimeError("searcher not attached to an index artifact")
+        metric = art.params["metric"]
+        codec = art.params["codec"]
+        spark = query_df.sparkSession
+
+        qids, qmat = collect_vectors(query_df, qid_col, vec_col)
+        if metric == "cosine":
+            qmat = normalize_rows(qmat.astype(np.float64)).astype(np.float32)
+        probe = self.probe_clusters(qids, qmat)
+        probe_df = spark.createDataFrame(probe, "qid long, cluster_id int")
+
+        candidates = art.tables["assignment"].join(
+            F.broadcast(probe_df), "cluster_id"
+        )
+        bc = spark.sparkContext.broadcast((qids, qmat, codec))
+        payload_col = "vec" if codec is None else "codes"
+
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            q_ids, q_mat, cdc = bc.value
+            lookup = {int(q): i for i, q in enumerate(q_ids)}
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                rows = pdf["qid"].map(lookup).to_numpy(dtype=np.int64)
+                raw = np.vstack(pdf[payload_col].to_numpy())
+                bvecs = (
+                    raw.astype(np.float32) if cdc is None else cdc.decode(raw)
+                )
+                dist = rowwise_distance(q_mat[rows], bvecs, metric)
+                yield pd.DataFrame(
+                    {
+                        "qid": pdf["qid"].to_numpy(dtype=np.int64),
+                        "id": pdf["id"].to_numpy(dtype=np.int64),
+                        "dist": dist,
+                    }
+                )
+
+        scored = candidates.select("qid", "id", payload_col).mapInPandas(
+            kernel, schema="qid long, id long, dist double"
+        )
+        return topk_per_query(scored, k)

@@ -1,0 +1,197 @@
+"""LSH index build + search (candidate generation → vote → rerank).
+
+Reference semantics reproduced Spark-first (src/algorithms/lsh.py:27-362):
+- build: hash every base vector into ``num_tables`` bucket tables
+  → ONE DataFrame (table_id, bucket, id), the Spark-native form of the
+  reference's per-table ``defaultdict`` buckets (lsh.py:95-138).  At
+  cluster scale this table is written partitioned/bucketed by
+  (table_id, bucket) so the candidate join co-locates.
+- search (lsh.py:144-298): hash queries per table → equi-join on
+  (table_id, bucket) → vote count per (qid, id) — the reference's
+  ``Counter.most_common`` becomes groupBy().count() — → cap candidates
+  at max(k, ceil(multiplier·k)) (vote desc, id asc) → exact rerank of
+  the survivors against the original vectors → window top-k → queries
+  with zero candidates fall back to exact search (lsh.py:289-298).
+
+The query side of every join is broadcast; the only shuffle that scales
+with base size is the bucket-table groupBy, whose cardinality is
+already reduced to colliding candidates.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from vectordb_retrieval_spark.artifacts import IndexArtifact
+from vectordb_retrieval_spark.functions.hashing import (
+    e2lsh_buckets,
+    make_offsets,
+    make_projections,
+    sign_buckets,
+)
+from vectordb_retrieval_spark.functions.kernels import (
+    attach_query_distance,
+    collect_vectors,
+)
+from vectordb_retrieval_spark.operators.exact import exact_knn
+from vectordb_retrieval_spark.operators.topk import topk_per_query
+
+
+class LSHIndexer:
+    """Random-projection LSH indexer (cosine sign-hash or L2 E2LSH)."""
+
+    def __init__(
+        self,
+        dimension: int,
+        num_tables: int = 4,
+        hash_size: int = 8,
+        metric: str = "cosine",
+        seed: int = 42,
+        bucket_width: float = 4.0,
+    ):
+        if metric not in ("cosine", "l2", "ip"):
+            raise ValueError(f"unsupported LSH metric {metric!r}")
+        self.dimension = dimension
+        self.num_tables = num_tables
+        self.hash_size = hash_size
+        self.metric = metric
+        self.seed = seed
+        self.bucket_width = bucket_width
+        self.projections = make_projections(dimension, num_tables, hash_size, seed)
+        self.offsets = make_offsets(num_tables, hash_size, bucket_width, seed)
+
+    def bucket_of(self, vecs: np.ndarray) -> np.ndarray:
+        """(n, num_tables) bucket keys as strings (scheme-dependent)."""
+        if self.metric == "l2":
+            return e2lsh_buckets(vecs, self.projections, self.offsets, self.bucket_width)
+        buckets = sign_buckets(vecs, self.projections)
+        return buckets.astype(str).astype(object)
+
+    def build(
+        self, base_df: DataFrame, id_col: str = "id", vec_col: str = "vec"
+    ) -> IndexArtifact:
+        spark = base_df.sparkSession
+        bc = spark.sparkContext.broadcast(
+            (self.metric, self.projections, self.offsets, self.bucket_width)
+        )
+        n_tables = self.num_tables
+
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            metric, projections, offsets, width = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                ids = pdf[id_col].to_numpy(dtype=np.int64)
+                mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float32)
+                if metric == "l2":
+                    bk = e2lsh_buckets(mat, projections, offsets, width)
+                else:
+                    bk = sign_buckets(mat, projections).astype(str).astype(object)
+                yield pd.DataFrame(
+                    {
+                        "table_id": np.tile(np.arange(n_tables), len(ids)),
+                        "bucket": bk.reshape(-1),
+                        "id": np.repeat(ids, n_tables),
+                    }
+                )
+
+        buckets = base_df.select(id_col, vec_col).mapInPandas(
+            kernel, schema="table_id int, bucket string, id long"
+        )
+        vectors = base_df.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+        )
+        return IndexArtifact(
+            kind="lsh",
+            tables={"buckets": buckets, "vectors": vectors},
+            params={"indexer": self},
+            metadata={
+                "metric": self.metric,
+                "num_tables": self.num_tables,
+                "hash_size": self.hash_size,
+                "seed": self.seed,
+            },
+        )
+
+
+class LSHSearcher:
+    """Vote-and-cap candidate selection with exact rerank."""
+
+    def __init__(
+        self,
+        candidate_multiplier: float = 8.0,
+        max_candidates: int | None = None,
+        exact_fallback: bool = True,
+    ):
+        self.candidate_multiplier = candidate_multiplier
+        self.max_candidates = max_candidates
+        self.exact_fallback = exact_fallback
+        self.artifact: IndexArtifact | None = None
+
+    def attach(self, artifact: IndexArtifact) -> "LSHSearcher":
+        self.artifact = artifact
+        return self
+
+    def search(
+        self,
+        query_df: DataFrame,
+        k: int,
+        qid_col: str = "qid",
+        vec_col: str = "vec",
+    ) -> DataFrame:
+        art = self.artifact
+        if art is None:
+            raise RuntimeError("searcher not attached to an index artifact")
+        indexer: LSHIndexer = art.params["indexer"]
+        metric = indexer.metric
+        spark = query_df.sparkSession
+
+        qids, qmat = collect_vectors(query_df, qid_col, vec_col)
+        qbuckets = indexer.bucket_of(qmat)  # (n_q, n_tables)
+        n_tables = qbuckets.shape[1]
+        qb_rows = [
+            (int(qids[i]), t, str(qbuckets[i, t]))
+            for i in range(len(qids))
+            for t in range(n_tables)
+        ]
+        qb_df = spark.createDataFrame(qb_rows, "qid long, table_id int, bucket string")
+
+        cap = self.max_candidates or max(k, math.ceil(self.candidate_multiplier * k))
+        votes = (
+            art.tables["buckets"]
+            .join(F.broadcast(qb_df), ["table_id", "bucket"])
+            .groupBy("qid", "id")
+            .agg(F.count("*").alias("votes"))
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("votes"), F.asc("id"))
+        capped = votes.withColumn("_rn", F.row_number().over(w)).filter(
+            F.col("_rn") <= cap
+        )
+        cand_vecs = capped.join(art.tables["vectors"], "id").select("qid", "id", "vec")
+        scored = attach_query_distance(cand_vecs, qids, qmat, metric)
+        result = topk_per_query(scored, k)
+
+        if self.exact_fallback:
+            missing = (
+                query_df.select(F.col(qid_col).alias("qid"), F.col(vec_col).alias("_v"))
+                .join(result.select("qid").distinct(), "qid", "left_anti")
+            )
+            if missing.limit(1).count() > 0:
+                fb = exact_knn(
+                    art.tables["vectors"],
+                    missing,
+                    k,
+                    metric,
+                    id_col="id",
+                    vec_col="vec",
+                    qid_col="qid",
+                    qvec_col="_v",
+                )
+                result = result.unionByName(fb)
+        return result

@@ -1,0 +1,106 @@
+"""Standalone PQ index: exhaustive ADC scan (reference "PQ64" row,
+configs/benchmark_config.yaml:61-72).
+
+Build encodes every base vector to m sub-codes; search broadcasts a per
+-query (m × ksub) LUT of partial squared distances and scans the code
+table with per-partition top-k — the same candidate-free exhaustive ADC
+the reference gets from FAISS, expressed as a mapInPandas fold so the
+scan parallelizes across partitions and shuffles only
+n_partitions × n_queries × k rows.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vectordb_retrieval_spark.artifacts import IndexArtifact
+from vectordb_retrieval_spark.functions.kernels import collect_vectors
+from vectordb_retrieval_spark.operators.quant import PQCodec
+from vectordb_retrieval_spark.operators.topk import topk_per_query
+
+
+class PQIndexer:
+    def __init__(self, m: int = 8, ksub: int = 256, metric: str = "l2", seed: int = 42):
+        self.codec = PQCodec(m=m, ksub=ksub, seed=seed, normalize=(metric == "cosine"))
+        self.metric = metric
+
+    def build(
+        self, base_df: DataFrame, id_col: str = "id", vec_col: str = "vec"
+    ) -> IndexArtifact:
+        base = base_df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        self.codec.fit(base, "vec")
+        codes = self.codec.encode_df(base, "vec")
+        return IndexArtifact(
+            kind="pq",
+            tables={"codes": codes},
+            params={"codec": self.codec, "metric": self.metric},
+            metadata={"m": self.codec.m, "ksub": self.codec.ksub, "metric": self.metric},
+        )
+
+
+class PQADCSearcher:
+    def __init__(self):
+        self.artifact: IndexArtifact | None = None
+
+    def attach(self, artifact: IndexArtifact) -> "PQADCSearcher":
+        self.artifact = artifact
+        return self
+
+    def search(
+        self, query_df: DataFrame, k: int, qid_col: str = "qid", vec_col: str = "vec"
+    ) -> DataFrame:
+        art = self.artifact
+        codec: PQCodec = art.params["codec"]
+        spark = query_df.sparkSession
+        qids, qmat = collect_vectors(query_df, qid_col, vec_col)
+        luts = codec.adc_luts(qmat)
+        bc = spark.sparkContext.broadcast((qids, luts))
+
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            q_ids, q_luts = bc.value
+            n_q, m, _ = q_luts.shape
+            cand_d: list[np.ndarray] = []
+            cand_i: list[np.ndarray] = []
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                ids = pdf["id"].to_numpy(dtype=np.int64)
+                codes = np.vstack(pdf["codes"].to_numpy()).astype(np.int64)
+                # (n_q, n_block) ADC: gather per subspace, accumulate
+                acc = np.zeros((n_q, len(ids)))
+                for j in range(m):
+                    acc += q_luts[:, j, codes[:, j]]
+                dmat = np.sqrt(np.maximum(acc, 0.0))
+                if len(ids) > k:
+                    part = np.argpartition(dmat, k - 1, axis=1)[:, :k]
+                    cand_d.append(np.take_along_axis(dmat, part, axis=1))
+                    cand_i.append(ids[part])
+                else:
+                    cand_d.append(dmat)
+                    cand_i.append(np.broadcast_to(ids, (n_q, len(ids))).copy())
+            if not cand_d:
+                return
+            dall = np.concatenate(cand_d, axis=1)
+            iall = np.concatenate(cand_i, axis=1)
+            kk = min(k, dall.shape[1])
+            if dall.shape[1] > kk:
+                part = np.argpartition(dall, kk - 1, axis=1)[:, :kk]
+                dall = np.take_along_axis(dall, part, axis=1)
+                iall = np.take_along_axis(iall, part, axis=1)
+            yield pd.DataFrame(
+                {
+                    "qid": np.repeat(q_ids, kk),
+                    "id": iall.reshape(-1),
+                    "dist": dall.reshape(-1),
+                }
+            )
+
+        scored = art.tables["codes"].select("id", "codes").mapInPandas(
+            kernel, schema="qid long, id long, dist double"
+        )
+        return topk_per_query(scored, k)

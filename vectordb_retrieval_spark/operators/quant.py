@@ -1,0 +1,217 @@
+"""Vector compression codecs: SQ8 (scalar) and PQ (product quantization).
+
+Reference counterparts: FAISS "SQ8" and "PQ{m}" index factories
+(configs/benchmark_config.yaml:36-72, built via modular.py:277-286).
+Re-designed for Spark:
+
+- **SQ8**: per-dimension [min,max] calibration → uint8 codes
+  (code = round((x−vmin)/scale), scale = (vmax−vmin)/255; decode
+  x̂ = vmin + code·scale).  Calibration is a per-partition NumPy
+  min/max partial reduce (one pass, no shuffle of vector data);
+  codes live in the index table at 1/4 the float32 footprint.
+- **PQ**: dims split into ``m`` subspaces, each with a ``ksub``-entry
+  codebook learned by seeded Lloyd k-means on a driver-side sample
+  (the same train-on-sample regime FAISS uses); codes are m bytes per
+  vector.  Search uses ADC (asymmetric distance computation): per query
+  a (m × ksub) lookup table of partial squared-L2 distances is
+  broadcast, and candidate distance = sum of LUT entries — a gather +
+  sum per Arrow batch, never reconstructing the vectors.
+
+Both codecs expose fit / encode_df / decode so IVF composes with them
+(IVF-SQ8, IVF-PQ) and standalone exhaustive scans (SQ8/PQ flat) reuse
+the same code.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from vectordb_retrieval_spark.functions.distance import normalize_rows
+
+
+def _stack(col: pd.Series) -> np.ndarray:
+    return np.vstack(col.to_numpy())
+
+
+class SQ8Codec:
+    """Per-dimension 8-bit scalar quantizer."""
+
+    def __init__(self):
+        self.vmin: np.ndarray | None = None
+        self.vmax: np.ndarray | None = None
+        self.scale: np.ndarray | None = None
+
+    def fit(self, df: DataFrame, vec_col: str = "vec") -> "SQ8Codec":
+        def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            lo, hi = None, None
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                mat = _stack(pdf[vec_col]).astype(np.float64)
+                blo, bhi = mat.min(axis=0), mat.max(axis=0)
+                lo = blo if lo is None else np.minimum(lo, blo)
+                hi = bhi if hi is None else np.maximum(hi, bhi)
+            if lo is not None:
+                yield pd.DataFrame({"vmin": [lo.tolist()], "vmax": [hi.tolist()]})
+
+        parts = (
+            df.select(vec_col)
+            .mapInPandas(partial, schema="vmin array<double>, vmax array<double>")
+            .collect()
+        )
+        lo = np.min([r["vmin"] for r in parts], axis=0)
+        hi = np.max([r["vmax"] for r in parts], axis=0)
+        self.vmin = lo
+        self.vmax = hi
+        scale = (hi - lo) / 255.0
+        scale[scale == 0.0] = 1.0
+        self.scale = scale
+        return self
+
+    def encode(self, mat: np.ndarray) -> np.ndarray:
+        codes = np.rint((mat.astype(np.float64) - self.vmin) / self.scale)
+        return np.clip(codes, 0, 255).astype(np.int16)
+
+    def decode(self, codes: np.ndarray) -> np.ndarray:
+        return (self.vmin + codes.astype(np.float64) * self.scale).astype(np.float32)
+
+    def encode_df(self, df: DataFrame, vec_col: str = "vec") -> DataFrame:
+        spark = df.sparkSession
+        bc = spark.sparkContext.broadcast((self.vmin, self.scale))
+        other = [c for c in df.columns if c != vec_col]
+
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            vmin, scale = bc.value
+            codec = SQ8Codec()
+            codec.vmin, codec.scale = vmin, scale
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                codes = codec.encode(_stack(pdf[vec_col]))
+                out = pdf[other].copy()
+                out["codes"] = list(codes)
+                yield out
+
+        schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in df.schema.fields
+            if f.name != vec_col
+        )
+        return df.mapInPandas(kernel, schema=f"{schema}, codes array<smallint>")
+
+
+def lloyd_kmeans(
+    data: np.ndarray, k: int, seed: int, iters: int = 25
+) -> np.ndarray:
+    """Seeded Lloyd k-means (driver-side, for PQ sub-codebooks)."""
+    rng = np.random.RandomState(seed)
+    n = data.shape[0]
+    k = min(k, n)
+    cents = data[rng.choice(n, size=k, replace=False)].astype(np.float64)
+    for _ in range(iters):
+        d2 = ((data[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        assign = d2.argmin(axis=1)
+        for j in range(k):
+            members = data[assign == j]
+            if len(members):
+                cents[j] = members.mean(axis=0)
+    return cents
+
+
+class PQCodec:
+    """Product quantizer with ADC search support."""
+
+    def __init__(
+        self,
+        m: int = 8,
+        ksub: int = 256,
+        seed: int = 42,
+        train_sample: int = 20000,
+        iters: int = 25,
+        normalize: bool = False,
+    ):
+        self.m = m
+        self.ksub = ksub
+        self.seed = seed
+        self.train_sample = train_sample
+        self.iters = iters
+        self.normalize = normalize  # cosine: normalize, then L2 ADC ≡ cosine order
+        self.codebooks: np.ndarray | None = None  # (m, ksub, dsub)
+
+    def _split(self, mat: np.ndarray) -> list[np.ndarray]:
+        d = mat.shape[1]
+        if d % self.m != 0:
+            raise ValueError(f"dim {d} not divisible by m={self.m}")
+        dsub = d // self.m
+        return [mat[:, j * dsub : (j + 1) * dsub] for j in range(self.m)]
+
+    def fit(self, df: DataFrame, vec_col: str = "vec") -> "PQCodec":
+        sample = df.select(vec_col).limit(self.train_sample).toPandas()
+        mat = _stack(sample[vec_col]).astype(np.float64)
+        if self.normalize:
+            mat = normalize_rows(mat)
+        books = [
+            lloyd_kmeans(sub, self.ksub, self.seed + j, self.iters)
+            for j, sub in enumerate(self._split(mat))
+        ]
+        self.codebooks = np.stack(books)
+        return self
+
+    def encode(self, mat: np.ndarray) -> np.ndarray:
+        mat = mat.astype(np.float64)
+        if self.normalize:
+            mat = normalize_rows(mat)
+        codes = np.empty((mat.shape[0], self.m), dtype=np.int16)
+        for j, sub in enumerate(self._split(mat)):
+            d2 = ((sub[:, None, :] - self.codebooks[j][None, :, :]) ** 2).sum(-1)
+            codes[:, j] = d2.argmin(axis=1)
+        return codes
+
+    def decode(self, codes: np.ndarray) -> np.ndarray:
+        parts = [self.codebooks[j][codes[:, j]] for j in range(self.m)]
+        return np.concatenate(parts, axis=1).astype(np.float32)
+
+    def encode_df(self, df: DataFrame, vec_col: str = "vec") -> DataFrame:
+        spark = df.sparkSession
+        bc = spark.sparkContext.broadcast(self)
+        other = [c for c in df.columns if c != vec_col]
+
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            codec = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                codes = codec.encode(_stack(pdf[vec_col]))
+                out = pdf[other].copy()
+                out["codes"] = list(codes)
+                yield out
+
+        schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in df.schema.fields
+            if f.name != vec_col
+        )
+        return df.mapInPandas(kernel, schema=f"{schema}, codes array<smallint>")
+
+    def adc_luts(self, qmat: np.ndarray) -> np.ndarray:
+        """(n_q, m, ksub) partial squared-L2 tables for ADC scoring."""
+        q = qmat.astype(np.float64)
+        if self.normalize:
+            q = normalize_rows(q)
+        luts = np.empty((q.shape[0], self.m, self.codebooks.shape[1]))
+        for j, sub in enumerate(self._split(q)):
+            luts[:, j, :] = ((sub[:, None, :] - self.codebooks[j][None, :, :]) ** 2).sum(-1)
+        return luts
+
+    @staticmethod
+    def adc_distance(luts: np.ndarray, qrows: np.ndarray, codes: np.ndarray) -> np.ndarray:
+        """Aligned ADC distance: for row i, sqrt(Σ_j luts[qrows[i], j, codes[i,j]])."""
+        m = codes.shape[1]
+        acc = np.zeros(len(qrows))
+        for j in range(m):
+            acc += luts[qrows, j, codes[:, j]]
+        return np.sqrt(np.maximum(acc, 0.0))
