@@ -19,11 +19,17 @@ from pyspark.sql import DataFrame, SparkSession
 def collect_catalogue() -> tuple[
     dict[str, Callable[[SparkSession, str], DataFrame]], dict[str, str]
 ]:
-    from vectordb_retrieval_spark.driver_queries import ann, knn, metricsq
+    from vectordb_retrieval_spark.driver_queries import (
+        ann,
+        dedupq,
+        knn,
+        metricsq,
+        textq,
+    )
 
     queries: dict = {}
     oracles: dict = {}
-    for mod in (knn, metricsq, ann):
+    for mod in (knn, metricsq, ann, dedupq, textq):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
     return queries, oracles

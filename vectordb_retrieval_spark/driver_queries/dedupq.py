@@ -1,0 +1,159 @@
+"""Dedup driver queries over the documents/embeddings tables."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vectordb_retrieval_spark.driver_queries.common import docs, emb
+from vectordb_retrieval_spark.operators.dedup import (
+    embedding_near_dup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+
+N_PERM, BANDS, SHINGLE_N = 8, 4, 3
+JACCARD_SUBSET, JACCARD_T = 200, 0.5
+COSINE_T = 0.4
+SIMHASH_BITS = 16
+
+# -------------------------------------------------- shared SQL fragments
+
+_TOKS = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+_SHINGLES = (
+    "list_distinct(list_transform("
+    "generate_series(1, len(toks) - 2), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
+)
+
+
+def _h60(expr: str) -> str:
+    return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+
+_SIG_CTE = f"""
+toks AS (SELECT doc_id AS id, {_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT id, unnest({_SHINGLES}) AS s
+  FROM toks WHERE len(toks) >= {SHINGLE_N}
+),
+perms AS (SELECT CAST(range AS INT) AS j FROM range(0, {N_PERM})),
+hashed AS (
+  SELECT id, j AS perm,
+         {_h60("CAST(j AS VARCHAR) || ':' || s")} AS hv
+  FROM sh CROSS JOIN perms
+),
+sigs AS (SELECT id, perm, min(hv) AS minhash FROM hashed GROUP BY id, perm)
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(docs(spark, sf_dir))
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_signatures(docs(spark, sf_dir), N_PERM, SHINGLE_N)
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(docs(spark, sf_dir), N_PERM, BANDS, SHINGLE_N)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(docs(spark, sf_dir), SIMHASH_BITS)
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = docs(spark, sf_dir).filter(F.col("doc_id") < JACCARD_SUBSET)
+    return ngram_jaccard_pairs(d, JACCARD_T, SHINGLE_N)
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_near_dup_pairs(emb(spark, sf_dir), COSINE_T)
+
+
+_DEDUP_EXACT_ORACLE = r"""
+SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
+FROM (
+  SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+  FROM documents
+)
+GROUP BY t
+"""
+
+_SIG_ORACLE = f"WITH {_SIG_CTE} SELECT id, perm, minhash FROM sigs"
+
+_LSH_PAIRS_ORACLE = f"""
+WITH {_SIG_CTE},
+banded AS (
+  SELECT id, perm // {N_PERM // BANDS} AS band,
+         string_agg(CAST(minhash AS VARCHAR), '_'
+                    ORDER BY CAST(minhash AS VARCHAR)) AS bucket
+  FROM sigs GROUP BY id, perm // {N_PERM // BANDS}
+)
+SELECT DISTINCT a.id AS a, b.id AS b
+FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+WHERE a.id < b.id
+"""
+
+
+def _simhash_oracle(bits: int) -> str:
+    sums = ",\n".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(bits)
+    )
+    combine = " + ".join(
+        f"(CASE WHEN s{i} >= 0 THEN {1 << i} ELSE 0 END)" for i in range(bits)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id AS id, {_TOKS} AS toks FROM documents),
+tok AS (SELECT id, unnest(toks) AS tk FROM toks),
+h AS (SELECT id, {_h60("tk")} AS h FROM tok),
+sums AS (SELECT id, {sums} FROM h GROUP BY id)
+SELECT id, CAST({combine} AS BIGINT) AS simhash FROM sums
+"""
+
+
+_JACCARD_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id < {JACCARD_SUBSET}
+),
+t AS (
+  SELECT doc_id, {_SHINGLES} AS sh FROM toks WHERE len(toks) >= {SHINGLE_N}
+)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       round(len(list_intersect(a.sh, b.sh)) * 1.0
+             / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+FROM t a JOIN t b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+      / len(list_distinct(list_concat(a.sh, b.sh))) >= {JACCARD_T}
+"""
+
+_NEAR_DUP_ORACLE = f"""
+SELECT a.vec_id AS a, b.vec_id AS b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE 1.0 - (1.0 - list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])))
+      > {COSINE_T}
+"""
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_signatures": q_minhash_signatures,
+    "dedup_minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "dedup_simhash": q_simhash,
+    "dedup_ngram_jaccard": q_ngram_jaccard,
+    "dedup_embedding_cosine": q_embedding_near_dup,
+}
+
+ORACLES = {
+    "dedup_exact": _DEDUP_EXACT_ORACLE,
+    "dedup_minhash_signatures": _SIG_ORACLE,
+    "dedup_minhash_lsh_pairs": _LSH_PAIRS_ORACLE,
+    "dedup_simhash": _simhash_oracle(SIMHASH_BITS),
+    "dedup_ngram_jaccard": _JACCARD_ORACLE,
+    "dedup_embedding_cosine": _NEAR_DUP_ORACLE,
+}

@@ -1,0 +1,151 @@
+"""Text-analysis + multimodal driver queries over the documents table."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vectordb_retrieval_spark.driver_queries.common import docs, round6
+from vectordb_retrieval_spark.operators.multimodal import (
+    attach_binary_payload,
+    decode_media,
+    fake_decode,
+    frame_sample,
+)
+from vectordb_retrieval_spark.operators.textops import (
+    STOPWORDS,
+    doc_fingerprint,
+    lang_id,
+    text_quality,
+    token_counts,
+)
+
+_TOKS = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+_CANON = r"lower(regexp_replace(trim(text), '\s+', ' ', 'g'))"
+FRAME_STRIDE = 32
+
+
+def _sql_str_list(words) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_quality(docs(spark, sf_dir))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_id(docs(spark, sf_dir))
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_counts(docs(spark, sf_dir))
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_fingerprint(docs(spark, sf_dir))
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    payloads = attach_binary_payload(docs(spark, sf_dir))
+    return round6(decode_media(payloads, decode_fn=fake_decode))
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    payloads = attach_binary_payload(docs(spark, sf_dir))
+    return frame_sample(payloads, FRAME_STRIDE)
+
+
+_QUALITY_ORACLE = f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+SELECT doc_id AS id,
+       len(toks) AS n_tokens,
+       length(text) AS n_chars,
+       round(list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks), 6)
+         AS mean_token_len,
+       round(len(list_filter(toks, x -> list_contains({_sql_str_list(STOPWORDS['en'])}, x)))
+             * 1.0 / len(toks), 6) AS stopword_ratio,
+       len(string_split_regex(text, '[.,;:!?]')) AS n_punct_splits
+FROM t
+"""
+
+
+def _lang_oracle() -> str:
+    selects = " UNION ALL ".join(
+        f"SELECT id, '{lang}' AS lang, "
+        f"len(list_filter(toks, x -> list_contains({_sql_str_list(STOPWORDS[lang])}, x))) AS n "
+        "FROM t"
+        for lang in sorted(STOPWORDS)
+    )
+    return f"""
+WITH t AS (SELECT doc_id AS id, {_TOKS} AS toks FROM documents),
+scores AS ({selects}),
+ranked AS (
+  SELECT id, lang, n,
+         row_number() OVER (PARTITION BY id ORDER BY n DESC, lang ASC) AS rn
+  FROM scores
+)
+SELECT id, CASE WHEN n > 0 THEN lang ELSE 'und' END AS pred_lang
+FROM ranked WHERE rn = 1
+"""
+
+
+_TOKEN_COUNT_ORACLE = f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+SELECT doc_id AS id,
+       len(toks) AS n_tokens_ws,
+       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_tokens_re
+FROM t
+"""
+
+_FINGERPRINT_ORACLE = f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+s AS (
+  SELECT doc_id, text,
+         CASE WHEN len(toks) >= 3 THEN
+           list_distinct(list_transform(generate_series(1, len(toks) - 2),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+         ELSE [] END AS sh
+  FROM t
+)
+SELECT doc_id AS id,
+       md5({_CANON}) AS fingerprint,
+       list_min(list_transform(sh,
+         x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT))) AS winnow60
+FROM s
+"""
+
+_MULTIMODAL_ORACLE = """
+SELECT doc_id AS id,
+       16 + CAST('0x' || substr(md5(text), 1, 2) AS INT) % 64 AS width,
+       16 + CAST('0x' || substr(md5(text), 3, 2) AS INT) % 64 AS height,
+       round(list_sum(list_transform(generate_series(1, length(text)),
+                                     i -> ascii(substr(text, i, 1))))
+             * 1.0 / length(text) / 255.0, 6) AS mean_intensity
+FROM documents
+"""
+
+_FRAME_ORACLE = f"""
+SELECT doc_id AS id,
+       CAST(off AS INT) AS frame_offset,
+       CAST('0x' || substr(md5(substr(text, CAST(off AS INT) + 1, {FRAME_STRIDE})), 1, 14)
+            AS BIGINT) AS frame_fp
+FROM documents, unnest(generate_series(0, length(text) - 1, {FRAME_STRIDE})) t(off)
+"""
+
+QUERIES = {
+    "text_quality": q_text_quality,
+    "text_lang_id": q_lang_id,
+    "text_token_counts": q_token_counts,
+    "text_doc_fingerprint": q_doc_fingerprint,
+    "multimodal_decode_meta": q_multimodal_meta,
+    "multimodal_frame_sample": q_frame_sample,
+}
+
+ORACLES = {
+    "text_quality": _QUALITY_ORACLE,
+    "text_lang_id": _lang_oracle(),
+    "text_token_counts": _TOKEN_COUNT_ORACLE,
+    "text_doc_fingerprint": _FINGERPRINT_ORACLE,
+    "multimodal_decode_meta": _MULTIMODAL_ORACLE,
+    "multimodal_frame_sample": _FRAME_ORACLE,
+}

@@ -1,0 +1,209 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Not present in the reference (its corpus dedup is a single dict pass,
+dataset.py:732-741 ``doc_lookup[text] -> idx``); these are the
+Spark-native generalizations a 100 TB pipeline needs.  All hot paths are
+built-in column functions (JVM/codegen) — no Python UDFs:
+
+- exact_dedup: first-writer-wins by canonical text → groupBy(min id).
+  Scale: one shuffle on a text hash, partial-aggregated map-side.
+- minhash_signatures / minhash_lsh_pairs: word-shingle MinHash with
+  banding.  Permutation j is the keyed hash md5(j || shingle) — no
+  (a·x+b) mod p arithmetic, so an external SQL engine reproduces it
+  without 128-bit multiply.  Scale: explode(shingles) → per-doc min per
+  permutation (partial agg), then a band-bucket self-join that only
+  materializes colliding pairs — the standard sub-quadratic LSH shape.
+- simhash: 16-bit sign-sum fingerprint over token hashes; hamming
+  neighbors via (simhash XOR) popcount on candidate pairs.
+- ngram_jaccard_pairs: exact Jaccard over distinct shingle sets for a
+  bounded candidate set (quadratic — gate behind a subset or feed it
+  minhash candidates at scale).
+- embedding_near_dup_pairs: cosine-threshold pairs over an embedding
+  column; quadratic baseline here, LSH-bucketed variant via
+  operators.lsh for the scale path.
+
+Every function returns a DataFrame and mirrors an oracle SQL in
+driver_queries.dedupq.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vectordb_retrieval_spark.functions.distance import distance_col
+
+# hash of a string to a 60-bit integer, reproducible in DuckDB as
+# CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)
+def hash60(col: Column) -> Column:
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def canonical_text(col: Column) -> Column:
+    """Canonicalization before hashing/dedup: trim, collapse whitespace,
+    lowercase (reference analogue: dataset.py:723-727 strip/empty→None)."""
+    return F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
+
+
+def tokens_expr(col: Column) -> Column:
+    """Whitespace tokens with empties dropped — identical semantics to
+    DuckDB list_filter(string_split_regex(text,'\\s+'), x -> x <> '')."""
+    return F.filter(F.split(col, r"\s+"), lambda x: x != "")
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles of the token list (empty if < n tokens)."""
+    toks = tokens_expr(col)
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    shingles = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(shingles)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One row per distinct canonical text: (keeper_id = min id, n_copies)."""
+    return (
+        df.select(F.col(id_col).alias("id"), canonical_text(F.col(text_col)).alias("t"))
+        .groupBy("t")
+        .agg(F.min("id").alias("keeper_id"), F.count("*").alias("n_copies"))
+        .select("keeper_id", "n_copies")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    n_perm: int = 8,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, perm, minhash): MinHash signature rows per document.
+    Documents with no shingles get no rows (shorter than shingle_n)."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s"),
+    )
+    mins = [
+        F.min(hash60(F.concat(F.lit(f"{j}:"), F.col("s")))).alias(f"m{j}")
+        for j in range(n_perm)
+    ]
+    wide = sh.groupBy("id").agg(*mins)
+    pairs = F.array(*[
+        F.struct(F.lit(j).alias("perm"), F.col(f"m{j}").alias("minhash"))
+        for j in range(n_perm)
+    ])
+    return wide.select("id", F.explode(pairs).alias("pm")).select(
+        "id", F.col("pm.perm").alias("perm"), F.col("pm.minhash").alias("minhash")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    n_perm: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Candidate near-duplicate pairs (a < b) sharing ≥1 LSH band bucket."""
+    rows_per_band = n_perm // bands
+    sigs = minhash_signatures(df, n_perm, shingle_n, id_col, text_col)
+    banded = (
+        sigs.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
+        .groupBy("id", "band")
+        .agg(
+            F.concat_ws(
+                "_", F.sort_array(F.collect_list(F.col("minhash").cast("string")))
+            ).alias("bucket")
+        )
+    )
+    a = banded.select(
+        F.col("id").alias("a"), "band", "bucket"
+    )
+    b = banded.select(F.col("id").alias("b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def simhash(
+    df: DataFrame,
+    bits: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, simhash): sign-sum fingerprint over all token occurrences."""
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens_expr(F.col(text_col))).alias("tk"),
+    ).withColumn("h", hash60(F.col("tk")))
+    sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"s{i}")
+        for i in range(bits)
+    ]
+    wide = tok.groupBy("id").agg(*sums)
+    sim = None
+    for i in range(bits):
+        term = F.when(F.col(f"s{i}") >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return wide.select("id", sim.cast("long").alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact Jaccard over distinct shingle sets for all pairs (a < b) with
+    jaccard ≥ threshold.  Quadratic: bound the input or feed it LSH
+    candidates at scale."""
+    t = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), shingle_n).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    a = t.select(F.col("id").alias("a"), F.col("sh").alias("sha"))
+    b = t.select(F.col("id").alias("b"), F.col("sh").alias("shb"))
+    inter = F.size(F.array_intersect("sha", "shb"))
+    union = F.size(F.array_union("sha", "shb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pairs (a < b) with cosine similarity > threshold.  Brute-force
+    baseline (crossJoin + column expression); the sub-quadratic path is
+    LSH bucketing via operators.lsh."""
+    a = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    sim = 1.0 - distance_col(F.col("va"), F.col("vb"), "cosine")
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("sim", sim)
+        .filter(F.col("sim") > threshold)
+        .select("a", "b")
+    )
