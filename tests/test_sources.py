@@ -1,0 +1,185 @@
+"""Tests for dataset sources: random generator, fvecs/ivecs, GloVe,
+schema inference, TF-IDF, batch embedder."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from vectordb_retrieval_spark.sources.embedder import embed_text, subsample
+from vectordb_retrieval_spark.sources.glove import glove_dataset, read_glove
+from vectordb_retrieval_spark.sources.random_gen import random_dataset, random_vectors
+from vectordb_retrieval_spark.sources.tfidf import TfidfVectorizer, tfidf_dataset
+from vectordb_retrieval_spark.sources.vec_files import (
+    ivecs_ground_truth,
+    read_vecs,
+)
+from vectordb_retrieval_spark.sources.vector_schema import (
+    find_vector_column,
+    load_vector_table,
+)
+
+
+def test_random_vectors_partition_independent(spark):
+    a = random_vectors(spark, 50, 8, seed=7, num_partitions=1).collect()
+    b = random_vectors(spark, 50, 8, seed=7, num_partitions=13).collect()
+    am = {r.id: list(r.vec) for r in a}
+    bm = {r.id: list(r.vec) for r in b}
+    assert am == bm
+    # different seed/stream gives different data
+    c = random_vectors(spark, 50, 8, seed=8).collect()
+    assert {r.id: list(r.vec) for r in c} != am
+
+
+def test_random_dataset_gt_is_exact(spark):
+    train, test, gt = random_dataset(
+        spark, train_size=200, test_size=8, dimensions=4, ground_truth_k=5, seed=3
+    )
+    rows = gt.collect()
+    assert len(rows) == 8
+    tr = {r.id: np.array(r.vec) for r in train.collect()}
+    te = {r.qid: np.array(r.vec) for r in test.collect()}
+    for r in rows:
+        d = sorted(tr, key=lambda i: (float(np.linalg.norm(te[r.qid] - tr[i])), i))
+        assert list(r.gt) == d[:5]
+
+
+def _write_vecs(path, mat, fmt):
+    with open(path, "wb") as fh:
+        for row in mat:
+            fh.write(struct.pack("<i", len(row)))
+            fh.write(np.asarray(row, dtype=fmt).tobytes())
+
+
+def test_read_fvecs_ivecs_roundtrip(spark, tmp_path):
+    rng = np.random.RandomState(0)
+    fmat = rng.randn(10, 4).astype(np.float32)
+    _write_vecs(tmp_path / "a.fvecs", fmat, np.float32)
+    got = read_vecs(spark, str(tmp_path / "a.fvecs"), "fvecs").collect()
+    gm = {r.id: np.array(r.vec, dtype=np.float32) for r in got}
+    assert len(gm) == 10
+    for i in range(10):
+        np.testing.assert_array_equal(gm[i], fmat[i])
+
+    imat = rng.randint(0, 100, size=(6, 3)).astype(np.int32)
+    _write_vecs(tmp_path / "b.ivecs", imat, np.int32)
+    giv = read_vecs(spark, str(tmp_path / "b.ivecs"), "ivecs")
+    gt = ivecs_ground_truth(giv)
+    rows = gt.collect()
+    assert len(rows) == 18  # 6 queries × 3 neighbors
+    first = sorted((r for r in rows if r.qid == 0), key=lambda r: r.rank)
+    assert [r.id for r in first] == list(imat[0])
+
+
+def test_read_fvecs_multifile_offsets(spark, tmp_path):
+    m1 = np.ones((3, 2), dtype=np.float32)
+    m2 = np.full((2, 2), 2.0, dtype=np.float32)
+    _write_vecs(tmp_path / "p1.fvecs", m1, np.float32)
+    _write_vecs(tmp_path / "p2.fvecs", m2, np.float32)
+    got = read_vecs(spark, str(tmp_path), "fvecs").collect()
+    gm = {r.id: list(r.vec) for r in got}
+    assert set(gm) == {0, 1, 2, 3, 4}
+    assert gm[3] == [2.0, 2.0]  # second file offset by first file's rows
+
+
+def test_glove_reader_and_split(spark, tmp_path):
+    words = [f"w{i}" for i in range(30)]
+    rng = np.random.RandomState(1)
+    with open(tmp_path / "glove.txt", "w") as fh:
+        for w in words:
+            vals = " ".join(f"{x:.5f}" for x in rng.randn(5))
+            fh.write(f"{w} {vals}\n")
+    df = read_glove(spark, str(tmp_path / "glove.txt"))
+    assert df.count() == 30
+    assert len(df.first().vec) == 5
+    train, test, gt = glove_dataset(
+        spark, str(tmp_path / "glove.txt"), test_size=5, ground_truth_k=3, seed=2
+    )
+    assert test.count() == 5
+    assert train.count() == 25
+    # split is disjoint
+    ids_tr = {r.id for r in train.collect()}
+    ids_te = {r.qid for r in test.collect()}
+    assert not ids_tr & ids_te
+    assert gt.count() == 5
+
+
+def test_vector_schema_inference(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0])], schema="vec_id long, embedding array<float>"
+    )
+    assert find_vector_column(df) == ("embedding", False)
+    out = load_vector_table(df)
+    assert out.columns == ["id", "vec"]
+    assert out.first().id == 0
+
+    wrapped = df.selectExpr("vec_id", "named_struct('values', embedding) AS emb")
+    assert find_vector_column(wrapped) == ("emb", True)
+    assert list(load_vector_table(wrapped).first().vec) == [1.0, 2.0]
+
+    with pytest.raises(ValueError):
+        find_vector_column(spark.createDataFrame([(1,)], schema="x long"))
+
+
+def test_tfidf_pipeline(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "apple banana apple"),
+            (1, "banana cherry"),
+            (2, "dog cat mouse"),
+        ],
+        schema="doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(100, "apple banana")], schema="query_id long, text string"
+    )
+    positives = spark.createDataFrame(
+        [(100, 0), (100, 1)], schema="query_id long, doc_id long"
+    )
+    train, test, gt = tfidf_dataset(docs, queries, positives, max_features=16)
+    assert train.count() == 3 and test.count() == 1
+    tv = {r.id: np.array(r.vec) for r in train.collect()}
+    qv = np.array(test.first().vec)
+    # dense dim = fitted vocab size (≤ max_features), same for docs+queries
+    assert len(qv) == len(tv[0]) <= 16
+    # query about apple/banana must be closer to doc0 than doc2
+    def cos(a, b):
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        return float(a @ b / (na * nb)) if na and nb else 0.0
+    assert cos(qv, tv[0]) > cos(qv, tv[2])
+    assert {(r.qid, r.id) for r in gt.collect()} == {(100, 0), (100, 1)}
+
+
+def test_tfidf_transform_before_fit_raises(spark):
+    docs = spark.createDataFrame([(0, "x")], schema="doc_id long, text string")
+    with pytest.raises(RuntimeError):
+        TfidfVectorizer().transform(docs)
+
+
+def test_embedder_stub_deterministic_and_normalized(spark):
+    docs = spark.createDataFrame(
+        [(0, "hello world"), (1, "hello world"), (2, "completely different text")],
+        schema="doc_id long, text string",
+    )
+    out = {r.id: np.array(r.embedding) for r in embed_text(docs, dim=32).collect()}
+    np.testing.assert_array_equal(out[0], out[1])
+    assert np.linalg.norm(out[0]) == pytest.approx(1.0, abs=1e-5)
+    assert not np.array_equal(out[0], out[2])
+
+
+def test_embedder_real_model_unavailable(spark):
+    docs = spark.createDataFrame([(0, "x")], schema="doc_id long, text string")
+    with pytest.raises(Exception) as exc:
+        embed_text(docs, model_name="all-MiniLM-L6-v2").collect()
+    assert "NotImplementedError" in str(exc.value) or isinstance(
+        exc.value, NotImplementedError
+    )
+
+
+def test_subsample_deterministic(spark):
+    df = spark.createDataFrame([(i,) for i in range(100)], schema="doc_id long")
+    a = sorted(r.doc_id for r in subsample(df, 10, seed=5).collect())
+    b = sorted(r.doc_id for r in subsample(df.repartition(7), 10, seed=5).collect())
+    assert a == b and len(a) == 10

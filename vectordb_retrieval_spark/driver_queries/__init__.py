@@ -24,12 +24,13 @@ def collect_catalogue() -> tuple[
         dedupq,
         knn,
         metricsq,
+        sourcesq,
         textq,
     )
 
     queries: dict = {}
     oracles: dict = {}
-    for mod in (knn, metricsq, ann, dedupq, textq):
+    for mod in (knn, metricsq, ann, dedupq, textq, sourcesq):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
     return queries, oracles
