@@ -1,0 +1,234 @@
+"""Tests for config resolution, artifact persistence, and the
+experiment/benchmark runners (reference parity: runner.py /
+experiment_runner.py semantics, SURVEY.md §3)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from vectordb_retrieval_spark.config import (
+    deep_merge_dict,
+    resolve_benchmark_config,
+)
+from vectordb_retrieval_spark.operators.lsh import LSHIndexer, LSHSearcher
+from vectordb_retrieval_spark.persistence import (
+    config_fingerprint,
+    load_artifact,
+    save_artifact,
+)
+from vectordb_retrieval_spark.runner import BenchmarkRunner, ExperimentRunner
+from vectordb_retrieval_spark.config import ExperimentConfig
+
+
+def test_deep_merge_dict():
+    base = {"a": 1, "b": {"x": 1, "y": 2}, "c": [1, 2]}
+    over = {"b": {"y": 20, "z": 30}, "c": [9], "d": 4}
+    out = deep_merge_dict(base, over)
+    assert out == {"a": 1, "b": {"x": 1, "y": 20, "z": 30}, "c": [9], "d": 4}
+    assert base["b"] == {"x": 1, "y": 2}  # inputs untouched
+
+
+def test_resolve_benchmark_config_refs_and_overrides():
+    raw = {
+        "topk": 20,
+        "seed": 7,
+        "indexers": {"ivf16": {"type": "ivf_flat", "nlist": 16}},
+        "searchers": {"probe4": {"type": "ivf", "nprobe": 4}},
+        "algorithms": {
+            "exact": {
+                "indexer": {"type": "brute_force"},
+                "searcher": {"type": "linear"},
+            },
+            "ivf": {"indexer_ref": "ivf16", "searcher_ref": "probe4"},
+            "off": {"indexer": {"type": "brute_force"}, "enabled": False},
+        },
+        "datasets": [
+            {
+                "name": "rand",
+                "type": "random",
+                "metric": "cosine",
+                "n_queries": 8,
+                "algorithms": {"ivf": {"indexer": {"nlist": 4}}},
+            }
+        ],
+    }
+    (cfg,) = resolve_benchmark_config(raw)
+    assert cfg.topk == 20 and cfg.seed == 7 and cfg.n_queries == 8
+    assert cfg.metric == "cosine"
+    assert "off" not in cfg.algorithms
+    ivf = cfg.algorithms["ivf"]
+    assert ivf["type"] == "Composite"
+    assert ivf["indexer"] == {"type": "ivf_flat", "nlist": 4, "metric": "cosine"}
+    assert ivf["searcher"] == {"type": "ivf", "nprobe": 4}
+    # base registry untouched by per-dataset override
+    assert raw["indexers"]["ivf16"]["nlist"] == 16
+
+
+def test_resolve_unknown_ref_raises():
+    raw = {
+        "algorithms": {"a": {"indexer_ref": "nope"}},
+        "datasets": [{"name": "d", "type": "random"}],
+    }
+    with pytest.raises(KeyError):
+        resolve_benchmark_config(raw)
+
+
+@pytest.fixture()
+def small_base(spark):
+    from vectordb_retrieval_spark.sources.random_gen import random_vectors
+
+    return random_vectors(spark, 200, 8, seed=5)
+
+
+def test_artifact_roundtrip_same_results(spark, small_base, tmp_path):
+    idx = LSHIndexer(8, num_tables=2, hash_size=4, metric="l2", seed=3,
+                     bucket_width=4.0)
+    art = idx.build(small_base, id_col="id", vec_col="vec")
+    queries = small_base.filter("id % 40 = 0").withColumnRenamed("id", "qid")
+    before = (
+        LSHSearcher().attach(art).search(queries, 5, qid_col="qid", vec_col="vec")
+    )
+    before_rows = {(r.qid, r.id, r.rank) for r in before.collect()}
+
+    path = str(tmp_path / "lsh_index")
+    save_artifact(art, path, fingerprint="fp1")
+    loaded = load_artifact(spark, path, expect_fingerprint="fp1")
+    assert loaded.kind == art.kind
+    after = (
+        LSHSearcher()
+        .attach(loaded)
+        .search(queries, 5, qid_col="qid", vec_col="vec")
+    )
+    assert {(r.qid, r.id, r.rank) for r in after.collect()} == before_rows
+
+
+def test_artifact_validation(spark, small_base, tmp_path):
+    idx = LSHIndexer(8, num_tables=1, hash_size=4, metric="l2", seed=3,
+                     bucket_width=4.0)
+    art = idx.build(small_base, id_col="id", vec_col="vec")
+    path = str(tmp_path / "idx")
+    save_artifact(art, path, fingerprint="good")
+    with pytest.raises(ValueError, match="fingerprint"):
+        load_artifact(spark, path, expect_fingerprint="bad")
+    os.remove(os.path.join(path, "WRITE_COMPLETE"))
+    with pytest.raises(FileNotFoundError):
+        load_artifact(spark, path)
+    with pytest.raises(FileNotFoundError):
+        load_artifact(spark, str(tmp_path / "never_written"))
+
+
+def test_config_fingerprint_stable_and_sensitive():
+    a = config_fingerprint({"x": 1, "y": {"z": 2}})
+    b = config_fingerprint({"y": {"z": 2}, "x": 1})
+    c = config_fingerprint({"x": 1, "y": {"z": 3}})
+    assert a == b != c
+
+
+def _mini_config(**over):
+    base = dict(
+        dataset={"type": "random", "train_size": 300, "test_size": 16,
+                 "dimensions": 8, "seed": 11},
+        algorithms={
+            "exact": {
+                "indexer": {"type": "brute_force"},
+                "searcher": {"type": "linear"},
+            },
+            "ivf": {
+                "indexer": {"type": "ivf_flat", "nlist": 4, "seed": 11},
+                "searcher": {"type": "ivf", "nprobe": 4},
+            },
+        },
+        topk=5,
+        evaluation_ks=[1, 5],
+        n_queries=8,
+        metric="l2",
+        seed=11,
+    )
+    base.update(over)
+    return ExperimentConfig(**base)
+
+
+def test_experiment_runner_end_to_end(spark, tmp_path):
+    runner = ExperimentRunner(spark, _mini_config(), str(tmp_path / "out"))
+    combined = runner.run()
+    ex = combined["results"]["exact"]
+    assert ex["n_queries"] == 8
+    assert ex["recall@5"] == pytest.approx(1.0)
+    assert ex["recall"] == pytest.approx(1.0)
+    assert ex["qps"] > 0
+    # nprobe == nlist scans everything → IVF must also be exact here
+    assert combined["results"]["ivf"]["recall@5"] == pytest.approx(1.0)
+    assert (tmp_path / "out" / "exact_results.json").exists()
+    assert (tmp_path / "out" / "combined_results.json").exists()
+
+
+def test_experiment_runner_persistence_modes(spark, tmp_path):
+    cfg = _mini_config(
+        algorithms={
+            "ivf": {
+                "indexer": {"type": "ivf_flat", "nlist": 4, "seed": 11},
+                "searcher": {"type": "ivf", "nprobe": 4},
+            }
+        }
+    )
+    out = str(tmp_path / "o1")
+    build = ExperimentRunner(spark, cfg, out, persistence_mode="build_only")
+    res = build.run()["results"]["ivf"]
+    assert res["built_only"] and res["build_time_s"] >= 0
+
+    retrieve = ExperimentRunner(spark, cfg, out, persistence_mode="retrieve_only")
+    res2 = retrieve.run()["results"]["ivf"]
+    assert res2["loaded_from_cache"] is True
+    assert res2["build_time_s"] == 0.0
+    assert res2["recall@5"] == pytest.approx(1.0)
+
+    # changed config → different fingerprint → retrieve_only must fail
+    cfg2 = _mini_config(
+        algorithms={
+            "ivf": {
+                "indexer": {"type": "ivf_flat", "nlist": 8, "seed": 11},
+                "searcher": {"type": "ivf", "nprobe": 8},
+            }
+        }
+    )
+    with pytest.raises(ValueError):
+        ExperimentRunner(spark, cfg2, out, persistence_mode="retrieve_only").run()
+
+
+def test_benchmark_runner_from_yaml(spark, tmp_path):
+    cfg_file = tmp_path / "bench.yaml"
+    cfg_file.write_text(
+        """
+topk: 5
+n_queries: 8
+evaluation_ks: [1, 5]
+indexers:
+  bf: {type: brute_force}
+searchers:
+  lin: {type: linear}
+algorithms:
+  exact: {indexer_ref: bf, searcher_ref: lin}
+datasets:
+  - name: tiny_random
+    type: random
+    train_size: 200
+    test_size: 16
+    dimensions: 8
+    seed: 3
+    metric: l2
+"""
+    )
+    out = str(tmp_path / "bench_out")
+    runner = BenchmarkRunner(str(cfg_file), out, spark)
+    results = runner.run()
+    assert results["tiny_random"]["results"]["exact"]["recall@5"] == pytest.approx(1.0)
+    assert os.path.exists(os.path.join(out, "benchmark_summary.md"))
+    assert os.path.exists(os.path.join(out, "all_results.json"))
+    with open(os.path.join(out, "tiny_random", "tiny_random_config.json")) as fh:
+        snap = json.load(fh)
+    assert snap["topk"] == 5
+    md = open(os.path.join(out, "benchmark_summary.md")).read()
+    assert "tiny_random" in md and "exact" in md

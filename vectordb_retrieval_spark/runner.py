@@ -1,0 +1,292 @@
+"""Experiment + benchmark runners with JSON/markdown reporting.
+
+Reference counterparts: ``ExperimentRunner`` (experiment_runner.py:
+42-488) and ``BenchmarkRunner`` (runner.py:29-215), re-shaped for Spark:
+
+- dataset load dispatches to the sources package (random / parquet /
+  glove / fvecs) and yields the (train, test, gt) DataFrame triple;
+- query subsetting is a seeded hash-order limit (alignment with GT is
+  free — GT is keyed by qid, not row position);
+- per algorithm: fingerprint-gated build-vs-load of the persisted
+  artifact (build_only / retrieve_only / auto modes, parity with
+  experiment_runner.py:163-182,274-344), timed build, timed search
+  (full materialization), metric sweep via the distributed metrics
+  pass;
+- reporting: per-algorithm JSON, combined JSON + config snapshot,
+  markdown summary table (runner.py:664-728 analogue).
+
+Timing semantics differ from the reference by design (SURVEY.md §7.4#2):
+wall-clock covers whole distributed jobs; "qps" is
+n_queries / search_wall_s — batch throughput, not per-query latency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vectordb_retrieval_spark.config import ExperimentConfig
+from vectordb_retrieval_spark.metrics import retrieval_metrics_multi
+from vectordb_retrieval_spark.persistence import (
+    config_fingerprint,
+    load_artifact,
+    save_artifact,
+)
+from vectordb_retrieval_spark.registry import get_algorithm_instance
+
+
+def load_dataset(
+    spark: SparkSession, ds: dict[str, Any], metric: str, gt_k: int, seed: int
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(train(id, vec), test(qid, vec), gt(qid, id, rank)) per the
+    dataset config's ``type``."""
+    kind = ds.get("type", ds.get("name", "random"))
+    if kind == "random":
+        from vectordb_retrieval_spark.sources.random_gen import random_dataset
+
+        train, test, gt_arr = random_dataset(
+            spark,
+            train_size=ds.get("train_size", 20_000),
+            test_size=ds.get("test_size", 256),
+            dimensions=ds.get("dimensions", 64),
+            ground_truth_k=gt_k,
+            seed=ds.get("seed", seed),
+            metric=metric,
+        )
+        gt = gt_arr.select(
+            "qid", F.posexplode("gt").alias("pos", "id")
+        ).select("qid", "id", (F.col("pos") + 1).alias("rank"))
+        return train, test, gt
+    if kind == "parquet":
+        from vectordb_retrieval_spark.operators.exact import exact_knn
+        from vectordb_retrieval_spark.sources.vector_schema import load_vector_table
+
+        base = load_vector_table(spark.read.parquet(ds["base_path"]))
+        if "query_path" in ds:
+            queries = load_vector_table(
+                spark.read.parquet(ds["query_path"]), id_col="qid"
+            )
+        else:
+            queries = base.filter(
+                F.expr(ds.get("query_filter", "id % 10 = 0"))
+            ).select(F.col("id").alias("qid"), "vec")
+        gt = exact_knn(base, queries, gt_k, metric, qid_col="qid", qvec_col="vec")
+        return base, queries, gt.select("qid", "id", "rank")
+    if kind == "glove":
+        from vectordb_retrieval_spark.sources.glove import glove_dataset
+
+        train, test, gt_arr = glove_dataset(
+            spark,
+            ds["path"],
+            test_size=ds.get("test_size", 256),
+            train_limit=ds.get("train_limit"),
+            ground_truth_k=gt_k,
+            seed=ds.get("seed", seed),
+            metric=metric,
+        )
+        gt = gt_arr.select(
+            "qid", F.posexplode("gt").alias("pos", "id")
+        ).select("qid", "id", (F.col("pos") + 1).alias("rank"))
+        return train, test, gt
+    raise ValueError(f"unknown dataset type {kind!r}")
+
+
+def _materialize(df: DataFrame) -> int:
+    return df.count()
+
+
+class ExperimentRunner:
+    """One dataset, many algorithms."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        config: ExperimentConfig,
+        output_dir: str,
+        index_dir: str | None = None,
+        persistence_mode: str = "none",  # none | auto | build_only | retrieve_only
+    ):
+        self.spark = spark
+        self.config = config
+        self.output_dir = output_dir
+        self.index_dir = index_dir or os.path.join(output_dir, "indexes")
+        self.persistence_mode = persistence_mode
+        os.makedirs(output_dir, exist_ok=True)
+
+    # ---------------------------------------------------------------- dataset
+    def load(self) -> tuple[DataFrame, DataFrame, DataFrame]:
+        cfg = self.config
+        gt_k = max([cfg.topk, *cfg.evaluation_ks])
+        train, test, gt = load_dataset(
+            self.spark, cfg.dataset, cfg.metric, gt_k, cfg.seed
+        )
+        if cfg.n_queries:
+            # seeded subset without replacement; GT stays aligned by qid
+            test = (
+                test.withColumn("_r", F.xxhash64("qid", F.lit(cfg.seed)))
+                .orderBy("_r", "qid")
+                .limit(cfg.n_queries)
+                .drop("_r")
+            )
+            gt = gt.join(test.select("qid"), "qid", "left_semi")
+        return train, test, gt
+
+    # -------------------------------------------------------------- algorithm
+    def _fingerprint(self, name: str, algo_cfg: dict) -> str:
+        return config_fingerprint(
+            {
+                "dataset": self.config.dataset,
+                "metric": self.config.metric,
+                "algorithm": {name: algo_cfg},
+            }
+        )
+
+    def run_algorithm(
+        self,
+        name: str,
+        algo_cfg: dict,
+        train: DataFrame,
+        test: DataFrame,
+        gt: DataFrame,
+    ) -> dict[str, Any]:
+        cfg = self.config
+        algo = get_algorithm_instance(
+            algo_cfg.get("indexer", {"type": "brute_force"}),
+            algo_cfg.get("searcher", {"type": "linear"}),
+        )
+        fp = self._fingerprint(name, algo_cfg)
+        index_path = os.path.join(self.index_dir, name)
+
+        build_time = 0.0
+        loaded = False
+        if self.persistence_mode in ("auto", "retrieve_only"):
+            try:
+                artifact = load_artifact(self.spark, index_path, fp)
+                algo.artifact = artifact
+                algo.searcher.attach(artifact)
+                loaded = True
+            except (FileNotFoundError, ValueError):
+                if self.persistence_mode == "retrieve_only":
+                    raise
+        if not loaded:
+            t0 = time.time()
+            artifact = algo.build_index(train, id_col="id", vec_col="vec")
+            for df in artifact.tables.values():
+                _materialize(df)
+            build_time = time.time() - t0
+            if self.persistence_mode in ("auto", "build_only"):
+                save_artifact(artifact, index_path, fp)
+        if self.persistence_mode == "build_only":
+            return {"algorithm": name, "build_time_s": round(build_time, 3),
+                    "built_only": True, "fingerprint": fp}
+
+        n_queries = test.count()
+        t0 = time.time()
+        pred = algo.batch_search(test, cfg.topk, qid_col="qid", vec_col="vec")
+        pred = pred.cache()
+        _materialize(pred)
+        search_time = time.time() - t0
+
+        ks = sorted(set([*cfg.evaluation_ks, cfg.topk]))
+        mrows = retrieval_metrics_multi(pred, gt, ks).collect()
+        pred.unpersist()
+        metrics: dict[str, Any] = {
+            "algorithm": name,
+            "n_queries": n_queries,
+            "topk": cfg.topk,
+            "build_time_s": round(build_time, 3),
+            "search_wall_s": round(search_time, 3),
+            "qps": round(n_queries / search_time, 2) if search_time else None,
+            "fingerprint": fp,
+            "loaded_from_cache": loaded,
+        }
+        for r in mrows:
+            for m in ("recall", "precision", "map", "ndcg", "hit_rate", "mrr"):
+                metrics[f"{m}@{r['k']}"] = round(float(r[m]), 6)
+        summary_k = min(100, cfg.topk)
+        metrics["recall"] = metrics.get(
+            f"recall@{summary_k}", metrics.get(f"recall@{cfg.topk}")
+        )
+        return metrics
+
+    # ------------------------------------------------------------------- run
+    def run(self) -> dict[str, Any]:
+        cfg = self.config
+        train, test, gt = self.load()
+        gt = gt.cache()
+        _materialize(gt)
+        results: dict[str, Any] = {}
+        for name, algo_cfg in cfg.algorithms.items():
+            results[name] = self.run_algorithm(name, algo_cfg, train, test, gt)
+            with open(
+                os.path.join(self.output_dir, f"{name}_results.json"), "w"
+            ) as fh:
+                json.dump(results[name], fh, indent=2)
+        gt.unpersist()
+        combined = {"config": cfg.to_dict(), "results": results}
+        with open(os.path.join(self.output_dir, "combined_results.json"), "w") as fh:
+            json.dump(combined, fh, indent=2, default=str)
+        return combined
+
+
+def summary_markdown(all_results: dict[str, dict[str, Any]]) -> str:
+    """Benchmark summary table (reference: runner.py:664-728)."""
+    lines = [
+        "# Benchmark Summary",
+        "",
+        "| Dataset | Algorithm | Recall | QPS | Search Wall (s) | Build (s) |",
+        "|---|---|---:|---:|---:|---:|",
+    ]
+    for ds_name, combined in all_results.items():
+        for algo, m in combined["results"].items():
+            if m.get("built_only"):
+                lines.append(
+                    f"| {ds_name} | {algo} | — | — | — | {m['build_time_s']} |"
+                )
+                continue
+            lines.append(
+                f"| {ds_name} | {algo} | {m.get('recall', '—')} |"
+                f" {m.get('qps', '—')} | {m.get('search_wall_s', '—')} |"
+                f" {m.get('build_time_s', '—')} |"
+            )
+    return "\n".join(lines) + "\n"
+
+
+class BenchmarkRunner:
+    """Multi-dataset suite from a benchmark config file
+    (reference: runner.py:29-215)."""
+
+    def __init__(self, config_file: str, output_dir: str, spark: SparkSession):
+        from vectordb_retrieval_spark.config import (
+            load_config_file,
+            resolve_benchmark_config,
+        )
+
+        self.raw = load_config_file(config_file)
+        self.configs = resolve_benchmark_config(self.raw)
+        self.output_dir = output_dir
+        self.spark = spark
+        os.makedirs(output_dir, exist_ok=True)
+
+    def run(self) -> dict[str, Any]:
+        all_results: dict[str, Any] = {}
+        for cfg in self.configs:
+            ds_name = cfg.dataset.get("name", cfg.dataset.get("type", "dataset"))
+            out = os.path.join(self.output_dir, ds_name)
+            runner = ExperimentRunner(self.spark, cfg, out)
+            all_results[ds_name] = runner.run()
+            # config snapshot for provenance (reference: runner.py:161-163)
+            with open(os.path.join(out, f"{ds_name}_config.json"), "w") as fh:
+                json.dump(cfg.to_dict(), fh, indent=2, default=str)
+        with open(os.path.join(self.output_dir, "all_results.json"), "w") as fh:
+            json.dump(all_results, fh, indent=2, default=str)
+        with open(
+            os.path.join(self.output_dir, "benchmark_summary.md"), "w"
+        ) as fh:
+            fh.write(summary_markdown(all_results))
+        return all_results
