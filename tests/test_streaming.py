@@ -1,0 +1,112 @@
+"""Streaming serving tests: file-source micro-batches through
+foreachBatch search, stateful running top-k, watermarked stats."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from vectordb_retrieval_spark.operators.exact import exact_knn
+from vectordb_retrieval_spark.sources.random_gen import random_vectors
+from vectordb_retrieval_spark.streaming.serving import (
+    serve_knn_stream,
+    streaming_running_topk,
+    windowed_query_stats,
+)
+
+
+def test_serve_knn_stream_matches_batch(spark, tmp_path):
+    base = random_vectors(spark, 300, 8, seed=21).cache()
+    queries = random_vectors(spark, 6, 8, seed=22, id_col="qid")
+
+    qdir = str(tmp_path / "qstream")
+    # two query micro-batch files
+    queries.filter("qid < 3").write.parquet(qdir + "/b1")
+    queries.filter("qid >= 3").write.parquet(qdir + "/b2")
+    # file streaming source reads subdirs via glob
+    stream = (
+        spark.readStream.schema("qid long, vec array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(qdir + "/*")
+    )
+
+    collected: list = []
+
+    def sink(df, epoch_id):
+        collected.extend(df.collect())
+
+    q = serve_knn_stream(
+        stream,
+        lambda batch, k: exact_knn(
+            base, batch, k, "l2", qid_col="qid", qvec_col="vec"
+        ),
+        k=4,
+        sink_fn=sink,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    want = {
+        (r.qid, r.id, r.rank)
+        for r in exact_knn(base, queries, 4, "l2", qid_col="qid", qvec_col="vec").collect()
+    }
+    got = {(r.qid, r.id, r.rank) for r in collected}
+    assert got == want
+    base.unpersist()
+
+
+def test_streaming_running_topk_refines(spark, tmp_path):
+    cdir = str(tmp_path / "cands")
+    spark.createDataFrame(
+        [(1, 10, 5.0), (1, 11, 3.0), (2, 20, 1.0)],
+        schema="qid long, id long, dist double",
+    ).write.parquet(cdir + "/b1")
+    spark.createDataFrame(
+        [(1, 12, 1.0), (1, 10, 5.0)],  # better candidate + duplicate
+        schema="qid long, id long, dist double",
+    ).write.parquet(cdir + "/b2")
+
+    stream = (
+        spark.readStream.schema("qid long, id long, dist double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(cdir + "/*")
+    )
+    out = streaming_running_topk(stream, k=2)
+    rows: list = []
+    q = (
+        out.writeStream.foreachBatch(lambda df, eid: rows.extend(df.collect()))
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # final state for qid=1 must be the best-2 across both batches
+    last_q1 = [
+        (r.id, r.dist, r.rank)
+        for r in rows
+        if r.qid == 1
+    ]
+    # the last update for qid 1 contains ids 12 (dist 1) and 11 (dist 3)
+    final = {(r.id, r.rank) for r in rows if r.qid == 1}
+    assert (12, 1) in final and (11, 2) in final
+    assert any(r.qid == 2 and r.id == 20 and r.rank == 1 for r in rows)
+    assert last_q1  # updates seen for qid 1
+
+
+def test_windowed_query_stats_static(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = [
+        (t0 + dt.timedelta(seconds=s), float(lat))
+        for s, lat in [(0, 10), (30, 20), (70, 40), (90, 60)]
+    ]
+    events = spark.createDataFrame(rows, schema="ts timestamp, latency_ms double")
+    out = {
+        r.window_start.minute: r
+        for r in windowed_query_stats(events, "1 minute").collect()
+    }
+    assert out[0].n_queries == 2 and out[0].mean_latency_ms == pytest.approx(15.0)
+    assert out[1].n_queries == 2 and out[1].max_latency_ms == 60.0

@@ -25,12 +25,13 @@ def collect_catalogue() -> tuple[
         knn,
         metricsq,
         sourcesq,
+        streamq,
         textq,
     )
 
     queries: dict = {}
     oracles: dict = {}
-    for mod in (knn, metricsq, ann, dedupq, textq, sourcesq):
+    for mod in (knn, metricsq, ann, dedupq, textq, sourcesq, streamq):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
     return queries, oracles

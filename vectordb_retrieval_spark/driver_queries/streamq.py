@@ -1,0 +1,80 @@
+"""Streaming driver queries.
+
+``streaming_running_topk`` is a genuinely stateful Structured Streaming
+operator, but its end state has an exact batch semantics: after all
+candidate micro-batches are consumed, the per-query state must equal
+batch exact kNN.  The query feeds the full query×base candidate set
+through the stream in two micro-batches and returns the final state —
+oracle-checked against the same SQL as the exact-kNN queries.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vectordb_retrieval_spark.driver_queries.common import K, QUERY_FILTER, emb
+from vectordb_retrieval_spark.driver_queries.knn import DIST_EXPRS, KNN_ORACLE
+from vectordb_retrieval_spark.functions.distance import distance_col
+from vectordb_retrieval_spark.streaming.serving import streaming_running_topk
+
+
+def q_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = emb(spark, sf_dir).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("bv")
+    )
+    queries = (
+        emb(spark, sf_dir)
+        .filter(F.expr(QUERY_FILTER))
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    )
+    cands = F.broadcast(queries).crossJoin(base).select(
+        "qid", "id", distance_col(F.col("qv"), F.col("bv"), "l2").alias("dist")
+    )
+
+    workdir = tempfile.mkdtemp(prefix="streamq-")
+    cdir = os.path.join(workdir, "cands")
+    # two micro-batches split by base id parity
+    cands.filter(F.col("id") % 2 == 0).write.parquet(os.path.join(cdir, "b1"))
+    cands.filter(F.col("id") % 2 == 1).write.parquet(os.path.join(cdir, "b2"))
+
+    stream = (
+        spark.readStream.schema("qid long, id long, dist double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(cdir, "*"))
+    )
+    updates: dict[int, dict[int, list]] = {}
+
+    def sink(df: DataFrame, epoch_id: int) -> None:
+        for r in df.collect():
+            updates.setdefault(r.qid, {})[epoch_id] = updates.setdefault(
+                r.qid, {}
+            ).get(epoch_id, [])
+            updates[r.qid][epoch_id].append((r.id, r.rank))
+
+    q = (
+        streaming_running_topk(stream, K)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+
+    # final state per qid = rows of the LAST epoch that updated it
+    rows = []
+    for qid, by_epoch in updates.items():
+        for nid, rank in by_epoch[max(by_epoch)]:
+            rows.append((qid, nid, rank))
+    return spark.createDataFrame(rows, "qid long, id long, rank int")
+
+
+QUERIES = {"streaming_running_topk": q_streaming_topk}
+
+ORACLES = {
+    "streaming_running_topk": KNN_ORACLE.format(dist_expr=DIST_EXPRS["l2"])
+}
