@@ -62,6 +62,56 @@ def main() -> int:
         materialize(qs[name](spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
 
+    # Reference-matched workload (BASELINE.md random config: 20 000×64-d
+    # train, 256 queries, k=20, L2).  QPS here = n_queries / wall of the
+    # whole distributed search job — directly comparable to the
+    # reference's exact row (220 QPS); the big-batch variant shows batch
+    # throughput, which is the quantity that matters at cluster scale.
+    from pyspark.sql import functions as F
+
+    from vectordb_retrieval_spark.operators.exact import exact_knn
+    from vectordb_retrieval_spark.sources.random_gen import random_vectors
+
+    base = random_vectors(spark, 20_000, 64, seed=7).cache()
+    materialize(base)
+    queries = random_vectors(spark, 256, 64, seed=7, stream=1, id_col="qid").cache()
+    queries.count()
+    big_queries = random_vectors(
+        spark, 2048, 64, seed=7, stream=2, id_col="qid"
+    ).cache()
+    big_queries.count()
+
+    t0 = time.time()
+    materialize(exact_knn(base, queries, 20, "l2", qid_col="qid", qvec_col="vec"))
+    t_exact = time.time() - t0
+    t0 = time.time()
+    materialize(
+        exact_knn(base, big_queries, 20, "l2", qid_col="qid", qvec_col="vec")
+    )
+    t_exact_big = time.time() - t0
+
+    from vectordb_retrieval_spark.operators.ivf import IVFIndexer, IVFSearcher
+
+    t0 = time.time()
+    ivf_art = IVFIndexer(nlist=100, seed=7, max_iter=10, init_mode="random").build(
+        base, id_col="id", vec_col="vec"
+    )
+    materialize(ivf_art.tables["assignment"])
+    t_ivf_build = time.time() - t0
+    searcher = IVFSearcher(nprobe=10).attach(ivf_art)
+    t0 = time.time()
+    materialize(searcher.search(big_queries, 20, qid_col="qid", vec_col="vec"))
+    t_ivf_big = time.time() - t0
+
+    reference_workload = {
+        "qps_exact_256q": round(256 / t_exact, 2),
+        "qps_exact_2048q": round(2048 / t_exact_big, 2),
+        "ivf_build_s": round(t_ivf_build, 3),
+        "qps_ivf_nprobe10_2048q": round(2048 / t_ivf_big, 2),
+    }
+    for df in (base, queries, big_queries):
+        df.unpersist()
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -70,6 +120,7 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "reference_workload_random_20k_64d": reference_workload,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

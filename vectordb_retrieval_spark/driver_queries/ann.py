@@ -134,7 +134,11 @@ def sq8_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def cluster_pruned_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = emb(spark, sf_dir)
-    art = ClusterPrunedExactIndexer(nlist=16, seed=7).build(
+    # exactness holds for ANY centroids (triangle-inequality bound), so
+    # the cheap KMeans config is free accuracy-wise
+    art = ClusterPrunedExactIndexer(
+        nlist=16, seed=7, max_iter=5, init_mode="random"
+    ).build(
         base, id_col="vec_id", vec_col="embedding"
     )
     qs = base.filter(F.expr(QUERY_FILTER))
@@ -148,7 +152,7 @@ def cluster_pruned_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ivf_kmeans_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = emb(spark, sf_dir)
-    art = IVFIndexer(nlist=16, seed=SEED, max_iter=10).build(
+    art = IVFIndexer(nlist=16, seed=SEED, max_iter=10, init_mode="random").build(
         base, id_col="vec_id", vec_col="embedding"
     )
     qs = base.filter(F.expr(QUERY_FILTER))

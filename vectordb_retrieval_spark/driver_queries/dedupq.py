@@ -7,11 +7,13 @@ from pyspark.sql import functions as F
 
 from vectordb_retrieval_spark.driver_queries.common import docs, emb
 from vectordb_retrieval_spark.operators.dedup import (
+    MERSENNE_P,
     embedding_near_dup_pairs,
     exact_dedup,
     minhash_lsh_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
+    perm_coeffs,
     simhash,
 )
 
@@ -34,17 +36,20 @@ def _h60(expr: str) -> str:
     return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
 
 
+_COEFFS = perm_coeffs(N_PERM)
+_PERM_ROWS = ", ".join(f"({j}, {a}, {b})" for j, (a, b) in enumerate(_COEFFS))
+
 _SIG_CTE = f"""
 toks AS (SELECT doc_id AS id, {_TOKS} AS toks FROM documents),
 sh AS (
   SELECT id, unnest({_SHINGLES}) AS s
   FROM toks WHERE len(toks) >= {SHINGLE_N}
 ),
-perms AS (SELECT CAST(range AS INT) AS j FROM range(0, {N_PERM})),
+h AS (SELECT id, {_h60("s")} % {MERSENNE_P} AS h FROM sh),
+perms AS (SELECT * FROM (VALUES {_PERM_ROWS}) t(j, a, b)),
 hashed AS (
-  SELECT id, j AS perm,
-         {_h60("CAST(j AS VARCHAR) || ':' || s")} AS hv
-  FROM sh CROSS JOIN perms
+  SELECT id, j AS perm, (a * h + b) % {MERSENNE_P} AS hv
+  FROM h CROSS JOIN perms
 ),
 sigs AS (SELECT id, perm, min(hv) AS minhash FROM hashed GROUP BY id, perm)
 """

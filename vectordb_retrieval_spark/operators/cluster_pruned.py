@@ -29,10 +29,7 @@ from pyspark.sql import functions as F
 
 from vectordb_retrieval_spark.artifacts import IndexArtifact
 from vectordb_retrieval_spark.functions.distance import pairwise_distances
-from vectordb_retrieval_spark.functions.kernels import (
-    attach_query_distance,
-    collect_vectors,
-)
+from vectordb_retrieval_spark.functions.kernels import collect_vectors
 from vectordb_retrieval_spark.operators.ivf import IVFIndexer
 from vectordb_retrieval_spark.operators.topk import topk_per_query
 
@@ -40,8 +37,18 @@ from vectordb_retrieval_spark.operators.topk import topk_per_query
 class ClusterPrunedExactIndexer(IVFIndexer):
     """IVF-flat index + per-cluster covering radii."""
 
-    def __init__(self, nlist: int = 64, metric: str = "l2", seed: int = 42, max_iter: int = 20):
-        super().__init__(nlist=nlist, metric=metric, seed=seed, max_iter=max_iter, codec=None)
+    def __init__(
+        self,
+        nlist: int = 64,
+        metric: str = "l2",
+        seed: int = 42,
+        max_iter: int = 20,
+        init_mode: str = "k-means||",
+    ):
+        super().__init__(
+            nlist=nlist, metric=metric, seed=seed, max_iter=max_iter,
+            codec=None, init_mode=init_mode,
+        )
 
     def build(
         self, base_df: DataFrame, id_col: str = "id", vec_col: str = "vec"
@@ -118,21 +125,38 @@ class ClusterPrunedExactSearcher:
 
         assignment = art.tables["assignment"]
 
+        bc = spark.sparkContext.broadcast((qids, qmat))
+
         def scan(probe_pairs: pd.DataFrame) -> DataFrame:
             probe_df = spark.createDataFrame(probe_pairs, "qid long, cluster_id int")
             cands = assignment.join(F.broadcast(probe_df), "cluster_id").select(
                 "qid", "id", "vec"
             )
 
-            def counted(batches):
-                for pdf in batches:
-                    accum.add(len(pdf))
-                    yield pdf
+            # one Arrow pass: count scanned vectors (ndis) + exact distance
+            def kernel(batches):
+                from vectordb_retrieval_spark.functions.kernels import (
+                    rowwise_distance,
+                )
 
-            cands = cands.mapInPandas(
-                counted, schema="qid long, id long, vec array<float>"
-            )
-            return attach_query_distance(cands, qids, qmat, "l2")
+                q_ids, q_mat = bc.value
+                lookup = {int(q): i for i, q in enumerate(q_ids)}
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    accum.add(len(pdf))
+                    rows = pdf["qid"].map(lookup).to_numpy(dtype=np.int64)
+                    bvecs = np.vstack(pdf["vec"].to_numpy()).astype(np.float32)
+                    dist = rowwise_distance(q_mat[rows], bvecs, "l2")
+                    yield pd.DataFrame(
+                        {
+                            "qid": pdf["qid"].to_numpy(dtype=np.int64),
+                            "id": pdf["id"].to_numpy(dtype=np.int64),
+                            "dist": dist,
+                        }
+                    )
+
+            return cands.mapInPandas(kernel, schema="qid long, id long, dist double")
 
         phase1_pairs = pd.DataFrame(
             {

@@ -8,11 +8,14 @@ built-in column functions (JVM/codegen) — no Python UDFs:
 - exact_dedup: first-writer-wins by canonical text → groupBy(min id).
   Scale: one shuffle on a text hash, partial-aggregated map-side.
 - minhash_signatures / minhash_lsh_pairs: word-shingle MinHash with
-  banding.  Permutation j is the keyed hash md5(j || shingle) — no
-  (a·x+b) mod p arithmetic, so an external SQL engine reproduces it
-  without 128-bit multiply.  Scale: explode(shingles) → per-doc min per
-  permutation (partial agg), then a band-bucket self-join that only
-  materializes colliding pairs — the standard sub-quadratic LSH shape.
+  banding.  Each shingle hashes ONCE (md5 → 60-bit int); permutation j
+  is the affine map (a_j·h + b_j) mod p with p = 2^31 − 1 Mersenne and
+  seeded odd a_j < p — one hash + 8 multiply-mods per shingle instead
+  of 8 hashes, all 64-bit-safe so an external SQL engine reproduces it
+  exactly.  Scale: explode(shingles) → per-doc min per permutation
+  (partial agg, map-side combined), then a band-bucket self-join that
+  only materializes colliding pairs — the standard sub-quadratic LSH
+  shape.
 - simhash: 16-bit sign-sum fingerprint over token hashes; hamming
   neighbors via (simhash XOR) popcount on candidate pairs.
 - ngram_jaccard_pairs: exact Jaccard over distinct shingle sets for a
@@ -75,6 +78,25 @@ def exact_dedup(
     )
 
 
+MERSENNE_P = (1 << 31) - 1
+
+
+def perm_coeffs(n_perm: int, seed: int = 1) -> list[tuple[int, int]]:
+    """Deterministic affine permutation coefficients (a_j odd, b_j) in
+    [1, p): a tiny seeded LCG, reproducible in any SQL engine as plain
+    integer literals (they are inlined into the oracle SQL)."""
+    coeffs = []
+    state = seed
+    for _ in range(n_perm):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (state % (MERSENNE_P - 2)) + 1
+        a |= 1  # odd → bijective-ish spread
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = state % MERSENNE_P
+        coeffs.append((a, b))
+    return coeffs
+
+
 def minhash_signatures(
     df: DataFrame,
     n_perm: int = 8,
@@ -83,14 +105,18 @@ def minhash_signatures(
     text_col: str = "text",
 ) -> DataFrame:
     """(id, perm, minhash): MinHash signature rows per document.
-    Documents with no shingles get no rows (shorter than shingle_n)."""
+    Documents with no shingles get no rows (shorter than shingle_n).
+
+    One md5 per distinct shingle occurrence; permutation j is
+    (a_j·(h mod p) + b_j) mod p — 64-bit-safe (a_j, h mod p < 2^31)."""
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s"),
-    )
+    ).withColumn("h", hash60(F.col("s")) % MERSENNE_P)
+    coeffs = perm_coeffs(n_perm)
     mins = [
-        F.min(hash60(F.concat(F.lit(f"{j}:"), F.col("s")))).alias(f"m{j}")
-        for j in range(n_perm)
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE_P).alias(f"m{j}")
+        for j, (a, b) in enumerate(coeffs)
     ]
     wide = sh.groupBy("id").agg(*mins)
     pairs = F.array(*[

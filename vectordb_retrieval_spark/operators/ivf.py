@@ -68,12 +68,14 @@ class IVFIndexer:
         seed: int = 42,
         max_iter: int = 20,
         codec=None,
+        init_mode: str = "k-means||",
     ):
         self.nlist = nlist
         self.metric = metric
         self.seed = seed
         self.max_iter = max_iter
         self.codec = codec
+        self.init_mode = init_mode
         self.centroids: np.ndarray | None = None
 
     def build(
@@ -86,7 +88,12 @@ class IVFIndexer:
         if self.metric == "cosine":
             base = _norm_df(base, "vec")
         feats = base.withColumn("features", array_to_vector("vec"))
-        km = KMeans(k=self.nlist, seed=self.seed, maxIter=self.max_iter)
+        km = KMeans(
+            k=self.nlist,
+            seed=self.seed,
+            maxIter=self.max_iter,
+            initMode=self.init_mode,
+        )
         model = km.fit(feats)
         self.centroids = np.vstack([c for c in model.clusterCenters()]).astype(
             np.float64
