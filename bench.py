@@ -26,6 +26,7 @@ HEADLINE = [
     "lsh_search_cosine",
     "ivf_kmeans_search",
     "pq_adc_search",
+    "graph_ann_search",
     "cluster_pruned_exact_search",
     "retrieval_metrics_sweep",
     "dedup_exact",

@@ -35,6 +35,10 @@ from vectordb_retrieval_spark.operators.cluster_pruned import (
     ClusterPrunedExactIndexer,
     ClusterPrunedExactSearcher,
 )
+from vectordb_retrieval_spark.operators.graph_ann import (
+    GraphANNIndexer,
+    GraphANNSearcher,
+)
 from vectordb_retrieval_spark.operators.ivf import (
     FixedCentroidIVFIndexer,
     IVFIndexer,
@@ -160,6 +164,33 @@ def ivf_kmeans_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         qs, K, qid_col="vec_id", vec_col="embedding"
     )
     return res.select("qid", "id", "rank")
+
+
+def _graph_search(spark: SparkSession, sf_dir: str, ef: int) -> DataFrame:
+    base = emb(spark, sf_dir)
+    art = GraphANNIndexer(m=8, ef_construction=32, num_partitions=4).build(
+        base, id_col="vec_id", vec_col="embedding"
+    )
+    qs = base.filter(F.expr(QUERY_FILTER))
+    res = (
+        GraphANNSearcher(ef_search=ef)
+        .attach(art)
+        .search(qs, K, qid_col="vec_id", vec_col="embedding")
+    )
+    return res.select("qid", "id", "rank")
+
+
+def graph_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Realistic beam width — approximate results, rows-only check
+    (recall pinned by tests/test_graph_ann.py)."""
+    return _graph_search(spark, sf_dir, ef=64)
+
+
+def graph_ann_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ef_search ≥ partition size ⇒ the beam visits every node of each
+    (connected-by-construction) partition graph ⇒ provably exact —
+    oracle-checked against the plain exact-kNN SQL."""
+    return _graph_search(spark, sf_dir, ef=100_000)
 
 
 def pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -307,6 +338,8 @@ QUERIES = {
     "cluster_pruned_exact_search": cluster_pruned_search,
     "ivf_kmeans_search": ivf_kmeans_search,
     "pq_adc_search": pq_adc_search,
+    "graph_ann_search": graph_ann_search,
+    "graph_ann_exhaustive": graph_ann_exhaustive,
 }
 
 ORACLES = {
@@ -317,4 +350,5 @@ ORACLES = {
     "ivf_fixed_search": _IVF_SEARCH_ORACLE,
     "sq8_calibration": _SQ8_ORACLE,
     "cluster_pruned_exact_search": KNN_ORACLE.format(dist_expr=DIST_EXPRS["l2"]),
+    "graph_ann_exhaustive": KNN_ORACLE.format(dist_expr=DIST_EXPRS["l2"]),
 }

@@ -1,0 +1,219 @@
+"""Partitioned graph ANN — the engine's HNSW-capability replacement.
+
+Reference counterpart: HNSW via FAISS (hnsw.py:6-141, modular.py:
+136-179).  A distributed greedy graph walk is driver-hostile (SURVEY.md
+§7.1 step 8), so this operator takes the sanctioned alternative: build
+an independent navigable-small-world (NSW) graph **per partition**
+(partition-local Python/NumPy, no cross-partition edges), search every
+partition's graph in parallel with a beam search, and merge per-query
+candidates with one global top-k — the same shape as the reference's
+per-shard HNSW + merge pattern in distributed FAISS deployments.
+
+Scale properties: build is embarrassingly parallel (one graph per
+partition, bounded by rows_per_partition); search broadcasts the query
+batch and fans out one beam search per (partition, query) with NO
+shuffle until the final candidates→top-k merge (n_partitions × k rows
+per query).  Recall exceeds single-graph HNSW at equal ef because each
+partition contributes its local best-k.
+
+Graph shape: symmetric NSW (Malkov et al. 2014 single-layer variant) —
+insert nodes in id order, connect each to its M nearest among the
+ef_construction best found by beam search from the current graph.
+"""
+
+from __future__ import annotations
+
+import heapq
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vectordb_retrieval_spark.artifacts import IndexArtifact
+from vectordb_retrieval_spark.functions.distance import normalize_rows
+from vectordb_retrieval_spark.operators.topk import topk_per_query
+
+
+def _dist_rows(mat: np.ndarray, v: np.ndarray, metric: str) -> np.ndarray:
+    if metric == "l2":
+        d = mat - v
+        return np.sqrt((d * d).sum(axis=1))
+    if metric in ("cosine", "ip"):
+        # vectors pre-normalized for cosine; ip = negative dot either way
+        s = mat @ v
+        return 1.0 - s if metric == "cosine" else -s
+    raise ValueError(f"unknown metric {metric!r}")
+
+
+def _beam_search(
+    mat: np.ndarray,
+    adj: list[np.ndarray],
+    q: np.ndarray,
+    ef: int,
+    metric: str,
+    entry: int = 0,
+) -> list[tuple[float, int]]:
+    """Best-first beam search; returns up to ef (dist, node) ascending."""
+    d0 = float(_dist_rows(mat[entry : entry + 1], q, metric)[0])
+    visited = {entry}
+    cand: list[tuple[float, int]] = [(d0, entry)]  # min-heap by dist
+    best: list[tuple[float, int]] = [(-d0, entry)]  # max-heap of size ef
+    while cand:
+        d, node = heapq.heappop(cand)
+        if -best[0][0] < d and len(best) >= ef:
+            break
+        neigh = [n for n in adj[node] if n not in visited]
+        if not neigh:
+            continue
+        visited.update(neigh)
+        nd = _dist_rows(mat[neigh], q, metric)
+        for dn, n in zip(nd, neigh):
+            dn = float(dn)
+            if len(best) < ef or dn < -best[0][0]:
+                heapq.heappush(cand, (dn, int(n)))
+                heapq.heappush(best, (-dn, int(n)))
+                if len(best) > ef:
+                    heapq.heappop(best)
+    return sorted((-d, n) for d, n in best)
+
+
+def _build_nsw(
+    mat: np.ndarray, m: int, ef_construction: int, metric: str
+) -> list[np.ndarray]:
+    """Incremental NSW: connect each inserted node to its m nearest of
+    the ef_construction beam results; edges are bidirectional."""
+    n = len(mat)
+    adj: list[list[int]] = [[] for _ in range(n)]
+    adj_np: list[np.ndarray] = [np.empty(0, dtype=np.int64)] * n
+    for i in range(1, n):
+        # edges only ever reference already-inserted nodes (< i), so the
+        # full adjacency list is safe to pass while searching mat[:i]
+        found = _beam_search(mat[:i], adj_np, mat[i], ef_construction, metric)
+        for _d, j in found[:m]:
+            adj[i].append(j)
+            adj[j].append(i)
+            adj_np[j] = np.asarray(adj[j], dtype=np.int64)
+        adj_np[i] = np.asarray(adj[i], dtype=np.int64)
+    return adj_np
+
+
+class GraphANNIndexer:
+    """Per-partition NSW graphs over a hash-partitioned base table."""
+
+    def __init__(
+        self,
+        m: int = 8,
+        ef_construction: int = 32,
+        metric: str = "l2",
+        num_partitions: int = 8,
+    ):
+        self.m = m
+        self.ef_construction = ef_construction
+        self.metric = metric
+        self.num_partitions = num_partitions
+
+    def build(
+        self, base_df: DataFrame, id_col: str = "id", vec_col: str = "vec"
+    ) -> IndexArtifact:
+        m, efc, metric = self.m, self.ef_construction, self.metric
+        base = base_df.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+        ).withColumn("pid", F.pmod(F.xxhash64("id"), F.lit(self.num_partitions)))
+        base = base.repartition(self.num_partitions, "pid")
+
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            parts = [pdf for pdf in batches if len(pdf)]
+            if not parts:
+                return
+            allpdf = pd.concat(parts, ignore_index=True)
+            # one Spark partition may hold several pids (hash of pid);
+            # each pid is an independent graph.  Sorting by id makes the
+            # graph deterministic regardless of arrival order.
+            for _pid, pdf in allpdf.groupby("pid"):
+                pdf = pdf.sort_values("id").reset_index(drop=True)
+                mat = np.vstack(pdf["vec"].to_numpy()).astype(np.float32)
+                if metric == "cosine":
+                    mat = normalize_rows(mat.astype(np.float64)).astype(np.float32)
+                adj = _build_nsw(mat, m, efc, metric)
+                yield pd.DataFrame(
+                    {
+                        "pid": pdf["pid"],
+                        "id": pdf["id"],
+                        "vec": list(mat),
+                        "neighbors": [a.tolist() for a in adj],
+                    }
+                )
+
+        graph = base.mapInPandas(
+            kernel,
+            schema="pid long, id long, vec array<float>, neighbors array<long>",
+        ).repartition(self.num_partitions, "pid")
+        return IndexArtifact(
+            kind="graph_ann",
+            tables={"graph": graph},
+            params={"metric": metric, "m": m,
+                    "num_partitions": self.num_partitions},
+            metadata={"metric": metric, "m": m, "ef_construction": efc},
+        )
+
+
+class GraphANNSearcher:
+    """Broadcast queries; per-partition beam search; global top-k merge."""
+
+    def __init__(self, ef_search: int = 64):
+        self.ef_search = ef_search
+        self.artifact: IndexArtifact | None = None
+        self.ndis_accum = None
+
+    def attach(self, artifact: IndexArtifact) -> "GraphANNSearcher":
+        self.artifact = artifact
+        return self
+
+    def search(
+        self, query_df: DataFrame, k: int, qid_col: str = "qid", vec_col: str = "vec"
+    ) -> DataFrame:
+        art = self.artifact
+        if art is None:
+            raise RuntimeError("searcher not attached to an index artifact")
+        metric = art.params["metric"]
+        ef = max(self.ef_search, k)
+        spark = query_df.sparkSession
+        if self.ndis_accum is None:
+            self.ndis_accum = spark.sparkContext.accumulator(0)
+        accum = self.ndis_accum
+
+        qpdf = query_df.select(qid_col, vec_col).toPandas()
+        qids = qpdf[qid_col].to_numpy(dtype=np.int64)
+        qmat = np.vstack(qpdf[vec_col].to_numpy()).astype(np.float32)
+        if metric == "cosine":
+            qmat = normalize_rows(qmat.astype(np.float64)).astype(np.float32)
+        bc = spark.sparkContext.broadcast((qids, qmat))
+
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            parts = [pdf for pdf in batches if len(pdf)]
+            if not parts:
+                return
+            allpdf = pd.concat(parts, ignore_index=True)
+            q_ids, q_mat = bc.value
+            for _pid, pdf in allpdf.groupby("pid"):
+                # graph-local row order must match build order (id asc)
+                pdf = pdf.sort_values("id").reset_index(drop=True)
+                mat = np.vstack(pdf["vec"].to_numpy()).astype(np.float32)
+                ids = pdf["id"].to_numpy(dtype=np.int64)
+                adj = [np.asarray(a, dtype=np.int64) for a in pdf["neighbors"]]
+                out_q, out_i, out_d = [], [], []
+                for qi in range(len(q_ids)):
+                    found = _beam_search(mat, adj, q_mat[qi], ef, metric)
+                    accum.add(len(found))
+                    for d, node in found[:k]:
+                        out_q.append(q_ids[qi])
+                        out_i.append(ids[node])
+                        out_d.append(d)
+                yield pd.DataFrame({"qid": out_q, "id": out_i, "dist": out_d})
+
+        cands = art.tables["graph"].mapInPandas(
+            kernel, schema="qid long, id long, dist double"
+        )
+        return topk_per_query(cands, k)

@@ -178,6 +178,9 @@ class IVFSearcher:
     def __init__(self, nprobe: int = 8):
         self.nprobe = nprobe
         self.artifact: IndexArtifact | None = None
+        # distance-computation counter, parity with the reference's
+        # ``ndis`` record_operation (base_algorithm.py:91-96)
+        self.ndis_accum = None
 
     def attach(self, artifact: IndexArtifact) -> "IVFSearcher":
         self.artifact = artifact
@@ -213,6 +216,9 @@ class IVFSearcher:
         metric = art.params["metric"]
         codec = art.params["codec"]
         spark = query_df.sparkSession
+        if self.ndis_accum is None:
+            self.ndis_accum = spark.sparkContext.accumulator(0)
+        accum = self.ndis_accum
 
         qids, qmat = collect_vectors(query_df, qid_col, vec_col)
         if metric == "cosine":
@@ -232,6 +238,7 @@ class IVFSearcher:
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
+                accum.add(len(pdf))
                 rows = pdf["qid"].map(lookup).to_numpy(dtype=np.int64)
                 raw = np.vstack(pdf[payload_col].to_numpy())
                 bvecs = (

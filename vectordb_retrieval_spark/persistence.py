@@ -127,6 +127,17 @@ def save_artifact(
         raise
 
 
+def artifact_size_bytes(path: str) -> int:
+    """Total on-disk size of a persisted artifact (reference analogue:
+    index memory estimation, experiment_runner.py:490-744 — here the
+    honest Spark metric is the Parquet artifact footprint)."""
+    total = 0
+    for root, _dirs, names in os.walk(path):
+        for name in names:
+            total += os.path.getsize(os.path.join(root, name))
+    return total
+
+
 def load_artifact(
     spark: SparkSession, path: str, expect_fingerprint: str | None = None
 ) -> IndexArtifact:

@@ -20,6 +20,10 @@ from vectordb_retrieval_spark.operators.cluster_pruned import (
     ClusterPrunedExactSearcher,
 )
 from vectordb_retrieval_spark.operators.exact import exact_knn
+from vectordb_retrieval_spark.operators.graph_ann import (
+    GraphANNIndexer,
+    GraphANNSearcher,
+)
 from vectordb_retrieval_spark.operators.ivf import (
     FixedCentroidIVFIndexer,
     IVFIndexer,
@@ -123,12 +127,14 @@ register_indexer("ivf_pq", _ivf_pq)
 register_indexer("pq", PQIndexer)
 register_indexer("lsh", LSHIndexer)
 register_indexer("cluster_pruned_exact", ClusterPrunedExactIndexer)
+register_indexer("graph_ann", GraphANNIndexer)
 
 register_searcher("linear", LinearSearcher)
 register_searcher("ivf", IVFSearcher)
 register_searcher("pq_adc", PQADCSearcher)
 register_searcher("lsh", LSHSearcher)
 register_searcher("cluster_pruned_exact", ClusterPrunedExactSearcher)
+register_searcher("graph_ann", GraphANNSearcher)
 
 
 def get_algorithm_instance(

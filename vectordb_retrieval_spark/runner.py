@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from vectordb_retrieval_spark.config import ExperimentConfig
 from vectordb_retrieval_spark.metrics import retrieval_metrics_multi
 from vectordb_retrieval_spark.persistence import (
+    artifact_size_bytes,
     config_fingerprint,
     load_artifact,
     save_artifact,
@@ -181,9 +182,15 @@ class ExperimentRunner:
             build_time = time.time() - t0
             if self.persistence_mode in ("auto", "build_only"):
                 save_artifact(artifact, index_path, fp)
+        index_size_mb = (
+            round(artifact_size_bytes(index_path) / 2**20, 3)
+            if os.path.exists(index_path)
+            else None
+        )
         if self.persistence_mode == "build_only":
             return {"algorithm": name, "build_time_s": round(build_time, 3),
-                    "built_only": True, "fingerprint": fp}
+                    "built_only": True, "fingerprint": fp,
+                    "index_size_mb": index_size_mb}
 
         n_queries = test.count()
         t0 = time.time()
@@ -204,7 +211,11 @@ class ExperimentRunner:
             "qps": round(n_queries / search_time, 2) if search_time else None,
             "fingerprint": fp,
             "loaded_from_cache": loaded,
+            "index_size_mb": index_size_mb,
         }
+        ndis = getattr(algo.searcher, "ndis_accum", None)
+        if ndis is not None:
+            metrics["ndis"] = int(ndis.value)
         for r in mrows:
             for m in ("recall", "precision", "map", "ndcg", "hit_rate", "mrr"):
                 metrics[f"{m}@{r['k']}"] = round(float(r[m]), 6)
@@ -257,6 +268,48 @@ def summary_markdown(all_results: dict[str, dict[str, Any]]) -> str:
     return "\n".join(lines) + "\n"
 
 
+def qps_recall_svg(all_results: dict[str, dict[str, Any]]) -> str:
+    """Hand-rolled QPS-vs-recall SVG scatter (reference:
+    runner.py:402-521) — log-x QPS, linear-y recall, one labeled point
+    per (dataset, algorithm)."""
+    import math
+
+    pts = []
+    for ds_name, combined in all_results.items():
+        for algo, m in combined["results"].items():
+            if m.get("qps") and m.get("recall") is not None:
+                pts.append((f"{ds_name}/{algo}", float(m["qps"]), float(m["recall"])))
+    w, h, pad = 640, 420, 56
+    if not pts:
+        return f'<svg xmlns="http://www.w3.org/2000/svg" width="{w}" height="{h}"/>'
+    lo = min(p[1] for p in pts)
+    hi = max(p[1] for p in pts)
+    lx, hx = math.log10(max(lo, 1e-3)) - 0.2, math.log10(max(hi, 1e-3)) + 0.2
+
+    def sx(q):
+        return pad + (math.log10(max(q, 1e-3)) - lx) / (hx - lx) * (w - 2 * pad)
+
+    def sy(r):
+        return h - pad - r * (h - 2 * pad)
+
+    parts = [
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{w}" height="{h}">',
+        f'<rect width="{w}" height="{h}" fill="white"/>',
+        f'<line x1="{pad}" y1="{h-pad}" x2="{w-pad}" y2="{h-pad}" stroke="black"/>',
+        f'<line x1="{pad}" y1="{pad}" x2="{pad}" y2="{h-pad}" stroke="black"/>',
+        f'<text x="{w//2}" y="{h-12}" text-anchor="middle" font-size="12">QPS (log)</text>',
+        f'<text x="14" y="{h//2}" font-size="12" transform="rotate(-90 14 {h//2})" text-anchor="middle">recall</text>',
+    ]
+    for label, q, r in pts:
+        x, y = sx(q), sy(r)
+        parts.append(f'<circle cx="{x:.1f}" cy="{y:.1f}" r="4" fill="steelblue"/>')
+        parts.append(
+            f'<text x="{x+6:.1f}" y="{y-6:.1f}" font-size="10">{label}</text>'
+        )
+    parts.append("</svg>")
+    return "\n".join(parts)
+
+
 class BenchmarkRunner:
     """Multi-dataset suite from a benchmark config file
     (reference: runner.py:29-215)."""
@@ -289,4 +342,8 @@ class BenchmarkRunner:
             os.path.join(self.output_dir, "benchmark_summary.md"), "w"
         ) as fh:
             fh.write(summary_markdown(all_results))
+        with open(
+            os.path.join(self.output_dir, "qps_vs_recall.svg"), "w"
+        ) as fh:
+            fh.write(qps_recall_svg(all_results))
         return all_results
