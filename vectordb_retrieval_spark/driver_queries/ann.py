@@ -166,6 +166,21 @@ def ivf_kmeans_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("qid", "id", "rank")
 
 
+def ivf_kmeans_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nprobe == nlist scans every cluster ⇒ provably exact regardless
+    of the (non-SQL-expressible) KMeans centroids — oracle-checked
+    against plain exact kNN."""
+    base = emb(spark, sf_dir)
+    art = IVFIndexer(nlist=16, seed=SEED, max_iter=10, init_mode="random").build(
+        base, id_col="vec_id", vec_col="embedding"
+    )
+    qs = base.filter(F.expr(QUERY_FILTER))
+    res = IVFSearcher(nprobe=16).attach(art).search(
+        qs, K, qid_col="vec_id", vec_col="embedding"
+    )
+    return res.select("qid", "id", "rank")
+
+
 def _graph_search(spark: SparkSession, sf_dir: str, ef: int) -> DataFrame:
     base = emb(spark, sf_dir)
     art = GraphANNIndexer(m=8, ef_construction=32, num_partitions=4).build(
@@ -337,6 +352,7 @@ QUERIES = {
     "sq8_calibration": sq8_calibration,
     "cluster_pruned_exact_search": cluster_pruned_search,
     "ivf_kmeans_search": ivf_kmeans_search,
+    "ivf_kmeans_exhaustive": ivf_kmeans_exhaustive,
     "pq_adc_search": pq_adc_search,
     "graph_ann_search": graph_ann_search,
     "graph_ann_exhaustive": graph_ann_exhaustive,
@@ -351,4 +367,5 @@ ORACLES = {
     "sq8_calibration": _SQ8_ORACLE,
     "cluster_pruned_exact_search": KNN_ORACLE.format(dist_expr=DIST_EXPRS["l2"]),
     "graph_ann_exhaustive": KNN_ORACLE.format(dist_expr=DIST_EXPRS["l2"]),
+    "ivf_kmeans_exhaustive": KNN_ORACLE.format(dist_expr=DIST_EXPRS["l2"]),
 }

@@ -73,8 +73,41 @@ def q_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "qid long, id long, rank int")
 
 
-QUERIES = {"streaming_running_topk": q_streaming_topk}
+def q_windowed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window event stats via the streaming aggregation (run
+    statically here — the identical expression serves the stream)."""
+    from vectordb_retrieval_spark.streaming.serving import windowed_query_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        # session reads parquet TIMESTAMP(NANOS) as long (nanosAsLong)
+        F.timestamp_micros((F.col("ts") / 1000).cast("long")).alias("ts"),
+        F.col("value").alias("latency_ms"),
+    )
+    out = windowed_query_stats(ev, "1 hour", watermark="2 hours")
+    return out.select(
+        F.unix_timestamp("window_start").alias("window_start_epoch"),
+        "n_queries",
+        "mean_latency_ms",
+        F.round("max_latency_ms", 6).alias("max_latency_ms"),
+    )
+
+
+_WINDOW_ORACLE = """
+SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT)
+         AS window_start_epoch,
+       count(*) AS n_queries,
+       round(avg(value), 6) AS mean_latency_ms,
+       round(max(value), 6) AS max_latency_ms
+FROM events
+GROUP BY time_bucket(INTERVAL 1 HOUR, ts)
+"""
+
+QUERIES = {
+    "streaming_running_topk": q_streaming_topk,
+    "streaming_windowed_stats": q_windowed_stats,
+}
 
 ORACLES = {
-    "streaming_running_topk": KNN_ORACLE.format(dist_expr=DIST_EXPRS["l2"])
+    "streaming_running_topk": KNN_ORACLE.format(dist_expr=DIST_EXPRS["l2"]),
+    "streaming_windowed_stats": _WINDOW_ORACLE,
 }

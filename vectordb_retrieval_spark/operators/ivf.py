@@ -119,7 +119,12 @@ class IVFIndexer:
                 "metric": self.metric,
                 "codec": self.codec,
             },
-            metadata={"nlist": self.nlist, "seed": self.seed, "metric": self.metric},
+            metadata={
+                "nlist": self.nlist,
+                "seed": self.seed,
+                "metric": self.metric,
+                "partition_by": {"assignment": ["cluster_id"]},
+            },
         )
 
 

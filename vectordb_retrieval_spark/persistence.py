@@ -104,8 +104,14 @@ def save_artifact(
     os.makedirs(parent, exist_ok=True)
     tmp = tempfile.mkdtemp(prefix=".artifact-", dir=parent)
     try:
+        part_cols: dict[str, list[str]] = artifact.metadata.get("partition_by", {})
         for name, df in artifact.tables.items():
-            df.write.mode("overwrite").parquet(os.path.join(tmp, "tables", name))
+            writer = df.write.mode("overwrite")
+            # tables partitioned on disk keep their pruning column at
+            # cluster scale (probe joins prune partitions at the scan)
+            if name in part_cols:
+                writer = writer.partitionBy(*part_cols[name])
+            writer.parquet(os.path.join(tmp, "tables", name))
         kinds = _write_params(artifact.params, os.path.join(tmp, "params"))
         manifest = {
             "schema_version": SCHEMA_VERSION,
