@@ -1,0 +1,153 @@
+"""Property-based tests (hypothesis) for the numeric core and the
+top-k/metrics contracts.  NumPy-level properties run many examples;
+Spark-level properties use a handful of generated cases per run."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from hypothesis.extra.numpy import arrays
+
+from vectordb_retrieval_spark.functions.distance import (
+    normalize_rows,
+    pairwise_distances,
+)
+from vectordb_retrieval_spark.functions.kernels import rowwise_distance
+from vectordb_retrieval_spark.operators.graph_ann import _beam_search, _build_nsw
+
+finite_f32 = st.floats(
+    min_value=-100, max_value=100, allow_nan=False, width=32
+)
+
+
+def mats(rows, cols):
+    return arrays(np.float32, (rows, cols), elements=finite_f32)
+
+
+@given(
+    q=mats(4, 6),
+    b=mats(7, 6),
+    metric=st.sampled_from(["l2", "cosine", "ip"]),
+)
+@settings(max_examples=60, deadline=None)
+def test_pairwise_matches_rowwise(q, b, metric):
+    """The GEMM matrix kernel and the aligned row kernel must agree."""
+    if metric == "cosine":
+        # rows of exact zeros make cosine undefined; normalize_rows maps
+        # them to 0-vectors consistently in both kernels
+        pass
+    full = pairwise_distances(q, b, metric)
+    for i in range(len(q)):
+        rows = rowwise_distance(np.repeat(q[i : i + 1], len(b), axis=0), b, metric)
+        np.testing.assert_allclose(full[i], rows, rtol=1e-6, atol=1e-6)
+
+
+@given(q=mats(3, 5), b=mats(6, 5))
+@settings(max_examples=60, deadline=None)
+def test_l2_properties(q, b):
+    d = pairwise_distances(q, b, "l2")
+    assert (d >= 0).all()
+    # identity: d(x, x) == 0
+    dd = pairwise_distances(b, b, "l2")
+    np.testing.assert_allclose(np.diag(dd), 0.0, atol=1e-4)
+    # symmetry
+    np.testing.assert_allclose(dd, dd.T, rtol=1e-6, atol=1e-6)
+
+
+@given(m=mats(5, 4))
+@settings(max_examples=60, deadline=None)
+def test_normalize_rows_unit_or_zero(m):
+    m64 = m.astype(np.float64)
+    n = normalize_rows(m64)
+    norms = np.linalg.norm(n, axis=1)
+    for orig, nn in zip(np.linalg.norm(m64, axis=1), norms):
+        if orig == 0:
+            assert nn == 0
+        else:
+            assert nn == pytest.approx(1.0, abs=1e-9)
+
+
+@given(
+    n=st.integers(min_value=2, max_value=40),
+    seed=st.integers(min_value=0, max_value=1000),
+)
+@settings(max_examples=25, deadline=None)
+def test_beam_search_exhaustive_is_exact(n, seed):
+    """ef >= n on a connected NSW graph must return the true NNs."""
+    rng = np.random.RandomState(seed)
+    mat = rng.randn(n, 3).astype(np.float32)
+    adj = _build_nsw(mat, m=4, ef_construction=max(8, n), metric="l2")
+    q = rng.randn(3).astype(np.float32)
+    found = _beam_search(mat, adj, q, ef=n, metric="l2")
+    d = np.sqrt(((mat - q) ** 2).sum(axis=1))
+    want = list(np.argsort(d, kind="stable")[: min(5, n)])
+    got = [node for _d, node in found[: min(5, n)]]
+    assert got == want
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    k=st.integers(min_value=1, max_value=8),
+)
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+def test_topk_pad_contract(spark, seed, k):
+    """topk_per_query + pad_topk: exactly k rows per query, ranks 1..k,
+    real rows sorted by (dist, id), padding always trails."""
+    from vectordb_retrieval_spark.operators.topk import pad_topk, topk_per_query
+
+    rng = np.random.RandomState(seed)
+    n_q, n_c = 4, rng.randint(0, 12)
+    rows = [
+        (int(q), int(c), float(np.round(rng.rand(), 3)))
+        for q in range(n_q)
+        for c in rng.choice(50, size=n_c, replace=False)
+    ]
+    scored = spark.createDataFrame(
+        rows or [(0, 0, 0.0)], "qid long, id long, dist double"
+    )
+    if not rows:
+        scored = scored.filter("qid < 0")  # empty frame
+    queries = spark.createDataFrame([(i,) for i in range(n_q)], "qid long")
+    out = pad_topk(topk_per_query(scored, k), queries, k).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.qid, []).append(r)
+    assert set(by_q) == set(range(n_q))
+    for q, rs in by_q.items():
+        rs = sorted(rs, key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, k + 1))
+        real = [r for r in rs if r.id != -1]
+        pad = [r for r in rs if r.id == -1]
+        assert len(real) == min(n_c, k)
+        assert all(r.dist == float("inf") for r in pad)
+        keys = [(r.dist, r.id) for r in real]
+        assert keys == sorted(keys)
+
+
+@given(seed=st.integers(min_value=0, max_value=10_000))
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+def test_metrics_perfect_and_bounds(spark, seed):
+    """pred == gt ⇒ every metric is exactly 1; disjoint ⇒ all 0 except
+    precision/ndcg denominators stay defined."""
+    from vectordb_retrieval_spark.metrics import retrieval_metrics
+
+    rng = np.random.RandomState(seed)
+    k = int(rng.randint(1, 6))
+    gt_rows = [
+        (q, int(100 * q + r), r)
+        for q in range(3)
+        for r in range(1, k + 1)
+    ]
+    gt = spark.createDataFrame(gt_rows, "qid long, id long, rank int")
+    m = retrieval_metrics(gt, gt, k).first()
+    for name in ("recall", "precision", "map", "ndcg", "hit_rate", "mrr"):
+        assert m[name] == pytest.approx(1.0), name
+    disjoint = spark.createDataFrame(
+        [(q, int(9000 + 100 * q + r), r) for q, _i, r in gt_rows],
+        "qid long, id long, rank int",
+    )
+    z = retrieval_metrics(disjoint, gt, k).first()
+    for name in ("recall", "map", "ndcg", "hit_rate", "mrr"):
+        assert z[name] == pytest.approx(0.0), name
