@@ -151,3 +151,19 @@ def test_metrics_perfect_and_bounds(spark, seed):
     z = retrieval_metrics(disjoint, gt, k).first()
     for name in ("recall", "map", "ndcg", "hit_rate", "mrr"):
         assert z[name] == pytest.approx(0.0), name
+
+
+def test_random_unit_vectors_and_format(spark):
+    from vectordb_retrieval_spark.functions.vector_utils import (
+        format_vector_col,
+        random_unit_vectors,
+    )
+    import pyspark.sql.functions as F
+
+    df = random_unit_vectors(spark, 20, 8, seed=3)
+    norms = df.select(
+        F.sqrt(F.aggregate("vec", F.lit(0.0), lambda a, x: a + x * x)).alias("n")
+    ).collect()
+    assert all(abs(r.n - 1.0) < 1e-5 for r in norms)
+    s = df.select(format_vector_col(F.col("vec"), 2, 3).alias("s")).first().s
+    assert s.startswith("[") and "…" in s and s.endswith("(dim=8)")

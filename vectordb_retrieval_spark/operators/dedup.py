@@ -34,8 +34,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from vectordb_retrieval_spark.functions.distance import distance_col
-
 # hash of a string to a 60-bit integer, reproducible in DuckDB as
 # CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)
 def hash60(col: Column) -> Column:
@@ -220,16 +218,62 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Pairs (a < b) with cosine similarity > threshold.  Brute-force
-    baseline (crossJoin + column expression); the sub-quadratic path is
-    LSH bucketing via operators.lsh."""
-    a = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
-    sim = 1.0 - distance_col(F.col("va"), F.col("vb"), "cosine")
-    return (
-        a.crossJoin(b)
-        .filter(F.col("a") < F.col("b"))
-        .withColumn("sim", sim)
-        .filter(F.col("sim") > threshold)
-        .select("a", "b")
-    )
+    """Pairs (a < b) with cosine similarity > threshold.
+
+    All-pairs baseline, executed as one GEMM per Arrow batch against the
+    broadcast table (the pairwise comparison is inherently quadratic; the
+    sub-quadratic scale path is LSH bucketing via operators.lsh).  Pairs
+    within 1e-6 of the threshold are re-scored with a strictly
+    sequential float64 sum — the association order SQL engines and the
+    column-expression form use — so boundary decisions match an external
+    oracle bit-for-bit.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from vectordb_retrieval_spark.functions.kernels import collect_vectors
+
+    spark = df.sparkSession
+    ids, mat = collect_vectors(df, id_col, vec_col)
+    m64 = mat.astype(np.float64)
+    bc = spark.sparkContext.broadcast((ids, m64))
+
+    def seq_cos(x: np.ndarray, y: np.ndarray) -> float:
+        dot = nx = ny = 0.0
+        for xi, yi in zip(x, y):
+            dot += float(xi) * float(yi)
+        for xi in x:
+            nx += float(xi) * float(xi)
+        for yi in y:
+            ny += float(yi) * float(yi)
+        return dot / ((nx**0.5) * (ny**0.5))
+
+    def kernel(batches):
+        all_ids, all64 = bc.value
+        norms = np.sqrt((all64 * all64).sum(axis=1))
+        unit = all64 / np.where(norms == 0.0, 1.0, norms)[:, None]
+        order = np.argsort(all_ids, kind="stable")
+        pos_of = {int(i): p for p, i in enumerate(all_ids)}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = [pos_of[int(i)] for i in pdf[id_col]]
+            sims = unit[rows] @ unit.T  # (batch, n)
+            out_a, out_b = [], []
+            for r, arow in zip(rows, sims):
+                ia = int(all_ids[r])
+                cand = np.nonzero(arow > threshold - 1e-6)[0]
+                for c in cand:
+                    ib = int(all_ids[c])
+                    if ia >= ib:
+                        continue
+                    s = arow[c]
+                    if abs(s - threshold) <= 1e-6:
+                        s = seq_cos(all64[r], all64[c])
+                    if s > threshold:
+                        out_a.append(ia)
+                        out_b.append(ib)
+            if out_a:
+                yield pd.DataFrame({"a": out_a, "b": out_b})
+
+    return df.select(id_col).mapInPandas(kernel, schema="a long, b long")

@@ -231,8 +231,15 @@ class IVFSearcher:
         probe = self.probe_clusters(qids, qmat)
         probe_df = spark.createDataFrame(probe, "qid long, cluster_id int")
 
-        candidates = art.tables["assignment"].join(
-            F.broadcast(probe_df), "cluster_id"
+        # probed cluster ids are known on the driver → a literal IN
+        # filter reaches the scan as a static partition filter on a
+        # cluster_id-partitioned index (PartitionFilters in the plan);
+        # the broadcast join then fans candidates out per query
+        probed_ids = sorted(int(c) for c in set(probe["cluster_id"]))
+        candidates = (
+            art.tables["assignment"]
+            .filter(F.col("cluster_id").isin(probed_ids))
+            .join(F.broadcast(probe_df), "cluster_id")
         )
         bc = spark.sparkContext.broadcast((qids, qmat, codec))
         payload_col = "vec" if codec is None else "codes"

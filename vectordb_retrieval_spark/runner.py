@@ -209,6 +209,11 @@ class ExperimentRunner:
             "build_time_s": round(build_time, 3),
             "search_wall_s": round(search_time, 3),
             "qps": round(n_queries / search_time, 2) if search_time else None,
+            # reference semantics: batch wall divided evenly per query
+            # (experiment_runner.py:434-437; see SURVEY §7.4#2 caveat)
+            "mean_query_ms": round(1000.0 * search_time / n_queries, 3)
+            if n_queries
+            else None,
             "fingerprint": fp,
             "loaded_from_cache": loaded,
             "index_size_mb": index_size_mb,
