@@ -53,9 +53,16 @@ def main() -> int:
 
     qs = entry_mod.queries()
 
-    # warmup: JVM, parquet footer reads, codegen
+    # warmup: JVM, parquet footer reads, codegen, and the Python-worker
+    # + Arrow path (mapInPandas forks workers lazily on first use —
+    # that startup belongs to the session, not to the first query)
     spark.range(1000).selectExpr("sum(id)").collect()
     materialize(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    materialize(
+        spark.range(10_000)
+        .repartition(int(cpus))
+        .mapInPandas(lambda it: it, schema="id long")
+    )
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

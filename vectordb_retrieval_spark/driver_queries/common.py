@@ -10,12 +10,24 @@ K = 10
 QUERY_FILTER = "vec_id % 10 = 0"
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition a scan UP to the session's parallelism when the file
+    layout gives fewer partitions than cores (a small local file is one
+    row-group → one task, serializing every downstream expression and
+    Arrow kernel).  At cluster scale the scan already has ≥ cores
+    partitions and this is a no-op — never a down-shuffle of a big scan."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
 def emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 def docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -95,15 +95,15 @@ def perm_coeffs(n_perm: int, seed: int = 1) -> list[tuple[int, int]]:
     return coeffs
 
 
-def minhash_signatures(
+def _minhash_wide(
     df: DataFrame,
-    n_perm: int = 8,
-    shingle_n: int = 3,
-    id_col: str = "doc_id",
-    text_col: str = "text",
+    n_perm: int,
+    shingle_n: int,
+    id_col: str,
+    text_col: str,
 ) -> DataFrame:
-    """(id, perm, minhash): MinHash signature rows per document.
-    Documents with no shingles get no rows (shorter than shingle_n).
+    """(id, m0..m{n_perm-1}): one row per document with its MinHash
+    signature as wide columns — a single shuffle (the per-id min agg).
 
     One md5 per distinct shingle occurrence; permutation j is
     (a_j·(h mod p) + b_j) mod p — 64-bit-safe (a_j, h mod p < 2^31)."""
@@ -116,7 +116,19 @@ def minhash_signatures(
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE_P).alias(f"m{j}")
         for j, (a, b) in enumerate(coeffs)
     ]
-    wide = sh.groupBy("id").agg(*mins)
+    return sh.groupBy("id").agg(*mins)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    n_perm: int = 8,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, perm, minhash): MinHash signature rows per document.
+    Documents with no shingles get no rows (shorter than shingle_n)."""
+    wide = _minhash_wide(df, n_perm, shingle_n, id_col, text_col)
     pairs = F.array(*[
         F.struct(F.lit(j).alias("perm"), F.col(f"m{j}").alias("minhash"))
         for j in range(n_perm)
@@ -136,15 +148,27 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Candidate near-duplicate pairs (a < b) sharing ≥1 LSH band bucket."""
     rows_per_band = n_perm // bands
-    sigs = minhash_signatures(df, n_perm, shingle_n, id_col, text_col)
-    banded = (
-        sigs.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
-        .groupBy("id", "band")
-        .agg(
+    wide = _minhash_wide(df, n_perm, shingle_n, id_col, text_col)
+    # band buckets straight from the wide signature columns — no
+    # explode + re-group shuffle; bucket string identical to the
+    # collect_list form (sorted minhashes of the band, "_"-joined)
+    band_rows = F.array(*[
+        F.struct(
+            F.lit(band).alias("band"),
             F.concat_ws(
-                "_", F.sort_array(F.collect_list(F.col("minhash").cast("string")))
-            ).alias("bucket")
+                "_",
+                F.sort_array(
+                    F.array(*[
+                        F.col(f"m{band * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ])
+                ),
+            ).alias("bucket"),
         )
+        for band in range(bands)
+    ])
+    banded = wide.select("id", F.explode(band_rows).alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
     a = banded.select(
         F.col("id").alias("a"), "band", "bucket"

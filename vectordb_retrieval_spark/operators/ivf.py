@@ -39,10 +39,7 @@ from vectordb_retrieval_spark.functions.distance import (
     normalize_rows,
     pairwise_distances,
 )
-from vectordb_retrieval_spark.functions.kernels import (
-    collect_vectors,
-    rowwise_distance,
-)
+from vectordb_retrieval_spark.functions.kernels import collect_vectors
 from vectordb_retrieval_spark.operators.topk import topk_per_query
 
 
@@ -229,43 +226,66 @@ class IVFSearcher:
         if metric == "cosine":
             qmat = normalize_rows(qmat.astype(np.float64)).astype(np.float32)
         probe = self.probe_clusters(qids, qmat)
-        probe_df = spark.createDataFrame(probe, "qid long, cluster_id int")
 
         # probed cluster ids are known on the driver → a literal IN
         # filter reaches the scan as a static partition filter on a
-        # cluster_id-partitioned index (PartitionFilters in the plan);
-        # the broadcast join then fans candidates out per query
+        # cluster_id-partitioned index (PartitionFilters in the plan).
+        # No per-query fan-out join: each base row crosses Arrow ONCE
+        # per cluster; the kernel scores it against ALL queries probing
+        # that cluster in one GEMM and emits only the fragment-local
+        # top-k, so the final window sees ≤ n_q × nprobe × k rows
+        # instead of every candidate pair.
         probed_ids = sorted(int(c) for c in set(probe["cluster_id"]))
-        candidates = (
-            art.tables["assignment"]
-            .filter(F.col("cluster_id").isin(probed_ids))
-            .join(F.broadcast(probe_df), "cluster_id")
+        bc = spark.sparkContext.broadcast(
+            (qids, qmat, codec, self._probe_rows(probe, len(qids)))
         )
-        bc = spark.sparkContext.broadcast((qids, qmat, codec))
         payload_col = "vec" if codec is None else "codes"
 
         def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            q_ids, q_mat, cdc = bc.value
-            lookup = {int(q): i for i, q in enumerate(q_ids)}
+            q_ids, q_mat, cdc, probes = bc.value
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
-                accum.add(len(pdf))
-                rows = pdf["qid"].map(lookup).to_numpy(dtype=np.int64)
-                raw = np.vstack(pdf[payload_col].to_numpy())
-                bvecs = (
-                    raw.astype(np.float32) if cdc is None else cdc.decode(raw)
-                )
-                dist = rowwise_distance(q_mat[rows], bvecs, metric)
-                yield pd.DataFrame(
-                    {
-                        "qid": pdf["qid"].to_numpy(dtype=np.int64),
-                        "id": pdf["id"].to_numpy(dtype=np.int64),
-                        "dist": dist,
-                    }
-                )
+                for cid, grp in pdf.groupby("cluster_id", sort=False):
+                    qrows = probes.get(int(cid))
+                    if qrows is None or len(grp) == 0:
+                        continue
+                    raw = np.vstack(grp[payload_col].to_numpy())
+                    bvecs = (
+                        raw.astype(np.float32) if cdc is None else cdc.decode(raw)
+                    )
+                    ids = grp["id"].to_numpy(dtype=np.int64)
+                    d = pairwise_distances(q_mat[qrows], bvecs, metric)
+                    accum.add(int(d.size))
+                    kk = min(k, d.shape[1])
+                    order = np.lexsort(
+                        (np.broadcast_to(ids, d.shape), d), axis=1
+                    )[:, :kk]
+                    yield pd.DataFrame(
+                        {
+                            "qid": np.repeat(q_ids[qrows], kk),
+                            "id": ids[order].ravel(),
+                            "dist": np.take_along_axis(d, order, axis=1).ravel(),
+                        }
+                    )
 
-        scored = candidates.select("qid", "id", payload_col).mapInPandas(
-            kernel, schema="qid long, id long, dist double"
+        scored = (
+            art.tables["assignment"]
+            .filter(F.col("cluster_id").isin(probed_ids))
+            .select("cluster_id", "id", payload_col)
+            .mapInPandas(kernel, schema="qid long, id long, dist double")
         )
         return topk_per_query(scored, k)
+
+    @staticmethod
+    def _probe_rows(probe: pd.DataFrame, n_queries: int) -> dict[int, np.ndarray]:
+        """cluster_id → array of query-row indices probing that cluster.
+        probe rows are (qid, cluster_id) laid out query-major, so the
+        query row index is position // nprobe."""
+        nprobe = len(probe) // n_queries if n_queries else 1
+        rows = np.arange(len(probe)) // max(nprobe, 1)
+        out: dict[int, np.ndarray] = {}
+        cids = probe["cluster_id"].to_numpy()
+        for cid in np.unique(cids):
+            out[int(cid)] = rows[cids == cid]
+        return out

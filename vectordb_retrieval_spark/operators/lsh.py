@@ -178,6 +178,11 @@ class LSHSearcher:
         result = topk_per_query(scored, k)
 
         if self.exact_fallback:
+            # the zero-candidate check is an action on the candidate
+            # pipeline; persist the (tiny, ≤ n_q×k rows) result first so
+            # the hash→vote→rerank subtree executes once, not once for
+            # the check and again for the consumer's materialization
+            result = result.persist()
             missing = (
                 query_df.select(F.col(qid_col).alias("qid"), F.col(vec_col).alias("_v"))
                 .join(result.select("qid").distinct(), "qid", "left_anti")
