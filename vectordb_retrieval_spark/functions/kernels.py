@@ -44,6 +44,68 @@ def rowwise_distance(
     raise ValueError(f"unknown metric {metric!r}")
 
 
+def cluster_scan_topk(
+    assignment: DataFrame,
+    qids: np.ndarray,
+    qmat: np.ndarray,
+    probe_map: dict[int, np.ndarray],
+    metric: str,
+    k: int,
+    accum=None,
+    codec=None,
+    payload_col: str = "vec",
+) -> DataFrame:
+    """Scan the probed clusters of an IVF-style assignment table and
+    return fragment-local top-k rows (qid, id, dist).
+
+    ``probe_map`` is cluster_id → query-row indices probing it.  Each
+    base row crosses Arrow once per cluster; one GEMM scores it against
+    all its probing queries; only per-(query, fragment) top-k rows are
+    emitted, so the caller's final window sees ≤ n_q × nprobe × k rows.
+    The probed ids double as a literal IN filter, which becomes a static
+    partition filter on a cluster_id-partitioned index.  ``accum``
+    counts exact distance computations (the reference's ``ndis``)."""
+    from vectordb_retrieval_spark.functions.distance import pairwise_distances
+    from pyspark.sql import functions as F
+
+    spark = assignment.sparkSession
+    probed_ids = sorted(int(c) for c in probe_map)
+    bc = spark.sparkContext.broadcast((qids, qmat, codec, probe_map))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        q_ids, q_mat, cdc, probes = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            for cid, grp in pdf.groupby("cluster_id", sort=False):
+                qrows = probes.get(int(cid))
+                if qrows is None or len(grp) == 0:
+                    continue
+                raw = np.vstack(grp[payload_col].to_numpy())
+                bvecs = raw.astype(np.float32) if cdc is None else cdc.decode(raw)
+                ids = grp["id"].to_numpy(dtype=np.int64)
+                d = pairwise_distances(q_mat[qrows], bvecs, metric)
+                if accum is not None:
+                    accum.add(int(d.size))
+                kk = min(k, d.shape[1])
+                order = np.lexsort((np.broadcast_to(ids, d.shape), d), axis=1)[
+                    :, :kk
+                ]
+                yield pd.DataFrame(
+                    {
+                        "qid": np.repeat(q_ids[qrows], kk),
+                        "id": ids[order].ravel(),
+                        "dist": np.take_along_axis(d, order, axis=1).ravel(),
+                    }
+                )
+
+    return (
+        assignment.filter(F.col("cluster_id").isin(probed_ids))
+        .select("cluster_id", "id", payload_col)
+        .mapInPandas(kernel, schema="qid long, id long, dist double")
+    )
+
+
 def attach_query_distance(
     candidates: DataFrame,
     query_ids: np.ndarray,

@@ -29,7 +29,10 @@ from pyspark.sql import functions as F
 
 from vectordb_retrieval_spark.artifacts import IndexArtifact
 from vectordb_retrieval_spark.functions.distance import pairwise_distances
-from vectordb_retrieval_spark.functions.kernels import collect_vectors
+from vectordb_retrieval_spark.functions.kernels import (
+    cluster_scan_topk,
+    collect_vectors,
+)
 from vectordb_retrieval_spark.operators.ivf import IVFIndexer
 from vectordb_retrieval_spark.operators.topk import topk_per_query
 
@@ -125,46 +128,20 @@ class ClusterPrunedExactSearcher:
 
         assignment = art.tables["assignment"]
 
-        bc = spark.sparkContext.broadcast((qids, qmat))
+        def to_map(qrows: np.ndarray, cids: np.ndarray) -> dict[int, np.ndarray]:
+            return {int(c): qrows[cids == c] for c in np.unique(cids)}
 
-        def scan(probe_pairs: pd.DataFrame) -> DataFrame:
-            probe_df = spark.createDataFrame(probe_pairs, "qid long, cluster_id int")
-            cands = assignment.join(F.broadcast(probe_df), "cluster_id").select(
-                "qid", "id", "vec"
+        def scan(probe_map: dict[int, np.ndarray]) -> DataFrame:
+            # per-cluster GEMM + fragment-local top-k (see kernels.py);
+            # ndis counts every exact distance computed, parity with the
+            # reference's record_operation counter
+            return cluster_scan_topk(
+                assignment, qids, qmat, probe_map, "l2", k, accum=accum
             )
 
-            # one Arrow pass: count scanned vectors (ndis) + exact distance
-            def kernel(batches):
-                from vectordb_retrieval_spark.functions.kernels import (
-                    rowwise_distance,
-                )
-
-                q_ids, q_mat = bc.value
-                lookup = {int(q): i for i, q in enumerate(q_ids)}
-                for pdf in batches:
-                    if len(pdf) == 0:
-                        continue
-                    accum.add(len(pdf))
-                    rows = pdf["qid"].map(lookup).to_numpy(dtype=np.int64)
-                    bvecs = np.vstack(pdf["vec"].to_numpy()).astype(np.float32)
-                    dist = rowwise_distance(q_mat[rows], bvecs, "l2")
-                    yield pd.DataFrame(
-                        {
-                            "qid": pdf["qid"].to_numpy(dtype=np.int64),
-                            "id": pdf["id"].to_numpy(dtype=np.int64),
-                            "dist": dist,
-                        }
-                    )
-
-            return cands.mapInPandas(kernel, schema="qid long, id long, dist double")
-
-        phase1_pairs = pd.DataFrame(
-            {
-                "qid": np.repeat(qids, nprobe),
-                "cluster_id": probed.reshape(-1).astype(np.int32),
-            }
-        )
-        scored1 = scan(phase1_pairs).cache()
+        scored1 = scan(
+            to_map(np.repeat(np.arange(len(qids)), nprobe), probed.reshape(-1))
+        ).cache()
         top1 = topk_per_query(scored1, k)
         # per-query exact upper bound T_q = kth-best distance so far
         tq_rows = (
@@ -179,14 +156,7 @@ class ClusterPrunedExactSearcher:
         need[np.arange(len(qids))[:, None], probed] = False  # already scanned
         extra_q, extra_c = np.nonzero(need)
         if len(extra_q) == 0:
-            scored1.unpersist()
             return top1
-        phase2_pairs = pd.DataFrame(
-            {
-                "qid": qids[extra_q],
-                "cluster_id": extra_c.astype(np.int32),
-            }
-        )
-        scored2 = scan(phase2_pairs)
+        scored2 = scan(to_map(extra_q, extra_c))
         result = topk_per_query(scored1.unionByName(scored2), k)
         return result

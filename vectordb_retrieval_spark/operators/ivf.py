@@ -39,7 +39,10 @@ from vectordb_retrieval_spark.functions.distance import (
     normalize_rows,
     pairwise_distances,
 )
-from vectordb_retrieval_spark.functions.kernels import collect_vectors
+from vectordb_retrieval_spark.functions.kernels import (
+    cluster_scan_topk,
+    collect_vectors,
+)
 from vectordb_retrieval_spark.operators.topk import topk_per_query
 
 
@@ -227,53 +230,19 @@ class IVFSearcher:
             qmat = normalize_rows(qmat.astype(np.float64)).astype(np.float32)
         probe = self.probe_clusters(qids, qmat)
 
-        # probed cluster ids are known on the driver → a literal IN
-        # filter reaches the scan as a static partition filter on a
-        # cluster_id-partitioned index (PartitionFilters in the plan).
-        # No per-query fan-out join: each base row crosses Arrow ONCE
-        # per cluster; the kernel scores it against ALL queries probing
-        # that cluster in one GEMM and emits only the fragment-local
-        # top-k, so the final window sees ≤ n_q × nprobe × k rows
-        # instead of every candidate pair.
-        probed_ids = sorted(int(c) for c in set(probe["cluster_id"]))
-        bc = spark.sparkContext.broadcast(
-            (qids, qmat, codec, self._probe_rows(probe, len(qids)))
-        )
-        payload_col = "vec" if codec is None else "codes"
-
-        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            q_ids, q_mat, cdc, probes = bc.value
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                for cid, grp in pdf.groupby("cluster_id", sort=False):
-                    qrows = probes.get(int(cid))
-                    if qrows is None or len(grp) == 0:
-                        continue
-                    raw = np.vstack(grp[payload_col].to_numpy())
-                    bvecs = (
-                        raw.astype(np.float32) if cdc is None else cdc.decode(raw)
-                    )
-                    ids = grp["id"].to_numpy(dtype=np.int64)
-                    d = pairwise_distances(q_mat[qrows], bvecs, metric)
-                    accum.add(int(d.size))
-                    kk = min(k, d.shape[1])
-                    order = np.lexsort(
-                        (np.broadcast_to(ids, d.shape), d), axis=1
-                    )[:, :kk]
-                    yield pd.DataFrame(
-                        {
-                            "qid": np.repeat(q_ids[qrows], kk),
-                            "id": ids[order].ravel(),
-                            "dist": np.take_along_axis(d, order, axis=1).ravel(),
-                        }
-                    )
-
-        scored = (
-            art.tables["assignment"]
-            .filter(F.col("cluster_id").isin(probed_ids))
-            .select("cluster_id", "id", payload_col)
-            .mapInPandas(kernel, schema="qid long, id long, dist double")
+        # No per-query fan-out join: cluster_scan_topk scores each
+        # probed cluster fragment against all its probing queries in one
+        # GEMM and emits only fragment-local top-k (see kernels.py).
+        scored = cluster_scan_topk(
+            art.tables["assignment"],
+            qids,
+            qmat,
+            self._probe_rows(probe, len(qids)),
+            metric,
+            k,
+            accum=accum,
+            codec=codec,
+            payload_col="vec" if codec is None else "codes",
         )
         return topk_per_query(scored, k)
 
