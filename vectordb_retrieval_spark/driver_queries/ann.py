@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -208,6 +209,34 @@ def graph_ann_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _graph_search(spark, sf_dir, ef=100_000)
 
 
+PQ_M, PQ_KSUB_FIXED = 8, 8
+DSUB = DIM // PQ_M
+
+
+def pq_fixed_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ADC with data-derived codebooks (codebook entry c of subspace
+    j = subvector j of base vector c) — deterministic and fully
+    SQL-expressible, so the whole encode→ADC→top-k pipeline is
+    hash-checked against DuckDB. ADC distance with exact codebook
+    arithmetic equals L2 to the decoded vector, which is what the
+    oracle computes."""
+    base = emb(spark, sf_dir)
+    cdf = base.filter(F.col("vec_id") < PQ_KSUB_FIXED).orderBy("vec_id")
+    _, cmat = collect_vectors(cdf, "vec_id", "embedding")
+    cmat = cmat.astype(np.float64)
+    cb = np.stack(
+        [cmat[:, j * DSUB : (j + 1) * DSUB] for j in range(PQ_M)]
+    )
+    art = PQIndexer(m=PQ_M, ksub=PQ_KSUB_FIXED, metric="l2", codebooks=cb).build(
+        base, id_col="vec_id", vec_col="embedding"
+    )
+    qs = base.filter(F.expr(QUERY_FILTER))
+    res = PQADCSearcher().attach(art).search(
+        qs, K, qid_col="vec_id", vec_col="embedding"
+    )
+    return res.select("qid", "id", "rank")
+
+
 def pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = emb(spark, sf_dir)
     art = PQIndexer(m=8, ksub=32, metric="l2", seed=SEED).build(
@@ -343,6 +372,47 @@ CROSS JOIN (SELECT CAST(range AS INT) AS i FROM range(1, {DIM + 1})) t
 GROUP BY t.i
 """
 
+# fixed-codebook PQ: encode = nearest codebook entry per subspace
+# (tie-break lowest code); ADC distance = L2(query, decoded vector),
+# decoded = concat of that row's codebook entries in subspace order
+_PQ_FIXED_ORACLE = f"""
+WITH j AS (SELECT CAST(range AS INT) AS j FROM range(0, {PQ_M})),
+cb AS (
+  SELECT c.vec_id AS code, j.j,
+         CAST(c.embedding[j.j*{DSUB}+1 : j.j*{DSUB}+{DSUB}] AS DOUBLE[]) AS cv
+  FROM embeddings c, j
+  WHERE c.vec_id < {PQ_KSUB_FIXED}
+),
+sub AS (
+  SELECT b.vec_id AS id, j.j,
+         CAST(b.embedding[j.j*{DSUB}+1 : j.j*{DSUB}+{DSUB}] AS DOUBLE[]) AS bv
+  FROM embeddings b, j
+),
+codes AS (
+  SELECT id, j, cv FROM (
+    SELECT s.id, s.j, cb.cv,
+           row_number() OVER (PARTITION BY s.id, s.j
+                              ORDER BY list_distance(s.bv, cb.cv), cb.code) AS rn
+    FROM sub s JOIN cb ON cb.j = s.j
+  ) WHERE rn = 1
+),
+dec AS (
+  SELECT id, flatten(list(cv ORDER BY j)) AS dv FROM codes GROUP BY id
+),
+q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id % 10 = 0
+),
+r AS (
+  SELECT q.qid, dec.id,
+         row_number() OVER (
+           PARTITION BY q.qid ORDER BY list_distance(q.qv, dec.dv), dec.id
+         ) AS rank
+  FROM q CROSS JOIN dec
+)
+SELECT qid, id, rank FROM r WHERE rank <= {K}
+"""
+
 QUERIES = {
     "lsh_sign_buckets": lambda spark, sf: _buckets_query(spark, sf, _sign_indexer()),
     "lsh_e2lsh_buckets": lambda spark, sf: _buckets_query(spark, sf, _e2_indexer()),
@@ -354,6 +424,7 @@ QUERIES = {
     "ivf_kmeans_search": ivf_kmeans_search,
     "ivf_kmeans_exhaustive": ivf_kmeans_exhaustive,
     "pq_adc_search": pq_adc_search,
+    "pq_fixed_adc": pq_fixed_adc,
     "graph_ann_search": graph_ann_search,
     "graph_ann_exhaustive": graph_ann_exhaustive,
 }
@@ -365,6 +436,7 @@ ORACLES = {
     "ivf_fixed_assign": _IVF_ASSIGN_ORACLE,
     "ivf_fixed_search": _IVF_SEARCH_ORACLE,
     "sq8_calibration": _SQ8_ORACLE,
+    "pq_fixed_adc": _PQ_FIXED_ORACLE,
     "cluster_pruned_exact_search": KNN_ORACLE.format(dist_expr=DIST_EXPRS["l2"]),
     "graph_ann_exhaustive": KNN_ORACLE.format(dist_expr=DIST_EXPRS["l2"]),
     "ivf_kmeans_exhaustive": KNN_ORACLE.format(dist_expr=DIST_EXPRS["l2"]),

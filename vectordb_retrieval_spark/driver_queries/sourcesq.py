@@ -101,7 +101,17 @@ SELECT CAST(range AS BIGINT) AS qid, CAST({RAND_K} AS BIGINT) AS n_match
 FROM range(0, {RAND_Q})
 """
 
+# md5-ordered subsample: the seeded hash ordering is engine-agnostic, so
+# DuckDB reproduces exactly the same n rows
+_SUBSAMPLE_ORACLE = f"""
+SELECT doc_id
+FROM documents
+ORDER BY md5(CAST(doc_id AS VARCHAR) || ':7'), doc_id
+LIMIT {SUBSAMPLE_N}
+"""
+
 ORACLES = {
     "dataprep_embed_stub": _EMBED_ORACLE,
+    "dataprep_subsample": _SUBSAMPLE_ORACLE,
     "source_random_dataset_gt": _RAND_GT_ORACLE,
 }

@@ -25,15 +25,27 @@ from vectordb_retrieval_spark.operators.topk import topk_per_query
 
 
 class PQIndexer:
-    def __init__(self, m: int = 8, ksub: int = 256, metric: str = "l2", seed: int = 42):
+    def __init__(
+        self,
+        m: int = 8,
+        ksub: int = 256,
+        metric: str = "l2",
+        seed: int = 42,
+        codebooks: np.ndarray | None = None,
+    ):
         self.codec = PQCodec(m=m, ksub=ksub, seed=seed, normalize=(metric == "cosine"))
+        if codebooks is not None:
+            # pre-set (m, ksub, dsub) codebooks skip k-means training —
+            # used by the SQL-reproducible fixed-codebook driver query
+            self.codec.codebooks = np.asarray(codebooks, dtype=np.float64)
         self.metric = metric
 
     def build(
         self, base_df: DataFrame, id_col: str = "id", vec_col: str = "vec"
     ) -> IndexArtifact:
         base = base_df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-        self.codec.fit(base, "vec")
+        if self.codec.codebooks is None:
+            self.codec.fit(base, "vec")
         codes = self.codec.encode_df(base, "vec")
         return IndexArtifact(
             kind="pq",

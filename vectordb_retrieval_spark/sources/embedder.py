@@ -107,11 +107,20 @@ def subsample(
 ) -> DataFrame:
     """Seeded deterministic subsample of n rows (reference:
     dataprep/subsample_msmarco.py:62-164 reservoir sampling) — smallest
-    n values of a seeded per-row hash, stable under any partitioning."""
+    n values of a seeded per-row md5, stable under any partitioning and
+    reproducible outside Spark (md5 over "id:seed" is engine-agnostic).
+    ORDER BY hash LIMIT n compiles to TakeOrderedAndProject: each task
+    keeps a size-n heap, the driver merges — no full sort at scale."""
     from pyspark.sql import functions as F
 
+    key = F.md5(
+        F.encode(
+            F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed))),
+            "UTF-8",
+        )
+    )
     return (
-        df.withColumn("_r", F.xxhash64(F.col(id_col), F.lit(seed)))
+        df.withColumn("_r", key)
         .orderBy("_r", id_col)
         .limit(n)
         .drop("_r")
