@@ -126,6 +126,26 @@ def ivf_fixed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("qid", "id", "rank")
 
 
+def ivf_sq8_fixed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-SQ8 end-to-end with fixed centroids: assignment on raw
+    vectors, SQ8 codes in the index table, search distances on decoded
+    vectors — every step deterministic double arithmetic, hash-checked
+    against a DuckDB oracle that reproduces calibration, round-even
+    encoding, decoding, probing, and the final top-k."""
+    base = emb(spark, sf_dir)
+    cents = ivf_fixed_centroids(spark, sf_dir)
+    art = FixedCentroidIVFIndexer(cents, metric="l2", codec=SQ8Codec()).build(
+        base, id_col="vec_id", vec_col="embedding"
+    )
+    qs = base.filter(F.expr(QUERY_FILTER))
+    res = (
+        IVFSearcher(nprobe=NPROBE_FIXED)
+        .attach(art)
+        .search(qs, K, qid_col="vec_id", vec_col="embedding")
+    )
+    return res.select("qid", "id", "rank")
+
+
 def sq8_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     codec = SQ8Codec().fit(
         emb(spark, sf_dir).select(F.col("embedding").alias("vec")), "vec"
@@ -372,6 +392,60 @@ CROSS JOIN (SELECT CAST(range AS INT) AS i FROM range(1, {DIM + 1})) t
 GROUP BY t.i
 """
 
+# IVF-SQ8 with fixed centroids: per-dim [min,max] calibration, code =
+# clip(round_even((x−vmin)/scale), 0, 255) (round_even == np.rint),
+# decoded x̂ = vmin + code·scale — all double, bit-identical across
+# engines; search = probe NPROBE_FIXED clusters, L2 on decoded vectors
+_IVF_SQ8_ORACLE = f"""
+WITH {_IVF_FIXED_COMMON},
+dims AS (SELECT CAST(range AS INT) AS i FROM range(1, {DIM + 1})),
+cal AS (
+  SELECT t.i,
+         min(CAST(b.embedding[t.i] AS DOUBLE)) AS vmin,
+         max(CAST(b.embedding[t.i] AS DOUBLE)) AS vmax
+  FROM embeddings b CROSS JOIN dims t GROUP BY t.i
+),
+cal2 AS (
+  SELECT i, vmin,
+         CASE WHEN vmax = vmin THEN 1.0 ELSE (vmax - vmin) / 255.0 END AS scale
+  FROM cal
+),
+dec AS (
+  SELECT b.vec_id AS id,
+         list(cl.vmin + least(greatest(
+                round_even((CAST(b.embedding[cl.i] AS DOUBLE) - cl.vmin)
+                           / cl.scale, 0), 0), 255) * cl.scale
+              ORDER BY cl.i) AS dv
+  FROM embeddings b CROSS JOIN cal2 cl
+  GROUP BY b.vec_id
+),
+q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id % 10 = 0
+),
+probe AS (
+  SELECT qid, cid AS cluster_id FROM (
+    SELECT q.qid, c.cid,
+           row_number() OVER (
+             PARTITION BY q.qid ORDER BY list_distance(q.qv, c.cv), c.cid
+           ) AS rn
+    FROM q CROSS JOIN c
+  ) WHERE rn <= {NPROBE_FIXED}
+),
+rr AS (
+  SELECT p.qid, a.id,
+         row_number() OVER (
+           PARTITION BY p.qid
+           ORDER BY list_distance(q2.qv, dec.dv), a.id
+         ) AS rank
+  FROM probe p
+  JOIN assign a ON a.cluster_id = p.cluster_id
+  JOIN q q2 ON q2.qid = p.qid
+  JOIN dec ON dec.id = a.id
+)
+SELECT qid, id, rank FROM rr WHERE rank <= {K}
+"""
+
 # fixed-codebook PQ: encode = nearest codebook entry per subspace
 # (tie-break lowest code); ADC distance = L2(query, decoded vector),
 # decoded = concat of that row's codebook entries in subspace order
@@ -419,6 +493,7 @@ QUERIES = {
     "lsh_search_cosine": lsh_search_cosine,
     "ivf_fixed_assign": ivf_fixed_assign,
     "ivf_fixed_search": ivf_fixed_search,
+    "ivf_sq8_fixed_search": ivf_sq8_fixed_search,
     "sq8_calibration": sq8_calibration,
     "cluster_pruned_exact_search": cluster_pruned_search,
     "ivf_kmeans_search": ivf_kmeans_search,
@@ -436,6 +511,7 @@ ORACLES = {
     "ivf_fixed_assign": _IVF_ASSIGN_ORACLE,
     "ivf_fixed_search": _IVF_SEARCH_ORACLE,
     "sq8_calibration": _SQ8_ORACLE,
+    "ivf_sq8_fixed_search": _IVF_SQ8_ORACLE,
     "pq_fixed_adc": _PQ_FIXED_ORACLE,
     "cluster_pruned_exact_search": KNN_ORACLE.format(dist_expr=DIST_EXPRS["l2"]),
     "graph_ann_exhaustive": KNN_ORACLE.format(dist_expr=DIST_EXPRS["l2"]),

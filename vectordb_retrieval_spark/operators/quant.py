@@ -77,7 +77,9 @@ class SQ8Codec:
         return np.clip(codes, 0, 255).astype(np.int16)
 
     def decode(self, codes: np.ndarray) -> np.ndarray:
-        return (self.vmin + codes.astype(np.float64) * self.scale).astype(np.float32)
+        # float64 on purpose: x̂ = vmin + code·scale is then bit-identical
+        # to a SQL double oracle, so decoded-distance orderings agree
+        return self.vmin + codes.astype(np.float64) * self.scale
 
     def encode_df(self, df: DataFrame, vec_col: str = "vec") -> DataFrame:
         spark = df.sparkSession
@@ -173,7 +175,7 @@ class PQCodec:
 
     def decode(self, codes: np.ndarray) -> np.ndarray:
         parts = [self.codebooks[j][codes[:, j]] for j in range(self.m)]
-        return np.concatenate(parts, axis=1).astype(np.float32)
+        return np.concatenate(parts, axis=1)
 
     def encode_df(self, df: DataFrame, vec_col: str = "vec") -> DataFrame:
         spark = df.sparkSession
