@@ -47,7 +47,7 @@ from vectordb_retrieval_spark.operators.ivf import (
 )
 from vectordb_retrieval_spark.operators.lsh import LSHIndexer, LSHSearcher
 from vectordb_retrieval_spark.operators.pq import PQADCSearcher, PQIndexer
-from vectordb_retrieval_spark.operators.quant import SQ8Codec
+from vectordb_retrieval_spark.operators.quant import PQCodec, SQ8Codec
 
 DIM = 64
 SIGN_TABLES, SIGN_BITS, SEED = 2, 8, 42
@@ -135,6 +135,31 @@ def ivf_sq8_fixed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = emb(spark, sf_dir)
     cents = ivf_fixed_centroids(spark, sf_dir)
     art = FixedCentroidIVFIndexer(cents, metric="l2", codec=SQ8Codec()).build(
+        base, id_col="vec_id", vec_col="embedding"
+    )
+    qs = base.filter(F.expr(QUERY_FILTER))
+    res = (
+        IVFSearcher(nprobe=NPROBE_FIXED)
+        .attach(art)
+        .search(qs, K, qid_col="vec_id", vec_col="embedding")
+    )
+    return res.select("qid", "id", "rank")
+
+
+def ivf_pq_fixed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ end-to-end with fixed centroids AND fixed (data-derived)
+    codebooks — assignment on raw vectors, m-byte PQ codes in the index
+    table, search distances on decoded vectors; fully hash-checked."""
+    base = emb(spark, sf_dir)
+    cents = ivf_fixed_centroids(spark, sf_dir)
+    cdf = base.filter(F.col("vec_id") < PQ_KSUB_FIXED).orderBy("vec_id")
+    _, cmat = collect_vectors(cdf, "vec_id", "embedding")
+    cmat = cmat.astype(np.float64)
+    codec = PQCodec(m=PQ_M, ksub=PQ_KSUB_FIXED)
+    codec.codebooks = np.stack(
+        [cmat[:, j * DSUB : (j + 1) * DSUB] for j in range(PQ_M)]
+    )
+    art = FixedCentroidIVFIndexer(cents, metric="l2", codec=codec).build(
         base, id_col="vec_id", vec_col="embedding"
     )
     qs = base.filter(F.expr(QUERY_FILTER))
@@ -446,16 +471,17 @@ rr AS (
 SELECT qid, id, rank FROM rr WHERE rank <= {K}
 """
 
-# fixed-codebook PQ: encode = nearest codebook entry per subspace
-# (tie-break lowest code); ADC distance = L2(query, decoded vector),
-# decoded = concat of that row's codebook entries in subspace order
-_PQ_FIXED_ORACLE = f"""
-WITH j AS (SELECT CAST(range AS INT) AS j FROM range(0, {PQ_M})),
+# fixed-codebook PQ decode CTEs: encode = nearest codebook entry per
+# subspace (tie-break lowest code); decoded vector = concat of that
+# row's codebook entries in subspace order (codebook entry c of
+# subspace j = subvector j of base vector c)
+_PQ_DEC_CTES = f"""
+j AS (SELECT CAST(range AS INT) AS j FROM range(0, {PQ_M})),
 cb AS (
-  SELECT c.vec_id AS code, j.j,
-         CAST(c.embedding[j.j*{DSUB}+1 : j.j*{DSUB}+{DSUB}] AS DOUBLE[]) AS cv
-  FROM embeddings c, j
-  WHERE c.vec_id < {PQ_KSUB_FIXED}
+  SELECT p.vec_id AS code, j.j,
+         CAST(p.embedding[j.j*{DSUB}+1 : j.j*{DSUB}+{DSUB}] AS DOUBLE[]) AS cv
+  FROM embeddings p, j
+  WHERE p.vec_id < {PQ_KSUB_FIXED}
 ),
 sub AS (
   SELECT b.vec_id AS id, j.j,
@@ -472,7 +498,12 @@ codes AS (
 ),
 dec AS (
   SELECT id, flatten(list(cv ORDER BY j)) AS dv FROM codes GROUP BY id
-),
+)
+"""
+
+# exhaustive ADC = L2(query, decoded vector) over every base row
+_PQ_FIXED_ORACLE = f"""
+WITH {_PQ_DEC_CTES},
 q AS (
   SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
   FROM embeddings WHERE vec_id % 10 = 0
@@ -487,6 +518,38 @@ r AS (
 SELECT qid, id, rank FROM r WHERE rank <= {K}
 """
 
+# IVF-PQ: raw-vector assignment + probing (as ivf_fixed), PQ-decoded
+# distances inside the probed clusters only
+_IVF_PQ_ORACLE = f"""
+WITH {_IVF_FIXED_COMMON},
+{_PQ_DEC_CTES},
+q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id % 10 = 0
+),
+probe AS (
+  SELECT qid, cid AS cluster_id FROM (
+    SELECT q.qid, c.cid,
+           row_number() OVER (
+             PARTITION BY q.qid ORDER BY list_distance(q.qv, c.cv), c.cid
+           ) AS rn
+    FROM q CROSS JOIN c
+  ) WHERE rn <= {NPROBE_FIXED}
+),
+rr AS (
+  SELECT p.qid, a.id,
+         row_number() OVER (
+           PARTITION BY p.qid
+           ORDER BY list_distance(q2.qv, dec.dv), a.id
+         ) AS rank
+  FROM probe p
+  JOIN assign a ON a.cluster_id = p.cluster_id
+  JOIN q q2 ON q2.qid = p.qid
+  JOIN dec ON dec.id = a.id
+)
+SELECT qid, id, rank FROM rr WHERE rank <= {K}
+"""
+
 QUERIES = {
     "lsh_sign_buckets": lambda spark, sf: _buckets_query(spark, sf, _sign_indexer()),
     "lsh_e2lsh_buckets": lambda spark, sf: _buckets_query(spark, sf, _e2_indexer()),
@@ -494,6 +557,7 @@ QUERIES = {
     "ivf_fixed_assign": ivf_fixed_assign,
     "ivf_fixed_search": ivf_fixed_search,
     "ivf_sq8_fixed_search": ivf_sq8_fixed_search,
+    "ivf_pq_fixed_search": ivf_pq_fixed_search,
     "sq8_calibration": sq8_calibration,
     "cluster_pruned_exact_search": cluster_pruned_search,
     "ivf_kmeans_search": ivf_kmeans_search,
@@ -512,6 +576,7 @@ ORACLES = {
     "ivf_fixed_search": _IVF_SEARCH_ORACLE,
     "sq8_calibration": _SQ8_ORACLE,
     "ivf_sq8_fixed_search": _IVF_SQ8_ORACLE,
+    "ivf_pq_fixed_search": _IVF_PQ_ORACLE,
     "pq_fixed_adc": _PQ_FIXED_ORACLE,
     "cluster_pruned_exact_search": KNN_ORACLE.format(dist_expr=DIST_EXPRS["l2"]),
     "graph_ann_exhaustive": KNN_ORACLE.format(dist_expr=DIST_EXPRS["l2"]),

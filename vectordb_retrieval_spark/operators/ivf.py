@@ -105,7 +105,8 @@ class IVFIndexer:
         )
         radii = None
         if self.codec is not None:
-            self.codec.fit(assigned, vec_col="vec")
+            if not self.codec.is_fitted():
+                self.codec.fit(assigned, vec_col="vec")
             assigned = self.codec.encode_df(assigned, vec_col="vec").select(
                 "cluster_id", "id", "codes"
             )
@@ -160,7 +161,8 @@ class FixedCentroidIVFIndexer(IVFIndexer):
             kernel, schema="cluster_id int, id long, vec array<float>"
         )
         if self.codec is not None:
-            self.codec.fit(assigned, vec_col="vec")
+            if not self.codec.is_fitted():
+                self.codec.fit(assigned, vec_col="vec")
             assigned = self.codec.encode_df(assigned, vec_col="vec").select(
                 "cluster_id", "id", "codes"
             )

@@ -45,6 +45,9 @@ class SQ8Codec:
         self.vmax: np.ndarray | None = None
         self.scale: np.ndarray | None = None
 
+    def is_fitted(self) -> bool:
+        return self.vmin is not None
+
     def fit(self, df: DataFrame, vec_col: str = "vec") -> "SQ8Codec":
         def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             lo, hi = None, None
@@ -143,6 +146,9 @@ class PQCodec:
         self.iters = iters
         self.normalize = normalize  # cosine: normalize, then L2 ADC ≡ cosine order
         self.codebooks: np.ndarray | None = None  # (m, ksub, dsub)
+
+    def is_fitted(self) -> bool:
+        return self.codebooks is not None
 
     def _split(self, mat: np.ndarray) -> list[np.ndarray]:
         d = mat.shape[1]
