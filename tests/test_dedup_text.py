@@ -106,6 +106,33 @@ def test_embedding_near_dup_pairs(spark):
     assert pairs == {(0, 1)}
 
 
+def test_embedding_lsh_near_dup_subset_and_planted(spark):
+    """LSH-bucketed pairs are a subset of the exact pairs, and identical
+    vectors (which collide in every table) are always recovered."""
+    import numpy as np
+
+    from vectordb_retrieval_spark.operators.dedup import (
+        embedding_lsh_near_dup_pairs,
+    )
+
+    rng = np.random.RandomState(5)
+    mat = rng.randn(40, 8).astype(np.float32)
+    mat[17] = mat[3]  # planted exact duplicate
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(mat)],
+        schema="vec_id long, embedding array<float>",
+    )
+    exact = {(r.a, r.b) for r in embedding_near_dup_pairs(df, 0.8).collect()}
+    lsh = {
+        (r.a, r.b)
+        for r in embedding_lsh_near_dup_pairs(
+            df, 0.8, num_tables=3, hash_size=4
+        ).collect()
+    }
+    assert lsh <= exact
+    assert (3, 17) in lsh
+
+
 def test_text_quality_features(corpus_df):
     rows = {r.id: r for r in text_quality(corpus_df).collect()}
     r0 = rows[0]

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from vectordb_retrieval_spark.driver_queries.common import docs, emb
 from vectordb_retrieval_spark.operators.dedup import (
     MERSENNE_P,
+    embedding_lsh_near_dup_pairs,
     embedding_near_dup_pairs,
     exact_dedup,
     minhash_lsh_pairs,
@@ -80,6 +81,13 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(emb(spark, sf_dir), COSINE_T)
 
 
+def q_embedding_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path near-dup: same threshold as dedup_embedding_cosine but
+    candidates restricted to sign-LSH bucket collisions (the identical
+    seeded projections are inlined into the oracle SQL)."""
+    return embedding_lsh_near_dup_pairs(emb(spark, sf_dir), COSINE_T)
+
+
 _DEDUP_EXACT_ORACLE = r"""
 SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
 FROM (
@@ -145,6 +153,32 @@ WHERE 1.0 - (1.0 - list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
       > {COSINE_T}
 """
 
+
+def _lsh_near_dup_oracle() -> str:
+    # identical sign-LSH config (dim 64, 2 tables, 8 bits, seed 42) as
+    # the ann module's bucket queries — reuse its projection-inlined SQL
+    from vectordb_retrieval_spark.driver_queries.ann import (
+        SIGN_TABLES,
+        _buckets_oracle,
+        _sign_bucket_expr,
+    )
+
+    bh = _buckets_oracle(_sign_bucket_expr, SIGN_TABLES)
+    return f"""
+WITH bh AS ({bh}),
+cand AS (
+  SELECT DISTINCT x.id AS a, y.id AS b
+  FROM bh x JOIN bh y
+    ON x.table_id = y.table_id AND x.bucket = y.bucket AND x.id < y.id
+)
+SELECT c.a, c.b
+FROM cand c
+JOIN embeddings ea ON ea.vec_id = c.a
+JOIN embeddings eb ON eb.vec_id = c.b
+WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                             CAST(eb.embedding AS DOUBLE[])) > {COSINE_T}
+"""
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_signatures": q_minhash_signatures,
@@ -152,6 +186,7 @@ QUERIES = {
     "dedup_simhash": q_simhash,
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "dedup_embedding_cosine": q_embedding_near_dup,
+    "dedup_embedding_lsh": q_embedding_lsh_near_dup,
 }
 
 ORACLES = {
@@ -161,4 +196,5 @@ ORACLES = {
     "dedup_simhash": _simhash_oracle(SIMHASH_BITS),
     "dedup_ngram_jaccard": _JACCARD_ORACLE,
     "dedup_embedding_cosine": _NEAR_DUP_ORACLE,
+    "dedup_embedding_lsh": _lsh_near_dup_oracle(),
 }

@@ -22,8 +22,10 @@ built-in column functions (JVM/codegen) — no Python UDFs:
   bounded candidate set (quadratic — gate behind a subset or feed it
   minhash candidates at scale).
 - embedding_near_dup_pairs: cosine-threshold pairs over an embedding
-  column; quadratic baseline here, LSH-bucketed variant via
-  operators.lsh for the scale path.
+  column; quadratic baseline.
+- embedding_lsh_near_dup_pairs: the sub-quadratic scale path — sign-LSH
+  bucketing (operators.lsh), candidate pairs from shared buckets, exact
+  cosine verification on candidates only.
 
 Every function returns a DataFrame and mirrors an oracle SQL in
 driver_queries.dedupq.
@@ -233,6 +235,55 @@ def ngram_jaccard_pairs(
         .withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def embedding_lsh_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.4,
+    num_tables: int = 2,
+    hash_size: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dimension: int | None = None,
+) -> DataFrame:
+    """Sub-quadratic near-dup pairs (a < b, cosine sim > threshold,
+    recall bounded by the LSH collision probability 1−(1−(1−θ/π)^h)^T).
+
+    Scale shape: the bucket table self-joins on (table_id, bucket) — a
+    shuffle equi-join that only materializes colliding pairs — then the
+    surviving candidates join back to the vectors for exact JVM-side
+    cosine verification.  No stage is quadratic in the corpus; skewed
+    (huge) buckets are the one hazard and AQE skew-join handles them.
+    """
+    from vectordb_retrieval_spark.functions.distance import similarity_col
+    from vectordb_retrieval_spark.operators.lsh import LSHIndexer
+
+    if dimension is None:
+        dimension = len(df.select(vec_col).first()[0])
+    art = LSHIndexer(
+        dimension,
+        num_tables=num_tables,
+        hash_size=hash_size,
+        metric="cosine",
+        seed=seed,
+    ).build(df, id_col=id_col, vec_col=vec_col)
+    b = art.tables["buckets"].select("id", "table_id", "bucket")
+    cand = (
+        b.alias("x")
+        .join(b.alias("y"), ["table_id", "bucket"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va"))
+    vb = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"))
+    return (
+        cand.join(va, "a")
+        .join(vb, "b")
+        .filter(similarity_col(F.col("_va"), F.col("_vb"), "cosine") > threshold)
+        .select("a", "b")
     )
 
 
