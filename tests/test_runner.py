@@ -105,6 +105,31 @@ def test_artifact_roundtrip_same_results(spark, small_base, tmp_path):
     assert {(r.qid, r.id, r.rank) for r in after.collect()} == before_rows
 
 
+def test_persisted_ivf_probe_prunes_partitions(spark, small_base, tmp_path):
+    """A persisted IVF index is parquet-partitioned by cluster_id, so a
+    probed search must reach the scan as a PartitionFilter (only probed
+    cluster directories read) with cluster_id pruned out of ReadSchema —
+    the property that makes nprobe sub-linear at 100 TB."""
+    from vectordb_retrieval_spark.operators.ivf import IVFIndexer, IVFSearcher
+    from vectordb_retrieval_spark.sources.random_gen import random_vectors
+
+    art = IVFIndexer(nlist=4, seed=3, max_iter=3, init_mode="random").build(
+        small_base, id_col="id", vec_col="vec"
+    )
+    path = str(tmp_path / "ivf_index")
+    save_artifact(art, path)
+    loaded = load_artifact(spark, path)
+    queries = random_vectors(spark, 4, 8, seed=9, stream=2, id_col="qid")
+    res = IVFSearcher(nprobe=1).attach(loaded).search(
+        queries, 3, qid_col="qid", vec_col="vec"
+    )
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cluster_id" in plan
+    # probed ids known on the driver => static IN filter, at most nlist
+    nprobed = plan.split("PartitionFilters: [cluster_id", 1)[1]
+    assert "IN" in nprobed[:40]
+
+
 def test_artifact_validation(spark, small_base, tmp_path):
     idx = LSHIndexer(8, num_tables=1, hash_size=4, metric="l2", seed=3,
                      bucket_width=4.0)
