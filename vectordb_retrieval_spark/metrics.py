@@ -91,12 +91,77 @@ def retrieval_metrics(pred: DataFrame, gt: DataFrame, k: int) -> DataFrame:
 
 def retrieval_metrics_multi(pred: DataFrame, gt: DataFrame, ks: list[int]) -> DataFrame:
     """Multi-k evaluation sweep (reference: evaluation.py:13-66 merges
-    k ∈ {1,10,100} ∪ configured): one metrics row per cutoff."""
-    out = None
-    for k in sorted(set(ks)):
-        row = retrieval_metrics(pred, gt, k)
-        out = row if out is None else out.unionByName(row)
-    return out
+    k ∈ {1,10,100} ∪ configured): one metrics row per cutoff.
+
+    Single pass: the ranked rows are exploded over the cutoff list and
+    every metric aggregates by (k, qid) — the expensive upstream plans
+    (usually exact-kNN crossJoins) execute once for ALL cutoffs, not
+    once per cutoff as a per-k union would."""
+    ks = sorted({int(k) for k in ks})
+    cuts = F.array(*[F.lit(k) for k in ks])
+    p = (
+        pred.select("qid", "id", "rank")
+        .withColumn("k", F.explode(cuts))
+        .filter(F.col("rank") <= F.col("k"))
+    )
+    g = (
+        gt.select("qid", "id", "rank")
+        .withColumn("k", F.explode(cuts))
+        .filter(F.col("rank") <= F.col("k"))
+        .select("k", "qid", "id")
+    )
+    gt_sizes = g.groupBy("k", "qid").agg(F.count("*").alias("n_gt"))
+    marked = p.join(
+        g.withColumn("_hit", F.lit(1)), ["k", "qid", "id"], "left"
+    ).withColumn("hit", F.coalesce(F.col("_hit"), F.lit(0)))
+    w = Window.partitionBy("k", "qid").orderBy("rank")
+    scored = marked.withColumn("cum_hits", F.sum("hit").over(w)).select(
+        "k",
+        "qid",
+        "hit",
+        "rank",
+        (F.col("hit") * F.col("cum_hits") / F.col("rank")).alias("ap_term"),
+        (F.col("hit") / F.log2(F.col("rank") + 1)).alias("dcg_term"),
+        F.when(F.col("hit") == 1, F.col("rank")).alias("hit_rank"),
+    )
+    agg = scored.groupBy("k", "qid").agg(
+        F.sum("hit").alias("n_hit"),
+        F.sum("ap_term").alias("ap_sum"),
+        F.sum("dcg_term").alias("dcg"),
+        F.min("hit_rank").alias("first_hit"),
+    )
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), F.least(F.col("n_gt"), F.col("k"))),
+        F.lit(0.0),
+        lambda acc, i: acc + 1.0 / F.log2(i.cast("double") + 1.0),
+    )
+    perq = (
+        gt_sizes.join(agg, ["k", "qid"], "left")
+        .fillna(0, subset=["n_hit", "ap_sum", "dcg"])
+        .select(
+            "k",
+            "qid",
+            (F.col("n_hit") / F.col("n_gt")).alias("recall"),
+            (F.col("n_hit") / F.col("k").cast("double")).alias("precision"),
+            (F.col("ap_sum") / F.col("n_gt")).alias("ap"),
+            (F.col("dcg") / idcg).alias("ndcg"),
+            (F.col("n_hit") > 0).cast("double").alias("any_hit"),
+            F.coalesce(1.0 / F.col("first_hit"), F.lit(0.0)).alias("rr"),
+        )
+    )
+    return (
+        perq.groupBy("k")
+        .agg(
+            F.count("*").alias("n_queries"),
+            F.avg("recall").alias("recall"),
+            F.avg("precision").alias("precision"),
+            F.avg("ap").alias("map"),
+            F.avg("ndcg").alias("ndcg"),
+            F.avg("any_hit").alias("hit_rate"),
+            F.avg("rr").alias("mrr"),
+        )
+        .orderBy("k")
+    )
 
 
 def latency_stats(times: DataFrame, col: str = "t") -> DataFrame:
