@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from vectordb_retrieval_spark.driver_queries.common import K, QUERY_FILTER, emb
 from vectordb_retrieval_spark.driver_queries.knn import DIST_EXPRS, KNN_ORACLE
 from vectordb_retrieval_spark.functions.distance import distance_col
+from vectordb_retrieval_spark.operators.topk import topk_per_query
 from vectordb_retrieval_spark.streaming.serving import streaming_running_topk
 
 
@@ -31,15 +32,27 @@ def q_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.expr(QUERY_FILTER))
         .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
     )
-    cands = F.broadcast(queries).crossJoin(base).select(
-        "qid", "id", distance_col(F.col("qv"), F.col("bv"), "l2").alias("dist")
+    cands = (
+        F.broadcast(queries)
+        .crossJoin(base)
+        .select(
+            "qid", "id", distance_col(F.col("qv"), F.col("bv"), "l2").alias("dist")
+        )
+        .cache()
     )
 
     workdir = tempfile.mkdtemp(prefix="streamq-")
     cdir = os.path.join(workdir, "cands")
-    # two micro-batches split by base id parity
-    cands.filter(F.col("id") % 2 == 0).write.parquet(os.path.join(cdir, "b1"))
-    cands.filter(F.col("id") % 2 == 1).write.parquet(os.path.join(cdir, "b2"))
+    # two micro-batches split by base id parity, each pre-reduced to its
+    # local top-k (a shard's contribution is its own best-k — top-k of a
+    # union == top-k of per-shard top-ks), so the stateful operator sees
+    # n_q×k rows per batch instead of the full candidate set — the shape
+    # a real sharded-refinement stream has
+    for name, pred in (("b1", F.col("id") % 2 == 0), ("b2", F.col("id") % 2 == 1)):
+        topk_per_query(cands.filter(pred), K).select("qid", "id", "dist").write.parquet(
+            os.path.join(cdir, name)
+        )
+    cands.unpersist()
 
     stream = (
         spark.readStream.schema("qid long, id long, dist double")
