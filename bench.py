@@ -92,11 +92,20 @@ def main() -> int:
     t0 = time.time()
     materialize(exact_knn(base, queries, 20, "l2", qid_col="qid", qvec_col="vec"))
     t_exact = time.time() - t0
-    t0 = time.time()
-    materialize(
+    # the big exact result doubles as ground truth for the ANN recall
+    # rows below (BASELINE.md reports recall+QPS pairs per algorithm)
+    exact_big = (
         exact_knn(base, big_queries, 20, "l2", qid_col="qid", qvec_col="vec")
+        .select("qid", "id")
+        .cache()
     )
+    t0 = time.time()
+    materialize(exact_big)
     t_exact_big = time.time() - t0
+    n_pairs = 2048 * 20
+
+    def recall_vs_exact(res) -> float:
+        return round(res.join(exact_big, ["qid", "id"]).count() / n_pairs, 4)
 
     from vectordb_retrieval_spark.operators.ivf import IVFIndexer, IVFSearcher
 
@@ -107,17 +116,49 @@ def main() -> int:
     materialize(ivf_art.tables["assignment"])
     t_ivf_build = time.time() - t0
     searcher = IVFSearcher(nprobe=10).attach(ivf_art)
+    ivf_res = (
+        searcher.search(big_queries, 20, qid_col="qid", vec_col="vec")
+        .select("qid", "id")
+        .cache()
+    )
     t0 = time.time()
-    materialize(searcher.search(big_queries, 20, qid_col="qid", vec_col="vec"))
+    materialize(ivf_res)
     t_ivf_big = time.time() - t0
+    recall_ivf = recall_vs_exact(ivf_res)
+    ivf_res.unpersist()
+
+    from vectordb_retrieval_spark.operators.lsh import LSHIndexer, LSHSearcher
+
+    t0 = time.time()
+    lsh_art = LSHIndexer(
+        64, num_tables=4, hash_size=8, metric="l2", seed=7, bucket_width=4.0
+    ).build(base, id_col="id", vec_col="vec")
+    materialize(lsh_art.tables["buckets"])
+    t_lsh_build = time.time() - t0
+    lsh_res = (
+        LSHSearcher(candidate_multiplier=8.0)
+        .attach(lsh_art)
+        .search(big_queries, 20, qid_col="qid", vec_col="vec")
+        .select("qid", "id")
+        .cache()
+    )
+    t0 = time.time()
+    materialize(lsh_res)
+    t_lsh_big = time.time() - t0
+    recall_lsh = recall_vs_exact(lsh_res)
+    lsh_res.unpersist()
 
     reference_workload = {
         "qps_exact_256q": round(256 / t_exact, 2),
         "qps_exact_2048q": round(2048 / t_exact_big, 2),
         "ivf_build_s": round(t_ivf_build, 3),
         "qps_ivf_nprobe10_2048q": round(2048 / t_ivf_big, 2),
+        "recall_ivf_nprobe10": recall_ivf,
+        "lsh_build_s": round(t_lsh_build, 3),
+        "qps_lsh_4t8b_2048q": round(2048 / t_lsh_big, 2),
+        "recall_lsh_4t8b": recall_lsh,
     }
-    for df in (base, queries, big_queries):
+    for df in (base, queries, big_queries, exact_big):
         df.unpersist()
 
     total = round(sum(timings.values()), 3)
