@@ -161,6 +161,54 @@ def main() -> int:
     for df in (base, queries, big_queries, exact_big):
         df.unpersist()
 
+    # msmarco-regime workload (BASELINE msmarco rows: 384-d cosine; the
+    # top row there is ivf_sq8 at 0.9471 recall) — 20k base / 1024
+    # queries keeps the whole bench around two minutes
+    from vectordb_retrieval_spark.operators.quant import SQ8Codec
+
+    base384 = random_vectors(spark, 20_000, 384, seed=11, stream=3).cache()
+    materialize(base384)
+    q384 = random_vectors(spark, 1024, 384, seed=11, stream=4, id_col="qid").cache()
+    q384.count()
+    exact384 = (
+        exact_knn(base384, q384, 20, "cosine", qid_col="qid", qvec_col="vec")
+        .select("qid", "id")
+        .cache()
+    )
+    t0 = time.time()
+    materialize(exact384)
+    t_exact384 = time.time() - t0
+    t0 = time.time()
+    sq8_art = IVFIndexer(
+        nlist=100,
+        metric="cosine",
+        seed=11,
+        max_iter=5,
+        init_mode="random",
+        codec=SQ8Codec(),
+    ).build(base384, id_col="id", vec_col="vec")
+    materialize(sq8_art.tables["assignment"])
+    t_sq8_build = time.time() - t0
+    sq8_res = (
+        IVFSearcher(nprobe=10)
+        .attach(sq8_art)
+        .search(q384, 20, qid_col="qid", vec_col="vec")
+        .select("qid", "id")
+        .cache()
+    )
+    t0 = time.time()
+    materialize(sq8_res)
+    t_sq8 = time.time() - t0
+    hits384 = sq8_res.join(exact384, ["qid", "id"]).count()
+    cosine_workload = {
+        "qps_exact_1024q": round(1024 / t_exact384, 2),
+        "ivf_sq8_build_s": round(t_sq8_build, 3),
+        "qps_ivf_sq8_nprobe10_1024q": round(1024 / t_sq8, 2),
+        "recall_ivf_sq8_nprobe10": round(hits384 / (1024 * 20), 4),
+    }
+    for df in (base384, q384, exact384, sq8_res):
+        df.unpersist()
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -170,6 +218,7 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "reference_workload_random_20k_64d": reference_workload,
+                "reference_workload_cosine_20k_384d": cosine_workload,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

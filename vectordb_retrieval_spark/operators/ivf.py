@@ -47,15 +47,26 @@ from vectordb_retrieval_spark.operators.topk import topk_per_query
 
 
 def _norm_df(df: DataFrame, vec_col: str) -> DataFrame:
-    """L2-normalize an array<float> column (zero-safe), JVM-side."""
-    v = F.col(vec_col)
-    norm = F.sqrt(
-        F.aggregate(v, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double"))
-    )
-    safe = F.when(norm == 0.0, F.lit(1.0)).otherwise(norm)
-    return df.withColumn(
-        vec_col, F.transform(v, lambda x: (x.cast("double") / safe).cast("float"))
-    )
+    """L2-normalize an array<float> column (zero-safe, float64 math).
+
+    Arrow-batched NumPy kernel rather than a higher-order column
+    expression: HOF lambdas (aggregate/transform) are interpreted per
+    element, which at embedding dims dominates the whole build (~16 s
+    for 20k × 384-d vs sub-second here)."""
+    fields = df.schema.fields
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in fields)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            out = normalize_rows(mat).astype(np.float32)
+            pdf = pdf.copy()
+            pdf[vec_col] = list(out)
+            yield pdf
+
+    return df.mapInPandas(kernel, schema=schema)
 
 
 class IVFIndexer:
@@ -87,7 +98,9 @@ class IVFIndexer:
         base = base_df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
         if self.metric == "cosine":
             base = _norm_df(base, "vec")
-        feats = base.withColumn("features", array_to_vector("vec"))
+        # cached: KMeans iterations, codec calibration, and the code/
+        # assignment pass each scan this — pay normalization once
+        feats = base.withColumn("features", array_to_vector("vec")).cache()
         km = KMeans(
             k=self.nlist,
             seed=self.seed,
@@ -110,8 +123,15 @@ class IVFIndexer:
             assigned = self.codec.encode_df(assigned, vec_col="vec").select(
                 "cluster_id", "id", "codes"
             )
-        # partition by cluster so probe joins scan only probed clusters
-        assigned = assigned.repartition("cluster_id")
+        # partition by cluster so probe joins scan only probed clusters;
+        # cache + eager count so the build lineage (normalize → KMeans
+        # transform → encode) runs exactly once AT BUILD TIME (build
+        # timing stays honest, searches never re-run it) — the persisted
+        # form (save_artifact → parquet partitioned by cluster_id) is
+        # the cluster-scale equivalent
+        assigned = assigned.repartition("cluster_id").cache()
+        assigned.count()
+        feats.unpersist()
         return IndexArtifact(
             kind="ivf",
             tables={"assignment": assigned},
@@ -166,7 +186,7 @@ class FixedCentroidIVFIndexer(IVFIndexer):
             assigned = self.codec.encode_df(assigned, vec_col="vec").select(
                 "cluster_id", "id", "codes"
             )
-        assigned = assigned.repartition("cluster_id")
+        assigned = assigned.repartition("cluster_id").cache()
         return IndexArtifact(
             kind="ivf",
             tables={"assignment": assigned},
