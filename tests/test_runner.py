@@ -190,6 +190,77 @@ def test_experiment_runner_end_to_end(spark, tmp_path):
     assert (tmp_path / "out" / "combined_results.json").exists()
 
 
+def test_experiment_runner_npy_dataset(spark, tmp_path):
+    """Runner consumes the reference's pre-embedded .npy pair shape
+    (dataset.py:966-1108): exact search over npy-loaded base/queries
+    with brute-force GT must give recall 1.0."""
+    import numpy as np
+
+    rng = np.random.RandomState(4)
+    base_path = str(tmp_path / "base.npy")
+    query_path = str(tmp_path / "queries.npy")
+    np.save(base_path, rng.randn(250, 8).astype(np.float32))
+    np.save(query_path, rng.randn(30, 8).astype(np.float32))
+    cfg = _mini_config(
+        dataset={
+            "type": "npy",
+            "base_path": base_path,
+            "query_path": query_path,
+            "base_limit": 200,
+            "query_limit": 16,
+        },
+        algorithms={
+            "exact": {
+                "indexer": {"type": "brute_force"},
+                "searcher": {"type": "linear"},
+            }
+        },
+        n_queries=16,
+    )
+    combined = ExperimentRunner(spark, cfg, str(tmp_path / "out")).run()
+    ex = combined["results"]["exact"]
+    assert ex["n_queries"] == 16
+    assert ex["recall@5"] == pytest.approx(1.0)
+
+
+def test_load_dataset_msmarco_type(spark, tmp_path):
+    """The runner's 'msmarco' dataset type drives the 3-pass parquet
+    loader (positives-based GT, needed-ids retained past base_limit)."""
+    import numpy as np
+
+    from vectordb_retrieval_spark.runner import load_dataset
+
+    rng = np.random.RandomState(9)
+    spark.createDataFrame(
+        [(i, [float(x) for x in rng.randn(4)]) for i in range(50)],
+        schema="passage_id long, embedding array<float>",
+    ).write.parquet(str(tmp_path / "passages"))
+    spark.createDataFrame(
+        [
+            (100, [0.1, 0.2, 0.3, 0.4], [1, 2]),
+            (101, [0.5, 0.5, 0.5, 0.5], [30, 45]),
+        ],
+        schema="query_id long, embedding array<float>, relevant_doc_ids array<long>",
+    ).write.parquet(str(tmp_path / "queries"))
+    train, test, gt = load_dataset(
+        spark,
+        {
+            "type": "msmarco",
+            "base_path": str(tmp_path / "passages"),
+            "query_path": str(tmp_path / "queries"),
+            "base_limit": 40,
+            "query_limit": 2,
+        },
+        metric="cosine",
+        gt_k=10,
+        seed=1,
+    )
+    assert {r.id for r in train.select("id").collect()} == set(range(40)) | {45}
+    assert {(r.qid, r.id) for r in gt.collect()} == {
+        (100, 1), (100, 2), (101, 30), (101, 45),
+    }
+
+
 def test_experiment_runner_persistence_modes(spark, tmp_path):
     cfg = _mini_config(
         algorithms={

@@ -78,6 +78,31 @@ def load_dataset(
             ).select(F.col("id").alias("qid"), "vec")
         gt = exact_knn(base, queries, gt_k, metric, qid_col="qid", qvec_col="vec")
         return base, queries, gt.select("qid", "id", "rank")
+    if kind == "npy":
+        # reference msmarco pre-embedded .npy pair (dataset.py:966-1108):
+        # base/query arrays by row position, GT recomputed brute-force
+        from vectordb_retrieval_spark.operators.exact import exact_knn
+        from vectordb_retrieval_spark.sources.npy_loader import read_npy_vectors
+
+        base = read_npy_vectors(spark, ds["base_path"], limit=ds.get("base_limit"))
+        queries = read_npy_vectors(
+            spark, ds["query_path"], limit=ds.get("query_limit"), id_col="qid"
+        )
+        gt = exact_knn(base, queries, gt_k, metric, qid_col="qid", qvec_col="vec")
+        return base, queries, gt.select("qid", "id", "rank")
+    if kind == "msmarco":
+        # reference 3-pass parquet loader (dataset.py:1110-1701):
+        # positives-based GT instead of brute force
+        from vectordb_retrieval_spark.sources.msmarco import preembedded_dataset
+
+        return preembedded_dataset(
+            spark.read.parquet(ds["base_path"]),
+            spark.read.parquet(ds["query_path"]),
+            base_limit=ds.get("base_limit"),
+            query_limit=ds.get("query_limit"),
+            positives_col=ds.get("positives_col", "relevant_doc_ids"),
+            gt_k=gt_k,
+        )
     if kind == "glove":
         from vectordb_retrieval_spark.sources.glove import glove_dataset
 
