@@ -146,10 +146,14 @@ class GraphANNIndexer:
                     }
                 )
 
+        # cache + eager count: NSW construction (the expensive Python
+        # phase) runs exactly once at build time; searches only walk the
+        # materialized graph
         graph = base.mapInPandas(
             kernel,
             schema="pid long, id long, vec array<float>, neighbors array<long>",
-        ).repartition(self.num_partitions, "pid")
+        ).repartition(self.num_partitions, "pid").cache()
+        graph.count()
         return IndexArtifact(
             kind="graph_ann",
             tables={"graph": graph},

@@ -101,9 +101,14 @@ class LSHIndexer:
                     }
                 )
 
+        # cache + eager count: hashing runs once at build time, not per
+        # downstream search action (runner times build by materializing).
+        # The vectors table stays an uncached view of the base scan —
+        # at 100 TB the hash table is cacheable, the payload is not.
         buckets = base_df.select(id_col, vec_col).mapInPandas(
             kernel, schema="table_id int, bucket string, id long"
-        )
+        ).cache()
+        buckets.count()
         vectors = base_df.select(
             F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
         )

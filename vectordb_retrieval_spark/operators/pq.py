@@ -46,7 +46,10 @@ class PQIndexer:
         base = base_df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
         if self.codec.codebooks is None:
             self.codec.fit(base, "vec")
-        codes = self.codec.encode_df(base, "vec")
+        # cache + eager count: the m-byte code table IS the index (tiny
+        # vs the vectors); encode runs once at build, searches scan codes
+        codes = self.codec.encode_df(base, "vec").cache()
+        codes.count()
         return IndexArtifact(
             kind="pq",
             tables={"codes": codes},
