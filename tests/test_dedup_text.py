@@ -85,6 +85,25 @@ def test_simhash_near_dups_close_in_hamming(corpus_df):
     assert 0 <= h[0] < (1 << 16)
 
 
+def test_simhash_near_dup_pairs_equals_quadratic(corpus_df):
+    """Banded candidates + verify must equal the brute-force quadratic
+    Hamming filter (pigeonhole guarantees no qualifying pair is missed)."""
+    from vectordb_retrieval_spark.operators.dedup import simhash_near_dup_pairs
+
+    sh = {r.id: r.simhash for r in simhash(corpus_df, 16).collect()}
+    expected = {
+        (a, b, bin(sh[a] ^ sh[b]).count("1"))
+        for a in sh
+        for b in sh
+        if a < b and bin(sh[a] ^ sh[b]).count("1") <= 3
+    }
+    got = {
+        (r.a, r.b, r.hamming)
+        for r in simhash_near_dup_pairs(corpus_df, max_hamming=3).collect()
+    }
+    assert got == expected
+
+
 def test_ngram_jaccard_pairs(corpus_df):
     rows = {(r.a, r.b): r.jaccard for r in
             ngram_jaccard_pairs(corpus_df, threshold=0.3).collect()}

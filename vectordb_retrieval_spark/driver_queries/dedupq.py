@@ -16,12 +16,14 @@ from vectordb_retrieval_spark.operators.dedup import (
     ngram_jaccard_pairs,
     perm_coeffs,
     simhash,
+    simhash_near_dup_pairs,
 )
 
 N_PERM, BANDS, SHINGLE_N = 8, 4, 3
 JACCARD_SUBSET, JACCARD_T = 200, 0.5
 COSINE_T = 0.4
 SIMHASH_BITS = 16
+HAMMING_D = 2
 
 # -------------------------------------------------- shared SQL fragments
 
@@ -70,6 +72,13 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(docs(spark, sf_dir), SIMHASH_BITS)
+
+
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-banded simhash near-dup pairs; the pigeonhole banding
+    makes candidates a superset of all qualifying pairs, so the result
+    equals the oracle's quadratic bit_count(xor) filter exactly."""
+    return simhash_near_dup_pairs(docs(spark, sf_dir), HAMMING_D, SIMHASH_BITS)
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -130,6 +139,14 @@ SELECT id, CAST({combine} AS BIGINT) AS simhash FROM sums
 """
 
 
+_SIMHASH_PAIRS_ORACLE = f"""
+WITH s AS ({_simhash_oracle(SIMHASH_BITS)})
+SELECT a.id AS a, b.id AS b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM s a JOIN s b ON a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_D}
+"""
+
 _JACCARD_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id < {JACCARD_SUBSET}
@@ -184,6 +201,7 @@ QUERIES = {
     "dedup_minhash_signatures": q_minhash_signatures,
     "dedup_minhash_lsh_pairs": q_minhash_lsh_pairs,
     "dedup_simhash": q_simhash,
+    "dedup_simhash_pairs": q_simhash_near_dup,
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "dedup_embedding_cosine": q_embedding_near_dup,
     "dedup_embedding_lsh": q_embedding_lsh_near_dup,
@@ -194,6 +212,7 @@ ORACLES = {
     "dedup_minhash_signatures": _SIG_ORACLE,
     "dedup_minhash_lsh_pairs": _LSH_PAIRS_ORACLE,
     "dedup_simhash": _simhash_oracle(SIMHASH_BITS),
+    "dedup_simhash_pairs": _SIMHASH_PAIRS_ORACLE,
     "dedup_ngram_jaccard": _JACCARD_ORACLE,
     "dedup_embedding_cosine": _NEAR_DUP_ORACLE,
     "dedup_embedding_lsh": _lsh_near_dup_oracle(),

@@ -211,6 +211,67 @@ def simhash(
     return wide.select("id", sim.cast("long").alias("simhash"))
 
 
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    max_hamming: int = 2,
+    bits: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairs (a < b) whose simhash fingerprints differ in at most
+    ``max_hamming`` bits.
+
+    Sub-quadratic by the pigeonhole principle: split the fingerprint
+    into ``max_hamming + 1`` bit chunks — any pair within the Hamming
+    budget must agree exactly on at least one chunk, so candidates come
+    from a (chunk_idx, chunk_value) equi-self-join (the standard
+    Hamming-LSH band trick) and only survivors pay the exact
+    ``bit_count(a XOR b)`` verification.  No stage is quadratic in the
+    corpus; the same shuffle shape as the MinHash band join.
+    """
+    sh = simhash(df, bits, id_col=id_col, text_col=text_col)
+    n_bands = max_hamming + 1
+    widths = [bits // n_bands + (1 if i < bits % n_bands else 0) for i in range(n_bands)]
+    offs = [sum(widths[:i]) for i in range(n_bands)]
+    bands = sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("simhash"), offs[i])
+                        .bitwiseAND(F.lit((1 << widths[i]) - 1))
+                        .alias("chunk"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("bc"),
+    ).select("id", "simhash", F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"))
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "chunk"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("a"),
+            F.col("y.id").alias("b"),
+            F.col("x.simhash").alias("_sa"),
+            F.col("y.simhash").alias("_sb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).cast("long"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.5,
