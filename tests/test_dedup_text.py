@@ -85,6 +85,25 @@ def test_simhash_near_dups_close_in_hamming(corpus_df):
     assert 0 <= h[0] < (1 << 16)
 
 
+def test_minhash_verified_pairs_subset_with_exact_jaccard(corpus_df):
+    """Verified pairs ⊆ band candidates, and every survivor carries the
+    exact Jaccard of the quadratic operator."""
+    from vectordb_retrieval_spark.operators.dedup import minhash_verified_pairs
+
+    cand = {(r.a, r.b) for r in minhash_lsh_pairs(corpus_df, 8, 4, 3).collect()}
+    exact = {
+        (r.a, r.b): r.jaccard
+        for r in ngram_jaccard_pairs(corpus_df, 0.3, 3).collect()
+    }
+    got = {
+        (r.a, r.b): r.jaccard
+        for r in minhash_verified_pairs(corpus_df, 0.3, 8, 4, 3).collect()
+    }
+    assert set(got) <= cand
+    for pair, j in got.items():
+        assert exact[pair] == j
+
+
 def test_simhash_near_dup_pairs_equals_quadratic(corpus_df):
     """Banded candidates + verify must equal the brute-force quadratic
     Hamming filter (pigeonhole guarantees no qualifying pair is missed)."""

@@ -13,6 +13,7 @@ from vectordb_retrieval_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
     minhash_signatures,
+    minhash_verified_pairs,
     ngram_jaccard_pairs,
     perm_coeffs,
     simhash,
@@ -68,6 +69,14 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(docs(spark, sf_dir), N_PERM, BANDS, SHINGLE_N)
+
+
+def q_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full production dedup pipeline: banded MinHash candidates →
+    exact Jaccard ≥ t verification."""
+    return minhash_verified_pairs(
+        docs(spark, sf_dir), JACCARD_T, N_PERM, BANDS, SHINGLE_N
+    )
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -139,6 +148,31 @@ SELECT id, CAST({combine} AS BIGINT) AS simhash FROM sums
 """
 
 
+_MINHASH_VERIFIED_ORACLE = f"""
+WITH {_SIG_CTE},
+banded AS (
+  SELECT id, perm // {N_PERM // BANDS} AS band,
+         string_agg(CAST(minhash AS VARCHAR), '_'
+                    ORDER BY CAST(minhash AS VARCHAR)) AS bucket
+  FROM sigs GROUP BY id, perm // {N_PERM // BANDS}
+),
+cand AS (
+  SELECT DISTINCT a.id AS a, b.id AS b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.id < b.id
+),
+sets AS (
+  SELECT id, {_SHINGLES} AS sh
+  FROM toks WHERE len(toks) >= {SHINGLE_N}
+)
+SELECT c.a, c.b,
+       round(len(list_intersect(x.sh, y.sh)) * 1.0
+             / len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
+FROM cand c JOIN sets x ON x.id = c.a JOIN sets y ON y.id = c.b
+WHERE len(list_intersect(x.sh, y.sh)) * 1.0
+      / len(list_distinct(list_concat(x.sh, y.sh))) >= {JACCARD_T}
+"""
+
 _SIMHASH_PAIRS_ORACLE = f"""
 WITH s AS ({_simhash_oracle(SIMHASH_BITS)})
 SELECT a.id AS a, b.id AS b,
@@ -200,6 +234,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_signatures": q_minhash_signatures,
     "dedup_minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "dedup_minhash_verified": q_minhash_verified,
     "dedup_simhash": q_simhash,
     "dedup_simhash_pairs": q_simhash_near_dup,
     "dedup_ngram_jaccard": q_ngram_jaccard,
@@ -211,6 +246,7 @@ ORACLES = {
     "dedup_exact": _DEDUP_EXACT_ORACLE,
     "dedup_minhash_signatures": _SIG_ORACLE,
     "dedup_minhash_lsh_pairs": _LSH_PAIRS_ORACLE,
+    "dedup_minhash_verified": _MINHASH_VERIFIED_ORACLE,
     "dedup_simhash": _simhash_oracle(SIMHASH_BITS),
     "dedup_simhash_pairs": _SIMHASH_PAIRS_ORACLE,
     "dedup_ngram_jaccard": _JACCARD_ORACLE,

@@ -184,6 +184,39 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_verified_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n_perm: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The production dedup pipeline: MinHash-LSH band candidates →
+    exact Jaccard verification at ``threshold``.
+
+    Scale shape: the only joins are the band-bucket self-join (collision
+    pairs only) and two id-equi-joins attaching shingle sets to the
+    surviving candidates — nothing quadratic in the corpus, and the
+    exact-Jaccard arithmetic runs on candidates alone.  Recall is the
+    banding curve 1 − (1 − s^r)^b; precision is exact."""
+    cand = minhash_lsh_pairs(df, n_perm, bands, shingle_n, id_col, text_col)
+    t = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), shingle_n).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    inter = F.size(F.array_intersect("sha", "shb"))
+    union = F.size(F.array_union("sha", "shb"))
+    return (
+        cand.join(t.select(F.col("id").alias("a"), F.col("sh").alias("sha")), "a")
+        .join(t.select(F.col("id").alias("b"), F.col("sh").alias("shb")), "b")
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
 def simhash(
     df: DataFrame,
     bits: int = 16,
