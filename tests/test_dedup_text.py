@@ -104,6 +104,30 @@ def test_minhash_verified_pairs_subset_with_exact_jaccard(corpus_df):
         assert exact[pair] == j
 
 
+def test_connected_components_min_label(spark):
+    """Chain 1-2-3 plus pair 10-11: every node labeled with its
+    component's min id, converged well before max_iter."""
+    from vectordb_retrieval_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (10, 11)], "a long, b long"
+    )
+    got = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_near_dup_dedup_keeps_canonical_and_unpaired(spark):
+    from vectordb_retrieval_spark.operators.dedup import near_dup_dedup
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(6)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(0, 1), (1, 4)], "a long, b long")
+    kept = sorted(r.doc_id for r in near_dup_dedup(df, pairs).collect())
+    # component {0,1,4} keeps 0; 2, 3, 5 are unpaired and stay
+    assert kept == [0, 2, 3, 5]
+
+
 def test_simhash_near_dup_pairs_equals_quadratic(corpus_df):
     """Banded candidates + verify must equal the brute-force quadratic
     Hamming filter (pigeonhole guarantees no qualifying pair is missed)."""

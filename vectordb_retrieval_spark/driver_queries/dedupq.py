@@ -8,12 +8,14 @@ from pyspark.sql import functions as F
 from vectordb_retrieval_spark.driver_queries.common import docs, emb
 from vectordb_retrieval_spark.operators.dedup import (
     MERSENNE_P,
+    connected_components,
     embedding_lsh_near_dup_pairs,
     embedding_near_dup_pairs,
     exact_dedup,
     minhash_lsh_pairs,
     minhash_signatures,
     minhash_verified_pairs,
+    near_dup_dedup,
     ngram_jaccard_pairs,
     perm_coeffs,
     simhash,
@@ -77,6 +79,24 @@ def q_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_verified_pairs(
         docs(spark, sf_dir), JACCARD_T, N_PERM, BANDS, SHINGLE_N
     )
+
+
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup components: verified MinHash pairs → min-label connected
+    components (the grouping step that turns a pair list into dedup
+    clusters)."""
+    pairs = minhash_verified_pairs(
+        docs(spark, sf_dir), JACCARD_T, N_PERM, BANDS, SHINGLE_N
+    )
+    return connected_components(pairs)
+
+
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup: the corpus minus every non-canonical near-dup
+    (one keeper — the min doc_id — per component)."""
+    d = docs(spark, sf_dir)
+    pairs = minhash_verified_pairs(d, JACCARD_T, N_PERM, BANDS, SHINGLE_N)
+    return near_dup_dedup(d, pairs).select("doc_id")
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -148,8 +168,9 @@ SELECT id, CAST({combine} AS BIGINT) AS simhash FROM sums
 """
 
 
-_MINHASH_VERIFIED_ORACLE = f"""
-WITH {_SIG_CTE},
+# verified-pairs chain: band candidates → exact-Jaccard filter, ending in
+# vpairs(a, b, jaccard); shared by the verified / components / canonical oracles
+_VERIFIED_CHAIN = f"""{_SIG_CTE},
 banded AS (
   SELECT id, perm // {N_PERM // BANDS} AS band,
          string_agg(CAST(minhash AS VARCHAR), '_'
@@ -164,13 +185,43 @@ cand AS (
 sets AS (
   SELECT id, {_SHINGLES} AS sh
   FROM toks WHERE len(toks) >= {SHINGLE_N}
-)
-SELECT c.a, c.b,
-       round(len(list_intersect(x.sh, y.sh)) * 1.0
-             / len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
-FROM cand c JOIN sets x ON x.id = c.a JOIN sets y ON y.id = c.b
-WHERE len(list_intersect(x.sh, y.sh)) * 1.0
-      / len(list_distinct(list_concat(x.sh, y.sh))) >= {JACCARD_T}
+),
+vpairs AS (
+  SELECT c.a, c.b,
+         round(len(list_intersect(x.sh, y.sh)) * 1.0
+               / len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
+  FROM cand c JOIN sets x ON x.id = c.a JOIN sets y ON y.id = c.b
+  WHERE len(list_intersect(x.sh, y.sh)) * 1.0
+        / len(list_distinct(list_concat(x.sh, y.sh))) >= {JACCARD_T}
+)"""
+
+_MINHASH_VERIFIED_ORACLE = f"WITH {_VERIFIED_CHAIN} SELECT a, b, jaccard FROM vpairs"
+
+# transitive closure over the verified-pair graph; component = min reachable id
+_COMPONENTS_CHAIN = f"""{_VERIFIED_CHAIN},
+edges AS (
+  SELECT a AS src, b AS dst FROM vpairs
+  UNION
+  SELECT b AS src, a AS dst FROM vpairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (
+  SELECT src AS id, least(src, min(dst)) AS component FROM reach GROUP BY src
+)"""
+
+_COMPONENTS_ORACLE = f"""
+WITH RECURSIVE {_COMPONENTS_CHAIN}
+SELECT id, component FROM comp
+"""
+
+_CANONICAL_ORACLE = f"""
+WITH RECURSIVE {_COMPONENTS_CHAIN}
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT id FROM comp WHERE component < id)
 """
 
 _SIMHASH_PAIRS_ORACLE = f"""
@@ -235,6 +286,8 @@ QUERIES = {
     "dedup_minhash_signatures": q_minhash_signatures,
     "dedup_minhash_lsh_pairs": q_minhash_lsh_pairs,
     "dedup_minhash_verified": q_minhash_verified,
+    "dedup_components": q_dedup_components,
+    "dedup_canonical": q_dedup_canonical,
     "dedup_simhash": q_simhash,
     "dedup_simhash_pairs": q_simhash_near_dup,
     "dedup_ngram_jaccard": q_ngram_jaccard,
@@ -247,6 +300,8 @@ ORACLES = {
     "dedup_minhash_signatures": _SIG_ORACLE,
     "dedup_minhash_lsh_pairs": _LSH_PAIRS_ORACLE,
     "dedup_minhash_verified": _MINHASH_VERIFIED_ORACLE,
+    "dedup_components": _COMPONENTS_ORACLE,
+    "dedup_canonical": _CANONICAL_ORACLE,
     "dedup_simhash": _simhash_oracle(SIMHASH_BITS),
     "dedup_simhash_pairs": _SIMHASH_PAIRS_ORACLE,
     "dedup_ngram_jaccard": _JACCARD_ORACLE,

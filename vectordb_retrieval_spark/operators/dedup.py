@@ -217,6 +217,81 @@ def minhash_verified_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id, component) for every node in ``pairs``, where component is the
+    minimum node id reachable through the pair graph.
+
+    Iterative min-label propagation: each round every node takes the min
+    of its own label and its neighbors' labels, so convergence needs
+    O(graph diameter) rounds — near-dup graphs are dense clusters with
+    tiny diameters, so this terminates in a handful of shuffle joins.
+    Each round is one equi-join + partial-aggregated groupBy on node id;
+    ``localCheckpoint`` truncates the lineage so round N's plan doesn't
+    replay rounds 1..N−1.  (For adversarial long-chain graphs the
+    large-star/small-star variant halves rounds; not needed for dedup.)
+    """
+    edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    edges = edges.localCheckpoint(eager=True)
+    labels = (
+        edges.select("src").distinct().withColumn("label", F.col("src"))
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(
+                labels.select(F.col("src").alias("dst"), "label"), "dst"
+            )
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, "src", "left")
+            .select(
+                "src",
+                F.least(
+                    "label", F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "src")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("src").alias("id"), F.col("label").alias("component"))
+
+
+def near_dup_dedup(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deduplicated corpus: keep one canonical row (the minimum id) per
+    near-dup component, plus every row that is in no pair at all.
+
+    The non-canonical members are the nodes whose component label is a
+    smaller id than their own; dropping them is a broadcastable
+    left-anti join (the loser set is ~duplicate count, tiny relative to
+    the corpus)."""
+    comp = connected_components(pairs)
+    losers = comp.filter(F.col("component") != F.col("id")).select("id")
+    return df.join(
+        F.broadcast(losers), df[id_col] == losers["id"], "left_anti"
+    )
+
+
 def simhash(
     df: DataFrame,
     bits: int = 16,
