@@ -163,12 +163,22 @@ def main() -> int:
 
     # msmarco-regime workload (BASELINE msmarco rows: 384-d cosine; the
     # top row there is ivf_sq8 at 0.9471 recall) — 20k base / 1024
-    # queries keeps the whole bench around two minutes
+    # queries keeps the whole bench around two minutes.  Real embedding
+    # corpora are clustered, which is what makes IVF pruning work, so
+    # this block uses the Gaussian-mixture generator (uniform Gaussians
+    # at 384-d have no prunable structure and recall would be
+    # meaninglessly low for every nprobe).
     from vectordb_retrieval_spark.operators.quant import SQ8Codec
+    from vectordb_retrieval_spark.sources.random_gen import clustered_vectors
 
-    base384 = random_vectors(spark, 20_000, 384, seed=11, stream=3).cache()
+    base384 = clustered_vectors(
+        spark, 20_000, 384, n_clusters=100, spread=0.35, seed=11, stream=3
+    ).cache()
     materialize(base384)
-    q384 = random_vectors(spark, 1024, 384, seed=11, stream=4, id_col="qid").cache()
+    q384 = clustered_vectors(
+        spark, 1024, 384, n_clusters=100, spread=0.35, seed=11, stream=4,
+        id_col="qid",
+    ).cache()
     q384.count()
     exact384 = (
         exact_knn(base384, q384, 20, "cosine", qid_col="qid", qvec_col="vec")
@@ -218,7 +228,7 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "reference_workload_random_20k_64d": reference_workload,
-                "reference_workload_cosine_20k_384d": cosine_workload,
+                "reference_workload_cosine_clustered_20k_384d": cosine_workload,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -33,6 +33,27 @@ def test_random_vectors_partition_independent(spark):
     assert {r.id: list(r.vec) for r in c} != am
 
 
+def test_clustered_vectors_partition_independent_and_clustered(spark):
+    import numpy as np
+
+    from vectordb_retrieval_spark.sources.random_gen import clustered_vectors
+
+    a = clustered_vectors(
+        spark, 60, 8, n_clusters=3, spread=0.1, seed=7, num_partitions=1
+    ).collect()
+    b = clustered_vectors(
+        spark, 60, 8, n_clusters=3, spread=0.1, seed=7, num_partitions=11
+    ).collect()
+    am = {r.id: list(r.vec) for r in a}
+    assert am == {r.id: list(r.vec) for r in b}
+    # rows of the same cluster (id % 3) sit near a shared center:
+    # within-cluster distance ~ spread, across-cluster ~ unit centers
+    vecs = {r.id: np.array(r.vec) for r in a}
+    within = np.linalg.norm(vecs[0] - vecs[3])
+    across = np.linalg.norm(vecs[0] - vecs[1])
+    assert within < across
+
+
 def test_random_dataset_gt_is_exact(spark):
     train, test, gt = random_dataset(
         spark, train_size=200, test_size=8, dimensions=4, ground_truth_k=5, seed=3

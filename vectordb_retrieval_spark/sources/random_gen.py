@@ -52,6 +52,60 @@ def random_vectors(
     return rng.mapInPandas(kernel, schema=f"{id_col} long, {vec_col} array<float>")
 
 
+def clustered_vectors(
+    spark: SparkSession,
+    n: int,
+    dim: int,
+    n_clusters: int = 100,
+    spread: float = 0.3,
+    seed: int = 42,
+    stream: int = 0,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(id, vec): Gaussian-mixture float32 vectors — row i belongs to
+    cluster ``i % n_clusters`` whose center is a unit-scale Gaussian
+    draw, plus ``spread``-scaled noise.
+
+    Models real embedding corpora (e.g. the reference's MS MARCO
+    MiniLM vectors), which are clustered — the regime where IVF-style
+    partition pruning actually pays off; uniform Gaussians at high dim
+    have no structure to prune.  Same Philox counter-RNG contract as
+    ``random_vectors``: bit-identical output for any partitioning, and
+    centers derive from (seed, CENTER_STREAM, cluster) so base and
+    query sets share mixture components across independent streams."""
+    CENTER_STREAM = 1 << 30
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        centers = np.stack(
+            [
+                np.random.Generator(
+                    np.random.Philox(
+                        np.random.SeedSequence([seed, CENTER_STREAM, c])
+                    )
+                ).standard_normal(dim, dtype=np.float32)
+                for c in range(n_clusters)
+            ]
+        )
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            vecs = [
+                centers[int(i) % n_clusters]
+                + spread
+                * np.random.Generator(
+                    np.random.Philox(np.random.SeedSequence([seed, stream, int(i)]))
+                ).standard_normal(dim, dtype=np.float32)
+                for i in ids
+            ]
+            yield pd.DataFrame({id_col: ids, vec_col: vecs})
+
+    rng = spark.range(n, numPartitions=num_partitions)
+    return rng.mapInPandas(kernel, schema=f"{id_col} long, {vec_col} array<float>")
+
+
 def random_dataset(
     spark: SparkSession,
     train_size: int = 20_000,
