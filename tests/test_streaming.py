@@ -110,3 +110,46 @@ def test_windowed_query_stats_static(spark):
     }
     assert out[0].n_queries == 2 and out[0].mean_latency_ms == pytest.approx(15.0)
     assert out[1].n_queries == 2 and out[1].max_latency_ms == 60.0
+
+
+def test_streaming_dedup_drops_cross_batch_duplicates(spark, tmp_path):
+    """A text duplicated within batch 1 and again in batch 2 survives
+    exactly once; distinct texts all survive."""
+    from pyspark.sql import functions as F
+
+    from vectordb_retrieval_spark.streaming.serving import streaming_dedup
+
+    rows = [
+        (0, "alpha beta"),
+        (1, "  Alpha   beta "),  # dup of 0 after canonicalization
+        (2, "gamma delta"),
+        (3, "alpha beta"),  # dup again, lands in batch 2
+        (4, "epsilon"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "ts", F.timestamp_micros(F.lit(1_700_000_000_000_000))
+    )
+    ddir = tmp_path / "docs"
+    d.filter(F.col("doc_id") < 3).write.parquet(str(ddir / "b1"))
+    d.filter(F.col("doc_id") >= 3).write.parquet(str(ddir / "b2"))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(ddir / "*"))
+    )
+    seen: list[str] = []
+
+    def sink(df, epoch_id):
+        seen.extend(r.fingerprint for r in df.select("fingerprint").collect())
+
+    q = (
+        streaming_dedup(stream)
+        .writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert len(seen) == 3 == len(set(seen))

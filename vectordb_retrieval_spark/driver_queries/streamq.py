@@ -86,6 +86,49 @@ def q_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "qid long, id long, rank int")
 
 
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents streamed in two micro-batches (split by doc_id parity,
+    so duplicate texts straddle batches) through the watermarked
+    streaming dedup; the surviving fingerprint set must equal the batch
+    DISTINCT — which-row-won is order-dependent, the key set is not."""
+    from vectordb_retrieval_spark.streaming.serving import streaming_dedup
+
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        # fixed event time: no key ever crosses the watermark horizon
+        # inside the run, so dedup state spans all micro-batches
+        .withColumn("ts", F.timestamp_micros(F.lit(1_700_000_000_000_000)))
+    )
+    workdir = tempfile.mkdtemp(prefix="streamdedup-")
+    ddir = os.path.join(workdir, "docs")
+    for name, pred in (("b1", F.col("doc_id") % 2 == 0), ("b2", F.col("doc_id") % 2 == 1)):
+        d.filter(pred).write.parquet(os.path.join(ddir, name))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(ddir, "*"))
+    )
+    kept: set[str] = set()
+
+    def sink(df: DataFrame, epoch_id: int) -> None:
+        kept.update(r.fingerprint for r in df.select("fingerprint").collect())
+
+    q = (
+        streaming_dedup(stream)
+        .writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.createDataFrame(
+        [(f,) for f in sorted(kept)], "fingerprint string"
+    )
+
+
 def q_windowed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window event stats via the streaming aggregation (run
     statically here — the identical expression serves the stream)."""
@@ -115,12 +158,20 @@ FROM events
 GROUP BY time_bucket(INTERVAL 1 HOUR, ts)
 """
 
+_STREAM_DEDUP_ORACLE = r"""
+SELECT DISTINCT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+         AS fingerprint
+FROM documents
+"""
+
 QUERIES = {
     "streaming_running_topk": q_streaming_topk,
+    "streaming_dedup": q_streaming_dedup,
     "streaming_windowed_stats": q_windowed_stats,
 }
 
 ORACLES = {
     "streaming_running_topk": KNN_ORACLE.format(dist_expr=DIST_EXPRS["l2"]),
+    "streaming_dedup": _STREAM_DEDUP_ORACLE,
     "streaming_windowed_stats": _WINDOW_ORACLE,
 }
