@@ -184,3 +184,45 @@ def test_composite_registry_roundtrip(dfs, exact_ids):
     algo.build_index(base_df)
     res = algo.batch_search(query_df, K).collect()
     assert recall_of(res, exact_ids) == 1.0
+
+
+def test_ivf_append_equals_full_build(dfs, exact_ids):
+    """Building on half the corpus then appending the rest yields the
+    same assignment table — and identical search results — as one full
+    build over the same fixed centroids (codec path included)."""
+    from pyspark.sql import functions as F
+
+    from vectordb_retrieval_spark.operators.ivf import (
+        FixedCentroidIVFIndexer,
+        IVFSearcher,
+        ivf_append,
+    )
+    from vectordb_retrieval_spark.operators.quant import SQ8Codec
+
+    base_df, query_df = dfs
+    cents = np.vstack(
+        [r.vec for r in base_df.filter(F.col("id") < 8).orderBy("id").collect()]
+    ).astype(np.float64)
+
+    full = FixedCentroidIVFIndexer(cents).build(base_df)
+    half = FixedCentroidIVFIndexer(cents).build(base_df.filter(F.col("id") % 2 == 0))
+    merged = ivf_append(half, base_df.filter(F.col("id") % 2 == 1))
+
+    a = {(r.cluster_id, r.id) for r in full.tables["assignment"].select("cluster_id", "id").collect()}
+    b = {(r.cluster_id, r.id) for r in merged.tables["assignment"].select("cluster_id", "id").collect()}
+    assert a == b
+
+    res_full = IVFSearcher(nprobe=3).attach(full).search(query_df, K).collect()
+    res_merged = IVFSearcher(nprobe=3).attach(merged).search(query_df, K).collect()
+    assert {(r.qid, r.id, r.rank) for r in res_full} == {
+        (r.qid, r.id, r.rank) for r in res_merged
+    }
+
+    # compressed index: codec fitted on the first half is reused verbatim
+    codec = SQ8Codec()
+    half_c = FixedCentroidIVFIndexer(cents, codec=codec).build(
+        base_df.filter(F.col("id") % 2 == 0)
+    )
+    merged_c = ivf_append(half_c, base_df.filter(F.col("id") % 2 == 1))
+    assert merged_c.tables["assignment"].count() == base_df.count()
+    assert "codes" in merged_c.tables["assignment"].columns

@@ -44,6 +44,7 @@ from vectordb_retrieval_spark.operators.ivf import (
     FixedCentroidIVFIndexer,
     IVFIndexer,
     IVFSearcher,
+    ivf_append,
 )
 from vectordb_retrieval_spark.operators.lsh import LSHIndexer, LSHSearcher
 from vectordb_retrieval_spark.operators.pq import PQADCSearcher, PQIndexer
@@ -116,6 +117,31 @@ def ivf_fixed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = ivf_fixed_centroids(spark, sf_dir)
     art = FixedCentroidIVFIndexer(cents, metric="l2").build(
         base, id_col="vec_id", vec_col="embedding"
+    )
+    qs = base.filter(F.expr(QUERY_FILTER))
+    res = (
+        IVFSearcher(nprobe=NPROBE_FIXED)
+        .attach(art)
+        .search(qs, K, qid_col="vec_id", vec_col="embedding")
+    )
+    return res.select("qid", "id", "rank")
+
+
+def ivf_append_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingestion parity: build the fixed-centroid IVF on the
+    even half of the corpus, ``ivf_append`` the odd half, then search.
+    Cluster assignment is per-row, so append ≡ single-shot full build —
+    the result hash-matches the same oracle SQL as ivf_fixed_search."""
+    base = emb(spark, sf_dir)
+    cents = ivf_fixed_centroids(spark, sf_dir)
+    art = FixedCentroidIVFIndexer(cents, metric="l2").build(
+        base.filter(F.col("vec_id") % 2 == 0), id_col="vec_id", vec_col="embedding"
+    )
+    art = ivf_append(
+        art,
+        base.filter(F.col("vec_id") % 2 == 1),
+        id_col="vec_id",
+        vec_col="embedding",
     )
     qs = base.filter(F.expr(QUERY_FILTER))
     res = (
@@ -556,6 +582,7 @@ QUERIES = {
     "lsh_search_cosine": lsh_search_cosine,
     "ivf_fixed_assign": ivf_fixed_assign,
     "ivf_fixed_search": ivf_fixed_search,
+    "ivf_append_search": ivf_append_search,
     "ivf_sq8_fixed_search": ivf_sq8_fixed_search,
     "ivf_pq_fixed_search": ivf_pq_fixed_search,
     "sq8_calibration": sq8_calibration,
@@ -574,6 +601,7 @@ ORACLES = {
     "lsh_search_cosine": _lsh_search_oracle(),
     "ivf_fixed_assign": _IVF_ASSIGN_ORACLE,
     "ivf_fixed_search": _IVF_SEARCH_ORACLE,
+    "ivf_append_search": _IVF_SEARCH_ORACLE,
     "sq8_calibration": _SQ8_ORACLE,
     "ivf_sq8_fixed_search": _IVF_SQ8_ORACLE,
     "ivf_pq_fixed_search": _IVF_PQ_ORACLE,

@@ -199,6 +199,45 @@ class FixedCentroidIVFIndexer(IVFIndexer):
         )
 
 
+def ivf_append(
+    artifact: IndexArtifact,
+    new_df: DataFrame,
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> IndexArtifact:
+    """Incremental ingestion: assign new vectors to the artifact's
+    EXISTING coarse quantizer and append them to the assignment table —
+    no retrain, no rebuild (FAISS ``index.add`` semantics).
+
+    Scale shape: the append is embarrassingly parallel (per-row argmin
+    against broadcast centroids, plus codec encode if the index is
+    compressed) and lands in the same cluster_id partitioning, so on a
+    persisted index it is a partition-directory file append — existing
+    data is never rewritten, and searchers see the union with identical
+    plans.  Centroids drift as the corpus grows; rebuild cadence is the
+    caller's policy knob (same trade-off the reference's batch builds
+    imply)."""
+    idx = FixedCentroidIVFIndexer(
+        artifact.params["centroids"],
+        metric=artifact.params["metric"],
+        codec=artifact.params["codec"],
+    )
+    add = idx.build(new_df, id_col=id_col, vec_col=vec_col).tables["assignment"]
+    merged = (
+        artifact.tables["assignment"]
+        .unionByName(add)
+        .repartition("cluster_id")
+        .cache()
+    )
+    merged.count()
+    return IndexArtifact(
+        kind="ivf",
+        tables={"assignment": merged},
+        params=artifact.params,
+        metadata={**artifact.metadata, "appended": True},
+    )
+
+
 class IVFSearcher:
     """nprobe-pruned candidate scan + exact (or decoded) rerank."""
 
