@@ -226,3 +226,24 @@ def test_ivf_append_equals_full_build(dfs, exact_ids):
     merged_c = ivf_append(half_c, base_df.filter(F.col("id") % 2 == 1))
     assert merged_c.tables["assignment"].count() == base_df.count()
     assert "codes" in merged_c.tables["assignment"].columns
+
+
+def test_ivf_delete_exhaustive_equals_exact_over_survivors(dfs):
+    from pyspark.sql import functions as F
+
+    from vectordb_retrieval_spark.operators.ivf import (
+        IVFIndexer,
+        IVFSearcher,
+        ivf_delete,
+    )
+
+    base_df, query_df = dfs
+    art = IVFIndexer(nlist=8, seed=3).build(base_df)
+    art = ivf_delete(art, base_df.filter(F.col("id") % 2 == 1))
+    got = IVFSearcher(nprobe=8).attach(art).search(query_df, K).collect()
+    want = exact_knn(
+        base_df.filter(F.col("id") % 2 == 0), query_df, K, "l2"
+    ).collect()
+    assert {(r.qid, r.id, r.rank) for r in got} == {
+        (r.qid, r.id, r.rank) for r in want
+    }

@@ -45,6 +45,7 @@ from vectordb_retrieval_spark.operators.ivf import (
     IVFIndexer,
     IVFSearcher,
     ivf_append,
+    ivf_delete,
 )
 from vectordb_retrieval_spark.operators.lsh import LSHIndexer, LSHSearcher
 from vectordb_retrieval_spark.operators.pq import PQADCSearcher, PQIndexer
@@ -146,6 +147,26 @@ def ivf_append_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = base.filter(F.expr(QUERY_FILTER))
     res = (
         IVFSearcher(nprobe=NPROBE_FIXED)
+        .attach(art)
+        .search(qs, K, qid_col="vec_id", vec_col="embedding")
+    )
+    return res.select("qid", "id", "rank")
+
+
+def ivf_delete_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-deletion parity: build on the full corpus, ivf_delete the
+    odd ids, then probe ALL clusters — exhaustive probe over the
+    survivors is provably exact kNN over the even half, so the oracle
+    is plain SQL independent of the centroid assignment."""
+    base = emb(spark, sf_dir)
+    cents = ivf_fixed_centroids(spark, sf_dir)
+    art = FixedCentroidIVFIndexer(cents, metric="l2").build(
+        base, id_col="vec_id", vec_col="embedding"
+    )
+    art = ivf_delete(art, base.filter(F.col("vec_id") % 2 == 1), id_col="vec_id")
+    qs = base.filter(F.expr(QUERY_FILTER))
+    res = (
+        IVFSearcher(nprobe=N_FIXED_CENTROIDS)
         .attach(art)
         .search(qs, K, qid_col="vec_id", vec_col="embedding")
     )
@@ -583,6 +604,7 @@ QUERIES = {
     "ivf_fixed_assign": ivf_fixed_assign,
     "ivf_fixed_search": ivf_fixed_search,
     "ivf_append_search": ivf_append_search,
+    "ivf_delete_search": ivf_delete_search,
     "ivf_sq8_fixed_search": ivf_sq8_fixed_search,
     "ivf_pq_fixed_search": ivf_pq_fixed_search,
     "sq8_calibration": sq8_calibration,
@@ -602,6 +624,9 @@ ORACLES = {
     "ivf_fixed_assign": _IVF_ASSIGN_ORACLE,
     "ivf_fixed_search": _IVF_SEARCH_ORACLE,
     "ivf_append_search": _IVF_SEARCH_ORACLE,
+    "ivf_delete_search": KNN_ORACLE.format(
+        dist_expr=DIST_EXPRS["l2"]
+    ).replace("CROSS JOIN embeddings b", "CROSS JOIN embeddings b WHERE b.vec_id % 2 = 0"),
     "sq8_calibration": _SQ8_ORACLE,
     "ivf_sq8_fixed_search": _IVF_SQ8_ORACLE,
     "ivf_pq_fixed_search": _IVF_PQ_ORACLE,

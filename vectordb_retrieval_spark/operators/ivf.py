@@ -238,6 +238,35 @@ def ivf_append(
     )
 
 
+def ivf_delete(
+    artifact: IndexArtifact,
+    ids_df: DataFrame,
+    id_col: str = "id",
+) -> IndexArtifact:
+    """Remove vectors from the index by id — a broadcast anti-join on
+    the assignment table (delete sets are tiny relative to the corpus).
+
+    Scale shape: with a persisted partitioned index this is the classic
+    tombstone/compact trade — the anti-join applied at read time is the
+    tombstone form; rewriting only the affected cluster_id partitions
+    (never the whole index) is the compaction.  Centroids are untouched:
+    deletion never degrades assignment of the survivors."""
+    dels = ids_df.select(F.col(id_col).alias("id")).distinct()
+    kept = (
+        artifact.tables["assignment"]
+        .join(F.broadcast(dels), "id", "left_anti")
+        .repartition("cluster_id")
+        .cache()
+    )
+    kept.count()
+    return IndexArtifact(
+        kind="ivf",
+        tables={"assignment": kept},
+        params=artifact.params,
+        metadata={**artifact.metadata, "deleted": True},
+    )
+
+
 class IVFSearcher:
     """nprobe-pruned candidate scan + exact (or decoded) rerank."""
 
