@@ -204,3 +204,46 @@ def test_subsample_deterministic(spark):
     a = sorted(r.doc_id for r in subsample(df, 10, seed=5).collect())
     b = sorted(r.doc_id for r in subsample(df.repartition(7), 10, seed=5).collect())
     assert a == b and len(a) == 10
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key join WITHOUT any Exchange —
+    the write-time layout that makes repeated big joins shuffle-free."""
+    from pyspark.sql import functions as F
+
+    from vectordb_retrieval_spark.sources.bucketed import (
+        assert_no_shuffle_join,
+        read_table,
+        write_bucketed,
+    )
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.range(1000).select(
+            F.col("id"), (F.col("id") * 2).alias("x")
+        )
+        b = spark.range(1000).select(
+            F.col("id"), (F.col("id") * 3).alias("y")
+        )
+        write_bucketed(
+            a, "bk_a", ["id"], num_buckets=8, sort_cols=["id"],
+            path=str(tmp_path / "bk_a"),
+        )
+        write_bucketed(
+            b, "bk_b", ["id"], num_buckets=8, sort_cols=["id"],
+            path=str(tmp_path / "bk_b"),
+        )
+        j = read_table(spark, "bk_a").join(read_table(spark, "bk_b"), "id")
+        plan = assert_no_shuffle_join(j)
+        assert "SortMergeJoin" in plan
+        assert j.count() == 1000
+        # control: the same join on plain (unbucketed) data DOES shuffle
+        import pytest as _pytest
+
+        with _pytest.raises(AssertionError):
+            assert_no_shuffle_join(a.join(b, "id"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS bk_a")
+        spark.sql("DROP TABLE IF EXISTS bk_b")
