@@ -148,6 +148,55 @@ def main() -> int:
     recall_lsh = recall_vs_exact(lsh_res)
     lsh_res.unpersist()
 
+    from vectordb_retrieval_spark.operators.pq import PQADCSearcher, PQIndexer
+
+    # m=64, ksub=256 = the reference's FAISS "PQ64" on the random
+    # dataset (benchmark_config.yaml faiss_pq_l2: one 256-entry codebook
+    # PER DIMENSION, 64-byte codes) — recall is only comparable at the
+    # same code budget
+    t0 = time.time()
+    pq_art = PQIndexer(m=64, ksub=256, metric="l2", seed=7).build(
+        base, id_col="id", vec_col="vec"
+    )
+    materialize(pq_art.tables["codes"])
+    t_pq_build = time.time() - t0
+    pq_res = (
+        PQADCSearcher()
+        .attach(pq_art)
+        .search(big_queries, 20, qid_col="qid", vec_col="vec")
+        .select("qid", "id")
+        .cache()
+    )
+    t0 = time.time()
+    materialize(pq_res)
+    t_pq_big = time.time() - t0
+    recall_pq = recall_vs_exact(pq_res)
+    pq_res.unpersist()
+
+    from vectordb_retrieval_spark.operators.graph_ann import (
+        GraphANNIndexer,
+        GraphANNSearcher,
+    )
+
+    t0 = time.time()
+    g_art = GraphANNIndexer(m=8, ef_construction=32, num_partitions=8).build(
+        base, id_col="id", vec_col="vec"
+    )
+    materialize(g_art.tables["graph"])
+    t_g_build = time.time() - t0
+    g_res = (
+        GraphANNSearcher(ef_search=64)
+        .attach(g_art)
+        .search(big_queries, 20, qid_col="qid", vec_col="vec")
+        .select("qid", "id")
+        .cache()
+    )
+    t0 = time.time()
+    materialize(g_res)
+    t_g_big = time.time() - t0
+    recall_g = recall_vs_exact(g_res)
+    g_res.unpersist()
+
     reference_workload = {
         "qps_exact_256q": round(256 / t_exact, 2),
         "qps_exact_2048q": round(2048 / t_exact_big, 2),
@@ -157,6 +206,12 @@ def main() -> int:
         "lsh_build_s": round(t_lsh_build, 3),
         "qps_lsh_4t8b_2048q": round(2048 / t_lsh_big, 2),
         "recall_lsh_4t8b": recall_lsh,
+        "pq_build_s": round(t_pq_build, 3),
+        "qps_pq_m64k256_2048q": round(2048 / t_pq_big, 2),
+        "recall_pq_m64k256": recall_pq,
+        "graph_build_s": round(t_g_build, 3),
+        "qps_graph_ef64_2048q": round(2048 / t_g_big, 2),
+        "recall_graph_ef64": recall_g,
     }
     for df in (base, queries, big_queries, exact_big):
         df.unpersist()
