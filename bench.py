@@ -197,6 +197,81 @@ def main() -> int:
     recall_g = recall_vs_exact(g_res)
     g_res.unpersist()
 
+    # IVF256,SQ8 nprobe=24 and IVF256,PQ64 nprobe=24 — the reference's
+    # remaining random-dataset rows (benchmark_config.yaml
+    # faiss_ivf_sq8_l2 / faiss_ivf_pq_l2)
+    from vectordb_retrieval_spark.operators.quant import PQCodec, SQ8Codec
+
+    t0 = time.time()
+    sq8r_art = IVFIndexer(
+        nlist=256, seed=7, max_iter=10, init_mode="random", codec=SQ8Codec()
+    ).build(base, id_col="id", vec_col="vec")
+    materialize(sq8r_art.tables["assignment"])
+    t_sq8r_build = time.time() - t0
+    sq8r_res = (
+        IVFSearcher(nprobe=24)
+        .attach(sq8r_art)
+        .search(big_queries, 20, qid_col="qid", vec_col="vec")
+        .select("qid", "id")
+        .cache()
+    )
+    t0 = time.time()
+    materialize(sq8r_res)
+    t_sq8r = time.time() - t0
+    recall_sq8r = recall_vs_exact(sq8r_res)
+    sq8r_res.unpersist()
+
+    t0 = time.time()
+    ivfpq_art = IVFIndexer(
+        nlist=256,
+        seed=7,
+        max_iter=10,
+        init_mode="random",
+        codec=PQCodec(m=64, ksub=256, seed=7),
+    ).build(base, id_col="id", vec_col="vec")
+    materialize(ivfpq_art.tables["assignment"])
+    t_ivfpq_build = time.time() - t0
+    ivfpq_res = (
+        IVFSearcher(nprobe=24)
+        .attach(ivfpq_art)
+        .search(big_queries, 20, qid_col="qid", vec_col="vec")
+        .select("qid", "id")
+        .cache()
+    )
+    t0 = time.time()
+    materialize(ivfpq_res)
+    t_ivfpq = time.time() - t0
+    recall_ivfpq = recall_vs_exact(ivfpq_res)
+    ivfpq_res.unpersist()
+
+    # cluster-pruned exact search — the CoverTree replacement
+    # (BASELINE covertree_v2_2: 350 s build, 34 QPS, recall 1.0 on this
+    # exact workload; the triangle-inequality pruned scan must dominate
+    # both while staying exact)
+    from vectordb_retrieval_spark.operators.cluster_pruned import (
+        ClusterPrunedExactIndexer,
+        ClusterPrunedExactSearcher,
+    )
+
+    t0 = time.time()
+    cp_art = ClusterPrunedExactIndexer(
+        nlist=64, seed=7, max_iter=10, init_mode="random"
+    ).build(base, id_col="id", vec_col="vec")
+    materialize(cp_art.tables["assignment"])
+    t_cp_build = time.time() - t0
+    cp_res = (
+        ClusterPrunedExactSearcher(nprobe=8)
+        .attach(cp_art)
+        .search(big_queries, 20, qid_col="qid", vec_col="vec")
+        .select("qid", "id")
+        .cache()
+    )
+    t0 = time.time()
+    materialize(cp_res)
+    t_cp = time.time() - t0
+    recall_cp = recall_vs_exact(cp_res)
+    cp_res.unpersist()
+
     reference_workload = {
         "qps_exact_256q": round(256 / t_exact, 2),
         "qps_exact_2048q": round(2048 / t_exact_big, 2),
@@ -212,6 +287,15 @@ def main() -> int:
         "graph_build_s": round(t_g_build, 3),
         "qps_graph_ef64_2048q": round(2048 / t_g_big, 2),
         "recall_graph_ef64": recall_g,
+        "ivf_sq8_build_s": round(t_sq8r_build, 3),
+        "qps_ivf_sq8_nprobe24_2048q": round(2048 / t_sq8r, 2),
+        "recall_ivf_sq8_nprobe24": recall_sq8r,
+        "ivf_pq_build_s": round(t_ivfpq_build, 3),
+        "qps_ivf_pq_nprobe24_2048q": round(2048 / t_ivfpq, 2),
+        "recall_ivf_pq_nprobe24": recall_ivfpq,
+        "cluster_pruned_build_s": round(t_cp_build, 3),
+        "qps_cluster_pruned_2048q": round(2048 / t_cp, 2),
+        "recall_cluster_pruned": recall_cp,
     }
     for df in (base, queries, big_queries, exact_big):
         df.unpersist()
