@@ -75,3 +75,29 @@ def test_ground_truth_arrays(spark, tiny_vectors):
     )
     want = numpy_oracle(base, queries, 3, "l2")
     assert [list(r["gt"]) for r in gt] == [list(w) for w in want]
+
+
+def test_range_search_matches_numpy(spark):
+    import numpy as np
+
+    from tests.conftest import make_vector_df
+    from vectordb_retrieval_spark.operators.exact import exact_range_search
+
+    rng = np.random.RandomState(5)
+    base = rng.randn(300, 8).astype(np.float32)
+    qs = rng.randn(4, 8).astype(np.float32)
+    base_df = make_vector_df(spark, base)
+    q_df = make_vector_df(spark, qs, id_name="qid")
+    r = 3.2
+    got = {
+        (row.qid, row.id): row.dist
+        for row in exact_range_search(base_df, q_df, r, "l2").collect()
+    }
+    want = {}
+    for qi, q in enumerate(qs):
+        d = np.linalg.norm(base.astype(np.float64) - q.astype(np.float64), axis=1)
+        for bi in np.nonzero(d <= r)[0]:
+            want[(qi, bi)] = d[bi]
+    assert set(got) == set(want)
+    for k_, v in got.items():
+        assert abs(v - want[k_]) < 1e-9

@@ -124,6 +124,84 @@ def exact_knn(
     return result
 
 
+def exact_range_search(
+    base_df: DataFrame,
+    query_df: DataFrame,
+    radius: float,
+    metric: str = "l2",
+    id_col: str = "id",
+    vec_col: str = "vec",
+    qid_col: str = "qid",
+    qvec_col: str | None = None,
+) -> DataFrame:
+    """All neighbors within ``radius``: DataFrame(qid, id, dist ≤ radius)
+    — FAISS ``range_search`` semantics, the radius-threshold complement
+    of top-k.
+
+    Same scale shape as ``exact_knn`` (broadcast queries, per-partition
+    GEMM, base never shuffled); output size is data-dependent, so unlike
+    top-k nothing bounds the shuffle — callers pick radii accordingly.
+    Pairs within 1e-6 of the boundary are re-scored with a strictly
+    sequential float64 sum (the association order SQL engines use), so
+    membership decisions match an external oracle bit-for-bit."""
+    if metric not in METRICS:
+        raise ValueError(f"unknown metric {metric!r}; expected one of {METRICS}")
+    qvec_col = qvec_col or vec_col
+    spark = base_df.sparkSession
+    qids, qmat = _collect_queries(query_df, qid_col, qvec_col)
+    bc = spark.sparkContext.broadcast((qids, qmat))
+
+    def seq_dist(x: np.ndarray, y: np.ndarray, m: str) -> float:
+        if m == "l2":
+            acc = 0.0
+            for xi, yi in zip(x, y):
+                acc += (float(xi) - float(yi)) ** 2
+            return acc**0.5
+        if m == "ip":
+            acc = 0.0
+            for xi, yi in zip(x, y):
+                acc += float(xi) * float(yi)
+            return -acc
+        dot = nx = ny = 0.0
+        for xi, yi in zip(x, y):
+            dot += float(xi) * float(yi)
+            nx += float(xi) * float(xi)
+            ny += float(yi) * float(yi)
+        return 1.0 - dot / ((nx**0.5) * (ny**0.5))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        q_ids, q_mat = bc.value
+        q64 = q_mat.astype(np.float64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            block = np.vstack(pdf[vec_col].to_numpy()).astype(np.float32)
+            dmat = pairwise_distances(q_mat, block, metric)
+            qi, bi = np.nonzero(dmat <= radius + 1e-6)
+            if len(qi) == 0:
+                continue
+            d = dmat[qi, bi].copy()
+            b64 = block.astype(np.float64)
+            near = np.abs(d - radius) <= 1e-6
+            for t in np.nonzero(near)[0]:
+                d[t] = seq_dist(q64[qi[t]], b64[bi[t]], metric)
+            keep = d <= radius
+            if not keep.any():
+                continue
+            yield pd.DataFrame(
+                {
+                    "qid": q_ids[qi[keep]],
+                    "id": ids[bi[keep]],
+                    "dist": d[keep],
+                }
+            )
+
+    return base_df.select(
+        F.col(id_col).alias(id_col), F.col(vec_col).alias(vec_col)
+    ).mapInPandas(kernel, schema=_CAND_SCHEMA)
+
+
 def exact_knn_expr(
     base_df: DataFrame,
     query_df: DataFrame,
