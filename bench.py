@@ -110,7 +110,7 @@ def main() -> int:
     from vectordb_retrieval_spark.operators.ivf import IVFIndexer, IVFSearcher
 
     t0 = time.time()
-    ivf_art = IVFIndexer(nlist=100, seed=7, max_iter=10, init_mode="random").build(
+    ivf_art = IVFIndexer(nlist=100, seed=7, max_iter=10, init_mode="k-means||").build(
         base, id_col="id", vec_col="vec"
     )
     materialize(ivf_art.tables["assignment"])
@@ -204,7 +204,7 @@ def main() -> int:
 
     t0 = time.time()
     sq8r_art = IVFIndexer(
-        nlist=256, seed=7, max_iter=10, init_mode="random", codec=SQ8Codec()
+        nlist=256, seed=7, max_iter=10, init_mode="k-means||", codec=SQ8Codec()
     ).build(base, id_col="id", vec_col="vec")
     materialize(sq8r_art.tables["assignment"])
     t_sq8r_build = time.time() - t0
@@ -226,7 +226,7 @@ def main() -> int:
         nlist=256,
         seed=7,
         max_iter=10,
-        init_mode="random",
+        init_mode="k-means||",
         codec=PQCodec(m=64, ksub=256, seed=7),
     ).build(base, id_col="id", vec_col="vec")
     materialize(ivfpq_art.tables["assignment"])
@@ -255,7 +255,7 @@ def main() -> int:
 
     t0 = time.time()
     cp_art = ClusterPrunedExactIndexer(
-        nlist=64, seed=7, max_iter=10, init_mode="random"
+        nlist=64, seed=7, max_iter=10, init_mode="k-means||"
     ).build(base, id_col="id", vec_col="vec")
     materialize(cp_art.tables["assignment"])
     t_cp_build = time.time() - t0
@@ -333,7 +333,7 @@ def main() -> int:
         metric="cosine",
         seed=11,
         max_iter=5,
-        init_mode="random",
+        init_mode="k-means||",
         codec=SQ8Codec(),
     ).build(base384, id_col="id", vec_col="vec")
     materialize(sq8_art.tables["assignment"])
