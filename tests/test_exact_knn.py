@@ -101,3 +101,34 @@ def test_range_search_matches_numpy(spark):
     assert set(got) == set(want)
     for k_, v in got.items():
         assert abs(v - want[k_]) < 1e-9
+
+
+def test_custom_metric_registry(spark):
+    """Reference extension point (covertree_v2_2.py:519-523): unknown
+    metric names dispatch to a registered kernel; exact_knn runs it
+    distributed and matches the NumPy answer."""
+    import numpy as np
+
+    from tests.conftest import make_vector_df
+    from vectordb_retrieval_spark.functions.distance import register_metric
+    from vectordb_retrieval_spark.operators.exact import exact_knn
+
+    def l1_kernel(q, b):
+        return np.abs(q[:, None, :] - b[None, :, :]).sum(-1)
+
+    register_metric("l1", l1_kernel)
+    rng = np.random.RandomState(9)
+    base = rng.randn(200, 6).astype(np.float32)
+    qs = rng.randn(3, 6).astype(np.float32)
+    got = exact_knn(
+        make_vector_df(spark, base), make_vector_df(spark, qs, id_name="qid"), 5, "l1"
+    ).collect()
+    for qi, q in enumerate(qs):
+        d = np.abs(base.astype(np.float64) - q.astype(np.float64)).sum(1)
+        want = sorted(range(len(d)), key=lambda i: (d[i], i))[:5]
+        assert [r.id for r in sorted(got, key=lambda r: r.rank) if r.qid == qi] == want
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        register_metric("l2", l1_kernel)

@@ -28,6 +28,31 @@ from pyspark.sql import functions as F
 
 METRICS = ("l2", "cosine", "ip")
 
+# user-registered metrics (reference extension point: unknown metric
+# names dispatch to a caller-supplied function, covertree_v2_2.py:519-523).
+# A registered kernel takes (queries, base) float64 matrices and returns
+# the (n_q, n_b) distance matrix, smaller-is-better — vectorized, so it
+# runs at GEMM-adjacent speed inside executor partitions.
+CUSTOM_METRICS: dict[str, "object"] = {}
+
+
+def register_metric(name: str, kernel) -> None:
+    """Register a custom distance: ``kernel(q_mat, b_mat) -> dist_mat``.
+
+    Registered names are accepted wherever the built-in trio is
+    (exact_knn, range search, ...).  Operators resolve the callable on
+    the driver and capture it in their executor closures (cloudpickle
+    ships it), because executor Python workers re-import this module
+    with an empty registry — the same serialization constraint the
+    reference's ``_metric_fn`` has under multiprocessing."""
+    if name in METRICS:
+        raise ValueError(f"cannot override built-in metric {name!r}")
+    CUSTOM_METRICS[name] = kernel
+
+
+def valid_metric(metric: str) -> bool:
+    return metric in METRICS or metric in CUSTOM_METRICS
+
 
 def _dot(a: Column, b: Column) -> Column:
     # Sequential left-to-right double accumulation — same association
@@ -87,4 +112,6 @@ def pairwise_distances(queries: np.ndarray, base: np.ndarray, metric: str = "l2"
         return 1.0 - normalize_rows(q) @ normalize_rows(b).T
     if metric == "ip":
         return -(q @ b.T)
+    if metric in CUSTOM_METRICS:
+        return np.asarray(CUSTOM_METRICS[metric](q, b), dtype=np.float64)
     raise ValueError(f"unknown metric {metric!r}; expected one of {METRICS}")

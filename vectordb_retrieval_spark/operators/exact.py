@@ -38,9 +38,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from vectordb_retrieval_spark.functions.distance import (
+    CUSTOM_METRICS,
     METRICS,
     distance_col,
     pairwise_distances,
+    valid_metric,
 )
 from vectordb_retrieval_spark.operators.topk import pad_topk, topk_per_query
 
@@ -73,8 +75,12 @@ def exact_knn(
     (dist, id); with ``pad=True``, short queries are padded to k rows
     with (id=-1, dist=inf) per the reference result contract.
     """
-    if metric not in METRICS:
+    if not valid_metric(metric):
         raise ValueError(f"unknown metric {metric!r}; expected one of {METRICS}")
+    # resolve a registered custom metric on the driver so the closure
+    # carries the callable (executor workers re-import with an empty
+    # registry)
+    custom = CUSTOM_METRICS.get(metric)
     qvec_col = qvec_col or vec_col
     spark = base_df.sparkSession
     qids, qmat = _collect_queries(query_df, qid_col, qvec_col)
@@ -90,7 +96,11 @@ def exact_knn(
                 continue
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             block = np.vstack(pdf[vec_col].to_numpy()).astype(np.float32)
-            dmat = pairwise_distances(q_mat, block, metric)  # (n_q, n_block)
+            dmat = (
+                np.asarray(custom(q_mat.astype(np.float64), block.astype(np.float64)))
+                if custom is not None
+                else pairwise_distances(q_mat, block, metric)
+            )  # (n_q, n_block)
             if block.shape[0] > k:
                 part = np.argpartition(dmat, k - 1, axis=1)[:, :k]
                 cand_d.append(np.take_along_axis(dmat, part, axis=1))
