@@ -257,3 +257,33 @@ def test_frame_sample_offsets_and_fingerprints(corpus_df):
     )
     first = next(r for r in rows if r.frame_offset == 0)
     assert first.frame_fp == int.from_bytes(hashlib.md5(text[:16]).digest()[:7], "big")
+
+
+def test_resize_media_checksum(spark):
+    """NN-resize of the byte-grid stand-in: checksum equals a direct
+    NumPy recomputation with the same index arithmetic."""
+    import hashlib as _hl
+
+    import numpy as np
+
+    from vectordb_retrieval_spark.operators.multimodal import resize_media
+
+    df = spark.createDataFrame(
+        [(0, "hello multimodal world"), (1, "x" * 100)],
+        "doc_id long, text string",
+    )
+    out = {
+        r.id: (r.out_w, r.out_h, r.checksum)
+        for r in resize_media(attach_binary_payload(df), 8, 8).collect()
+    }
+    for did, text in [(0, "hello multimodal world"), (1, "x" * 100)]:
+        raw = text.encode()
+        dg = _hl.md5(raw).digest()
+        w, h = 16 + dg[0] % 64, 16 + dg[1] % 64
+        arr = np.frombuffer(raw, dtype=np.uint8)
+        want = sum(
+            int(arr[((r * h // 8) * w + (c * w // 8)) % len(raw)])
+            for r in range(8)
+            for c in range(8)
+        )
+        assert out[did] == (8, 8, want)

@@ -11,6 +11,7 @@ from vectordb_retrieval_spark.operators.multimodal import (
     decode_media,
     fake_decode,
     frame_sample,
+    resize_media,
 )
 from vectordb_retrieval_spark.operators.textops import (
     STOPWORDS,
@@ -53,6 +54,11 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads = attach_binary_payload(docs(spark, sf_dir))
     return frame_sample(payloads, FRAME_STRIDE)
+
+
+def q_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    payloads = attach_binary_payload(docs(spark, sf_dir))
+    return resize_media(payloads, 8, 8)
 
 
 _QUALITY_ORACLE = f"""
@@ -132,6 +138,23 @@ SELECT doc_id AS id,
 FROM documents, unnest(generate_series(0, length(text) - 1, {FRAME_STRIDE})) t(off)
 """
 
+# 8×8 NN-resize of the byte-grid image; dims derive from md5 exactly as
+# the stub decoder's, pixel (r,c) = byte[(r*w + c) mod n] read as the
+# ASCII code of the text character (payload == utf-8 of ASCII text)
+_RESIZE_ORACLE = """
+WITH p AS (
+  SELECT doc_id, text, length(text) AS n,
+         16 + CAST('0x' || substr(md5(text), 1, 2) AS INT) % 64 AS w,
+         16 + CAST('0x' || substr(md5(text), 3, 2) AS INT) % 64 AS h
+  FROM documents
+)
+SELECT doc_id AS id, 8 AS out_w, 8 AS out_h,
+       CAST(sum(ord(substr(text, ((r * h // 8) * w + (c * w // 8)) % n + 1, 1)))
+            AS BIGINT) AS checksum
+FROM p, generate_series(0, 7) t1(r), generate_series(0, 7) t2(c)
+GROUP BY doc_id
+"""
+
 QUERIES = {
     "text_quality": q_text_quality,
     "text_lang_id": q_lang_id,
@@ -139,6 +162,7 @@ QUERIES = {
     "text_doc_fingerprint": q_doc_fingerprint,
     "multimodal_decode_meta": q_multimodal_meta,
     "multimodal_frame_sample": q_frame_sample,
+    "multimodal_resize": q_resize,
 }
 
 ORACLES = {
@@ -148,4 +172,5 @@ ORACLES = {
     "text_doc_fingerprint": _FINGERPRINT_ORACLE,
     "multimodal_decode_meta": _MULTIMODAL_ORACLE,
     "multimodal_frame_sample": _FRAME_ORACLE,
+    "multimodal_resize": _RESIZE_ORACLE,
 }

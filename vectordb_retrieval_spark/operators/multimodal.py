@@ -86,6 +86,55 @@ def decode_media(
     )
 
 
+def resize_media(
+    df: DataFrame,
+    out_w: int = 8,
+    out_h: int = 8,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Nearest-neighbor resize plumbing: the payload is viewed as a
+    (h × w) grayscale grid (dims from the stub decoder, pixels = payload
+    bytes wrapped mod length) and resampled to (out_h × out_w) with
+    integer index arithmetic; output is the resampled-pixel checksum.
+
+    The grid view is the stand-in for a real decoded bitmap — swap the
+    byte-wrap for a real decoder's array and the kernel is a production
+    resize (index math, batch shape, and schema unchanged)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rr = np.arange(out_h)
+        cc = np.arange(out_w)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, sums = [], []
+            for did, p in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(p)
+                n = max(len(raw), 1)
+                dg = hashlib.md5(raw).digest()
+                w = 16 + dg[0] % 64
+                h = 16 + dg[1] % 64
+                src_r = rr * h // out_h
+                src_c = cc * w // out_w
+                idx = (src_r[:, None] * w + src_c[None, :]) % n
+                arr = np.frombuffer(raw.ljust(1, b"\0"), dtype=np.uint8)
+                ids.append(did)
+                sums.append(int(arr[idx].sum()))
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "out_w": out_w,
+                    "out_h": out_h,
+                    "checksum": sums,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        kernel, schema="id long, out_w int, out_h int, checksum long"
+    )
+
+
 def frame_sample(
     df: DataFrame,
     every_n_bytes: int = 32,
