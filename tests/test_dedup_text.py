@@ -287,3 +287,20 @@ def test_resize_media_checksum(spark):
             for c in range(8)
         )
         assert out[did] == (8, 8, want)
+
+
+def test_media_features_histogram(spark):
+    import numpy as np
+
+    from vectordb_retrieval_spark.operators.multimodal import media_features
+
+    df = spark.createDataFrame([(0, "aAzZ09")], "doc_id long, text string")
+    rows = {
+        (r.id, r.bin): r.n
+        for r in media_features(attach_binary_payload(df), 16).collect()
+    }
+    arr = np.frombuffer(b"aAzZ09", dtype=np.uint8)
+    want = np.bincount(arr // 16, minlength=16)
+    assert len(rows) == 16
+    for b in range(16):
+        assert rows[(0, b)] == want[b]

@@ -11,6 +11,7 @@ from vectordb_retrieval_spark.operators.multimodal import (
     decode_media,
     fake_decode,
     frame_sample,
+    media_features,
     resize_media,
 )
 from vectordb_retrieval_spark.operators.textops import (
@@ -59,6 +60,11 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads = attach_binary_payload(docs(spark, sf_dir))
     return resize_media(payloads, 8, 8)
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    payloads = attach_binary_payload(docs(spark, sf_dir))
+    return media_features(payloads, 16)
 
 
 _QUALITY_ORACLE = f"""
@@ -155,6 +161,20 @@ FROM p, generate_series(0, 7) t1(r), generate_series(0, 7) t2(c)
 GROUP BY doc_id
 """
 
+# 16-bin byte histogram (bin = byte // 16) over the ASCII payload, all
+# bins present with zero counts
+_FEATURES_ORACLE = """
+WITH cnt AS (
+  SELECT doc_id, ord(substr(text, i, 1)) // 16 AS bin, count(*) AS n
+  FROM documents, unnest(generate_series(1, length(text))) t(i)
+  GROUP BY doc_id, ord(substr(text, i, 1)) // 16
+)
+SELECT d.doc_id AS id, b.bin, CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n
+FROM documents d
+CROSS JOIN generate_series(0, 15) b(bin)
+LEFT JOIN cnt ON cnt.doc_id = d.doc_id AND cnt.bin = b.bin
+"""
+
 QUERIES = {
     "text_quality": q_text_quality,
     "text_lang_id": q_lang_id,
@@ -163,6 +183,7 @@ QUERIES = {
     "multimodal_decode_meta": q_multimodal_meta,
     "multimodal_frame_sample": q_frame_sample,
     "multimodal_resize": q_resize,
+    "multimodal_features": q_media_features,
 }
 
 ORACLES = {
@@ -173,4 +194,5 @@ ORACLES = {
     "multimodal_decode_meta": _MULTIMODAL_ORACLE,
     "multimodal_frame_sample": _FRAME_ORACLE,
     "multimodal_resize": _RESIZE_ORACLE,
+    "multimodal_features": _FEATURES_ORACLE,
 }

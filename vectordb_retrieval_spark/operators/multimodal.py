@@ -135,6 +135,40 @@ def resize_media(
     )
 
 
+def media_features(
+    df: DataFrame,
+    n_bins: int = 16,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Feature extraction over the opaque payload: a ``n_bins``-bin byte
+    histogram, exploded to (id, bin, count) rows.
+
+    The stand-in for a real per-media feature extractor (color
+    histogram, MFCC frame stats...) — swap the byte source for decoded
+    samples and the kernel shape is production.  Exploded-rows output
+    (not an array column) so downstream joins, aggregations, and the
+    value-hash oracle all operate on scalar columns."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        width = 256 // n_bins
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, bins, counts = [], [], []
+            for did, p in zip(pdf[id_col], pdf[payload_col]):
+                arr = np.frombuffer(bytes(p), dtype=np.uint8)
+                hist = np.bincount(arr // width, minlength=n_bins)
+                ids.extend([did] * n_bins)
+                bins.extend(range(n_bins))
+                counts.extend(int(c) for c in hist[:n_bins])
+            yield pd.DataFrame({"id": ids, "bin": bins, "n": counts})
+
+    return df.select(id_col, payload_col).mapInPandas(
+        kernel, schema="id long, bin int, n long"
+    )
+
+
 def frame_sample(
     df: DataFrame,
     every_n_bytes: int = 32,
