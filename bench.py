@@ -29,8 +29,10 @@ HEADLINE = [
     "graph_ann_search",
     "cluster_pruned_exact_search",
     "retrieval_metrics_sweep",
+    "range_search_l2",
     "dedup_exact",
     "dedup_minhash_lsh_pairs",
+    "dedup_minhash_verified",
     "text_quality",
     "multimodal_frame_sample",
 ]
