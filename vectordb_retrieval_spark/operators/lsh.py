@@ -133,10 +133,14 @@ class LSHSearcher:
         candidate_multiplier: float = 8.0,
         max_candidates: int | None = None,
         exact_fallback: bool = True,
+        n_probes: int = 1,
     ):
         self.candidate_multiplier = candidate_multiplier
         self.max_candidates = max_candidates
         self.exact_fallback = exact_fallback
+        # multi-probe (sign scheme only): probe the base bucket plus
+        # n_probes−1 single-bit flips of the lowest-|margin| hash bits
+        self.n_probes = n_probes
         self.artifact: IndexArtifact | None = None
 
     def attach(self, artifact: IndexArtifact) -> "LSHSearcher":
@@ -158,13 +162,36 @@ class LSHSearcher:
         spark = query_df.sparkSession
 
         qids, qmat = collect_vectors(query_df, qid_col, vec_col)
-        qbuckets = indexer.bucket_of(qmat)  # (n_q, n_tables)
-        n_tables = qbuckets.shape[1]
-        qb_rows = [
-            (int(qids[i]), t, str(qbuckets[i, t]))
-            for i in range(len(qids))
-            for t in range(n_tables)
-        ]
+        if self.n_probes > 1:
+            if metric == "l2":
+                raise NotImplementedError(
+                    "multi-probe is implemented for the sign scheme; "
+                    "E2LSH perturbation probing is not wired up"
+                )
+            from vectordb_retrieval_spark.functions.hashing import (
+                sign_multiprobe_buckets,
+            )
+
+            probes = sign_multiprobe_buckets(
+                qmat, indexer.projections, self.n_probes
+            )  # (n_q, n_tables, n_probes)
+            n_tables = probes.shape[1]
+            qb_rows = sorted(
+                {
+                    (int(qids[i]), t, str(probes[i, t, p]))
+                    for i in range(len(qids))
+                    for t in range(n_tables)
+                    for p in range(self.n_probes)
+                }
+            )
+        else:
+            qbuckets = indexer.bucket_of(qmat)  # (n_q, n_tables)
+            n_tables = qbuckets.shape[1]
+            qb_rows = [
+                (int(qids[i]), t, str(qbuckets[i, t]))
+                for i in range(len(qids))
+                for t in range(n_tables)
+            ]
         qb_df = spark.createDataFrame(qb_rows, "qid long, table_id int, bucket string")
 
         cap = self.max_candidates or max(k, math.ceil(self.candidate_multiplier * k))
