@@ -82,21 +82,47 @@ def _beam_search(
 def _build_nsw(
     mat: np.ndarray, m: int, ef_construction: int, metric: str
 ) -> list[np.ndarray]:
-    """Incremental NSW: connect each inserted node to its m nearest of
-    the ef_construction beam results; edges are bidirectional."""
+    """Navigable graph: exact m-NN edges (chunked GEMM) + a node-order
+    chain for guaranteed connectivity; edges are bidirectional.
+
+    Replaces the incremental insert-and-beam NSW build (which is n
+    sequential Python beam searches — the same single-threaded shape
+    that makes the reference's CoverTree build 350 s).  Per-partition
+    exact kNN is O(n²/partition) BLAS work, which is the *design point*:
+    partition count is chosen so each partition's matrix fits — at 20 k
+    rows/partition the whole graph builds in well under a second, and
+    edge quality is strictly better than approximate-insertion NSW.
+    The i−1 ↔ i chain preserves the connected-by-construction guarantee
+    the exhaustive-probe exactness proof (graph_ann_exhaustive) relies
+    on.  ``ef_construction`` is kept for API compatibility (unused)."""
     n = len(mat)
-    adj: list[list[int]] = [[] for _ in range(n)]
-    adj_np: list[np.ndarray] = [np.empty(0, dtype=np.int64)] * n
-    for i in range(1, n):
-        # edges only ever reference already-inserted nodes (< i), so the
-        # full adjacency list is safe to pass while searching mat[:i]
-        found = _beam_search(mat[:i], adj_np, mat[i], ef_construction, metric)
-        for _d, j in found[:m]:
-            adj[i].append(j)
-            adj[j].append(i)
-            adj_np[j] = np.asarray(adj[j], dtype=np.int64)
-        adj_np[i] = np.asarray(adj[i], dtype=np.int64)
-    return adj_np
+    adj_sets: list[set[int]] = [set() for _ in range(n)]
+    if n > 1:
+        m64 = mat.astype(np.float64)
+        sq = (m64 * m64).sum(axis=1)
+        chunk = max(1, 4_000_000 // n)
+        for s in range(0, n, chunk):
+            e = min(s + chunk, n)
+            if metric == "l2":
+                d = sq[s:e, None] + sq[None, :] - 2.0 * (m64[s:e] @ m64.T)
+            else:
+                # cosine rows are pre-normalized; ip = negated dot
+                d = -(m64[s:e] @ m64.T)
+            d[np.arange(s, e) - s, np.arange(s, e)] = np.inf
+            kk = min(m, n - 1)
+            part = np.argpartition(d, kk - 1, axis=1)[:, :kk]
+            pd_ = np.take_along_axis(d, part, axis=1)
+            order = np.lexsort((part, pd_), axis=1)
+            nbrs = np.take_along_axis(part, order, axis=1)
+            for r in range(e - s):
+                i = s + r
+                for j in nbrs[r]:
+                    adj_sets[i].add(int(j))
+                    adj_sets[int(j)].add(i)
+        for i in range(1, n):
+            adj_sets[i].add(i - 1)
+            adj_sets[i - 1].add(i)
+    return [np.asarray(sorted(a), dtype=np.int64) for a in adj_sets]
 
 
 class GraphANNIndexer:
