@@ -286,8 +286,35 @@ def test_lsh_multiprobe_buckets_and_recall(dfs, exact_ids):
     r5 = recall_of(multi.collect(), exact_ids)
     assert r5 >= r1
 
-    with pytest.raises(NotImplementedError):
-        l2art = LSHIndexer(DIM, num_tables=2, hash_size=8, metric="l2", seed=1).build(
-            base_df
-        )
-        LSHSearcher(n_probes=2).attach(l2art).search(query_df, K)
+    # E2LSH multi-probe: probe sequence = base + nearest-boundary ±1
+    # steps, and recall never drops vs single-probe on the same index
+    from vectordb_retrieval_spark.functions.hashing import (
+        e2lsh_multiprobe_buckets,
+        make_offsets,
+    )
+
+    offs = make_offsets(2, 6, 4.0, seed=3)
+    ep = e2lsh_multiprobe_buckets(v, proj, offs, 4.0, 3)
+    for i in range(5):
+        for t in range(2):
+            z = (v[i].astype(np.float64) @ proj[t].T + offs[t]) / 4.0
+            h = np.floor(z).astype(np.int64)
+            assert ep[i, t, 0] == "_".join(map(str, h))
+            frac = z - h
+            scores = np.concatenate([frac, 1.0 - frac])
+            sel = np.argsort(scores, kind="stable")[0]
+            j, delta = (sel, -1) if sel < 6 else (sel - 6, 1)
+            pert = h.copy()
+            pert[j] += delta
+            assert ep[i, t, 1] == "_".join(map(str, pert))
+
+    l2art = LSHIndexer(DIM, num_tables=2, hash_size=8, metric="l2", seed=1).build(
+        base_df
+    )
+    l2_single = LSHSearcher(exact_fallback=False).attach(l2art).search(query_df, K)
+    l2_multi = (
+        LSHSearcher(exact_fallback=False, n_probes=6).attach(l2art).search(query_df, K)
+    )
+    assert recall_of(l2_multi.collect(), exact_ids) >= recall_of(
+        l2_single.collect(), exact_ids
+    )

@@ -87,3 +87,43 @@ def e2lsh_buckets(
         h = np.floor((v @ projections[t].T + offsets[t]) / width).astype(np.int64)
         out[:, t] = ["_".join(map(str, row)) for row in h]
     return out
+
+
+def e2lsh_multiprobe_buckets(
+    vecs: np.ndarray,
+    projections: np.ndarray,
+    offsets: np.ndarray,
+    width: float,
+    n_probes: int,
+) -> np.ndarray:
+    """(n, num_tables, n_probes) object strings: the base E2LSH bucket,
+    then single-dimension ±1 floor perturbations ordered by distance to
+    the crossed boundary (the E2LSH half of multi-probe LSH, Lv et al.
+    VLDB 2007).
+
+    For hash dim j with fractional part f_j ∈ [0,1): stepping down
+    (−1) crosses a boundary f_j·w away, stepping up (+1) crosses
+    (1−f_j)·w away — probes visit the cheapest crossings first."""
+    n_tables, hash_size, _ = projections.shape
+    if not 1 <= n_probes <= 2 * hash_size + 1:
+        raise ValueError(f"n_probes must be in [1, {2 * hash_size + 1}]")
+    v = vecs.astype(np.float64)
+    out = np.empty((v.shape[0], n_tables, n_probes), dtype=object)
+    for t in range(n_tables):
+        z = (v @ projections[t].T + offsets[t]) / width  # (n, hash_size)
+        h = np.floor(z).astype(np.int64)
+        frac = z - h
+        # perturbation scores: (dim j, −1) costs frac_j; (dim j, +1)
+        # costs 1 − frac_j — concatenate and argsort once per query
+        scores = np.concatenate([frac, 1.0 - frac], axis=1)  # (n, 2h)
+        order = np.argsort(scores, axis=1, kind="stable")
+        for i in range(v.shape[0]):
+            base = h[i]
+            out[i, t, 0] = "_".join(map(str, base))
+            for p in range(1, n_probes):
+                sel = order[i, p - 1]
+                j, delta = (sel, -1) if sel < hash_size else (sel - hash_size, 1)
+                pert = base.copy()
+                pert[j] += delta
+                out[i, t, p] = "_".join(map(str, pert))
+    return out

@@ -138,8 +138,14 @@ class LSHSearcher:
         self.candidate_multiplier = candidate_multiplier
         self.max_candidates = max_candidates
         self.exact_fallback = exact_fallback
-        # multi-probe (sign scheme only): probe the base bucket plus
-        # n_probes−1 single-bit flips of the lowest-|margin| hash bits
+        # multi-probe: probe the base bucket plus n_probes−1 cheapest
+        # perturbations (sign scheme: lowest-|margin| bit flips; E2LSH:
+        # nearest-boundary ±1 floor steps).  Candidate coverage is
+        # monotone in n_probes; note that with exact_fallback=True the
+        # *measured* recall can still drop, because probing rescues
+        # queries from the (brute-force, recall-1.0) fallback — compare
+        # recall with the fallback off, or at corpus sizes where
+        # fallback is unaffordable (the 100 TB operating point).
         self.n_probes = n_probes
         self.artifact: IndexArtifact | None = None
 
@@ -163,45 +169,65 @@ class LSHSearcher:
 
         qids, qmat = collect_vectors(query_df, qid_col, vec_col)
         if self.n_probes > 1:
-            if metric == "l2":
-                raise NotImplementedError(
-                    "multi-probe is implemented for the sign scheme; "
-                    "E2LSH perturbation probing is not wired up"
-                )
             from vectordb_retrieval_spark.functions.hashing import (
+                e2lsh_multiprobe_buckets,
                 sign_multiprobe_buckets,
             )
 
-            probes = sign_multiprobe_buckets(
-                qmat, indexer.projections, self.n_probes
-            )  # (n_q, n_tables, n_probes)
+            if metric == "l2":
+                probes = e2lsh_multiprobe_buckets(
+                    qmat,
+                    indexer.projections,
+                    indexer.offsets,
+                    indexer.bucket_width,
+                    self.n_probes,
+                )
+            else:
+                probes = sign_multiprobe_buckets(
+                    qmat, indexer.projections, self.n_probes
+                )  # (n_q, n_tables, n_probes)
             n_tables = probes.shape[1]
-            qb_rows = sorted(
-                {
-                    (int(qids[i]), t, str(probes[i, t, p]))
-                    for i in range(len(qids))
-                    for t in range(n_tables)
-                    for p in range(self.n_probes)
-                }
-            )
+            # keep the BEST (lowest) probe rank per (qid, table, bucket):
+            # the candidate cap orders on it, so base-bucket collisions
+            # are never evicted by far-probe ones
+            best: dict[tuple[int, int, str], int] = {}
+            for i in range(len(qids)):
+                for t in range(n_tables):
+                    for p in range(self.n_probes):
+                        key = (int(qids[i]), t, str(probes[i, t, p]))
+                        if key not in best:
+                            best[key] = p
+            qb_rows = sorted((q, t, b, p) for (q, t, b), p in best.items())
         else:
             qbuckets = indexer.bucket_of(qmat)  # (n_q, n_tables)
             n_tables = qbuckets.shape[1]
             qb_rows = [
-                (int(qids[i]), t, str(qbuckets[i, t]))
+                (int(qids[i]), t, str(qbuckets[i, t]), 0)
                 for i in range(len(qids))
                 for t in range(n_tables)
             ]
-        qb_df = spark.createDataFrame(qb_rows, "qid long, table_id int, bucket string")
+        qb_df = spark.createDataFrame(
+            qb_rows, "qid long, table_id int, bucket string, probe int"
+        )
 
-        cap = self.max_candidates or max(k, math.ceil(self.candidate_multiplier * k))
+        # the default candidate budget scales with the probe budget —
+        # probing p× the buckets and keeping the same cap would evict
+        # base-bucket hits and LOWER recall; an explicit max_candidates
+        # is respected as-is
+        cap = self.max_candidates or (
+            max(k, math.ceil(self.candidate_multiplier * k)) * self.n_probes
+        )
         votes = (
             art.tables["buckets"]
             .join(F.broadcast(qb_df), ["table_id", "bucket"])
             .groupBy("qid", "id")
-            .agg(F.count("*").alias("votes"))
+            .agg(F.count("*").alias("votes"), F.min("probe").alias("best_probe"))
         )
-        w = Window.partitionBy("qid").orderBy(F.desc("votes"), F.asc("id"))
+        # best_probe is constant 0 single-probe (ordering unchanged);
+        # multi-probe it ranks base-bucket hits above far perturbations
+        w = Window.partitionBy("qid").orderBy(
+            F.desc("votes"), F.asc("best_probe"), F.asc("id")
+        )
         capped = votes.withColumn("_rn", F.row_number().over(w)).filter(
             F.col("_rn") <= cap
         )
