@@ -132,3 +132,31 @@ def test_custom_metric_registry(spark):
 
     with _pytest.raises(ValueError):
         register_metric("l2", l1_kernel)
+
+
+def test_declarative_knn_plan_shape(spark, tmp_path):
+    """The declarative exact-kNN plan must show the 100 TB-safe shape:
+    queries broadcast (base never shuffled for the join), base scan
+    column-pruned to id+vector, and the rank filter pushed down as a
+    window group limit before the qid exchange."""
+    import numpy as np
+
+    from vectordb_retrieval_spark.operators.exact import exact_knn_expr
+
+    rng = np.random.RandomState(3)
+    pdf_path = str(tmp_path / "base.parquet")
+    from tests.conftest import make_vector_df
+
+    base = make_vector_df(spark, rng.randn(500, 8).astype(np.float32))
+    base.withColumn("extra", base.id * 2).write.parquet(pdf_path)
+    base_scan = spark.read.parquet(pdf_path)
+    queries = make_vector_df(spark, rng.randn(4, 8).astype(np.float32), id_name="qid")
+
+    res = exact_knn_expr(base_scan, queries, 5)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "WindowGroupLimit" in plan
+    # column pruning: the untouched 'extra' column must not be read
+    read_schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "extra" not in read_schema
+    assert "vec" in read_schema
