@@ -35,6 +35,20 @@ def q_embed_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BASELINE north star end-to-end: batch-embed the documents
+    table with the (SQL-reproducible, integer-valued) hash-stub encoder,
+    then exact kNN of the query docs against the corpus in embedding
+    space.  Distances are integer quadratic forms, so the whole
+    embed→search pipeline hash-matches the oracle exactly."""
+    dense = embed_text(docs(spark, sf_dir), dim=EMBED_DIM, normalize=False)
+    qdf = dense.filter(F.col("id") % 10 == 0)
+    res = exact_knn(
+        dense, qdf, 10, "l2", id_col="id", vec_col="embedding", qid_col="id"
+    )
+    return res.select("qid", "id", "rank")
+
+
 def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF embed the documents table in-engine; emit per-doc
     non-zero counts + round6 vector norm (deterministic, rows-only)."""
@@ -85,8 +99,57 @@ sums AS (SELECT id, dim, CAST(sum(sign) AS INT) AS signed_count FROM h GROUP BY 
 SELECT id, dim, signed_count FROM sums WHERE signed_count <> 0
 """
 
+# sparse form of the embed→kNN pipeline: dist²(a,b) = ‖a‖² + ‖b‖² −
+# 2·a·b over the integer sign-sum embeddings — every term an exact
+# integer, dot products via a dim-equi-join of the sparse components
+_PIPELINE_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))
+           AS tok
+  FROM documents
+),
+h AS (
+  SELECT id,
+         CAST(CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % {EMBED_DIM} AS INT)
+           AS dim,
+         CASE WHEN CAST('0x' || substr(md5(tok), 9, 2) AS INT) & 1 = 1
+              THEN 1 ELSE -1 END AS sign
+  FROM toks
+),
+sums AS (SELECT id, dim, CAST(sum(sign) AS BIGINT) AS c FROM h GROUP BY id, dim),
+ids AS (SELECT doc_id AS id FROM documents),
+norms AS (
+  SELECT ids.id, COALESCE(s.n2, 0) AS n2
+  FROM ids LEFT JOIN (SELECT id, sum(c * c) AS n2 FROM sums GROUP BY id) s
+    ON s.id = ids.id
+),
+dots AS (
+  SELECT a.id AS qid, b.id AS id, sum(a.c * b.c) AS dp
+  FROM sums a JOIN sums b ON a.dim = b.dim
+  WHERE a.id % 10 = 0
+  GROUP BY a.id, b.id
+),
+pairs AS (
+  SELECT q.id AS qid, b.id AS id,
+         nq.n2 + nb.n2 - 2 * COALESCE(d.dp, 0) AS d2
+  FROM ids q
+  CROSS JOIN ids b
+  JOIN norms nq ON nq.id = q.id
+  JOIN norms nb ON nb.id = b.id
+  LEFT JOIN dots d ON d.qid = q.id AND d.id = b.id
+  WHERE q.id % 10 = 0
+),
+r AS (
+  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY d2, id) AS rank
+  FROM pairs
+)
+SELECT qid, id, rank FROM r WHERE rank <= 10
+"""
+
 QUERIES = {
     "dataprep_embed_stub": q_embed_stub,
+    "pipeline_embed_knn": q_pipeline_embed_knn,
     "dataprep_tfidf": q_tfidf,
     "dataprep_subsample": q_subsample,
     "source_random_dataset_gt": q_random_dataset,
@@ -112,6 +175,7 @@ LIMIT {SUBSAMPLE_N}
 
 ORACLES = {
     "dataprep_embed_stub": _EMBED_ORACLE,
+    "pipeline_embed_knn": _PIPELINE_ORACLE,
     "dataprep_subsample": _SUBSAMPLE_ORACLE,
     "source_random_dataset_gt": _RAND_GT_ORACLE,
 }
