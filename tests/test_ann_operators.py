@@ -318,3 +318,28 @@ def test_lsh_multiprobe_buckets_and_recall(dfs, exact_ids):
     assert recall_of(l2_multi.collect(), exact_ids) >= recall_of(
         l2_single.collect(), exact_ids
     )
+
+
+def test_adc_lut_equals_decoded_l2(vecs):
+    """The invariant the PQ searcher's decode+GEMM rewrite relies on:
+    LUT-summed ADC distance equals L2 to the decoded vector (exact
+    codebook arithmetic, up to float addition order ~1e-9)."""
+    from vectordb_retrieval_spark.functions.distance import pairwise_distances
+    from vectordb_retrieval_spark.operators.quant import PQCodec
+
+    base, queries = vecs
+    codec = PQCodec(m=8, ksub=16, seed=4)
+    dsub = DIM // 8
+    codec.codebooks = np.stack(
+        [
+            base[:16, j * dsub : (j + 1) * dsub].astype(np.float64)
+            for j in range(8)
+        ]
+    )
+    codes = codec.encode(base[:100])
+    luts = codec.adc_luts(queries[:5])
+    qrows = np.repeat(np.arange(5), 100)
+    crows = np.tile(np.arange(100), 5)
+    via_lut = codec.adc_distance(luts, qrows, codes[crows]).reshape(5, 100)
+    via_decode = pairwise_distances(queries[:5], codec.decode(codes), "l2")
+    np.testing.assert_allclose(via_lut, via_decode, atol=1e-9)
