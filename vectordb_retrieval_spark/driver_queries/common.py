@@ -30,8 +30,19 @@ def docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+# events.parquet stores ts as parquet TIMESTAMP(NANOS), which Spark's
+# schema inference rejects (PARQUET_TYPE_ILLEGAL) unless the session set
+# spark.sql.legacy.parquet.nanosAsLong — which the driver's session may
+# not have.  An explicit schema skips footer inference entirely and reads
+# the physical INT64 as epoch-nanos, working under ANY session config.
+EVENTS_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
 def events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    return spark.read.schema(EVENTS_SCHEMA).parquet(f"{sf_dir}/events.parquet")
 
 
 def round6(df: DataFrame) -> DataFrame:

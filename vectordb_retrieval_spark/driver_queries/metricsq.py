@@ -10,6 +10,7 @@ from vectordb_retrieval_spark.driver_queries.common import (
     K,
     QUERY_FILTER,
     emb,
+    events,
     round6,
 )
 from vectordb_retrieval_spark.metrics import (
@@ -45,9 +46,7 @@ def metrics_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def latency_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
-        F.col("value").alias("t")
-    )
+    ev = events(spark, sf_dir).select(F.col("value").alias("t"))
     return round6(latency_stats(ev, "t"))
 
 
