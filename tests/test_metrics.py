@@ -58,6 +58,29 @@ def test_missing_query_counts_as_zero(spark):
     assert m["hit_rate"] == 0.5
 
 
+def test_deep_gt_full_set_semantics(spark):
+    """Reference parity (src/benchmark/metrics.py): with GT deeper than
+    k, only recall truncates GT at k — precision/MAP/NDCG/hit_rate/MRR
+    mark hits against the FULL GT set."""
+    from vectordb_retrieval_spark.metrics import (
+        retrieval_metrics,
+        retrieval_metrics_multi,
+    )
+
+    gt = make_ranked(spark, [(0, 10, 1), (0, 11, 2), (0, 12, 3)])
+    pred = make_ranked(spark, [(0, 11, 1)])  # in full GT, not in gt@1
+    m = retrieval_metrics(pred, gt, 1).collect()[0]
+    assert m["recall"] == 0.0  # gt@1 = {10}
+    assert m["precision"] == 1.0  # full GT hit / k
+    assert m["map"] == pytest.approx(1 / 3)  # (1/1) / |gt_full|
+    assert m["ndcg"] == pytest.approx(1.0)  # dcg=1, idcg(min(3,1))=1
+    assert m["hit_rate"] == 1.0 and m["mrr"] == 1.0
+
+    rows = {r["k"]: r for r in retrieval_metrics_multi(pred, gt, [1]).collect()}
+    assert rows[1]["recall"] == 0.0 and rows[1]["precision"] == 1.0
+    assert rows[1]["map"] == pytest.approx(1 / 3)
+
+
 def test_multi_k_sweep(spark):
     from vectordb_retrieval_spark.metrics import retrieval_metrics_multi
 

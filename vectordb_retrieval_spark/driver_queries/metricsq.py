@@ -50,6 +50,9 @@ def latency_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return round6(latency_stats(ev, "t"))
 
 
+# Reference semantics (src/benchmark/metrics.py): only recall truncates
+# the GT set at k; precision/MAP/NDCG/hit_rate/MRR mark the top-k
+# predictions against the FULL (depth = gt_depth) GT set.
 METRICS_CTE = """
 WITH q AS (
   SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
@@ -63,7 +66,7 @@ dl AS (
          ) AS rank
   FROM q CROSS JOIN embeddings b
 ),
-gt AS (SELECT qid, id FROM dl WHERE rank <= {k}),
+gt AS (SELECT qid, id, rank AS gt_rank FROM dl WHERE rank <= {gt_depth}),
 dp AS (
   SELECT q.qid, b.vec_id AS id,
          row_number() OVER (
@@ -74,20 +77,26 @@ dp AS (
   FROM q CROSS JOIN embeddings b
 ),
 pred AS (SELECT qid, id, rank FROM dp WHERE rank <= {k}),
-sizes AS (SELECT qid, count(*) AS n_gt FROM gt GROUP BY qid),
+sizes AS (
+  SELECT qid, count(*) AS n_gt,
+         sum(CASE WHEN gt_rank <= {k} THEN 1 ELSE 0 END) AS n_gt_k
+  FROM gt GROUP BY qid
+),
 marked AS (
   SELECT p.qid, p.rank,
-         CASE WHEN g.id IS NOT NULL THEN 1 ELSE 0 END AS hit
+         CASE WHEN g.id IS NOT NULL THEN 1 ELSE 0 END AS hit,
+         CASE WHEN g.gt_rank <= {k} THEN 1 ELSE 0 END AS hit_k
   FROM pred p LEFT JOIN gt g ON p.qid = g.qid AND p.id = g.id
 ),
 scored AS (
-  SELECT qid, hit, rank,
+  SELECT qid, hit, hit_k, rank,
          sum(hit) OVER (PARTITION BY qid ORDER BY rank) AS cum
   FROM marked
 ),
 perq_raw AS (
   SELECT qid,
          sum(hit) AS n_hit,
+         sum(hit_k) AS n_hit_k,
          sum(hit * cum * 1.0 / rank) AS ap_sum,
          sum(hit * 1.0 / log2(rank + 1)) AS dcg,
          min(CASE WHEN hit = 1 THEN rank END) AS first_hit
@@ -95,7 +104,7 @@ perq_raw AS (
 ),
 perq AS (
   SELECT s.qid,
-         coalesce(p.n_hit, 0) * 1.0 / s.n_gt AS recall,
+         coalesce(p.n_hit_k, 0) * 1.0 / s.n_gt_k AS recall,
          coalesce(p.n_hit, 0) * 1.0 / {k} AS precision,
          coalesce(p.ap_sum, 0) / s.n_gt AS ap,
          coalesce(p.dcg, 0)
@@ -134,9 +143,9 @@ QUERIES = {
 }
 
 ORACLES = {
-    "retrieval_metrics_at_10": METRICS_CTE.format(k=10),
+    "retrieval_metrics_at_10": METRICS_CTE.format(k=10, gt_depth=K),
     "retrieval_metrics_sweep": " UNION ALL ".join(
-        f"({METRICS_CTE.format(k=k)})" for k in (1, 5, 10)
+        f"({METRICS_CTE.format(k=k, gt_depth=K)})" for k in (1, 5, 10)
     ),
     "latency_stats_events": LATENCY_ORACLE,
 }

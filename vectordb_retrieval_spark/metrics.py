@@ -11,13 +11,19 @@ Input contract: ``pred`` and ``gt`` are exploded ranked results,
 DataFrame(qid, id, rank) with rank 1-based ascending (the output shape
 of ``operators.exact.exact_knn`` / any searcher in this engine).
 
-Definitions (binary relevance; GT set = gt rows with rank <= k):
-- recall@k    = |gt_k ∩ pred_k| / |gt_k|
-- precision@k = |gt_k ∩ pred_k| / k
-- AP@k        = Σ_{i∈hits} (cum_hits(i)/i) / |gt_k|          (MAP = mean)
-- DCG@k       = Σ_{i∈hits} 1/log2(i+1);  IDCG@k = Σ_{i=1..|gt_k|} 1/log2(i+1)
-- hit_rate@k  = mean(1 if any hit else 0)
-- MRR         = mean(1/first_hit_rank, else 0)
+Definitions (binary relevance) follow the reference exactly
+(src/benchmark/metrics.py): **only recall truncates the ground-truth
+set to rank <= k**; precision, MAP, NDCG, hit_rate and MRR judge the
+top-k predictions against the FULL ground-truth set (gt_set =
+set(ground_truth[i]) in the reference), so with a deep GT the non-recall
+metrics at small k are comparable across frameworks:
+- recall@k    = |gt_k ∩ pred_k| / |gt_k|            (gt_k = gt rank <= k)
+- precision@k = |gt_full ∩ pred_k| / k
+- AP@k        = Σ_{i∈full hits} (cum_hits(i)/i) / |gt_full|   (MAP = mean)
+- DCG@k       = Σ_{i∈full hits} 1/log2(i+1);
+  IDCG@k      = Σ_{i=1..min(|gt_full|,k)} 1/log2(i+1)
+- hit_rate@k  = mean(1 if any full hit in pred_k else 0)
+- MRR         = mean(1/first_full_hit_rank, else 0)
 
 Queries with no predicted rows still count (as zeros) — the per-query
 frame is right-anchored on the ground-truth query set, matching the
@@ -32,16 +38,23 @@ from pyspark.sql import functions as F
 
 def _per_query(pred: DataFrame, gt: DataFrame, k: int) -> DataFrame:
     p = pred.filter(F.col("rank") <= k).select("qid", "id", "rank")
-    g = gt.filter(F.col("rank") <= k).select("qid", "id")
-    gt_sizes = g.groupBy("qid").agg(F.count("*").alias("n_gt"))
+    g = gt.select("qid", "id", F.col("rank").alias("gt_rank"))
+    gt_sizes = g.groupBy("qid").agg(
+        F.count("*").alias("n_gt"),
+        F.sum((F.col("gt_rank") <= k).cast("long")).alias("n_gt_k"),
+    )
 
-    marked = p.join(g.withColumn("_hit", F.lit(1)), ["qid", "id"], "left").withColumn(
-        "hit", F.coalesce(F.col("_hit"), F.lit(0))
+    marked = p.join(g, ["qid", "id"], "left").select(
+        "qid",
+        "rank",
+        F.when(F.col("gt_rank").isNotNull(), 1).otherwise(0).alias("hit"),
+        F.when(F.col("gt_rank") <= k, 1).otherwise(0).alias("hit_k"),
     )
     w = Window.partitionBy("qid").orderBy("rank")
     scored = marked.withColumn("cum_hits", F.sum("hit").over(w)).select(
         "qid",
         "hit",
+        "hit_k",
         "rank",
         (F.col("hit") * F.col("cum_hits") / F.col("rank")).alias("ap_term"),
         (F.col("hit") / F.log2(F.col("rank") + 1)).alias("dcg_term"),
@@ -49,6 +62,7 @@ def _per_query(pred: DataFrame, gt: DataFrame, k: int) -> DataFrame:
     )
     agg = scored.groupBy("qid").agg(
         F.sum("hit").alias("n_hit"),
+        F.sum("hit_k").alias("n_hit_k"),
         F.sum("ap_term").alias("ap_sum"),
         F.sum("dcg_term").alias("dcg"),
         F.min("hit_rank").alias("first_hit"),
@@ -60,10 +74,10 @@ def _per_query(pred: DataFrame, gt: DataFrame, k: int) -> DataFrame:
     )
     return (
         gt_sizes.join(agg, "qid", "left")
-        .fillna(0, subset=["n_hit", "ap_sum", "dcg"])
+        .fillna(0, subset=["n_hit", "n_hit_k", "ap_sum", "dcg"])
         .select(
             "qid",
-            (F.col("n_hit") / F.col("n_gt")).alias("recall"),
+            (F.col("n_hit_k") / F.col("n_gt_k")).alias("recall"),
             (F.col("n_hit") / F.lit(float(k))).alias("precision"),
             (F.col("ap_sum") / F.col("n_gt")).alias("ap"),
             (F.col("dcg") / idcg).alias("ndcg"),
@@ -104,21 +118,30 @@ def retrieval_metrics_multi(pred: DataFrame, gt: DataFrame, ks: list[int]) -> Da
         .withColumn("k", F.explode(cuts))
         .filter(F.col("rank") <= F.col("k"))
     )
+    # gt is NOT truncated at k: non-recall metrics judge against the full
+    # GT set (reference semantics); gt_rank carries the k-truncation info
     g = (
-        gt.select("qid", "id", "rank")
+        gt.select("qid", "id", F.col("rank").alias("gt_rank"))
         .withColumn("k", F.explode(cuts))
-        .filter(F.col("rank") <= F.col("k"))
-        .select("k", "qid", "id")
+        .select("k", "qid", "id", "gt_rank")
     )
-    gt_sizes = g.groupBy("k", "qid").agg(F.count("*").alias("n_gt"))
-    marked = p.join(
-        g.withColumn("_hit", F.lit(1)), ["k", "qid", "id"], "left"
-    ).withColumn("hit", F.coalesce(F.col("_hit"), F.lit(0)))
+    gt_sizes = g.groupBy("k", "qid").agg(
+        F.count("*").alias("n_gt"),
+        F.sum((F.col("gt_rank") <= F.col("k")).cast("long")).alias("n_gt_k"),
+    )
+    marked = p.join(g, ["k", "qid", "id"], "left").select(
+        "k",
+        "qid",
+        "rank",
+        F.when(F.col("gt_rank").isNotNull(), 1).otherwise(0).alias("hit"),
+        F.when(F.col("gt_rank") <= F.col("k"), 1).otherwise(0).alias("hit_k"),
+    )
     w = Window.partitionBy("k", "qid").orderBy("rank")
     scored = marked.withColumn("cum_hits", F.sum("hit").over(w)).select(
         "k",
         "qid",
         "hit",
+        "hit_k",
         "rank",
         (F.col("hit") * F.col("cum_hits") / F.col("rank")).alias("ap_term"),
         (F.col("hit") / F.log2(F.col("rank") + 1)).alias("dcg_term"),
@@ -126,6 +149,7 @@ def retrieval_metrics_multi(pred: DataFrame, gt: DataFrame, ks: list[int]) -> Da
     )
     agg = scored.groupBy("k", "qid").agg(
         F.sum("hit").alias("n_hit"),
+        F.sum("hit_k").alias("n_hit_k"),
         F.sum("ap_term").alias("ap_sum"),
         F.sum("dcg_term").alias("dcg"),
         F.min("hit_rank").alias("first_hit"),
@@ -137,11 +161,11 @@ def retrieval_metrics_multi(pred: DataFrame, gt: DataFrame, ks: list[int]) -> Da
     )
     perq = (
         gt_sizes.join(agg, ["k", "qid"], "left")
-        .fillna(0, subset=["n_hit", "ap_sum", "dcg"])
+        .fillna(0, subset=["n_hit", "n_hit_k", "ap_sum", "dcg"])
         .select(
             "k",
             "qid",
-            (F.col("n_hit") / F.col("n_gt")).alias("recall"),
+            (F.col("n_hit_k") / F.col("n_gt_k")).alias("recall"),
             (F.col("n_hit") / F.col("k").cast("double")).alias("precision"),
             (F.col("ap_sum") / F.col("n_gt")).alias("ap"),
             (F.col("dcg") / idcg).alias("ndcg"),
