@@ -2,10 +2,11 @@
 
 ``dataprep_embed_stub`` is fully oracle-checked: the hash-stub encoder's
 sign-sums are recomputed in SQL from md5 of each token (exact integers,
-no float drift).  The generator/TF-IDF/subsample paths use engine
-internals an external SQL engine cannot reproduce (Philox streams,
-MLlib vocabulary fit, xxhash64 ordering), so they register rows-only;
-their semantics are pinned by tests/test_sources.py instead.
+no float drift).  ``dataprep_tfidf`` pins its vocabulary to a total
+order (df DESC, term ASC) so the whole TF-IDF space reproduces in
+DuckDB count/log arithmetic.  The random-generator path uses Philox
+streams no SQL engine reproduces, so its oracle checks the
+self-consistency invariant (generated GT == exact kNN) instead.
 """
 
 from __future__ import annotations
@@ -49,15 +50,25 @@ def q_pipeline_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("qid", "id", "rank")
 
 
+TFIDF_FEATURES = 64
+
+
 def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TF-IDF embed the documents table in-engine; emit per-doc
-    non-zero counts + round6 vector norm (deterministic, rows-only)."""
+    """TF-IDF embed the documents table in a deterministically pinned
+    vocabulary (top-64 terms by document frequency DESC, term ASC) and
+    emit the exploded non-zero components.  Every weight is
+    tf · ln((m+1)/(df+1)) — pure count/log arithmetic a SQL engine
+    reproduces exactly, so the query hash-matches its oracle.  No
+    float summation anywhere: each emitted value depends only on its
+    own (tf, df) pair, never on aggregation order."""
     d = docs(spark, sf_dir)
-    vec = TfidfVectorizer(max_features=64).fit(d)
-    out = vec.transform(d, id_col="doc_id")
-    nz = F.size(F.filter("vec", lambda x: x != 0))
-    norm = F.sqrt(F.aggregate("vec", F.lit(0.0), lambda a, x: a + x * x))
-    return out.select("id", nz.alias("n_nonzero"), F.round(norm, 6).alias("norm"))
+    vec = TfidfVectorizer(max_features=TFIDF_FEATURES).fit(d, deterministic=True)
+    out = vec.transform(d, id_col="doc_id", vec_dtype="float64")
+    return (
+        out.select("id", F.posexplode("vec").alias("dim", "w"))
+        .filter(F.col("w") != 0)
+        .select("id", "dim", F.round("w", 6).alias("w"))
+    )
 
 
 def q_subsample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -164,6 +175,38 @@ SELECT CAST(range AS BIGINT) AS qid, CAST({RAND_K} AS BIGINT) AS n_match
 FROM range(0, {RAND_Q})
 """
 
+# TF-IDF with a pinned vocabulary: tokenization = lowercase split on
+# \W+ (RegexTokenizer parity), terms = unigrams + space-joined bigrams
+# (NGram parity), vocab = top-N by (df DESC, term ASC), weight =
+# tf * ln((m+1)/(df+1)) (MLlib IDF formula), dim = vocab position
+_TFIDF_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS t
+  FROM documents
+),
+uni AS (SELECT id, unnest(t) AS term FROM toks),
+bi AS (
+  SELECT id,
+         unnest(list_transform(generate_series(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i + 1])) AS term
+  FROM toks
+),
+terms AS (SELECT id, term FROM uni UNION ALL SELECT id, term FROM bi),
+dfreq AS (SELECT term, count(DISTINCT id) AS df FROM terms GROUP BY term),
+vocab AS (
+  SELECT term, df,
+         CAST(row_number() OVER (ORDER BY df DESC, term) - 1 AS INT) AS dim
+  FROM dfreq ORDER BY df DESC, term LIMIT {TFIDF_FEATURES}
+),
+m AS (SELECT count(*) AS n FROM documents),
+tf AS (SELECT id, term, count(*) AS tf FROM terms GROUP BY id, term)
+SELECT tf.id, v.dim,
+       round(tf.tf * ln((m.n + 1.0) / (v.df + 1.0)), 6) AS w
+FROM tf JOIN vocab v USING (term) CROSS JOIN m
+WHERE tf.tf * ln((m.n + 1.0) / (v.df + 1.0)) <> 0
+"""
+
 # md5-ordered subsample: the seeded hash ordering is engine-agnostic, so
 # DuckDB reproduces exactly the same n rows
 _SUBSAMPLE_ORACLE = f"""
@@ -176,6 +219,7 @@ LIMIT {SUBSAMPLE_N}
 ORACLES = {
     "dataprep_embed_stub": _EMBED_ORACLE,
     "pipeline_embed_knn": _PIPELINE_ORACLE,
+    "dataprep_tfidf": _TFIDF_ORACLE,
     "dataprep_subsample": _SUBSAMPLE_ORACLE,
     "source_random_dataset_gt": _RAND_GT_ORACLE,
 }

@@ -15,7 +15,14 @@ the reference (dataset.py:832-845).
 
 from __future__ import annotations
 
-from pyspark.ml.feature import IDF, CountVectorizer, NGram, RegexTokenizer
+from pyspark.ml.feature import (
+    IDF,
+    CountVectorizer,
+    CountVectorizerModel,
+    NGram,
+    RegexTokenizer,
+)
+from pyspark.ml.functions import vector_to_array
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -75,15 +82,42 @@ class TfidfVectorizer:
             "_terms", F.concat(F.col("_tokens"), F.col("_bigrams"))
         )
 
-    def fit(self, corpus: DataFrame, text_col: str = "text") -> "TfidfVectorizer":
+    def fit(
+        self,
+        corpus: DataFrame,
+        text_col: str = "text",
+        deterministic: bool = False,
+    ) -> "TfidfVectorizer":
+        """Fit vocabulary + IDF weights on the corpus.
+
+        ``deterministic=True`` pins the vocabulary to the top
+        ``max_features`` terms by (document frequency DESC, term ASC) —
+        a total order, so the fitted space is bit-reproducible across
+        runs and engines (CountVectorizer's own frequency ordering
+        breaks ties arbitrarily).  One extra distributed agg; the
+        vocabulary itself (≤ max_features strings) is driver-side."""
         terms = self._terms(corpus, text_col)
-        cv = CountVectorizer(
-            inputCol="_terms",
-            outputCol="_tf",
-            vocabSize=self.max_features,
-            minDF=self.min_df,
-        )
-        self.cv_model = cv.fit(terms)
+        if deterministic:
+            vocab_rows = (
+                terms.select(F.explode(F.array_distinct("_terms")).alias("term"))
+                .groupBy("term")
+                .agg(F.count("*").alias("df"))
+                .filter(F.col("df") >= self.min_df)
+                .orderBy(F.desc("df"), "term")
+                .limit(self.max_features)
+                .collect()
+            )
+            self.cv_model = CountVectorizerModel.from_vocabulary(
+                [r["term"] for r in vocab_rows], inputCol="_terms", outputCol="_tf"
+            )
+        else:
+            cv = CountVectorizer(
+                inputCol="_terms",
+                outputCol="_tf",
+                vocabSize=self.max_features,
+                minDF=self.min_df,
+            )
+            self.cv_model = cv.fit(terms)
         tf = self.cv_model.transform(terms)
         self.idf_model = IDF(inputCol="_tf", outputCol="_tfidf").fit(tf)
         return self
@@ -95,22 +129,19 @@ class TfidfVectorizer:
         id_col: str = "doc_id",
         out_id: str = "id",
         vec_col: str = "vec",
+        vec_dtype: str = "float32",
     ) -> DataFrame:
         if self.cv_model is None:
             raise RuntimeError("fit must run before transform")
         terms = self._terms(df, text_col)
         tf = self.cv_model.transform(terms)
         tfidf = self.idf_model.transform(tf)
-        # MLlib sparse vector → dense array<float> (the engine's contract);
-        # dimension = fitted vocabulary size (vocabSize is an upper bound)
-        n = len(self.cv_model.vocabulary)
-        to_dense = F.udf(
-            lambda v: [float(x) for x in v.toArray()] if v is not None else [0.0] * n,
-            "array<float>",
-        )
+        # MLlib sparse vector → dense array (float32 = the engine's ANN
+        # contract; float64 keeps full precision for oracle checks),
+        # densified JVM-side by vector_to_array — no Python UDF
         return tfidf.select(
             F.col(id_col).cast("long").alias(out_id),
-            to_dense(F.col("_tfidf")).alias(vec_col),
+            vector_to_array(F.col("_tfidf"), vec_dtype).alias(vec_col),
         )
 
 
