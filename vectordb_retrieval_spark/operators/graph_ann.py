@@ -11,10 +11,19 @@ per-shard HNSW + merge pattern in distributed FAISS deployments.
 
 Scale properties: build is embarrassingly parallel (one graph per
 partition, bounded by rows_per_partition); search broadcasts the query
-batch and fans out one beam search per (partition, query) with NO
-shuffle until the final candidates→top-k merge (n_partitions × k rows
-per query).  Recall exceeds single-graph HNSW at equal ef because each
-partition contributes its local best-k.
+batch and fans out one BATCHED beam search per partition — all routed
+queries advance through the graph together, every beam step one
+vectorized NumPy gather + einsum across queries instead of a per-query
+Python loop — with NO shuffle until the final candidates→top-k merge
+(probed_partitions × k rows per query).
+
+Fan-out control: ``partition_by="lsh"`` shards the base spatially
+(seeded sign-random-projection buckets), and the searcher can then
+route each query to only its ``probe_partitions`` nearest shards by
+per-shard centroid (IVF-over-shards), so per-query work stays flat as
+partition count grows with data — the property that makes the operator
+hold at 1000 executors.  Default (hash shards, probe all) keeps the
+recall-maximizing every-shard-contributes behavior.
 
 Graph shape: symmetric NSW (Malkov et al. 2014 single-layer variant) —
 insert nodes in id order, connect each to its M nearest among the
@@ -32,7 +41,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from vectordb_retrieval_spark.artifacts import IndexArtifact
-from vectordb_retrieval_spark.functions.distance import normalize_rows
+from vectordb_retrieval_spark.functions.distance import (
+    normalize_rows,
+    pairwise_distances,
+)
+from vectordb_retrieval_spark.functions.hashing import make_projections
 from vectordb_retrieval_spark.operators.topk import topk_per_query
 
 
@@ -77,6 +90,128 @@ def _beam_search(
                 if len(best) > ef:
                     heapq.heappop(best)
     return sorted((-d, n) for d, n in best)
+
+
+def _pad_adjacency(adj: list[np.ndarray]) -> np.ndarray:
+    """Ragged adjacency → (n, max_degree) int64 matrix padded with -1,
+    so a whole frontier's neighbor lists gather as one NumPy index."""
+    n = len(adj)
+    dmax = max((len(a) for a in adj), default=0)
+    out = np.full((n, max(dmax, 1)), -1, dtype=np.int64)
+    for i, a in enumerate(adj):
+        out[i, : len(a)] = a
+    return out
+
+
+def _entry_dists(m64, bsq, q64, qsq, entry: int, metric: str) -> np.ndarray:
+    if metric == "l2":
+        return np.sqrt(np.maximum(bsq[entry] + qsq - 2.0 * (q64 @ m64[entry]), 0.0))
+    s = q64 @ m64[entry]
+    return 1.0 - s if metric == "cosine" else -s
+
+
+def _batched_beam(
+    mat: np.ndarray,
+    padj: np.ndarray,
+    qmat: np.ndarray,
+    ef: int,
+    metric: str,
+    entry: int = 0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Wave-synchronized beam search for ALL queries at once.
+
+    Per iteration every query expands its entire unexpanded beam
+    frontier: one padded-adjacency gather builds the flat
+    (query, neighbor) pair list, one einsum computes all pair
+    distances, and one lexsort-ranked merge rebuilds every beam — no
+    per-query Python loop anywhere.  A node enters a query's candidate
+    set at most once (visited mask), so with ef ≥ n the beam absorbs
+    the whole connected graph and the result is provably exact — the
+    property graph_ann_exhaustive's oracle check relies on.
+
+    Returns (dists, nodes): (n_q, ef) ascending by (dist, node),
+    padded with (inf, -1).
+    """
+    n = len(mat)
+    n_q = len(qmat)
+    ef = min(ef, n)
+    m64 = mat.astype(np.float64)
+    q64 = qmat.astype(np.float64)
+    bsq = (m64 * m64).sum(axis=1)
+    qsq = (q64 * q64).sum(axis=1)
+
+    beam_d = np.full((n_q, ef), np.inf)
+    beam_i = np.full((n_q, ef), -1, dtype=np.int64)
+    beam_x = np.zeros((n_q, ef), dtype=bool)  # expanded flag
+    visited = np.zeros((n_q, n), dtype=bool)
+    beam_d[:, 0] = _entry_dists(m64, bsq, q64, qsq, entry, metric)
+    beam_i[:, 0] = entry
+    visited[:, entry] = True
+    dmax = padj.shape[1]
+
+    while True:
+        frontier = (~beam_x) & (beam_i >= 0)
+        if not frontier.any():
+            break
+        fq, fslot = np.nonzero(frontier)
+        beam_x[fq, fslot] = True
+        nodes = beam_i[fq, fslot]
+        neigh = padj[nodes]  # (F, dmax)
+        a_idx = np.repeat(fq, dmax)
+        n_idx = neigh.reshape(-1)
+        ok = n_idx >= 0
+        ok[ok] &= ~visited[a_idx[ok], n_idx[ok]]
+        fa, fn = a_idx[ok], n_idx[ok]
+        if len(fa):
+            # same neighbor reachable from two frontier nodes of one
+            # query → dedup before distance + merge
+            uniq = np.unique(fa * np.int64(n) + fn)
+            fa, fn = uniq // n, uniq % n
+            visited[fa, fn] = True
+            if metric == "l2":
+                dot = np.einsum("ij,ij->i", m64[fn], q64[fa])
+                nd = np.sqrt(np.maximum(bsq[fn] + qsq[fa] - 2.0 * dot, 0.0))
+            else:
+                s = np.einsum("ij,ij->i", m64[fn], q64[fa])
+                nd = 1.0 - s if metric == "cosine" else -s
+        else:
+            nd = np.empty(0)
+        # ragged merge: flat (query, dist, node, expanded) rows →
+        # lexsort by (query, dist, node) → keep rank < ef per query
+        live = beam_i >= 0
+        lq, lslot = np.nonzero(live)
+        all_q = np.concatenate([lq, fa])
+        all_d = np.concatenate([beam_d[lq, lslot], nd])
+        all_i = np.concatenate([beam_i[lq, lslot], fn])
+        all_x = np.concatenate([beam_x[lq, lslot], np.zeros(len(fa), dtype=bool)])
+        order = np.lexsort((all_i, all_d, all_q))
+        sq_, sd, si, sx = all_q[order], all_d[order], all_i[order], all_x[order]
+        starts = np.r_[0, np.nonzero(np.diff(sq_))[0] + 1]
+        counts = np.diff(np.r_[starts, len(sq_)])
+        rank = np.arange(len(sq_)) - np.repeat(starts, counts)
+        keep = rank < ef
+        beam_d.fill(np.inf)
+        beam_i.fill(-1)
+        beam_x.fill(False)
+        beam_d[sq_[keep], rank[keep]] = sd[keep]
+        beam_i[sq_[keep], rank[keep]] = si[keep]
+        beam_x[sq_[keep], rank[keep]] = sx[keep]
+    return beam_d, beam_i
+
+
+def _brute_topk(
+    mat: np.ndarray, qmat: np.ndarray, ef: int, metric: str
+) -> tuple[np.ndarray, np.ndarray]:
+    """ef ≥ graph size ⇒ the beam would absorb every node anyway; one
+    GEMM top-k is the same answer without the walk."""
+    d = pairwise_distances(qmat, mat, metric)
+    ef = min(ef, d.shape[1])
+    idx = np.argpartition(d, ef - 1, axis=1)[:, :ef]
+    pd_ = np.take_along_axis(d, idx, axis=1)
+    order = np.lexsort((idx, pd_), axis=1)
+    return np.take_along_axis(pd_, order, axis=1), np.take_along_axis(
+        idx, order, axis=1
+    ).astype(np.int64)
 
 
 def _build_nsw(
