@@ -10,22 +10,43 @@ from vectordb_retrieval_spark.operators.exact import exact_knn
 from vectordb_retrieval_spark.operators.graph_ann import (
     GraphANNIndexer,
     GraphANNSearcher,
-    _beam_search,
+    _batched_beam,
+    _brute_topk,
     _build_nsw,
+    _pad_adjacency,
 )
 from vectordb_retrieval_spark.sources.random_gen import random_vectors
 
 
-def test_beam_search_local_exact_on_full_graph():
+def test_batched_beam_exact_on_full_graph():
+    # ef = n ⇒ the beam absorbs the whole connected graph ⇒ exact
     rng = np.random.RandomState(0)
     mat = rng.randn(30, 4).astype(np.float32)
     adj = _build_nsw(mat, m=8, ef_construction=30, metric="l2")
-    q = rng.randn(4).astype(np.float32)
-    found = _beam_search(mat, adj, q, ef=30, metric="l2")
-    want = np.sqrt(((mat - q) ** 2).sum(axis=1))
-    order = np.argsort(want, kind="stable")
-    got_ids = [n for _d, n in found[:5]]
-    assert got_ids == list(order[:5])
+    qmat = rng.randn(7, 4).astype(np.float32)
+    bd, bi = _batched_beam(mat, _pad_adjacency(adj), qmat, ef=30, metric="l2")
+    want = np.sqrt(((mat[None, :, :] - qmat[:, None, :]) ** 2).sum(axis=2))
+    order = np.argsort(want, axis=1, kind="stable")
+    assert (bi[:, :5] == order[:, :5]).all()
+    # and agrees with the GEMM short-circuit path
+    cd, ci = _brute_topk(mat, qmat, 30, "l2")
+    assert (bi == ci).all()
+    np.testing.assert_allclose(bd, cd, rtol=1e-5, atol=1e-6)
+
+
+def test_batched_beam_narrow_ef_high_recall():
+    # realistic beam (ef << n) on a well-connected NSW graph: near-exact
+    rng = np.random.RandomState(3)
+    mat = rng.randn(500, 8).astype(np.float32)
+    adj = _build_nsw(mat, m=8, ef_construction=32, metric="l2")
+    qmat = rng.randn(16, 8).astype(np.float32)
+    bd, bi = _batched_beam(mat, _pad_adjacency(adj), qmat, ef=48, metric="l2")
+    want = np.sqrt(((mat[None, :, :] - qmat[:, None, :]) ** 2).sum(axis=2))
+    order = np.argsort(want, axis=1, kind="stable")
+    hits = sum(
+        len(set(bi[i, :10]) & set(order[i, :10])) for i in range(len(qmat))
+    )
+    assert hits / (10 * len(qmat)) >= 0.95
 
 
 @pytest.mark.parametrize("metric", ["l2", "cosine"])
@@ -69,6 +90,37 @@ def test_graph_ann_deterministic(spark):
         return {(r.qid, r.id, r.rank) for r in res.collect()}
 
     assert run() == run()
+
+
+def test_graph_ann_lsh_routing(spark):
+    # spatial shards + centroid routing: probing 2 of 4 shards must cut
+    # distance work while keeping recall high (neighbors co-bucket)
+    base = random_vectors(spark, 1000, 16, seed=61)
+    queries = random_vectors(spark, 20, 16, seed=62, id_col="qid")
+    art = GraphANNIndexer(
+        m=8, metric="l2", num_partitions=4, partition_by="lsh", seed=7
+    ).build(base, id_col="id", vec_col="vec")
+    assert "centroids" in art.params
+    routed = GraphANNSearcher(ef_search=60, probe_partitions=2).attach(art)
+    pred = routed.search(queries, 10, qid_col="qid", vec_col="vec")
+    truth = exact_knn(base, queries, 10, "l2", qid_col="qid", qvec_col="vec")
+    p = {(r.qid, r.id) for r in pred.collect()}
+    t = {(r.qid, r.id) for r in truth.collect()}
+    assert len(p & t) / len(t) >= 0.7
+    # routed work ≤ probe × ef per query (vs all-shards × ef)
+    assert routed.ndis_accum.value <= 20 * 2 * 60
+
+
+def test_graph_ann_probe_requires_lsh_artifact(spark):
+    base = random_vectors(spark, 200, 8, seed=63)
+    queries = random_vectors(spark, 3, 8, seed=64, id_col="qid")
+    art = GraphANNIndexer(m=4, num_partitions=2).build(
+        base, id_col="id", vec_col="vec"
+    )
+    with pytest.raises(ValueError, match="probe_partitions"):
+        GraphANNSearcher(ef_search=16, probe_partitions=1).attach(art).search(
+            queries, 3, qid_col="qid", vec_col="vec"
+        )
 
 
 def test_graph_ann_ndis_sublinear(spark):

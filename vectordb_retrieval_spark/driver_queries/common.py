@@ -30,19 +30,39 @@ def docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
-# events.parquet stores ts as parquet TIMESTAMP(NANOS), which Spark's
-# schema inference rejects (PARQUET_TYPE_ILLEGAL) unless the session set
-# spark.sql.legacy.parquet.nanosAsLong — which the driver's session may
-# not have.  An explicit schema skips footer inference entirely and reads
-# the physical INT64 as epoch-nanos, working under ANY session config.
+# events.parquet has stored ts as parquet TIMESTAMP(NANOS) in some data
+# generations (which Spark's schema inference rejects with
+# PARQUET_TYPE_ILLEGAL unless spark.sql.legacy.parquet.nanosAsLong is
+# set — the driver's session may not have it) and TIMESTAMP(MICROS) in
+# others.  An explicit schema skips footer inference entirely and reads
+# the physical INT64; the stored unit is detected from the parquet
+# footer (driver-side metadata read, no job) and normalized so ``ts``
+# is ALWAYS epoch-nanos regardless of how the file was written.
 EVENTS_SCHEMA = (
     "event_id long, ts long, user_id long, event_type string, "
     "value double, props string"
 )
 
+_TS_UNIT_FACTOR = {"ns": 1, "us": 1_000, "ms": 1_000_000, "s": 1_000_000_000}
+
+
+def _events_ts_nanos_factor(path: str) -> int:
+    try:
+        import pyarrow.parquet as pq
+
+        unit = pq.ParquetFile(path).schema_arrow.field("ts").type.unit
+        return _TS_UNIT_FACTOR[unit]
+    except Exception:
+        return 1  # unreadable footer → assume nanos (historical default)
+
 
 def events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.schema(EVENTS_SCHEMA).parquet(f"{sf_dir}/events.parquet")
+    path = f"{sf_dir}/events.parquet"
+    factor = _events_ts_nanos_factor(path)
+    df = spark.read.schema(EVENTS_SCHEMA).parquet(path)
+    if factor != 1:
+        df = df.withColumn("ts", F.col("ts") * F.lit(factor))
+    return df
 
 
 def round6(df: DataFrame) -> DataFrame:

@@ -11,28 +11,32 @@ per-shard HNSW + merge pattern in distributed FAISS deployments.
 
 Scale properties: build is embarrassingly parallel (one graph per
 partition, bounded by rows_per_partition); search broadcasts the query
-batch and fans out one BATCHED beam search per partition — all routed
-queries advance through the graph together, every beam step one
-vectorized NumPy gather + einsum across queries instead of a per-query
-Python loop — with NO shuffle until the final candidates→top-k merge
-(probed_partitions × k rows per query).
+batch and fans out one BATCHED beam search per partition —
+``_batched_beam`` advances all routed queries through the graph
+together, every beam step one vectorized NumPy gather + einsum across
+queries instead of a per-query Python loop — with NO shuffle until the
+final candidates→top-k merge (probed_partitions × k rows per query).
+When ``ef_search`` ≥ partition size the kernel short-circuits to
+``_brute_topk`` (one GEMM), which is the same answer the saturated beam
+would produce.
 
-Fan-out control: ``partition_by="lsh"`` shards the base spatially
-(seeded sign-random-projection buckets), and the searcher can then
-route each query to only its ``probe_partitions`` nearest shards by
-per-shard centroid (IVF-over-shards), so per-query work stays flat as
-partition count grows with data — the property that makes the operator
-hold at 1000 executors.  Default (hash shards, probe all) keeps the
-recall-maximizing every-shard-contributes behavior.
+Fan-out control: ``GraphANNIndexer(partition_by="lsh")`` shards the
+base spatially (seeded sign-random-projection buckets) and records a
+per-shard centroid in the artifact; ``GraphANNSearcher(
+probe_partitions=p)`` then routes each query to only its ``p`` nearest
+shards by centroid distance (IVF-over-shards), so per-query work stays
+flat as partition count grows with data — the property that makes the
+operator hold at 1000 executors.  Default (``partition_by="hash"``,
+``probe_partitions=None``) keeps the recall-maximizing
+every-shard-contributes behavior.
 
-Graph shape: symmetric NSW (Malkov et al. 2014 single-layer variant) —
-insert nodes in id order, connect each to its M nearest among the
-ef_construction best found by beam search from the current graph.
+Graph shape: symmetric NSW (Malkov et al. 2014 single-layer variant)
+with exact m-NN edges plus an id-order chain for guaranteed
+connectivity (see ``_build_nsw``).
 """
 
 from __future__ import annotations
 
-import heapq
 from typing import Iterator
 
 import numpy as np
@@ -45,62 +49,52 @@ from vectordb_retrieval_spark.functions.distance import (
     normalize_rows,
     pairwise_distances,
 )
-from vectordb_retrieval_spark.functions.hashing import make_projections
+from vectordb_retrieval_spark.functions.hashing import (
+    make_projections,
+    sign_buckets,
+)
 from vectordb_retrieval_spark.operators.topk import topk_per_query
 
 
-def _dist_rows(mat: np.ndarray, v: np.ndarray, metric: str) -> np.ndarray:
-    if metric == "l2":
-        d = mat - v
-        return np.sqrt((d * d).sum(axis=1))
-    if metric in ("cosine", "ip"):
-        # vectors pre-normalized for cosine; ip = negative dot either way
-        s = mat @ v
-        return 1.0 - s if metric == "cosine" else -s
-    raise ValueError(f"unknown metric {metric!r}")
-
-
-def _beam_search(
-    mat: np.ndarray,
-    adj: list[np.ndarray],
-    q: np.ndarray,
-    ef: int,
-    metric: str,
-    entry: int = 0,
-) -> list[tuple[float, int]]:
-    """Best-first beam search; returns up to ef (dist, node) ascending."""
-    d0 = float(_dist_rows(mat[entry : entry + 1], q, metric)[0])
-    visited = {entry}
-    cand: list[tuple[float, int]] = [(d0, entry)]  # min-heap by dist
-    best: list[tuple[float, int]] = [(-d0, entry)]  # max-heap of size ef
-    while cand:
-        d, node = heapq.heappop(cand)
-        if -best[0][0] < d and len(best) >= ef:
-            break
-        neigh = [n for n in adj[node] if n not in visited]
-        if not neigh:
-            continue
-        visited.update(neigh)
-        nd = _dist_rows(mat[neigh], q, metric)
-        for dn, n in zip(nd, neigh):
-            dn = float(dn)
-            if len(best) < ef or dn < -best[0][0]:
-                heapq.heappush(cand, (dn, int(n)))
-                heapq.heappush(best, (-dn, int(n)))
-                if len(best) > ef:
-                    heapq.heappop(best)
-    return sorted((-d, n) for d, n in best)
-
-
 def _pad_adjacency(adj: list[np.ndarray]) -> np.ndarray:
-    """Ragged adjacency → (n, max_degree) int64 matrix padded with -1,
+    """Ragged adjacency → (n, max_degree) int32 matrix padded with -1,
     so a whole frontier's neighbor lists gather as one NumPy index."""
     n = len(adj)
     dmax = max((len(a) for a in adj), default=0)
-    out = np.full((n, max(dmax, 1)), -1, dtype=np.int64)
+    out = np.full((n, max(dmax, 1)), -1, dtype=np.int32)
     for i, a in enumerate(adj):
         out[i, : len(a)] = a
     return out
+
+
+def _pack_shard(ids: np.ndarray, mat: np.ndarray, padj: np.ndarray) -> bytes:
+    """One shard's graph as a flat binary blob: int64[3] header
+    (n, dim, max_degree) + ids int64 + vectors float32 + padded
+    adjacency int32.  A shard deserializes with three zero-copy
+    ``np.frombuffer`` views (~µs) — vs re-assembling n Arrow rows per
+    search, which dominated search wall time.  Shard size is bounded by
+    the build's rows_per_partition choice (the beam's in-memory matrix
+    needs that bound anyway); the blob must stay < 2 GB."""
+    n, dim = mat.shape
+    header = np.asarray([n, dim, padj.shape[1]], dtype=np.int64)
+    return (
+        header.tobytes()
+        + np.ascontiguousarray(ids, dtype=np.int64).tobytes()
+        + np.ascontiguousarray(mat, dtype=np.float32).tobytes()
+        + np.ascontiguousarray(padj, dtype=np.int32).tobytes()
+    )
+
+
+def _unpack_shard(blob: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    b = memoryview(blob)
+    n, dim, dmax = (int(x) for x in np.frombuffer(b[:24], dtype=np.int64))
+    o = 24
+    ids = np.frombuffer(b[o : o + 8 * n], dtype=np.int64)
+    o += 8 * n
+    mat = np.frombuffer(b[o : o + 4 * n * dim], dtype=np.float32).reshape(n, dim)
+    o += 4 * n * dim
+    padj = np.frombuffer(b[o : o + 4 * n * dmax], dtype=np.int32).reshape(n, dmax)
+    return ids, mat, padj
 
 
 def _entry_dists(m64, bsq, q64, qsq, entry: int, metric: str) -> np.ndarray:
@@ -129,22 +123,31 @@ def _batched_beam(
     the whole connected graph and the result is provably exact — the
     property graph_ann_exhaustive's oracle check relies on.
 
-    Returns (dists, nodes): (n_q, ef) ascending by (dist, node),
-    padded with (inf, -1).
+    Distances run in float32 (ranking only — the exact path and final
+    global ranking use ``_brute_topk`` / ``topk_per_query``); per wave
+    they come from one GEMM against the wave's unique frontier
+    neighbors when that is cheaper than the scattered per-pair gather
+    (small shards), else from the gather (large shards, where the
+    unique-node set approaches the pair count).
+
+    Returns (dists, nodes): (n_q, ef) ascending by dist per query,
+    padded with (inf, -1).  Within-wave ties keep beam-arrival order —
+    tie ranking is NOT id-canonical here; callers that need a total
+    order (they all do) re-rank via ``topk_per_query``.
     """
     n = len(mat)
     n_q = len(qmat)
     ef = min(ef, n)
-    m64 = mat.astype(np.float64)
-    q64 = qmat.astype(np.float64)
-    bsq = (m64 * m64).sum(axis=1)
-    qsq = (q64 * q64).sum(axis=1)
+    m32 = np.ascontiguousarray(mat, dtype=np.float32)
+    q32 = np.ascontiguousarray(qmat, dtype=np.float32)
+    bsq = (m32.astype(np.float64) ** 2).sum(axis=1).astype(np.float32)
+    qsq = (q32.astype(np.float64) ** 2).sum(axis=1).astype(np.float32)
 
-    beam_d = np.full((n_q, ef), np.inf)
+    beam_d = np.full((n_q, ef), np.inf, dtype=np.float32)
     beam_i = np.full((n_q, ef), -1, dtype=np.int64)
     beam_x = np.zeros((n_q, ef), dtype=bool)  # expanded flag
     visited = np.zeros((n_q, n), dtype=bool)
-    beam_d[:, 0] = _entry_dists(m64, bsq, q64, qsq, entry, metric)
+    beam_d[:, 0] = _entry_dists(m32, bsq, q32, qsq, entry, metric)
     beam_i[:, 0] = entry
     visited[:, entry] = True
     dmax = padj.shape[1]
@@ -168,23 +171,35 @@ def _batched_beam(
             uniq = np.unique(fa * np.int64(n) + fn)
             fa, fn = uniq // n, uniq % n
             visited[fa, fn] = True
+            un, inv = np.unique(fn, return_inverse=True)
+            if len(un) * n_q <= 32 * len(fa):
+                # GEMM over the wave's unique nodes, then 2-D lookup:
+                # BLAS beats the scattered row gather even computing
+                # the full (U, n_q) block
+                dot = (m32[un] @ q32.T)[inv, fa]
+            else:
+                dot = np.einsum(
+                    "ij,ij->i", m32[fn], q32[fa], dtype=np.float32
+                )
             if metric == "l2":
-                dot = np.einsum("ij,ij->i", m64[fn], q64[fa])
                 nd = np.sqrt(np.maximum(bsq[fn] + qsq[fa] - 2.0 * dot, 0.0))
             else:
-                s = np.einsum("ij,ij->i", m64[fn], q64[fa])
-                nd = 1.0 - s if metric == "cosine" else -s
+                nd = 1.0 - dot if metric == "cosine" else -dot
         else:
-            nd = np.empty(0)
+            nd = np.empty(0, dtype=np.float32)
         # ragged merge: flat (query, dist, node, expanded) rows →
-        # lexsort by (query, dist, node) → keep rank < ef per query
+        # one composite-key argsort (query-major, distance-minor; a
+        # single quicksort beats lexsort's two stable passes ~2×) →
+        # keep rank < ef per query
         live = beam_i >= 0
         lq, lslot = np.nonzero(live)
         all_q = np.concatenate([lq, fa])
         all_d = np.concatenate([beam_d[lq, lslot], nd])
         all_i = np.concatenate([beam_i[lq, lslot], fn])
         all_x = np.concatenate([beam_x[lq, lslot], np.zeros(len(fa), dtype=bool)])
-        order = np.lexsort((all_i, all_d, all_q))
+        dcap = float(all_d.max()) + 1.0
+        dlo = min(0.0, float(all_d.min()))
+        order = np.argsort(all_q.astype(np.float64) * (dcap - dlo) + (all_d - dlo))
         sq_, sd, si, sx = all_q[order], all_d[order], all_i[order], all_x[order]
         starts = np.r_[0, np.nonzero(np.diff(sq_))[0] + 1]
         counts = np.diff(np.r_[starts, len(sq_)])
@@ -229,7 +244,15 @@ def _build_nsw(
     edge quality is strictly better than approximate-insertion NSW.
     The i−1 ↔ i chain preserves the connected-by-construction guarantee
     the exhaustive-probe exactness proof (graph_ann_exhaustive) relies
-    on.  ``ef_construction`` is kept for API compatibility (unused)."""
+    on.  ``ef_construction`` is kept for API compatibility (unused).
+
+    Out-degree is capped at 2m+2 (HNSW's M_max policy): unbounded
+    reverse-edge insertion creates hub nodes (observed max degree 267
+    at m=8/n=2500), and the batched searcher's padded-adjacency gather
+    does max_degree work per frontier node — hubs made the padded
+    matrix 94% padding.  A hub keeps its 2m nearest neighbors plus its
+    chain edges; trimming only out-edges cannot disconnect the graph
+    because the chain is always kept."""
     n = len(mat)
     adj_sets: list[set[int]] = [set() for _ in range(n)]
     if n > 1:
@@ -257,11 +280,32 @@ def _build_nsw(
         for i in range(1, n):
             adj_sets[i].add(i - 1)
             adj_sets[i - 1].add(i)
+        cap = 2 * m + 2
+        m64 = mat.astype(np.float64)
+        for i in range(n):
+            if len(adj_sets[i]) > cap:
+                nb = np.fromiter(adj_sets[i], dtype=np.int64)
+                if metric == "l2":
+                    dd = ((m64[nb] - m64[i]) ** 2).sum(axis=1)
+                else:
+                    dd = -(m64[nb] @ m64[i])
+                keep = set(nb[np.argsort(dd, kind="stable")[: 2 * m]].tolist())
+                keep.update(x for x in (i - 1, i + 1) if x in adj_sets[i])
+                adj_sets[i] = keep
     return [np.asarray(sorted(a), dtype=np.int64) for a in adj_sets]
 
 
 class GraphANNIndexer:
-    """Per-partition NSW graphs over a hash-partitioned base table."""
+    """Per-partition NSW graphs over a partitioned base table.
+
+    ``partition_by="hash"`` (default) shards by ``xxhash64(id)`` —
+    every shard sees the full distribution, so probing all shards
+    maximizes recall.  ``partition_by="lsh"`` shards spatially by a
+    seeded sign-random-projection bucket (hash family identical to the
+    reference's cosine LSH, src/algorithms/lsh.py:78-80) and records
+    per-shard centroids so the searcher can route each query to its
+    ``probe_partitions`` nearest shards only.
+    """
 
     def __init__(
         self,
@@ -269,20 +313,45 @@ class GraphANNIndexer:
         ef_construction: int = 32,
         metric: str = "l2",
         num_partitions: int = 8,
+        partition_by: str = "hash",
+        seed: int = 0,
     ):
+        if partition_by not in ("hash", "lsh"):
+            raise ValueError(f"partition_by must be 'hash' or 'lsh', got {partition_by!r}")
         self.m = m
         self.ef_construction = ef_construction
         self.metric = metric
         self.num_partitions = num_partitions
+        self.partition_by = partition_by
+        self.seed = seed
 
     def build(
         self, base_df: DataFrame, id_col: str = "id", vec_col: str = "vec"
     ) -> IndexArtifact:
         m, efc, metric = self.m, self.ef_construction, self.metric
+        n_parts = self.num_partitions
+        spark = base_df.sparkSession
         base = base_df.select(
             F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
-        ).withColumn("pid", F.pmod(F.xxhash64("id"), F.lit(self.num_partitions)))
-        base = base.repartition(self.num_partitions, "pid")
+        )
+        if self.partition_by == "lsh":
+            dim = base.select(F.size("vec").alias("d")).first()["d"]
+            hash_size = max(1, (n_parts - 1).bit_length())
+            proj = make_projections(dim, 1, hash_size, self.seed)
+            bc_proj = spark.sparkContext.broadcast(proj)
+
+            @F.pandas_udf("long")
+            def lsh_pid(v: pd.Series) -> pd.Series:
+                vm = np.vstack(v.to_numpy()).astype(np.float64)
+                b = sign_buckets(vm, bc_proj.value)[:, 0]
+                return pd.Series(b % np.int64(n_parts))
+
+            base = base.withColumn("pid", lsh_pid(F.col("vec")))
+        else:
+            base = base.withColumn(
+                "pid", F.pmod(F.xxhash64("id"), F.lit(n_parts))
+            )
+        base = base.repartition(n_parts, "pid")
 
         def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             parts = [pdf for pdf in batches if len(pdf)]
@@ -298,37 +367,68 @@ class GraphANNIndexer:
                 if metric == "cosine":
                     mat = normalize_rows(mat.astype(np.float64)).astype(np.float32)
                 adj = _build_nsw(mat, m, efc, metric)
+                ids = pdf["id"].to_numpy(dtype=np.int64)
+                cent = mat.astype(np.float64).mean(axis=0)
                 yield pd.DataFrame(
                     {
-                        "pid": pdf["pid"],
-                        "id": pdf["id"],
-                        "vec": list(mat),
-                        "neighbors": [a.tolist() for a in adj],
+                        "pid": [_pid],
+                        "n": [len(ids)],
+                        "centroid": [cent.astype(np.float32)],
+                        "blob": [_pack_shard(ids, mat, _pad_adjacency(adj))],
                     }
                 )
 
         # cache + eager count: NSW construction (the expensive Python
-        # phase) runs exactly once at build time; searches only walk the
-        # materialized graph
+        # phase) runs exactly once at build time; searches only
+        # deserialize the packed shards
         graph = base.mapInPandas(
             kernel,
-            schema="pid long, id long, vec array<float>, neighbors array<long>",
-        ).repartition(self.num_partitions, "pid").cache()
+            schema="pid long, n long, centroid array<float>, blob binary",
+        ).cache()
         graph.count()
+
+        params = {"metric": metric, "m": m, "num_partitions": n_parts,
+                  "partition_by": self.partition_by}
+        if self.partition_by == "lsh":
+            # per-shard centroids for query routing: P × dim values —
+            # driver-small at any scale (blob column pruned from the
+            # collect)
+            rows = sorted(
+                graph.select("pid", "centroid").collect(), key=lambda r: r["pid"]
+            )
+            cent = np.asarray([r["centroid"] for r in rows], dtype=np.float64)
+            if metric == "cosine":
+                cent = normalize_rows(cent)
+            params["centroids"] = cent.astype(np.float32)
+            params["centroid_pids"] = np.asarray(
+                [r["pid"] for r in rows], dtype=np.int64
+            )
         return IndexArtifact(
             kind="graph_ann",
             tables={"graph": graph},
-            params={"metric": metric, "m": m,
-                    "num_partitions": self.num_partitions},
+            params=params,
             metadata={"metric": metric, "m": m, "ef_construction": efc},
         )
 
 
 class GraphANNSearcher:
-    """Broadcast queries; per-partition beam search; global top-k merge."""
+    """Broadcast queries; one batched beam search per partition graph;
+    global top-k merge.
 
-    def __init__(self, ef_search: int = 64):
+    ``probe_partitions=p`` routes each query to its p nearest shards by
+    centroid distance (requires an artifact built with
+    ``partition_by="lsh"``); ``None`` probes every shard.
+    """
+
+    def __init__(
+        self,
+        ef_search: int = 64,
+        probe_partitions: int | None = None,
+        broadcast_threshold: int = 64 << 20,
+    ):
         self.ef_search = ef_search
+        self.probe_partitions = probe_partitions
+        self.broadcast_threshold = broadcast_threshold
         self.artifact: IndexArtifact | None = None
         self.ndis_accum = None
 
@@ -354,31 +454,127 @@ class GraphANNSearcher:
         qmat = np.vstack(qpdf[vec_col].to_numpy()).astype(np.float32)
         if metric == "cosine":
             qmat = normalize_rows(qmat.astype(np.float64)).astype(np.float32)
-        bc = spark.sparkContext.broadcast((qids, qmat))
 
-        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            parts = [pdf for pdf in batches if len(pdf)]
-            if not parts:
+        # centroid routing: pid → indices of the queries probing it
+        route: dict[int, np.ndarray] | None = None
+        probe = self.probe_partitions
+        if probe is not None:
+            cent = art.params.get("centroids")
+            if cent is None:
+                raise ValueError(
+                    "probe_partitions requires an artifact built with "
+                    "partition_by='lsh' (it records per-shard centroids)"
+                )
+            cpids = art.params["centroid_pids"]
+            probe = min(probe, len(cpids))
+            cd = pairwise_distances(qmat, cent, metric)
+            nearest = np.argpartition(cd, probe - 1, axis=1)[:, :probe]
+            route = {}
+            for ci in range(len(cpids)):
+                sel = np.nonzero((nearest == ci).any(axis=1))[0]
+                if len(sel):
+                    route[int(cpids[ci])] = sel.astype(np.int64)
+
+        # fan the query batch out across (shard × chunk) tasks: the
+        # per-task kernel is CPU-bound NumPy, so shard count alone
+        # under-uses a wide executor pool on big batches.  Chunk count
+        # targets ~2 tasks per core with ≥128 queries per task.
+        n_q = len(qids)
+        n_parts = art.params["num_partitions"]
+        par = spark.sparkContext.defaultParallelism
+        chunks = max(1, min(-(-n_q // 128), -(-2 * par // n_parts)))
+        bounds = np.linspace(0, n_q, chunks + 1).astype(np.int64)
+
+        # Small index ⇒ broadcast the packed shards (same decision
+        # Spark makes for broadcast joins): (shard, chunk) tasks come
+        # from an exact 1-row-per-partition RDD — perfectly even tasks,
+        # no blob shuffle at all.  Large index ⇒ shuffle-replicate the
+        # blob rows per chunk (shard_count × chunks rows — still the
+        # index, never the base data).
+        shards = art.params.get("_shard_cache")
+        if shards is None:
+            total = art.tables["graph"].agg(
+                F.sum(F.length("blob")).alias("b")
+            ).collect()[0]["b"]
+            if total is not None and total <= self.broadcast_threshold:
+                rows = art.tables["graph"].select("pid", "blob").collect()
+                shards = {int(r["pid"]): bytes(r["blob"]) for r in rows}
+                # leading "_": in-memory only, skipped by persistence
+                art.params["_shard_cache"] = shards
+
+        bc = spark.sparkContext.broadcast((qids, qmat, route, bounds))
+
+        def search_shard(
+            pid: int, qc_ix: int, blob: bytes
+        ) -> Iterator[pd.DataFrame]:
+            q_ids, q_mat, rt, bnds = bc.value
+            lo, hi = bnds[qc_ix], bnds[qc_ix + 1]
+            if rt is not None:
+                sel = rt.get(int(pid))
+                if sel is None:
+                    return
+                sel = sel[(sel >= lo) & (sel < hi)]
+            else:
+                sel = np.arange(lo, hi)
+            if not len(sel):
                 return
-            allpdf = pd.concat(parts, ignore_index=True)
-            q_ids, q_mat = bc.value
-            for _pid, pdf in allpdf.groupby("pid"):
-                # graph-local row order must match build order (id asc)
-                pdf = pdf.sort_values("id").reset_index(drop=True)
-                mat = np.vstack(pdf["vec"].to_numpy()).astype(np.float32)
-                ids = pdf["id"].to_numpy(dtype=np.int64)
-                adj = [np.asarray(a, dtype=np.int64) for a in pdf["neighbors"]]
-                out_q, out_i, out_d = [], [], []
-                for qi in range(len(q_ids)):
-                    found = _beam_search(mat, adj, q_mat[qi], ef, metric)
-                    accum.add(len(found))
-                    for d, node in found[:k]:
-                        out_q.append(q_ids[qi])
-                        out_i.append(ids[node])
-                        out_d.append(d)
-                yield pd.DataFrame({"qid": out_q, "id": out_i, "dist": out_d})
+            q_sub, qid_sub = q_mat[sel], q_ids[sel]
+            ids, mat, padj = _unpack_shard(blob)
+            # inner 512-query chunks keep per-wave scratch arrays
+            # (≈ chunk × ef × max_degree pairs) cache-sized — beam cost
+            # is linear in queries only while they fit
+            for s in range(0, len(q_sub), 512):
+                qc, qidc = q_sub[s : s + 512], qid_sub[s : s + 512]
+                if ef >= len(mat):
+                    bd, bi = _brute_topk(mat, qc, ef, metric)
+                else:
+                    bd, bi = _batched_beam(mat, padj, qc, ef, metric)
+                valid = bi >= 0
+                accum.add(int(valid.sum()))
+                kk = min(k, bd.shape[1])
+                v = valid[:, :kk].reshape(-1)
+                flat_i = bi[:, :kk].reshape(-1)[v]
+                yield pd.DataFrame(
+                    {
+                        "qid": np.repeat(qidc, kk)[v],
+                        "id": ids[flat_i],
+                        "dist": bd[:, :kk].reshape(-1)[v],
+                    }
+                )
 
-        cands = art.tables["graph"].mapInPandas(
+        if shards is not None:
+            bc_shards = spark.sparkContext.broadcast(shards)
+            pairs = [(pid, c) for pid in sorted(shards) for c in range(chunks)]
+            tasks = spark.createDataFrame(
+                spark.sparkContext.parallelize(pairs, len(pairs)),
+                "pid long, qchunk int",
+            )
+
+            def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                for pdf in batches:
+                    for pid, qc_ix in zip(pdf["pid"], pdf["qchunk"]):
+                        yield from search_shard(
+                            int(pid), int(qc_ix), bc_shards.value[int(pid)]
+                        )
+
+        else:
+            tasks = art.tables["graph"].select("pid", "blob")
+            if chunks > 1:
+                tasks = tasks.withColumn(
+                    "qchunk",
+                    F.explode(F.array(*[F.lit(i) for i in range(chunks)])),
+                ).repartition(n_parts * chunks, "pid", "qchunk")
+            else:
+                tasks = tasks.withColumn("qchunk", F.lit(0))
+
+            def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                for pdf in batches:
+                    for pid, qc_ix, blob in zip(
+                        pdf["pid"], pdf["qchunk"], pdf["blob"]
+                    ):
+                        yield from search_shard(int(pid), int(qc_ix), blob)
+
+        cands = tasks.mapInPandas(
             kernel, schema="qid long, id long, dist double"
         )
         return topk_per_query(cands, k)

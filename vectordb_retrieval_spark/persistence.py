@@ -50,6 +50,10 @@ def _write_params(params: dict[str, Any], pdir: str) -> dict[str, str]:
     kinds: dict[str, str] = {}
     plain: dict[str, Any] = {}
     for key, val in params.items():
+        if key.startswith("_"):
+            # derived in-memory caches (e.g. graph_ann's collected
+            # shard blobs) — rebuilt on demand, never persisted
+            continue
         if isinstance(val, np.ndarray):
             np.save(os.path.join(pdir, f"{key}.npy"), val)
             kinds[key] = "ndarray"
