@@ -6,12 +6,15 @@ recomputes the very same hashes the Spark kernels produce — the
 reference's "exact reproducibility of randomized structures"
 requirement (SURVEY.md §7.4#3) carried across engines.
 
-KMeans-trained variants (ivf_kmeans_search, pq_adc_search) are
-registered without oracles (rows-only checks): their cluster structure
-is not SQL-expressible, but their retrieval quality is covered by
-tests/test_ann_operators.py recall assertions, and the
-cluster-pruned-exact query proves the probe machinery against the
-plain exact-kNN oracle.
+Trained variants are made fully oracle-checkable by a reproducible
+flavor of their own training loop: seeded data-point init + n Lloyd
+mean-update iterations with centroids/codebooks rounded to 6 decimals
+after every update (``ivf.lloyd_refine`` / ``quant.pq_refine``).  The
+rounding pins each update to a decimal grid, so DuckDB — summing in a
+different order — recomputes bit-identical centroids, and the whole
+train→assign→probe→rerank pipeline hash-checks.  The MLlib-KMeans
+path keeps its own oracle through ivf_kmeans_exhaustive (exhaustive
+probe ⇒ exact regardless of centroids).
 """
 
 from __future__ import annotations
@@ -46,10 +49,11 @@ from vectordb_retrieval_spark.operators.ivf import (
     IVFSearcher,
     ivf_append,
     ivf_delete,
+    lloyd_refine,
 )
 from vectordb_retrieval_spark.operators.lsh import LSHIndexer, LSHSearcher
 from vectordb_retrieval_spark.operators.pq import PQADCSearcher, PQIndexer
-from vectordb_retrieval_spark.operators.quant import PQCodec, SQ8Codec
+from vectordb_retrieval_spark.operators.quant import PQCodec, SQ8Codec, pq_refine
 
 DIM = 64
 SIGN_TABLES, SIGN_BITS, SEED = 2, 8, 42
@@ -247,13 +251,27 @@ def cluster_pruned_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("qid", "id", "rank")
 
 
+KM_NLIST, KM_ITERS, KM_NPROBE = 16, 2, 4
+
+
 def ivf_kmeans_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMeans-trained IVF, reproducible flavor: init = first KM_NLIST
+    base vectors, KM_ITERS distributed Lloyd iterations with centroids
+    rounded to 6 dp after each mean update (cross-engine determinism),
+    then nprobe probing — train, assignment, probe and rerank all
+    hash-checked against a DuckDB oracle that replays the same
+    iterations."""
     base = emb(spark, sf_dir)
-    art = IVFIndexer(nlist=16, seed=SEED, max_iter=10, init_mode="random").build(
+    cdf = base.filter(F.col("vec_id") < KM_NLIST).orderBy("vec_id")
+    _, init = collect_vectors(cdf, "vec_id", "embedding")
+    cents = lloyd_refine(
+        base, init, id_col="vec_id", vec_col="embedding", iters=KM_ITERS
+    )
+    art = FixedCentroidIVFIndexer(cents, metric="l2").build(
         base, id_col="vec_id", vec_col="embedding"
     )
     qs = base.filter(F.expr(QUERY_FILTER))
-    res = IVFSearcher(nprobe=4).attach(art).search(
+    res = IVFSearcher(nprobe=KM_NPROBE).attach(art).search(
         qs, K, qid_col="vec_id", vec_col="embedding"
     )
     return res.select("qid", "id", "rank")
@@ -274,31 +292,56 @@ def ivf_kmeans_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("qid", "id", "rank")
 
 
-def _graph_search(spark: SparkSession, sf_dir: str, ef: int) -> DataFrame:
+GRAPH_PARTS, GRAPH_PROBE, GRAPH_SEED = 4, 2, 42
+GRAPH_BITS = max(1, (GRAPH_PARTS - 1).bit_length())
+_GRAPH_P = make_projections(DIM, 1, GRAPH_BITS, GRAPH_SEED)
+
+
+def graph_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-sharded graph index with centroid-routed probing: every
+    query visits only its GRAPH_PROBE nearest shards (by the rounded
+    per-shard centroids) and ef saturates those shards, so the
+    within-shard search is provably exact and the whole
+    shard→centroid→route→merge pipeline hash-checks against a DuckDB
+    oracle that recomputes the sign-LSH shard assignment, the 6
+    dp-rounded centroids and the routing.  The narrow-beam operating
+    point stays pinned by tests/test_graph_ann.py recall tests."""
     base = emb(spark, sf_dir)
-    art = GraphANNIndexer(m=8, ef_construction=32, num_partitions=4).build(
-        base, id_col="vec_id", vec_col="embedding"
-    )
+    art = GraphANNIndexer(
+        m=8,
+        ef_construction=32,
+        num_partitions=GRAPH_PARTS,
+        partition_by="lsh",
+        seed=GRAPH_SEED,
+    ).build(base, id_col="vec_id", vec_col="embedding")
+    # pin routing inputs to the 6 dp grid the SQL oracle recomputes
+    art.params["centroids"] = np.round(art.params["centroids"], 6)
     qs = base.filter(F.expr(QUERY_FILTER))
     res = (
-        GraphANNSearcher(ef_search=ef)
+        GraphANNSearcher(ef_search=100_000, probe_partitions=GRAPH_PROBE)
         .attach(art)
         .search(qs, K, qid_col="vec_id", vec_col="embedding")
     )
     return res.select("qid", "id", "rank")
 
 
-def graph_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Realistic beam width — approximate results, rows-only check
-    (recall pinned by tests/test_graph_ann.py)."""
-    return _graph_search(spark, sf_dir, ef=64)
-
-
 def graph_ann_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ef_search ≥ partition size ⇒ the beam visits every node of each
     (connected-by-construction) partition graph ⇒ provably exact —
-    oracle-checked against the plain exact-kNN SQL."""
-    return _graph_search(spark, sf_dir, ef=100_000)
+    oracle-checked against the plain exact-kNN SQL.  force_beam makes
+    the wave-synchronized beam kernel itself (not its GEMM shortcut)
+    the thing under the hash check."""
+    base = emb(spark, sf_dir)
+    art = GraphANNIndexer(m=8, ef_construction=32, num_partitions=4).build(
+        base, id_col="vec_id", vec_col="embedding"
+    )
+    qs = base.filter(F.expr(QUERY_FILTER))
+    res = (
+        GraphANNSearcher(ef_search=100_000, force_beam=True)
+        .attach(art)
+        .search(qs, K, qid_col="vec_id", vec_col="embedding")
+    )
+    return res.select("qid", "id", "rank")
 
 
 PQ_M, PQ_KSUB_FIXED = 8, 8
@@ -329,9 +372,24 @@ def pq_fixed_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("qid", "id", "rank")
 
 
+PQ_ADC_KSUB, PQ_ADC_ITERS = 16, 1
+
+
 def pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ with Lloyd-trained codebooks, reproducible flavor: init
+    codebooks from the first PQ_ADC_KSUB base vectors, PQ_ADC_ITERS
+    distributed Lloyd steps per subspace with 6 dp-rounded mean
+    updates, then exhaustive ADC — training and search both
+    hash-checked against a DuckDB oracle replaying the same steps."""
     base = emb(spark, sf_dir)
-    art = PQIndexer(m=8, ksub=32, metric="l2", seed=SEED).build(
+    cdf = base.filter(F.col("vec_id") < PQ_ADC_KSUB).orderBy("vec_id")
+    _, cmat = collect_vectors(cdf, "vec_id", "embedding")
+    cmat = cmat.astype(np.float64)
+    cb = np.stack([cmat[:, j * DSUB : (j + 1) * DSUB] for j in range(PQ_M)])
+    cb = pq_refine(
+        base, cb, id_col="vec_id", vec_col="embedding", iters=PQ_ADC_ITERS
+    )
+    art = PQIndexer(m=PQ_M, ksub=PQ_ADC_KSUB, metric="l2", codebooks=cb).build(
         base, id_col="vec_id", vec_col="embedding"
     )
     qs = base.filter(F.expr(QUERY_FILTER))
@@ -597,6 +655,191 @@ rr AS (
 SELECT qid, id, rank FROM rr WHERE rank <= {K}
 """
 
+# ---- reproducible-Lloyd IVF oracle: replay init + KM_ITERS rounded
+# mean updates, then probe/rerank exactly as _IVF_SEARCH_ORACLE.
+# round_even == np.round (both round-half-even on the 6 dp grid).
+
+
+def _lloyd_ctes(n_cents: int, iters: int) -> tuple[str, str]:
+    parts = [
+        f"dims AS (SELECT CAST(range AS INT) AS i FROM range(1, {DIM + 1}))",
+        "c0 AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv "
+        f"FROM embeddings WHERE vec_id < {n_cents})",
+    ]
+    prev = "c0"
+    for it in range(1, iters + 1):
+        parts += [
+            f"""a{it} AS (
+  SELECT id, cid FROM (
+    SELECT b.vec_id AS id, c.cid,
+           row_number() OVER (
+             PARTITION BY b.vec_id
+             ORDER BY list_distance(CAST(b.embedding AS DOUBLE[]), c.cv), c.cid
+           ) AS rn
+    FROM embeddings b CROSS JOIN {prev} c
+  ) WHERE rn = 1)""",
+            f"""m{it} AS (
+  SELECT a.cid, t.i, round_even(avg(CAST(b.embedding[t.i] AS DOUBLE)), 6) AS v
+  FROM a{it} a JOIN embeddings b ON b.vec_id = a.id CROSS JOIN dims t
+  GROUP BY a.cid, t.i)""",
+            f"g{it} AS (SELECT cid, list(v ORDER BY i) AS cv FROM m{it} GROUP BY cid)",
+            f"""c{it} AS (
+  SELECT c.cid, COALESCE(g.cv, c.cv) AS cv
+  FROM {prev} c LEFT JOIN g{it} g USING (cid))""",
+        ]
+        prev = f"c{it}"
+    return ",\n".join(parts), prev
+
+
+def _ivf_kmeans_oracle() -> str:
+    ctes, cfinal = _lloyd_ctes(KM_NLIST, KM_ITERS)
+    return f"""
+WITH {ctes},
+af AS (
+  SELECT id, cid AS cluster_id FROM (
+    SELECT b.vec_id AS id, c.cid,
+           row_number() OVER (
+             PARTITION BY b.vec_id
+             ORDER BY list_distance(CAST(b.embedding AS DOUBLE[]), c.cv), c.cid
+           ) AS rn
+    FROM embeddings b CROSS JOIN {cfinal} c
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id % 10 = 0
+),
+probe AS (
+  SELECT qid, cid AS cluster_id FROM (
+    SELECT q.qid, c.cid,
+           row_number() OVER (
+             PARTITION BY q.qid ORDER BY list_distance(q.qv, c.cv), c.cid
+           ) AS rn
+    FROM q CROSS JOIN {cfinal} c
+  ) WHERE rn <= {KM_NPROBE}
+),
+rr AS (
+  SELECT p.qid, a.id,
+         row_number() OVER (
+           PARTITION BY p.qid
+           ORDER BY list_distance(q2.qv, CAST(be.embedding AS DOUBLE[])), a.id
+         ) AS rank
+  FROM probe p
+  JOIN af a ON a.cluster_id = p.cluster_id
+  JOIN q q2 ON q2.qid = p.qid
+  JOIN embeddings be ON be.vec_id = a.id
+)
+SELECT qid, id, rank FROM rr WHERE rank <= {K}
+"""
+
+
+# ---- reproducible-Lloyd PQ oracle: per-subspace init + rounded mean
+# update, re-encode, decode, exhaustive ADC (≡ L2 to decoded vector)
+def _pq_adc_oracle() -> str:
+    return f"""
+WITH j AS (SELECT CAST(range AS INT) AS j FROM range(0, {PQ_M})),
+sdims AS (SELECT CAST(range AS INT) AS i FROM range(1, {DSUB + 1})),
+cb0 AS (
+  SELECT p.vec_id AS code, j.j,
+         CAST(p.embedding[j.j*{DSUB}+1 : j.j*{DSUB}+{DSUB}] AS DOUBLE[]) AS cv
+  FROM embeddings p, j
+  WHERE p.vec_id < {PQ_ADC_KSUB}
+),
+sub AS (
+  SELECT b.vec_id AS id, j.j,
+         CAST(b.embedding[j.j*{DSUB}+1 : j.j*{DSUB}+{DSUB}] AS DOUBLE[]) AS bv
+  FROM embeddings b, j
+),
+e1 AS (
+  SELECT id, j, code FROM (
+    SELECT s.id, s.j, c.code,
+           row_number() OVER (PARTITION BY s.id, s.j
+                              ORDER BY list_distance(s.bv, c.cv), c.code) AS rn
+    FROM sub s JOIN cb0 c ON c.j = s.j
+  ) WHERE rn = 1
+),
+m1 AS (
+  SELECT e.j, e.code, t.i, round_even(avg(s.bv[t.i]), 6) AS v
+  FROM e1 e JOIN sub s ON s.id = e.id AND s.j = e.j CROSS JOIN sdims t
+  GROUP BY e.j, e.code, t.i
+),
+g1 AS (SELECT j, code, list(v ORDER BY i) AS cv FROM m1 GROUP BY j, code),
+cb1 AS (
+  SELECT c.j, c.code, COALESCE(g.cv, c.cv) AS cv
+  FROM cb0 c LEFT JOIN g1 g ON g.j = c.j AND g.code = c.code
+),
+codes AS (
+  SELECT id, j, cv FROM (
+    SELECT s.id, s.j, c.cv,
+           row_number() OVER (PARTITION BY s.id, s.j
+                              ORDER BY list_distance(s.bv, c.cv), c.code) AS rn
+    FROM sub s JOIN cb1 c ON c.j = s.j
+  ) WHERE rn = 1
+),
+dec AS (SELECT id, flatten(list(cv ORDER BY j)) AS dv FROM codes GROUP BY id),
+q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id % 10 = 0
+),
+r AS (
+  SELECT q.qid, dec.id,
+         row_number() OVER (
+           PARTITION BY q.qid ORDER BY list_distance(q.qv, dec.dv), dec.id
+         ) AS rank
+  FROM q CROSS JOIN dec
+)
+SELECT qid, id, rank FROM r WHERE rank <= {K}
+"""
+
+
+# ---- routed graph oracle: sign-LSH shard assignment, 6 dp-rounded
+# per-shard centroids, top-GRAPH_PROBE routing, exact search within
+# the routed shards
+def _graph_pid_expr(src: str) -> str:
+    terms = [
+        f"(CASE WHEN list_dot_product({src}, {sql_float_list(_GRAPH_P[0][i])})"
+        f" >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(GRAPH_BITS)
+    ]
+    return "((" + " + ".join(terms) + f") % {GRAPH_PARTS})"
+
+
+def _graph_routed_oracle() -> str:
+    return f"""
+WITH shard AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
+         {_graph_pid_expr('CAST(embedding AS DOUBLE[])')} AS pid
+  FROM embeddings
+),
+dims AS (SELECT CAST(range AS INT) AS i FROM range(1, {DIM + 1})),
+cent AS (
+  SELECT s.pid, t.i, round_even(avg(s.v[t.i]), 6) AS c
+  FROM shard s CROSS JOIN dims t GROUP BY s.pid, t.i
+),
+cl AS (SELECT pid, list(c ORDER BY i) AS cv FROM cent GROUP BY pid),
+q AS (SELECT id AS qid, v AS qv FROM shard WHERE id % 10 = 0),
+route AS (
+  SELECT qid, pid FROM (
+    SELECT q.qid, cl.pid,
+           row_number() OVER (
+             PARTITION BY q.qid ORDER BY list_distance(q.qv, cl.cv), cl.pid
+           ) AS rn
+    FROM q CROSS JOIN cl
+  ) WHERE rn <= {GRAPH_PROBE}
+),
+rr AS (
+  SELECT r.qid, s.id,
+         row_number() OVER (
+           PARTITION BY r.qid ORDER BY list_distance(q2.qv, s.v), s.id
+         ) AS rank
+  FROM route r
+  JOIN shard s ON s.pid = r.pid
+  JOIN q q2 ON q2.qid = r.qid
+)
+SELECT qid, id, rank FROM rr WHERE rank <= {K}
+"""
+
+
 QUERIES = {
     "lsh_sign_buckets": lambda spark, sf: _buckets_query(spark, sf, _sign_indexer()),
     "lsh_e2lsh_buckets": lambda spark, sf: _buckets_query(spark, sf, _e2_indexer()),
@@ -634,4 +877,7 @@ ORACLES = {
     "cluster_pruned_exact_search": KNN_ORACLE.format(dist_expr=DIST_EXPRS["l2"]),
     "graph_ann_exhaustive": KNN_ORACLE.format(dist_expr=DIST_EXPRS["l2"]),
     "ivf_kmeans_exhaustive": KNN_ORACLE.format(dist_expr=DIST_EXPRS["l2"]),
+    "ivf_kmeans_search": _ivf_kmeans_oracle(),
+    "pq_adc_search": _pq_adc_oracle(),
+    "graph_ann_search": _graph_routed_oracle(),
 }

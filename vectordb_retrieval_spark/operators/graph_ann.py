@@ -399,7 +399,9 @@ class GraphANNIndexer:
             cent = np.asarray([r["centroid"] for r in rows], dtype=np.float64)
             if metric == "cosine":
                 cent = normalize_rows(cent)
-            params["centroids"] = cent.astype(np.float32)
+            # float64: routing distances must be reproducible by a
+            # double-arithmetic SQL oracle
+            params["centroids"] = cent
             params["centroid_pids"] = np.asarray(
                 [r["pid"] for r in rows], dtype=np.int64
             )
@@ -418,6 +420,11 @@ class GraphANNSearcher:
     ``probe_partitions=p`` routes each query to its p nearest shards by
     centroid distance (requires an artifact built with
     ``partition_by="lsh"``); ``None`` probes every shard.
+
+    ``force_beam=True`` runs the wave-synchronized beam even when
+    ``ef_search`` ≥ shard size (where the GEMM short-circuit would give
+    the same answer cheaper) — used by correctness queries to put the
+    beam kernel itself, not its shortcut, under the hash-checked oracle.
     """
 
     def __init__(
@@ -425,10 +432,12 @@ class GraphANNSearcher:
         ef_search: int = 64,
         probe_partitions: int | None = None,
         broadcast_threshold: int = 64 << 20,
+        force_beam: bool = False,
     ):
         self.ef_search = ef_search
         self.probe_partitions = probe_partitions
         self.broadcast_threshold = broadcast_threshold
+        self.force_beam = force_beam
         self.artifact: IndexArtifact | None = None
         self.ndis_accum = None
 
@@ -448,6 +457,7 @@ class GraphANNSearcher:
         if self.ndis_accum is None:
             self.ndis_accum = spark.sparkContext.accumulator(0)
         accum = self.ndis_accum
+        force_beam = self.force_beam
 
         qpdf = query_df.select(qid_col, vec_col).toPandas()
         qids = qpdf[qid_col].to_numpy(dtype=np.int64)
@@ -468,7 +478,10 @@ class GraphANNSearcher:
             cpids = art.params["centroid_pids"]
             probe = min(probe, len(cpids))
             cd = pairwise_distances(qmat, cent, metric)
-            nearest = np.argpartition(cd, probe - 1, axis=1)[:, :probe]
+            # deterministic routing: ties broken by centroid index
+            nearest = np.lexsort(
+                (np.broadcast_to(np.arange(cd.shape[1]), cd.shape), cd), axis=1
+            )[:, :probe]
             route = {}
             for ci in range(len(cpids)):
                 sel = np.nonzero((nearest == ci).any(axis=1))[0]
@@ -525,7 +538,7 @@ class GraphANNSearcher:
             # is linear in queries only while they fit
             for s in range(0, len(q_sub), 512):
                 qc, qidc = q_sub[s : s + 512], qid_sub[s : s + 512]
-                if ef >= len(mat):
+                if ef >= len(mat) and not force_beam:
                     bd, bi = _brute_topk(mat, qc, ef, metric)
                 else:
                     bd, bi = _batched_beam(mat, padj, qc, ef, metric)

@@ -149,6 +149,47 @@ class IVFIndexer:
         )
 
 
+def lloyd_refine(
+    base_df: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    iters: int = 1,
+    round_dp: int | None = 6,
+) -> np.ndarray:
+    """Deterministic distributed Lloyd iterations from given centroids.
+
+    Each iteration: assign every vector to its nearest centroid (ties
+    by lowest cluster id), recompute each centroid as the per-dimension
+    mean of its members (one posexplode + groupBy aggregation — fully
+    map-side-combinable, no vector shuffle), keep the old centroid for
+    empty clusters, and round to ``round_dp`` decimals.  The rounding
+    pins the result to a decimal grid so an external SQL engine summing
+    in a different order lands on bit-identical centroids — the same
+    cross-engine reproducibility trick as the inlined LSH projections
+    (SURVEY.md §7.4#3), which is what makes a KMeans-trained IVF fully
+    oracle-checkable.  Seeded-data-point init + n rounded Lloyd steps
+    IS k-means — just a reproducible flavor of it.
+    """
+    cents = np.asarray(centroids, dtype=np.float64)
+    for _ in range(iters):
+        art = FixedCentroidIVFIndexer(cents).build(
+            base_df, id_col=id_col, vec_col=vec_col
+        )
+        rows = (
+            art.tables["assignment"]
+            .select("cluster_id", F.posexplode("vec").alias("pos", "val"))
+            .groupBy("cluster_id", "pos")
+            .agg(F.avg(F.col("val").cast("double")).alias("v"))
+            .collect()
+        )
+        new = cents.copy()  # empty clusters keep their old centroid
+        for r in rows:
+            new[r["cluster_id"], r["pos"]] = r["v"]
+        cents = np.round(new, round_dp) if round_dp is not None else new
+    return cents
+
+
 class FixedCentroidIVFIndexer(IVFIndexer):
     """IVF with caller-supplied centroids (no KMeans) — used for
     SQL-reproducible correctness checks and for pre-trained quantizers."""

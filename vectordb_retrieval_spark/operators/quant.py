@@ -29,6 +29,7 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from vectordb_retrieval_spark.functions.distance import normalize_rows
 
@@ -256,3 +257,51 @@ class PQCodec:
         for j in range(m):
             acc += luts[qrows, j, codes[:, j]]
         return np.sqrt(np.maximum(acc, 0.0))
+
+
+def pq_refine(
+    base_df: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    iters: int = 1,
+    round_dp: int | None = 6,
+) -> np.ndarray:
+    """Deterministic distributed Lloyd steps on each PQ sub-codebook.
+
+    Same construction as ``ivf.lloyd_refine``, applied per subspace:
+    encode every vector against the current codebooks (ties by lowest
+    code), recompute each codebook entry as the per-dimension mean of
+    its assigned subvectors (posexplode + groupBy — map-side
+    combinable), keep unassigned entries, round to ``round_dp``
+    decimals so an SQL engine summing in any order reproduces the
+    codebooks bit-for-bit.  Seeded-data init + rounded Lloyd steps is
+    the same train regime as ``lloyd_kmeans``, made cross-engine
+    reproducible.
+    """
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m, ksub, dsub = cb.shape
+    base = base_df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    for _ in range(iters):
+        codec = PQCodec(m=m, ksub=ksub)
+        codec.codebooks = cb
+        enc = codec.encode_df(base, "vec")
+        sub = enc.join(base, "id")
+        rows = (
+            sub.select("vec", F.posexplode("codes").alias("j", "code"))
+            .select(
+                "j",
+                "code",
+                F.posexplode(
+                    F.slice("vec", F.col("j") * dsub + F.lit(1), F.lit(dsub))
+                ).alias("pos", "val"),
+            )
+            .groupBy("j", "code", "pos")
+            .agg(F.avg(F.col("val").cast("double")).alias("v"))
+            .collect()
+        )
+        new = cb.copy()  # entries with no assignments keep their value
+        for r in rows:
+            new[r["j"], r["code"], r["pos"]] = r["v"]
+        cb = np.round(new, round_dp) if round_dp is not None else new
+    return cb
