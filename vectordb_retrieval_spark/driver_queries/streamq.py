@@ -12,9 +12,33 @@ from __future__ import annotations
 
 import os
 import tempfile
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+@contextmanager
+def _state_partitions(spark: SparkSession, n: int = 2):
+    """Run a streaming query with a small state-partition count and no
+    trailing no-data micro-batch.
+
+    A stateful stream materializes one state store per shuffle
+    partition per micro-batch (delta + commit files in the checkpoint);
+    with ~50 keys, 32 partitions is pure fixed overhead (measured 4× on
+    the whole query).  Both settings are pinned at stream start, so
+    narrowing them here never touches batch plans — at real key
+    cardinalities the caller sizes state partitions to keys/executors
+    as usual, and keeps no-data batches for watermark advancement."""
+    old_p = spark.conf.get("spark.sql.shuffle.partitions")
+    old_n = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_p)
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", old_n)
 
 from vectordb_retrieval_spark.driver_queries.common import K, QUERY_FILTER, emb, events
 from vectordb_retrieval_spark.driver_queries.knn import DIST_EXPRS, KNN_ORACLE
@@ -38,7 +62,6 @@ def q_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "qid", "id", distance_col(F.col("qv"), F.col("bv"), "l2").alias("dist")
         )
-        .cache()
     )
 
     workdir = tempfile.mkdtemp(prefix="streamq-")
@@ -47,17 +70,27 @@ def q_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # local top-k (a shard's contribution is its own best-k — top-k of a
     # union == top-k of per-shard top-ks), so the stateful operator sees
     # n_q×k rows per batch instead of the full candidate set — the shape
-    # a real sharded-refinement stream has
-    for name, pred in (("b1", F.col("id") % 2 == 0), ("b2", F.col("id") % 2 == 1)):
-        topk_per_query(cands.filter(pred), K).select("qid", "id", "dist").write.parquet(
-            os.path.join(cdir, name)
-        )
-    cands.unpersist()
+    # a real sharded-refinement stream has.  Both batches come out of ONE
+    # job: window over (batch, qid), write partitioned by batch.
+    from pyspark.sql import Window
+
+    b = cands.withColumn("batch", (F.col("id") % 2).cast("int"))
+    w = Window.partitionBy("batch", "qid").orderBy(
+        F.col("dist").asc(), F.col("id").asc()
+    )
+    (
+        b.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= K)
+        .select("batch", "qid", "id", "dist")
+        .repartition(2, "batch")  # exactly one file per micro-batch dir
+        .write.partitionBy("batch")
+        .parquet(cdir)
+    )
 
     stream = (
         spark.readStream.schema("qid long, id long, dist double")
         .option("maxFilesPerTrigger", 1)
-        .parquet(os.path.join(cdir, "*"))
+        .parquet(os.path.join(cdir, "batch=*"))
     )
     updates: dict[int, dict[int, list]] = {}
 
@@ -68,15 +101,16 @@ def q_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).get(epoch_id, [])
             updates[r.qid][epoch_id].append((r.id, r.rank))
 
-    q = (
-        streaming_running_topk(stream, K)
-        .writeStream.foreachBatch(sink)
-        .outputMode("update")
-        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(600)
+    with _state_partitions(spark):
+        q = (
+            streaming_running_topk(stream, K)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
 
     # final state per qid = rows of the LAST epoch that updated it
     rows = []
@@ -102,28 +136,34 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     workdir = tempfile.mkdtemp(prefix="streamdedup-")
     ddir = os.path.join(workdir, "docs")
-    for name, pred in (("b1", F.col("doc_id") % 2 == 0), ("b2", F.col("doc_id") % 2 == 1)):
-        d.filter(pred).write.parquet(os.path.join(ddir, name))
+    # both micro-batch files from one write job (partitioned by parity)
+    (
+        d.withColumn("batch", (F.col("doc_id") % 2).cast("int"))
+        .repartition(2, "batch")  # exactly one file per micro-batch dir
+        .write.partitionBy("batch")
+        .parquet(ddir)
+    )
 
     stream = (
         spark.readStream.schema("doc_id long, text string, ts timestamp")
         .option("maxFilesPerTrigger", 1)
-        .parquet(os.path.join(ddir, "*"))
+        .parquet(os.path.join(ddir, "batch=*"))
     )
     kept: set[str] = set()
 
     def sink(df: DataFrame, epoch_id: int) -> None:
         kept.update(r.fingerprint for r in df.select("fingerprint").collect())
 
-    q = (
-        streaming_dedup(stream)
-        .writeStream.foreachBatch(sink)
-        .outputMode("append")
-        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(600)
+    with _state_partitions(spark):
+        q = (
+            streaming_dedup(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
     return spark.createDataFrame(
         [(f,) for f in sorted(kept)], "fingerprint string"
     )
