@@ -155,6 +155,25 @@ def test_ngram_jaccard_pairs(corpus_df):
     assert (0, 3) not in rows
 
 
+def test_quadratic_paths_guarded(spark, corpus_df):
+    # both all-pairs baselines refuse oversized inputs unless forced
+    with pytest.raises(ValueError, match="allow_quadratic"):
+        ngram_jaccard_pairs(corpus_df, threshold=0.3, max_rows=2).count()
+    rows = ngram_jaccard_pairs(
+        corpus_df, threshold=0.3, max_rows=2, allow_quadratic=True
+    ).collect()
+    assert any((r.a, r.b) == (0, 2) for r in rows)
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0])],
+        schema="vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="allow_quadratic"):
+        embedding_near_dup_pairs(df, 0.9, max_rows=2)
+    assert embedding_near_dup_pairs(
+        df, 0.9, max_rows=2, allow_quadratic=True
+    ).count() >= 1
+
+
 def test_embedding_near_dup_pairs(spark):
     df = spark.createDataFrame(
         [

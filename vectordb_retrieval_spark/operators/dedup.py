@@ -386,14 +386,28 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_rows: int = 20_000,
+    allow_quadratic: bool = False,
 ) -> DataFrame:
     """Exact Jaccard over distinct shingle sets for all pairs (a < b) with
-    jaccard ≥ threshold.  Quadratic: bound the input or feed it LSH
-    candidates at scale."""
+    jaccard ≥ threshold.
+
+    Quadratic BY DESIGN (crossJoin): refuses inputs larger than
+    ``max_rows`` unless ``allow_quadratic=True`` — at scale feed it LSH
+    candidates (minhash_lsh_candidate_pairs) instead of raw documents.
+    """
     t = df.select(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), shingle_n).alias("sh"),
     ).filter(F.size("sh") > 0)
+    if not allow_quadratic:
+        n = t.count()
+        if n > max_rows:
+            raise ValueError(
+                f"ngram_jaccard_pairs: {n} rows > max_rows={max_rows}; the "
+                "all-pairs crossJoin is quadratic — pass allow_quadratic="
+                "True to force it, or use minhash LSH candidates at scale"
+            )
     a = t.select(F.col("id").alias("a"), F.col("sh").alias("sha"))
     b = t.select(F.col("id").alias("b"), F.col("sh").alias("shb"))
     inter = F.size(F.array_intersect("sha", "shb"))
@@ -461,16 +475,19 @@ def embedding_near_dup_pairs(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_rows: int = 100_000,
+    allow_quadratic: bool = False,
 ) -> DataFrame:
     """Pairs (a < b) with cosine similarity > threshold.
 
     All-pairs baseline, executed as one GEMM per Arrow batch against the
     broadcast table (the pairwise comparison is inherently quadratic; the
-    sub-quadratic scale path is LSH bucketing via operators.lsh).  Pairs
-    within 1e-6 of the threshold are re-scored with a strictly
-    sequential float64 sum — the association order SQL engines and the
-    column-expression form use — so boundary decisions match an external
-    oracle bit-for-bit.
+    sub-quadratic scale path is LSH bucketing via operators.lsh) —
+    refuses inputs larger than ``max_rows`` unless
+    ``allow_quadratic=True``.  Pairs within 1e-6 of the threshold are
+    re-scored with a strictly sequential float64 sum — the association
+    order SQL engines and the column-expression form use — so boundary
+    decisions match an external oracle bit-for-bit.
     """
     import numpy as np
     import pandas as pd
@@ -479,6 +496,13 @@ def embedding_near_dup_pairs(
 
     spark = df.sparkSession
     ids, mat = collect_vectors(df, id_col, vec_col)
+    if not allow_quadratic and len(ids) > max_rows:
+        raise ValueError(
+            f"embedding_near_dup_pairs: {len(ids)} rows > max_rows="
+            f"{max_rows}; the all-pairs comparison is quadratic — pass "
+            "allow_quadratic=True to force it, or use "
+            "embedding_lsh_near_dup_pairs at scale"
+        )
     m64 = mat.astype(np.float64)
     bc = spark.sparkContext.broadcast((ids, m64))
 
