@@ -328,3 +328,11 @@ datasets:
     assert snap["topk"] == 5
     md = open(os.path.join(out, "benchmark_summary.md")).read()
     assert "tiny_random" in md and "exact" in md
+    # one-pager + plots (reference: runner.py:523-662 one-page summary,
+    # tests/test_operations_recall_plot.py ops-vs-recall artifact)
+    onep = open(os.path.join(out, "one_page_summary.md")).read()
+    assert "One-Page Benchmark Summary" in onep
+    assert "Brief Takeaways" in onep and "tiny_random" in onep
+    for svg_name in ("qps_vs_recall.svg", "operations_vs_recall.svg"):
+        svg = open(os.path.join(out, svg_name)).read()
+        assert svg.startswith("<svg") and "circle" in svg

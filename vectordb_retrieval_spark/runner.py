@@ -340,6 +340,128 @@ def qps_recall_svg(all_results: dict[str, dict[str, Any]]) -> str:
     return "\n".join(parts)
 
 
+def _scatter_svg(
+    pts: list[tuple[str, float, float]], xlabel: str, ylabel: str
+) -> str:
+    """Log-x / linear-y labeled scatter (shared by the QPS and
+    operations plots; reference hand-rolls the same shape,
+    runner.py:402-521)."""
+    import math
+
+    w, h, pad = 640, 420, 56
+    if not pts:
+        return f'<svg xmlns="http://www.w3.org/2000/svg" width="{w}" height="{h}"/>'
+    lo = min(p[1] for p in pts)
+    hi = max(p[1] for p in pts)
+    lx, hx = math.log10(max(lo, 1e-3)) - 0.2, math.log10(max(hi, 1e-3)) + 0.2
+    ymax = max(1.0, max(p[2] for p in pts))
+
+    def sx(q):
+        return pad + (math.log10(max(q, 1e-3)) - lx) / (hx - lx) * (w - 2 * pad)
+
+    def sy(r):
+        return h - pad - (r / ymax) * (h - 2 * pad)
+
+    parts = [
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{w}" height="{h}">',
+        f'<rect width="{w}" height="{h}" fill="white"/>',
+        f'<line x1="{pad}" y1="{h-pad}" x2="{w-pad}" y2="{h-pad}" stroke="black"/>',
+        f'<line x1="{pad}" y1="{pad}" x2="{pad}" y2="{h-pad}" stroke="black"/>',
+        f'<text x="{w//2}" y="{h-12}" text-anchor="middle" font-size="12">{xlabel}</text>',
+        f'<text x="14" y="{h//2}" font-size="12" transform="rotate(-90 14 {h//2})" text-anchor="middle">{ylabel}</text>',
+    ]
+    for label, x, y in pts:
+        px, py = sx(x), sy(y)
+        parts.append(f'<circle cx="{px:.1f}" cy="{py:.1f}" r="4" fill="steelblue"/>')
+        parts.append(
+            f'<text x="{px+6:.1f}" y="{py-6:.1f}" font-size="10">{label}</text>'
+        )
+    parts.append("</svg>")
+    return "\n".join(parts)
+
+
+def operations_recall_svg(all_results: dict[str, dict[str, Any]]) -> str:
+    """Distance-operations-vs-recall scatter (reference:
+    evaluation.plot_operations_vs_recall, tested by
+    tests/test_operations_recall_plot.py:15-107): x = ndis (the
+    similarity-op accumulator) when the searcher reports one, falling
+    back to QPS — same fallback the reference implements."""
+    pts = []
+    fallback = False
+    for ds_name, combined in all_results.items():
+        for algo, m in combined["results"].items():
+            if m.get("recall") is None:
+                continue
+            if m.get("ndis"):
+                pts.append((f"{ds_name}/{algo}", float(m["ndis"]), float(m["recall"])))
+            elif m.get("qps"):
+                fallback = True
+                pts.append((f"{ds_name}/{algo}", float(m["qps"]), float(m["recall"])))
+    xlabel = "qps (log, fallback)" if fallback else "distance ops (ndis, log)"
+    return _scatter_svg(pts, xlabel, "recall")
+
+
+def one_page_summary(all_results: dict[str, dict[str, Any]]) -> str:
+    """Compact one-page markdown summary with QPS-vs-recall plot links,
+    per-dataset score tables and takeaways (reference:
+    runner.py:523-662 _generate_one_page_summary)."""
+    lines = ["# One-Page Benchmark Summary (QPS vs Recall)", ""]
+    takeaways: list[str] = []
+    for ds_name, combined in all_results.items():
+        lines += [f"## Dataset: {ds_name}", ""]
+        rows = []
+        for algo, m in combined["results"].items():
+            rows.append(
+                (
+                    algo,
+                    m.get("recall"),
+                    m.get("qps"),
+                    m.get("mean_query_ms"),
+                    m.get("build_time_s"),
+                    "build_only" if m.get("built_only") else "ok",
+                )
+            )
+        plot_pts = [
+            (a, q, r) for a, r, q, *_ in rows if q and r is not None
+        ]
+        if plot_pts:
+            lines += [f"![QPS vs Recall — {ds_name}](./qps_vs_recall.svg)", ""]
+            best_r = max(plot_pts, key=lambda p: (p[2], p[1]))
+            best_q = max(plot_pts, key=lambda p: (p[1], p[2]))
+            takeaways.append(
+                f"- `{ds_name}`: best recall `{best_r[0]}` ({best_r[2]:.4f}), "
+                f"best QPS `{best_q[0]}` ({best_q[1]:.2f})"
+            )
+        lines += [
+            "| Algorithm | Recall | QPS | Mean Query Time (ms) | Build Time (s) | Status |",
+            "|---|---:|---:|---:|---:|---|",
+        ]
+        for algo, rec, qps, mq, bt, status in sorted(
+            rows,
+            key=lambda x: (
+                -(x[1] if x[1] is not None else -1.0),
+                -(x[2] if x[2] is not None else -1.0),
+                x[0],
+            ),
+        ):
+            fmt = lambda v, p: (f"{v:.{p}f}" if v is not None else "N/A")
+            lines.append(
+                f"| {algo} | {fmt(rec, 4)} | {fmt(qps, 2)} | {fmt(mq, 3)} |"
+                f" {fmt(bt, 2)} | {status} |"
+            )
+        lines.append("")
+        cfg = combined.get("config", {})
+        if cfg:
+            lines += ["### Dataset Details", ""]
+            for key in ("metric", "topk", "n_queries", "seed"):
+                if cfg.get(key) is not None:
+                    lines.append(f"- {key}: `{cfg[key]}`")
+            lines.append("")
+    if takeaways:
+        lines += ["## Brief Takeaways", "", *takeaways, ""]
+    return "\n".join(lines).rstrip() + "\n"
+
+
 class BenchmarkRunner:
     """Multi-dataset suite from a benchmark config file
     (reference: runner.py:29-215)."""
@@ -376,4 +498,12 @@ class BenchmarkRunner:
             os.path.join(self.output_dir, "qps_vs_recall.svg"), "w"
         ) as fh:
             fh.write(qps_recall_svg(all_results))
+        with open(
+            os.path.join(self.output_dir, "one_page_summary.md"), "w"
+        ) as fh:
+            fh.write(one_page_summary(all_results))
+        with open(
+            os.path.join(self.output_dir, "operations_vs_recall.svg"), "w"
+        ) as fh:
+            fh.write(operations_recall_svg(all_results))
         return all_results
