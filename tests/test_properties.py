@@ -15,7 +15,11 @@ from vectordb_retrieval_spark.functions.distance import (
     pairwise_distances,
 )
 from vectordb_retrieval_spark.functions.kernels import rowwise_distance
-from vectordb_retrieval_spark.operators.graph_ann import _beam_search, _build_nsw
+from vectordb_retrieval_spark.operators.graph_ann import (
+    _batched_beam,
+    _build_nsw,
+    _pad_adjacency,
+)
 
 finite_f32 = st.floats(
     min_value=-100, max_value=100, allow_nan=False, width=32
@@ -79,11 +83,11 @@ def test_beam_search_exhaustive_is_exact(n, seed):
     rng = np.random.RandomState(seed)
     mat = rng.randn(n, 3).astype(np.float32)
     adj = _build_nsw(mat, m=4, ef_construction=max(8, n), metric="l2")
-    q = rng.randn(3).astype(np.float32)
-    found = _beam_search(mat, adj, q, ef=n, metric="l2")
-    d = np.sqrt(((mat - q) ** 2).sum(axis=1))
-    want = list(np.argsort(d, kind="stable")[: min(5, n)])
-    got = [node for _d, node in found[: min(5, n)]]
+    q = rng.randn(1, 3).astype(np.float32)
+    _bd, bi = _batched_beam(mat, _pad_adjacency(adj), q, ef=n, metric="l2")
+    d = np.sqrt(((mat - q[0]) ** 2).sum(axis=1))
+    want = set(np.argsort(d, kind="stable")[: min(5, n)])
+    got = set(bi[0, : min(5, n)].tolist())
     assert got == want
 
 

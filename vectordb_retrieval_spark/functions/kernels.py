@@ -60,8 +60,11 @@ def cluster_scan_topk(
 
     ``probe_map`` is cluster_id → query-row indices probing it.  Each
     base row crosses Arrow once per cluster; one GEMM scores it against
-    all its probing queries; only per-(query, fragment) top-k rows are
-    emitted, so the caller's final window sees ≤ n_q × nprobe × k rows.
+    all its probing queries.  Fragment top-ks are FUSED per task: the
+    kernel folds every probed cluster a task holds into one per-query
+    running top-k and emits it once at task end, so the caller's final
+    window sees ≤ n_q × tasks_probed × k rows instead of
+    n_q × nprobe × k — the probe fan-in merge happens map-side.
     The probed ids double as a literal IN filter, which becomes a static
     partition filter on a cluster_id-partitioned index.  ``accum``
     counts exact distance computations (the reference's ``ndis``)."""
@@ -74,6 +77,9 @@ def cluster_scan_topk(
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         q_ids, q_mat, cdc, probes = bc.value
+        acc_q: list[np.ndarray] = []
+        acc_i: list[np.ndarray] = []
+        acc_d: list[np.ndarray] = []
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -91,13 +97,23 @@ def cluster_scan_topk(
                 order = np.lexsort((np.broadcast_to(ids, d.shape), d), axis=1)[
                     :, :kk
                 ]
-                yield pd.DataFrame(
-                    {
-                        "qid": np.repeat(q_ids[qrows], kk),
-                        "id": ids[order].ravel(),
-                        "dist": np.take_along_axis(d, order, axis=1).ravel(),
-                    }
-                )
+                acc_q.append(np.repeat(qrows, kk))
+                acc_i.append(ids[order].ravel())
+                acc_d.append(np.take_along_axis(d, order, axis=1).ravel())
+        if not acc_q:
+            return
+        aq = np.concatenate(acc_q)
+        ai = np.concatenate(acc_i)
+        ad = np.concatenate(acc_d)
+        order = np.lexsort((ai, ad, aq))
+        aq, ai, ad = aq[order], ai[order], ad[order]
+        starts = np.r_[0, np.nonzero(np.diff(aq))[0] + 1]
+        counts = np.diff(np.r_[starts, len(aq)])
+        rank = np.arange(len(aq)) - np.repeat(starts, counts)
+        keep = rank < k
+        yield pd.DataFrame(
+            {"qid": q_ids[aq[keep]], "id": ai[keep], "dist": ad[keep]}
+        )
 
     return (
         assignment.filter(F.col("cluster_id").isin(probed_ids))

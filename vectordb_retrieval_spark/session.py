@@ -32,6 +32,16 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus) if cpus else 32
 
+    # one BLAS thread per python worker: every task already owns one
+    # core, so letting each worker's OpenBLAS/MKL spawn n_cores threads
+    # oversubscribes cores² ways (measured ~5× slowdown on the GEMM
+    # kernels with 32 concurrent workers).  Set BEFORE the JVM launches
+    # so the python-worker daemon inherits it; setdefault keeps user
+    # overrides.  On a real cluster executors get the same via
+    # spark.executorEnv.
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
+
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -47,6 +57,9 @@ def get_spark(
         # rejects by default; read as long nanos and convert at use sites.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
