@@ -343,3 +343,49 @@ def test_adc_lut_equals_decoded_l2(vecs):
     via_lut = codec.adc_distance(luts, qrows, codes[crows]).reshape(5, 100)
     via_decode = pairwise_distances(queries[:5], codec.decode(codes), "l2")
     np.testing.assert_allclose(via_lut, via_decode, atol=1e-9)
+
+
+def test_lloyd_refine_rounded_means_and_empty_clusters(dfs, vecs):
+    """lloyd_refine: one iteration equals NumPy assignment + 6dp-rounded
+    per-cluster means; a centroid no vector selects survives unchanged."""
+    from vectordb_retrieval_spark.functions.distance import pairwise_distances
+    from vectordb_retrieval_spark.operators.ivf import lloyd_refine
+
+    base, _ = vecs
+    base_df, _qdf = dfs
+    init = base[:4].astype(np.float64).copy()
+    init[3] = 1e6  # unreachable -> empty cluster, must be kept verbatim
+    out = lloyd_refine(base_df, init, iters=1)
+    assign = pairwise_distances(base, init, "l2").argmin(axis=1)
+    for c in range(3):
+        members = base[assign == c].astype(np.float64)
+        want = np.round(members.mean(axis=0), 6)
+        np.testing.assert_allclose(out[c], want, atol=1e-12)
+    np.testing.assert_array_equal(out[3], init[3])
+
+
+def test_pq_refine_rounded_means_per_subspace(dfs, vecs):
+    """pq_refine: per-subspace mean update matches NumPy, rounded to
+    the 6dp cross-engine grid."""
+    from vectordb_retrieval_spark.operators.quant import PQCodec, pq_refine
+
+    base, _ = vecs
+    base_df, _qdf = dfs
+    m, ksub = 4, 8
+    dsub = DIM // m
+    cb0 = np.stack(
+        [base[:ksub, j * dsub : (j + 1) * dsub].astype(np.float64) for j in range(m)]
+    )
+    out = pq_refine(base_df, cb0, iters=1)
+    codec = PQCodec(m=m, ksub=ksub)
+    codec.codebooks = cb0
+    codes = codec.encode(base)
+    for j in range(m):
+        sub = base[:, j * dsub : (j + 1) * dsub].astype(np.float64)
+        for c in range(ksub):
+            members = sub[codes[:, j] == c]
+            if len(members):
+                want = np.round(members.mean(axis=0), 6)
+                np.testing.assert_allclose(out[j, c], want, atol=1e-12)
+            else:
+                np.testing.assert_array_equal(out[j, c], cb0[j, c])
