@@ -43,7 +43,6 @@ def _state_partitions(spark: SparkSession, n: int = 2):
 from vectordb_retrieval_spark.driver_queries.common import K, QUERY_FILTER, emb, events
 from vectordb_retrieval_spark.driver_queries.knn import DIST_EXPRS, KNN_ORACLE
 from vectordb_retrieval_spark.functions.distance import distance_col
-from vectordb_retrieval_spark.operators.topk import topk_per_query
 from vectordb_retrieval_spark.streaming.serving import streaming_running_topk
 
 
