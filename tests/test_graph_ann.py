@@ -133,3 +133,57 @@ def test_graph_ann_ndis_sublinear(spark):
     searcher.search(queries, 5, qid_col="qid", vec_col="vec").count()
     # beam returns ≤ ef per (partition, query): 10 q × 4 parts × 32
     assert 0 < searcher.ndis_accum.value <= 10 * 4 * 32
+
+
+def test_graph_ann_chunk_fanout_many_queries(spark):
+    # >512 queries triggers the (shard x chunk) fan-out path; results
+    # must match the exact oracle as well as the small-batch path does
+    base = random_vectors(spark, 1000, 16, seed=71)
+    queries = random_vectors(spark, 700, 16, seed=72, id_col="qid")
+    art = GraphANNIndexer(m=8, num_partitions=4).build(
+        base, id_col="id", vec_col="vec"
+    )
+    pred = (
+        GraphANNSearcher(ef_search=60)
+        .attach(art)
+        .search(queries, 10, qid_col="qid", vec_col="vec")
+    )
+    truth = exact_knn(base, queries, 10, "l2", qid_col="qid", qvec_col="vec")
+    p = {(r.qid, r.id) for r in pred.collect()}
+    t = {(r.qid, r.id) for r in truth.collect()}
+    assert len(p & t) / len(t) >= 0.9
+    per_q = {}
+    for r in pred.collect():
+        per_q.setdefault(r.qid, []).append(r.rank)
+    assert len(per_q) == 700
+    assert all(sorted(v) == list(range(1, 11)) for v in per_q.values())
+
+
+def test_graph_ann_artifact_roundtrip(spark, tmp_path):
+    # packed-blob graph table + centroids survive save/load unchanged
+    from vectordb_retrieval_spark.persistence import load_artifact, save_artifact
+
+    base = random_vectors(spark, 400, 8, seed=81)
+    queries = random_vectors(spark, 10, 8, seed=82, id_col="qid")
+    art = GraphANNIndexer(
+        m=6, num_partitions=2, partition_by="lsh", seed=3
+    ).build(base, id_col="id", vec_col="vec")
+    before = {
+        (r.qid, r.id, r.rank)
+        for r in GraphANNSearcher(ef_search=40, probe_partitions=1)
+        .attach(art)
+        .search(queries, 5, qid_col="qid", vec_col="vec")
+        .collect()
+    }
+    path = str(tmp_path / "graph_idx")
+    save_artifact(art, path, fingerprint="fp1")
+    art2 = load_artifact(spark, path, "fp1")
+    assert "_shard_cache" not in art2.params
+    after = {
+        (r.qid, r.id, r.rank)
+        for r in GraphANNSearcher(ef_search=40, probe_partitions=1)
+        .attach(art2)
+        .search(queries, 5, qid_col="qid", vec_col="vec")
+        .collect()
+    }
+    assert before == after
