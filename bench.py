@@ -401,6 +401,37 @@ def main() -> int:
         "qps_ivf_sq8_nprobe10_1024q": round(1024 / t_sq8, 2),
         "recall_ivf_sq8_nprobe10": round(hits384 / (1024 * 20), 4),
     }
+
+    # routed graph ANN on the clustered corpus — the configuration where
+    # sign-LSH spatial shards actually co-locate neighbors, so probing
+    # 4 of 8 shards must keep ~all of probe-all recall at ~half the
+    # per-query beam work.  This is the property that keeps graph search
+    # flat-cost as shard count grows with data (uniform Gaussians have
+    # no co-locatable structure; this row is the honest demonstration).
+    t0 = time.time()
+    g384_art = GraphANNIndexer(
+        m=8, metric="cosine", num_partitions=8, partition_by="lsh", seed=11
+    ).build(base384, id_col="id", vec_col="vec")
+    materialize(g384_art.tables["graph"])
+    cosine_workload["graph_lsh_build_s"] = round(time.time() - t0, 3)
+    for label, probe in (("probe_all", None), ("probe4", 4)):
+        gres = (
+            GraphANNSearcher(ef_search=64, probe_partitions=probe)
+            .attach(g384_art)
+            .search(q384, 20, qid_col="qid", vec_col="vec")
+            .select("qid", "id")
+            .cache()
+        )
+        t0 = time.time()
+        materialize(gres)
+        cosine_workload[f"qps_graph_{label}_1024q"] = round(
+            1024 / (time.time() - t0), 2
+        )
+        cosine_workload[f"recall_graph_{label}"] = round(
+            gres.join(exact384, ["qid", "id"]).count() / (1024 * 20), 4
+        )
+        gres.unpersist()
+
     for df in (base384, q384, exact384, sq8_res):
         df.unpersist()
 
