@@ -409,14 +409,17 @@ def main() -> int:
     # flat-cost as shard count grows with data (uniform Gaussians have
     # no co-locatable structure; this row is the honest demonstration).
     t0 = time.time()
+    # wider graph than the 64-d workload (m=16, ef=128): at 384-d the
+    # fixed per-job cost dominates the beam, so the recall-maximizing
+    # width is ~free at this scale
     g384_art = GraphANNIndexer(
-        m=8, metric="cosine", num_partitions=8, partition_by="lsh", seed=11
+        m=16, metric="cosine", num_partitions=8, partition_by="lsh", seed=11
     ).build(base384, id_col="id", vec_col="vec")
     materialize(g384_art.tables["graph"])
     cosine_workload["graph_lsh_build_s"] = round(time.time() - t0, 3)
     for label, probe in (("probe_all", None), ("probe4", 4)):
         gres = (
-            GraphANNSearcher(ef_search=64, probe_partitions=probe)
+            GraphANNSearcher(ef_search=128, probe_partitions=probe)
             .attach(g384_art)
             .search(q384, 20, qid_col="qid", vec_col="vec")
             .select("qid", "id")
