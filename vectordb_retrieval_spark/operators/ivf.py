@@ -176,13 +176,16 @@ def lloyd_refine(
         art = FixedCentroidIVFIndexer(cents).build(
             base_df, id_col=id_col, vec_col=vec_col
         )
+        assignment = art.tables["assignment"]
         rows = (
-            art.tables["assignment"]
+            assignment
             .select("cluster_id", F.posexplode("vec").alias("pos", "val"))
             .groupBy("cluster_id", "pos")
             .agg(F.avg(F.col("val").cast("double")).alias("v"))
             .collect()
         )
+        # the intermediate assignment is consumed by this one aggregation
+        assignment.unpersist()
         new = cents.copy()  # empty clusters keep their old centroid
         for r in rows:
             new[r["cluster_id"], r["pos"]] = r["v"]
