@@ -389,3 +389,68 @@ def test_pq_refine_rounded_means_per_subspace(dfs, vecs):
                 np.testing.assert_allclose(out[j, c], want, atol=1e-12)
             else:
                 np.testing.assert_array_equal(out[j, c], cb0[j, c])
+
+
+def test_ivf_broadcast_path_equals_partitioned_path(dfs):
+    """The broadcast-serving fast path (operators/serving.py) and the
+    partitioned candidate scan must produce identical (qid, id, rank)
+    results — same probe selection, distances, and tie-breaks — for
+    flat and codec'd indexes alike."""
+    from vectordb_retrieval_spark.operators.ivf import IVFIndexer, IVFSearcher
+    from vectordb_retrieval_spark.operators.quant import SQ8Codec
+
+    base_df, query_df = dfs
+    for codec in (None, SQ8Codec()):
+        art = IVFIndexer(nlist=16, seed=1, codec=codec).build(base_df)
+        fast = (
+            IVFSearcher(nprobe=4)
+            .attach(art)
+            .search(query_df, K)
+            .select("qid", "id", "rank")
+            .collect()
+        )
+        art.params.pop("_serving_bc", None)
+        slow = (
+            IVFSearcher(nprobe=4, broadcast_threshold=0)
+            .attach(art)
+            .search(query_df, K)
+            .select("qid", "id", "rank")
+            .collect()
+        )
+        assert sorted(map(tuple, fast)) == sorted(map(tuple, slow))
+
+
+def test_pq_broadcast_path_equals_scan_path(dfs):
+    from vectordb_retrieval_spark.operators.pq import PQADCSearcher, PQIndexer
+
+    base_df, query_df = dfs
+    art = PQIndexer(m=4, ksub=16, metric="l2", seed=5).build(base_df)
+    fast = (
+        PQADCSearcher()
+        .attach(art)
+        .search(query_df, K)
+        .select("qid", "id", "rank")
+        .collect()
+    )
+    art.params.pop("_serving_bc", None)
+    slow = (
+        PQADCSearcher(broadcast_threshold=0)
+        .attach(art)
+        .search(query_df, K)
+        .select("qid", "id", "rank")
+        .collect()
+    )
+    assert sorted(map(tuple, fast)) == sorted(map(tuple, slow))
+
+
+def test_serving_topk_rows_tie_safety():
+    """Boundary ties (kth == (k+1)th distance) must resolve by id — the
+    argpartition fast path alone would keep an arbitrary tied member."""
+    from vectordb_retrieval_spark.operators.serving import topk_rows
+
+    d = np.array([[0.5, 0.2, 0.5, 0.1, 0.5, 0.9]])
+    ids = np.array([10, 20, 5, 30, 4, 40], dtype=np.int64)
+    od, oi = topk_rows(d, ids, 4)
+    # top-4 by (dist, id): 0.1/30, 0.2/20, then the 0.5 tie -> ids 4, 5
+    assert oi.tolist() == [[30, 20, 4, 5]]
+    assert od.tolist() == [[0.1, 0.2, 0.5, 0.5]]

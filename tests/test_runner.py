@@ -120,7 +120,10 @@ def test_persisted_ivf_probe_prunes_partitions(spark, small_base, tmp_path):
     save_artifact(art, path)
     loaded = load_artifact(spark, path)
     queries = random_vectors(spark, 4, 8, seed=9, stream=2, id_col="qid")
-    res = IVFSearcher(nprobe=1).attach(loaded).search(
+    # broadcast_threshold=0 pins the partitioned-scan plan (a small
+    # index would otherwise take the broadcast-serving fast path,
+    # which has no parquet scan to prune)
+    res = IVFSearcher(nprobe=1, broadcast_threshold=0).attach(loaded).search(
         queries, 3, qid_col="qid", vec_col="vec"
     )
     plan = res._jdf.queryExecution().executedPlan().toString()

@@ -277,7 +277,9 @@ def ivf_append(
     return IndexArtifact(
         kind="ivf",
         tables={"assignment": merged},
-        params=artifact.params,
+        # drop runtime-only "_" params (e.g. the serving broadcast):
+        # they were packed from the PRE-append assignment
+        params={k: v for k, v in artifact.params.items() if not k.startswith("_")},
         metadata={**artifact.metadata, "appended": True},
     )
 
@@ -306,16 +308,34 @@ def ivf_delete(
     return IndexArtifact(
         kind="ivf",
         tables={"assignment": kept},
-        params=artifact.params,
+        # drop runtime-only "_" params — a serving broadcast packed
+        # before the delete would still carry the deleted rows
+        params={k: v for k, v in artifact.params.items() if not k.startswith("_")},
         metadata={**artifact.metadata, "deleted": True},
     )
 
 
 class IVFSearcher:
-    """nprobe-pruned candidate scan + exact (or decoded) rerank."""
+    """nprobe-pruned candidate scan + exact (or decoded) rerank.
 
-    def __init__(self, nprobe: int = 8):
+    Two physical plans, selected by index size (the same decision rule
+    as Spark's broadcast-join threshold):
+
+    - packed index ≤ ``broadcast_threshold`` bytes → broadcast-index
+      serving (operators/serving.py): queries are scanned, the index is
+      broadcast, each task emits its queries' final top-k.  One job, no
+      shuffle; the broadcast is built once per artifact and reused
+      across searches.
+    - larger → partitioned candidate scan (``cluster_scan_topk``):
+      probe lists prune the cluster-partitioned assignment table and
+      fragment top-ks merge in a window — the 100 TB plan.
+
+    Both plans produce identical results (same probe selection, float64
+    distances, (dist, id) tie-breaks)."""
+
+    def __init__(self, nprobe: int = 8, broadcast_threshold: int = 64 << 20):
         self.nprobe = nprobe
+        self.broadcast_threshold = broadcast_threshold
         self.artifact: IndexArtifact | None = None
         # distance-computation counter, parity with the reference's
         # ``ndis`` record_operation (base_algorithm.py:91-96)
@@ -324,6 +344,45 @@ class IVFSearcher:
     def attach(self, artifact: IndexArtifact) -> "IVFSearcher":
         self.artifact = artifact
         return self
+
+    def _serving_broadcast(self, spark):
+        """Packed-index broadcast for this artifact, memoized on the
+        artifact (underscore params are runtime-only and are never
+        persisted or inherited by append/delete derivatives).  Returns
+        None when the packed index would exceed the threshold — the
+        size is ESTIMATED from row count × payload width before any
+        collect, so the driver never materializes an over-threshold
+        index."""
+        from vectordb_retrieval_spark.operators.quant import PQCodec
+        from vectordb_retrieval_spark.operators.serving import pack_clusters
+
+        art = self.artifact
+        if "_serving_bc" in art.params:
+            return art.params["_serving_bc"]
+        codec = art.params["codec"]
+        cents = art.params["centroids"]
+        n = art.tables["assignment"].count()
+        if codec is None:
+            width = 4 * cents.shape[1]
+        elif isinstance(codec, PQCodec):
+            width = codec.m * (1 if codec.ksub <= 256 else 2)
+        else:
+            width = cents.shape[1]  # SQ8: one byte per dim packed
+        if n * (width + 8) > self.broadcast_threshold:
+            art.params["_serving_bc"] = None
+            return None
+        packed = pack_clusters(
+            art.tables["assignment"],
+            "vec" if codec is None else "codes",
+            cents,
+            codec,
+        )
+        if packed.nbytes() > self.broadcast_threshold:
+            art.params["_serving_bc"] = None
+            return None
+        bc = spark.sparkContext.broadcast(packed)
+        art.params["_serving_bc"] = bc
+        return bc
 
     def probe_clusters(self, qids: np.ndarray, qmat: np.ndarray) -> pd.DataFrame:
         """(qid, cluster_id) pairs: nprobe nearest centroids per query
@@ -359,6 +418,23 @@ class IVFSearcher:
             self.ndis_accum = spark.sparkContext.accumulator(0)
         accum = self.ndis_accum
 
+        bc_index = self._serving_broadcast(spark)
+        if bc_index is not None:
+            from vectordb_retrieval_spark.operators.serving import (
+                broadcast_probe_search,
+            )
+
+            return broadcast_probe_search(
+                query_df,
+                bc_index,
+                self.nprobe,
+                k,
+                metric,
+                qid_col=qid_col,
+                vec_col=vec_col,
+                accum=accum,
+            )
+
         qids, qmat = collect_vectors(query_df, qid_col, vec_col)
         if metric == "cosine":
             qmat = normalize_rows(qmat.astype(np.float64)).astype(np.float32)
@@ -384,11 +460,16 @@ class IVFSearcher:
     def _probe_rows(probe: pd.DataFrame, n_queries: int) -> dict[int, np.ndarray]:
         """cluster_id → array of query-row indices probing that cluster.
         probe rows are (qid, cluster_id) laid out query-major, so the
-        query row index is position // nprobe."""
+        query row index is position // nprobe.  One stable argsort +
+        unique-split instead of a per-cluster mask scan (which is
+        O(nlist × n_q × nprobe) and driver-side)."""
         nprobe = len(probe) // n_queries if n_queries else 1
         rows = np.arange(len(probe)) // max(nprobe, 1)
-        out: dict[int, np.ndarray] = {}
         cids = probe["cluster_id"].to_numpy()
-        for cid in np.unique(cids):
-            out[int(cid)] = rows[cids == cid]
-        return out
+        so = np.argsort(cids, kind="stable")
+        sc, sr = cids[so], rows[so]
+        ucs, starts = np.unique(sc, return_index=True)
+        bounds = np.r_[starts, len(sc)]
+        return {
+            int(c): sr[bounds[i] : bounds[i + 1]] for i, c in enumerate(ucs)
+        }

@@ -59,12 +59,43 @@ class PQIndexer:
 
 
 class PQADCSearcher:
-    def __init__(self):
+    """Exhaustive decoded-ADC scan; like IVFSearcher, a code table that
+    packs under ``broadcast_threshold`` is served via the broadcast-
+    index path (operators/serving.py): one shuffle-free job over the
+    query table, decoded codes memoized per worker across searches."""
+
+    def __init__(self, broadcast_threshold: int = 64 << 20):
+        self.broadcast_threshold = broadcast_threshold
         self.artifact: IndexArtifact | None = None
 
     def attach(self, artifact: IndexArtifact) -> "PQADCSearcher":
         self.artifact = artifact
         return self
+
+    def _serving_broadcast(self, spark):
+        from vectordb_retrieval_spark.operators.serving import pack_clusters
+
+        art = self.artifact
+        if "_serving_bc" in art.params:
+            return art.params["_serving_bc"]
+        codec: PQCodec = art.params["codec"]
+        n = art.tables["codes"].count()
+        width = codec.m * (1 if codec.ksub <= 256 else 2)
+        if n * (width + 8) > self.broadcast_threshold:
+            art.params["_serving_bc"] = None
+            return None
+        packed = pack_clusters(
+            art.tables["codes"].withColumn("cluster_id", F.lit(0)),
+            "codes",
+            None,
+            codec,
+        )
+        if packed.nbytes() > self.broadcast_threshold:
+            art.params["_serving_bc"] = None
+            return None
+        bc = spark.sparkContext.broadcast(packed)
+        art.params["_serving_bc"] = bc
+        return bc
 
     def search(
         self, query_df: DataFrame, k: int, qid_col: str = "qid", vec_col: str = "vec"
@@ -72,6 +103,27 @@ class PQADCSearcher:
         art = self.artifact
         codec: PQCodec = art.params["codec"]
         spark = query_df.sparkSession
+
+        bc_index = self._serving_broadcast(spark)
+        if bc_index is not None:
+            from vectordb_retrieval_spark.operators.serving import (
+                broadcast_probe_search,
+            )
+
+            # ADC runs in L2 over decoded vectors; cosine is absorbed
+            # by the codec's normalize flag, so the queries normalize
+            # exactly when the codec does
+            return broadcast_probe_search(
+                query_df,
+                bc_index,
+                None,
+                k,
+                "l2",
+                qid_col=qid_col,
+                vec_col=vec_col,
+                normalize_queries=codec.normalize,
+            )
+
         qids, qmat = collect_vectors(query_df, qid_col, vec_col)
         q64 = qmat.astype(np.float64)
         if codec.normalize:
