@@ -187,3 +187,33 @@ def test_graph_ann_artifact_roundtrip(spark, tmp_path):
         .collect()
     }
     assert before == after
+
+
+def test_graph_ann_kmeans_routing_with_long_links(spark):
+    """KMeans shards + long-range links: on clustered data the routed
+    search must reach near-exact recall with few probes — tight shards
+    make the routing principled, and the long links keep the beam
+    navigable across a shard's sub-clusters."""
+    from vectordb_retrieval_spark.sources.random_gen import clustered_vectors
+
+    base = clustered_vectors(
+        spark, 2000, 32, n_clusters=20, spread=0.3, seed=5, stream=1
+    )
+    queries = clustered_vectors(
+        spark, 30, 32, n_clusters=20, spread=0.3, seed=5, stream=2, id_col="qid"
+    )
+    art = GraphANNIndexer(
+        m=8,
+        metric="cosine",
+        num_partitions=8,
+        partition_by="kmeans",
+        seed=7,
+        long_links=4,
+    ).build(base, id_col="id", vec_col="vec")
+    assert "centroids" in art.params
+    routed = GraphANNSearcher(ef_search=48, probe_partitions=2).attach(art)
+    pred = routed.search(queries, 10, qid_col="qid", vec_col="vec")
+    truth = exact_knn(base, queries, 10, "cosine", qid_col="qid", qvec_col="vec")
+    p = {(r.qid, r.id) for r in pred.collect()}
+    t = {(r.qid, r.id) for r in truth.collect()}
+    assert len(p & t) / len(t) >= 0.9

@@ -9,6 +9,7 @@ row-wise computation per Arrow batch, JVM→Arrow→NumPy→Arrow.
 
 from __future__ import annotations
 
+import weakref
 from typing import Iterator
 
 import numpy as np
@@ -26,6 +27,38 @@ def collect_vectors(
     ids = pdf[id_col].to_numpy(dtype=np.int64)
     mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float32)
     return ids, mat
+
+
+# DataFrames are immutable, so a collect keyed on DataFrame identity can
+# never serve stale data; WeakKey keeps the memo from pinning query
+# tables after callers drop them.  Serving paths collect the same query
+# batch once per SEARCH otherwise — at high search rates the repeated
+# toPandas job is pure fixed cost.
+_collect_memo: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def collect_vectors_cached(
+    df: DataFrame, id_col: str, vec_col: str
+) -> tuple[np.ndarray, np.ndarray]:
+    """``collect_vectors`` with a WeakKey memo on the DataFrame object.
+    Falls back to a plain collect for unhashable/unweakrefable frames
+    (e.g. future client implementations)."""
+    key = (id_col, vec_col)
+    try:
+        per_df = _collect_memo.get(df)
+        if per_df is not None and key in per_df:
+            return per_df[key]
+    except TypeError:
+        return collect_vectors(df, id_col, vec_col)
+    out = collect_vectors(df, id_col, vec_col)
+    try:
+        if per_df is None:
+            per_df = {}
+            _collect_memo[df] = per_df
+        per_df[key] = out
+    except TypeError:
+        pass
+    return out
 
 
 def rowwise_distance(

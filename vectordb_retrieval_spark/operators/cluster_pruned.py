@@ -31,7 +31,7 @@ from vectordb_retrieval_spark.artifacts import IndexArtifact
 from vectordb_retrieval_spark.functions.distance import pairwise_distances
 from vectordb_retrieval_spark.functions.kernels import (
     cluster_scan_topk,
-    collect_vectors,
+    collect_vectors_cached,
 )
 from vectordb_retrieval_spark.operators.ivf import IVFIndexer
 from vectordb_retrieval_spark.operators.topk import topk_per_query
@@ -115,7 +115,7 @@ class ClusterPrunedExactSearcher:
             self.ndis_accum = spark.sparkContext.accumulator(0)
         accum = self.ndis_accum
 
-        qids, qmat = collect_vectors(query_df, qid_col, vec_col)
+        qids, qmat = collect_vectors_cached(query_df, qid_col, vec_col)
         if metric == "cosine":
             from vectordb_retrieval_spark.functions.distance import normalize_rows
 

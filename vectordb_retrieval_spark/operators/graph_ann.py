@@ -49,6 +49,7 @@ from vectordb_retrieval_spark.functions.distance import (
     normalize_rows,
     pairwise_distances,
 )
+from vectordb_retrieval_spark.functions.kernels import rowwise_distance
 from vectordb_retrieval_spark.functions.hashing import (
     make_projections,
     sign_buckets,
@@ -230,7 +231,11 @@ def _brute_topk(
 
 
 def _build_nsw(
-    mat: np.ndarray, m: int, ef_construction: int, metric: str
+    mat: np.ndarray,
+    m: int,
+    ef_construction: int,
+    metric: str,
+    long_links: int = 0,
 ) -> list[np.ndarray]:
     """Navigable graph: exact m-NN edges (chunked GEMM) + a node-order
     chain for guaranteed connectivity; edges are bidirectional.
@@ -292,6 +297,22 @@ def _build_nsw(
                 keep = set(nb[np.argsort(dd, kind="stable")[: 2 * m]].tolist())
                 keep.update(x for x in (i - 1, i + 1) if x in adj_sets[i])
                 adj_sets[i] = keep
+        if long_links and n > 2:
+            # seeded random long-range edges — the "small world" part of
+            # NSW (Malkov et al. 2014 §3: links spanning cluster scale).
+            # Exact-kNN edges stay inside tight clusters, so on
+            # multi-cluster shards the greedy beam can strand in the
+            # entry's cluster; a few random shortcuts per node restore
+            # navigability.  Added after degree trimming on purpose:
+            # nearest-neighbor trimming would delete exactly these (they
+            # are far by construction).
+            rng = np.random.RandomState(0x5eed ^ n)
+            tgt = rng.randint(0, n - 1, size=(n, long_links))
+            tgt = tgt + (tgt >= np.arange(n)[:, None])
+            for i in range(n):
+                for j in tgt[i]:
+                    adj_sets[i].add(int(j))
+                    adj_sets[int(j)].add(i)
     return [np.asarray(sorted(a), dtype=np.int64) for a in adj_sets]
 
 
@@ -304,7 +325,13 @@ class GraphANNIndexer:
     seeded sign-random-projection bucket (hash family identical to the
     reference's cosine LSH, src/algorithms/lsh.py:78-80) and records
     per-shard centroids so the searcher can route each query to its
-    ``probe_partitions`` nearest shards only.
+    ``probe_partitions`` nearest shards only.  ``partition_by="kmeans"``
+    shards by a KMeans coarse quantizer instead — spatially TIGHT
+    shards (balls, not half-space intersections), so centroid routing
+    matches the geometry that produced the shards and few probes cover
+    a query's true neighbors (the clustered-shard design of
+    SPANN/DiskANN-style systems); LSH sharding remains the
+    SQL-reproducible flavor the oracle checks.
     """
 
     def __init__(
@@ -315,20 +342,25 @@ class GraphANNIndexer:
         num_partitions: int = 8,
         partition_by: str = "hash",
         seed: int = 0,
+        long_links: int = 0,
     ):
-        if partition_by not in ("hash", "lsh"):
-            raise ValueError(f"partition_by must be 'hash' or 'lsh', got {partition_by!r}")
+        if partition_by not in ("hash", "lsh", "kmeans"):
+            raise ValueError(
+                f"partition_by must be 'hash', 'lsh' or 'kmeans', got {partition_by!r}"
+            )
         self.m = m
         self.ef_construction = ef_construction
         self.metric = metric
         self.num_partitions = num_partitions
         self.partition_by = partition_by
         self.seed = seed
+        self.long_links = long_links
 
     def build(
         self, base_df: DataFrame, id_col: str = "id", vec_col: str = "vec"
     ) -> IndexArtifact:
         m, efc, metric = self.m, self.ef_construction, self.metric
+        long_links = self.long_links
         n_parts = self.num_partitions
         spark = base_df.sparkSession
         base = base_df.select(
@@ -347,6 +379,24 @@ class GraphANNIndexer:
                 return pd.Series(b % np.int64(n_parts))
 
             base = base.withColumn("pid", lsh_pid(F.col("vec")))
+        elif self.partition_by == "kmeans":
+            from pyspark.ml.clustering import KMeans
+            from pyspark.ml.functions import array_to_vector
+
+            if metric == "cosine":
+                # directional data: cluster on the sphere, or euclidean
+                # KMeans merges clusters by norm and shard sizes collapse
+                # (observed 49% of rows in one shard on raw vectors)
+                from vectordb_retrieval_spark.operators.ivf import _norm_df
+
+                base = _norm_df(base, "vec")
+            feats = base.withColumn("features", array_to_vector("vec"))
+            km = KMeans(k=n_parts, seed=self.seed, maxIter=10).fit(feats)
+            base = (
+                km.transform(feats)
+                .withColumn("pid", F.col("prediction").cast("long"))
+                .select("id", "vec", "pid")
+            )
         else:
             base = base.withColumn(
                 "pid", F.pmod(F.xxhash64("id"), F.lit(n_parts))
@@ -366,14 +416,18 @@ class GraphANNIndexer:
                 mat = np.vstack(pdf["vec"].to_numpy()).astype(np.float32)
                 if metric == "cosine":
                     mat = normalize_rows(mat.astype(np.float64)).astype(np.float32)
-                adj = _build_nsw(mat, m, efc, metric)
+                adj = _build_nsw(mat, m, efc, metric, long_links=long_links)
                 ids = pdf["id"].to_numpy(dtype=np.int64)
+                # float64 end-to-end: routing centroids feed a 6 dp
+                # round that must recover the same grid point as a SQL
+                # double oracle — a float32 cast here could shift the
+                # rounded value by 1e-6 near half-grid boundaries
                 cent = mat.astype(np.float64).mean(axis=0)
                 yield pd.DataFrame(
                     {
                         "pid": [_pid],
                         "n": [len(ids)],
-                        "centroid": [cent.astype(np.float32)],
+                        "centroid": [cent],
                         "blob": [_pack_shard(ids, mat, _pad_adjacency(adj))],
                     }
                 )
@@ -383,13 +437,13 @@ class GraphANNIndexer:
         # deserialize the packed shards
         graph = base.mapInPandas(
             kernel,
-            schema="pid long, n long, centroid array<float>, blob binary",
+            schema="pid long, n long, centroid array<double>, blob binary",
         ).cache()
         graph.count()
 
         params = {"metric": metric, "m": m, "num_partitions": n_parts,
                   "partition_by": self.partition_by}
-        if self.partition_by == "lsh":
+        if self.partition_by in ("lsh", "kmeans"):
             # per-shard centroids for query routing: P × dim values —
             # driver-small at any scale (blob column pruned from the
             # collect)
@@ -459,9 +513,11 @@ class GraphANNSearcher:
         accum = self.ndis_accum
         force_beam = self.force_beam
 
-        qpdf = query_df.select(qid_col, vec_col).toPandas()
-        qids = qpdf[qid_col].to_numpy(dtype=np.int64)
-        qmat = np.vstack(qpdf[vec_col].to_numpy()).astype(np.float32)
+        from vectordb_retrieval_spark.functions.kernels import (
+            collect_vectors_cached,
+        )
+
+        qids, qmat = collect_vectors_cached(query_df, qid_col, vec_col)
         if metric == "cosine":
             qmat = normalize_rows(qmat.astype(np.float64)).astype(np.float32)
 
@@ -473,7 +529,8 @@ class GraphANNSearcher:
             if cent is None:
                 raise ValueError(
                     "probe_partitions requires an artifact built with "
-                    "partition_by='lsh' (it records per-shard centroids)"
+                    "partition_by='lsh' or 'kmeans' (they record "
+                    "per-shard centroids)"
                 )
             cpids = art.params["centroid_pids"]
             probe = min(probe, len(cpids))
@@ -504,16 +561,22 @@ class GraphANNSearcher:
         # no blob shuffle at all.  Large index ⇒ shuffle-replicate the
         # blob rows per chunk (shard_count × chunks rows — still the
         # index, never the base data).
-        shards = art.params.get("_shard_cache")
-        if shards is None:
+        # shard-blob broadcast, built ONCE per artifact and reused by
+        # every subsequent search (leading "_": runtime-only, skipped
+        # by persistence).  A None entry remembers the over-threshold
+        # decision so the size probe doesn't re-run per search either.
+        if "_shard_bc" not in art.params:
             total = art.tables["graph"].agg(
                 F.sum(F.length("blob")).alias("b")
             ).collect()[0]["b"]
             if total is not None and total <= self.broadcast_threshold:
                 rows = art.tables["graph"].select("pid", "blob").collect()
                 shards = {int(r["pid"]): bytes(r["blob"]) for r in rows}
-                # leading "_": in-memory only, skipped by persistence
-                art.params["_shard_cache"] = shards
+                art.params["_shard_bc"] = spark.sparkContext.broadcast(shards)
+                art.params["_shard_pids"] = sorted(shards)
+            else:
+                art.params["_shard_bc"] = None
+        bc_shards = art.params["_shard_bc"]
 
         bc = spark.sparkContext.broadcast((qids, qmat, route, bounds))
 
@@ -538,26 +601,37 @@ class GraphANNSearcher:
             # is linear in queries only while they fit
             for s in range(0, len(q_sub), 512):
                 qc, qidc = q_sub[s : s + 512], qid_sub[s : s + 512]
-                if ef >= len(mat) and not force_beam:
-                    bd, bi = _brute_topk(mat, qc, ef, metric)
-                else:
+                used_beam = not (ef >= len(mat) and not force_beam)
+                if used_beam:
                     bd, bi = _batched_beam(mat, padj, qc, ef, metric)
+                else:
+                    bd, bi = _brute_topk(mat, qc, ef, metric)
                 valid = bi >= 0
                 accum.add(int(valid.sum()))
                 kk = min(k, bd.shape[1])
                 v = valid[:, :kk].reshape(-1)
                 flat_i = bi[:, :kk].reshape(-1)[v]
+                dist = bd[:, :kk].reshape(-1)[v]
+                if used_beam and len(flat_i):
+                    # the beam ranks in float32 (its own scratch);
+                    # emitted distances are recomputed in float64 so
+                    # the global merge ranks the same way a double
+                    # oracle does — fp32 near-tie swaps cannot leak
+                    # into the final top-k
+                    qrep = np.repeat(np.arange(len(qc)), kk)[v]
+                    dist = rowwise_distance(qc[qrep], mat[flat_i], metric)
                 yield pd.DataFrame(
                     {
                         "qid": np.repeat(qidc, kk)[v],
                         "id": ids[flat_i],
-                        "dist": bd[:, :kk].reshape(-1)[v],
+                        "dist": dist,
                     }
                 )
 
-        if shards is not None:
-            bc_shards = spark.sparkContext.broadcast(shards)
-            pairs = [(pid, c) for pid in sorted(shards) for c in range(chunks)]
+        if bc_shards is not None:
+            pairs = [
+                (pid, c) for pid in art.params["_shard_pids"] for c in range(chunks)
+            ]
             tasks = spark.createDataFrame(
                 spark.sparkContext.parallelize(pairs, len(pairs)),
                 "pid long, qchunk int",

@@ -41,7 +41,7 @@ from vectordb_retrieval_spark.functions.distance import (
 )
 from vectordb_retrieval_spark.functions.kernels import (
     cluster_scan_topk,
-    collect_vectors,
+    collect_vectors_cached,
 )
 from vectordb_retrieval_spark.operators.topk import topk_per_query
 
@@ -435,7 +435,7 @@ class IVFSearcher:
                 accum=accum,
             )
 
-        qids, qmat = collect_vectors(query_df, qid_col, vec_col)
+        qids, qmat = collect_vectors_cached(query_df, qid_col, vec_col)
         if metric == "cosine":
             qmat = normalize_rows(qmat.astype(np.float64)).astype(np.float32)
         probe = self.probe_clusters(qids, qmat)

@@ -37,7 +37,7 @@ from vectordb_retrieval_spark.functions.hashing import (
 )
 from vectordb_retrieval_spark.functions.kernels import (
     attach_query_distance,
-    collect_vectors,
+    collect_vectors_cached,
 )
 from vectordb_retrieval_spark.operators.exact import exact_knn
 from vectordb_retrieval_spark.operators.topk import topk_per_query
@@ -167,7 +167,7 @@ class LSHSearcher:
         metric = indexer.metric
         spark = query_df.sparkSession
 
-        qids, qmat = collect_vectors(query_df, qid_col, vec_col)
+        qids, qmat = collect_vectors_cached(query_df, qid_col, vec_col)
         if self.n_probes > 1:
             from vectordb_retrieval_spark.functions.hashing import (
                 e2lsh_multiprobe_buckets,

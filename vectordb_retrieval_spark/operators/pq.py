@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from vectordb_retrieval_spark.artifacts import IndexArtifact
-from vectordb_retrieval_spark.functions.kernels import collect_vectors
+from vectordb_retrieval_spark.functions.kernels import collect_vectors_cached
 from vectordb_retrieval_spark.operators.quant import PQCodec
 from vectordb_retrieval_spark.operators.topk import topk_per_query
 
@@ -124,7 +124,7 @@ class PQADCSearcher:
                 normalize_queries=codec.normalize,
             )
 
-        qids, qmat = collect_vectors(query_df, qid_col, vec_col)
+        qids, qmat = collect_vectors_cached(query_df, qid_col, vec_col)
         q64 = qmat.astype(np.float64)
         if codec.normalize:
             from vectordb_retrieval_spark.functions.distance import normalize_rows
