@@ -189,25 +189,41 @@ class LSHSearcher:
             n_tables = probes.shape[1]
             # keep the BEST (lowest) probe rank per (qid, table, bucket):
             # the candidate cap orders on it, so base-bucket collisions
-            # are never evicted by far-probe ones
-            best: dict[tuple[int, int, str], int] = {}
-            for i in range(len(qids)):
-                for t in range(n_tables):
-                    for p in range(self.n_probes):
-                        key = (int(qids[i]), t, str(probes[i, t, p]))
-                        if key not in best:
-                            best[key] = p
-            qb_rows = sorted((q, t, b, p) for (q, t, b), p in best.items())
+            # are never evicted by far-probe ones.  Vectorized groupby-
+            # min (C hash aggregation) — the per-(qid, table, probe)
+            # Python dict loop this replaces was O(n_q × tables ×
+            # probes) driver work, millions of dict ops at serving rates
+            n_p = self.n_probes
+            qb_pdf = pd.DataFrame(
+                {
+                    "qid": np.repeat(qids.astype(np.int64), n_tables * n_p),
+                    "table_id": np.tile(
+                        np.repeat(np.arange(n_tables, dtype=np.int32), n_p),
+                        len(qids),
+                    ),
+                    "bucket": probes.reshape(-1).astype(str),
+                    "probe": np.tile(
+                        np.arange(n_p, dtype=np.int32), len(qids) * n_tables
+                    ),
+                }
+            ).groupby(["qid", "table_id", "bucket"], as_index=False, sort=True)[
+                "probe"
+            ].min()
         else:
             qbuckets = indexer.bucket_of(qmat)  # (n_q, n_tables)
             n_tables = qbuckets.shape[1]
-            qb_rows = [
-                (int(qids[i]), t, str(qbuckets[i, t]), 0)
-                for i in range(len(qids))
-                for t in range(n_tables)
-            ]
+            qb_pdf = pd.DataFrame(
+                {
+                    "qid": np.repeat(qids.astype(np.int64), n_tables),
+                    "table_id": np.tile(
+                        np.arange(n_tables, dtype=np.int32), len(qids)
+                    ),
+                    "bucket": qbuckets.reshape(-1).astype(str),
+                    "probe": np.zeros(len(qids) * n_tables, dtype=np.int32),
+                }
+            )
         qb_df = spark.createDataFrame(
-            qb_rows, "qid long, table_id int, bucket string, probe int"
+            qb_pdf, "qid long, table_id int, bucket string, probe int"
         )
 
         # the default candidate budget scales with the probe budget —
