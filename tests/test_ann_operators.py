@@ -454,3 +454,29 @@ def test_serving_topk_rows_tie_safety():
     # top-4 by (dist, id): 0.1/30, 0.2/20, then the 0.5 tie -> ids 4, 5
     assert oi.tolist() == [[30, 20, 4, 5]]
     assert od.tolist() == [[0.1, 0.2, 0.5, 0.5]]
+
+
+def test_cluster_pruned_broadcast_path_equals_partitioned_path(dfs):
+    from vectordb_retrieval_spark.operators.cluster_pruned import (
+        ClusterPrunedExactIndexer,
+        ClusterPrunedExactSearcher,
+    )
+
+    base_df, query_df = dfs
+    art = ClusterPrunedExactIndexer(nlist=8, seed=2, max_iter=5).build(base_df)
+    fast = (
+        ClusterPrunedExactSearcher(nprobe=2)
+        .attach(art)
+        .search(query_df, K)
+        .select("qid", "id", "rank")
+        .collect()
+    )
+    art.params.pop("_serving_bc", None)
+    slow = (
+        ClusterPrunedExactSearcher(nprobe=2, broadcast_threshold=0)
+        .attach(art)
+        .search(query_df, K)
+        .select("qid", "id", "rank")
+        .collect()
+    )
+    assert sorted(map(tuple, fast)) == sorted(map(tuple, slow))

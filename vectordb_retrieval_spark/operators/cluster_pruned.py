@@ -92,16 +92,138 @@ class ClusterPrunedExactSearcher:
 
     Only supports L2 (the bound is metric-specific; cosine reduces to L2
     on normalized vectors, which ``IVFIndexer(metric='cosine')`` already
-    produces)."""
+    produces).
 
-    def __init__(self, nprobe: int = 4):
+    Physical plans: when the packed index fits under
+    ``broadcast_threshold``, BOTH phases run inside one broadcast-index
+    kernel (operators/serving.py dataflow) — each task computes its
+    queries' phase-1 scan, the T_q bound, the pruning decision, and the
+    phase-2 scan locally, so a search is a single shuffle-free job with
+    no driver round-trip.  Over the threshold, the partitioned-scan
+    path runs phase 1, collects the (one row per query, bounded) T_q
+    thresholds, and launches the pruned phase-2 scan — the 100 TB plan,
+    where the T_q collect is the only driver traffic."""
+
+    def __init__(self, nprobe: int = 4, broadcast_threshold: int = 64 << 20):
         self.nprobe = nprobe
+        self.broadcast_threshold = broadcast_threshold
         self.artifact: IndexArtifact | None = None
         self.ndis_accum = None  # LongAccumulator, set on first search
 
     def attach(self, artifact: IndexArtifact) -> "ClusterPrunedExactSearcher":
         self.artifact = artifact
         return self
+
+    def _search_broadcast(
+        self, bc_index, query_df, k, qid_col, vec_col, accum
+    ) -> DataFrame:
+        """Both phases in one kernel over the broadcast packed index."""
+        from vectordb_retrieval_spark.functions.distance import normalize_rows
+        from vectordb_retrieval_spark.operators.serving import topk_rows
+
+        art = self.artifact
+        radii = np.asarray(art.params["radii"], dtype=np.float64)
+        metric = art.params["metric"]
+        nprobe = self.nprobe
+        spark = query_df.sparkSession
+        q = query_df.select(F.col(qid_col).alias("qid"), F.col(vec_col).alias("vec"))
+        par = spark.sparkContext.defaultParallelism
+        if q.rdd.getNumPartitions() < par:
+            q = q.repartition(par)
+
+        def kernel(batches):
+            idx = bc_index.value
+            cents = idx.centroids
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                qids = pdf["qid"].to_numpy(dtype=np.int64)
+                qmat = np.vstack(pdf["vec"].to_numpy()).astype(np.float32)
+                if metric == "cosine":
+                    qmat = normalize_rows(qmat.astype(np.float64)).astype(
+                        np.float32
+                    )
+                n_q = len(qids)
+                qc = pairwise_distances(qmat, cents, "l2")
+                npb = min(nprobe, qc.shape[1])
+                order = np.lexsort(
+                    (np.broadcast_to(np.arange(qc.shape[1]), qc.shape), qc),
+                    axis=1,
+                )
+                probed = order[:, :npb]
+
+                def scan(flat_q, flat_c, acc_q, acc_i, acc_d):
+                    so = np.argsort(flat_c, kind="stable")
+                    fc, fq = flat_c[so], flat_q[so]
+                    ucs, starts = np.unique(fc, return_index=True)
+                    bounds = np.r_[starts, len(fc)]
+                    for j, c in enumerate(ucs):
+                        bi = idx.index.get(int(c))
+                        if bi is None:
+                            continue
+                        qrows = fq[bounds[j] : bounds[j + 1]]
+                        d = pairwise_distances(
+                            qmat[qrows], idx.decoded(bi), metric="l2"
+                        )
+                        if accum is not None:
+                            accum.add(int(d.size))
+                        kk = min(k, d.shape[1])
+                        od, oi = topk_rows(d, idx.ids[bi], kk)
+                        acc_q.append(np.repeat(qrows, kk))
+                        acc_i.append(oi.ravel())
+                        acc_d.append(od.ravel())
+
+                acc_q: list[np.ndarray] = []
+                acc_i: list[np.ndarray] = []
+                acc_d: list[np.ndarray] = []
+                scan(
+                    np.repeat(np.arange(n_q), npb),
+                    probed.reshape(-1),
+                    acc_q,
+                    acc_i,
+                    acc_d,
+                )
+                # per-query exact upper bound T_q = kth-best so far
+                t_arr = np.full(n_q, np.inf)
+                if acc_q:
+                    aq = np.concatenate(acc_q)
+                    ad = np.concatenate(acc_d)
+                    so = np.lexsort((ad, aq))
+                    aq_s, ad_s = aq[so], ad[so]
+                    starts = np.r_[0, np.nonzero(np.diff(aq_s))[0] + 1]
+                    counts = np.diff(np.r_[starts, len(aq_s)])
+                    full = counts >= k
+                    t_arr[aq_s[starts[full]]] = ad_s[starts[full] + k - 1]
+                # lower bound d(q, c) − r_c: clusters above T_q provably
+                # hold no better neighbor (triangle inequality)
+                need = qc - radii[None, :] <= t_arr[:, None]
+                need[np.arange(n_q)[:, None], probed] = False
+                extra_q, extra_c = np.nonzero(need)
+                if len(extra_q):
+                    scan(extra_q, extra_c, acc_q, acc_i, acc_d)
+                if not acc_q:
+                    continue
+                aq = np.concatenate(acc_q)
+                ai = np.concatenate(acc_i)
+                ad = np.concatenate(acc_d)
+                so = np.lexsort((ai, ad, aq))
+                aq, ai, ad = aq[so], ai[so], ad[so]
+                starts = np.r_[0, np.nonzero(np.diff(aq))[0] + 1]
+                counts = np.diff(np.r_[starts, len(aq)])
+                rank = np.arange(len(aq)) - np.repeat(starts, counts)
+                keep = rank < k
+                yield pd.DataFrame(
+                    {
+                        "qid": qids[aq[keep]],
+                        "id": ai[keep],
+                        "dist": ad[keep],
+                        "rank": (rank[keep] + 1).astype(np.int32),
+                    }
+                )
+
+        return q.mapInPandas(
+            kernel, schema="qid long, id long, dist double, rank int"
+        )
 
     def search(
         self, query_df: DataFrame, k: int, qid_col: str = "qid", vec_col: str = "vec"
@@ -114,6 +236,18 @@ class ClusterPrunedExactSearcher:
         if self.ndis_accum is None:
             self.ndis_accum = spark.sparkContext.accumulator(0)
         accum = self.ndis_accum
+
+        from vectordb_retrieval_spark.operators.serving import (
+            artifact_serving_broadcast,
+        )
+
+        bc_index = artifact_serving_broadcast(
+            art, spark, self.broadcast_threshold
+        )
+        if bc_index is not None:
+            return self._search_broadcast(
+                bc_index, query_df, k, qid_col, vec_col, accum
+            )
 
         qids, qmat = collect_vectors_cached(query_df, qid_col, vec_col)
         if metric == "cosine":

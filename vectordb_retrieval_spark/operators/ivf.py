@@ -346,43 +346,13 @@ class IVFSearcher:
         return self
 
     def _serving_broadcast(self, spark):
-        """Packed-index broadcast for this artifact, memoized on the
-        artifact (underscore params are runtime-only and are never
-        persisted or inherited by append/delete derivatives).  Returns
-        None when the packed index would exceed the threshold — the
-        size is ESTIMATED from row count × payload width before any
-        collect, so the driver never materializes an over-threshold
-        index."""
-        from vectordb_retrieval_spark.operators.quant import PQCodec
-        from vectordb_retrieval_spark.operators.serving import pack_clusters
-
-        art = self.artifact
-        if "_serving_bc" in art.params:
-            return art.params["_serving_bc"]
-        codec = art.params["codec"]
-        cents = art.params["centroids"]
-        n = art.tables["assignment"].count()
-        if codec is None:
-            width = 4 * cents.shape[1]
-        elif isinstance(codec, PQCodec):
-            width = codec.m * (1 if codec.ksub <= 256 else 2)
-        else:
-            width = cents.shape[1]  # SQ8: one byte per dim packed
-        if n * (width + 8) > self.broadcast_threshold:
-            art.params["_serving_bc"] = None
-            return None
-        packed = pack_clusters(
-            art.tables["assignment"],
-            "vec" if codec is None else "codes",
-            cents,
-            codec,
+        from vectordb_retrieval_spark.operators.serving import (
+            artifact_serving_broadcast,
         )
-        if packed.nbytes() > self.broadcast_threshold:
-            art.params["_serving_bc"] = None
-            return None
-        bc = spark.sparkContext.broadcast(packed)
-        art.params["_serving_bc"] = bc
-        return bc
+
+        return artifact_serving_broadcast(
+            self.artifact, spark, self.broadcast_threshold
+        )
 
     def probe_clusters(self, qids: np.ndarray, qmat: np.ndarray) -> pd.DataFrame:
         """(qid, cluster_id) pairs: nprobe nearest centroids per query

@@ -105,6 +105,45 @@ def pack_clusters(
     return PackedClusters(ucids, ids, pays, codec, centroids)
 
 
+def artifact_serving_broadcast(
+    art,
+    spark,
+    threshold: int,
+    table: str = "assignment",
+):
+    """Memoized packed-index broadcast for an IVF-family artifact
+    (flat, SQ8 or PQ payload).  Returns None when the packed index
+    would exceed ``threshold`` — size is ESTIMATED from row count ×
+    payload width before any collect, so the driver never materializes
+    an over-threshold index.  Underscore params are runtime-only: never
+    persisted, never inherited by append/delete derivatives."""
+    from vectordb_retrieval_spark.operators.quant import PQCodec
+
+    if "_serving_bc" in art.params:
+        return art.params["_serving_bc"]
+    codec = art.params.get("codec")
+    cents = art.params["centroids"]
+    n = art.tables[table].count()
+    if codec is None:
+        width = 4 * cents.shape[1]
+    elif isinstance(codec, PQCodec):
+        width = codec.m * (1 if codec.ksub <= 256 else 2)
+    else:
+        width = cents.shape[1]  # SQ8: one byte per dim packed
+    if n * (width + 8) > threshold:
+        art.params["_serving_bc"] = None
+        return None
+    packed = pack_clusters(
+        art.tables[table], "vec" if codec is None else "codes", cents, codec
+    )
+    if packed.nbytes() > threshold:
+        art.params["_serving_bc"] = None
+        return None
+    bc = spark.sparkContext.broadcast(packed)
+    art.params["_serving_bc"] = bc
+    return bc
+
+
 def topk_rows(d: np.ndarray, ids: np.ndarray, kk: int) -> tuple[np.ndarray, np.ndarray]:
     """Per-row smallest-kk selection over a (n_q, n_b) distance block,
     ties by ascending id — exact: boundary ties (kth == (k+1)th value)
