@@ -47,13 +47,37 @@ _TS_UNIT_FACTOR = {"ns": 1, "us": 1_000, "ms": 1_000_000, "s": 1_000_000_000}
 
 
 def _events_ts_nanos_factor(path: str) -> int:
+    import os
+    import warnings
+
     try:
         import pyarrow.parquet as pq
-
-        unit = pq.ParquetFile(path).schema_arrow.field("ts").type.unit
-        return _TS_UNIT_FACTOR[unit]
-    except Exception:
-        return 1  # unreadable footer → assume nanos (historical default)
+    except ImportError:
+        warnings.warn(
+            "pyarrow unavailable; assuming events.ts is stored in nanos — "
+            "a micros-unit file would come out 1000x wrong"
+        )
+        return 1
+    # Spark-written events tables are directories of part files; the
+    # unit is uniform across parts, so probing one footer suffices
+    if os.path.isdir(path):
+        parts = sorted(
+            f for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        if not parts:
+            warnings.warn(
+                f"no parquet part files under {path}; assuming nanos ts"
+            )
+            return 1
+        path = os.path.join(path, parts[0])
+    field = pq.ParquetFile(path).schema_arrow.field("ts")
+    unit = getattr(field.type, "unit", None)
+    if unit is None:
+        # physical INT64 with no timestamp annotation: the generator's
+        # raw-nanos representation
+        return 1
+    return _TS_UNIT_FACTOR[unit]
 
 
 def events(spark: SparkSession, sf_dir: str) -> DataFrame:

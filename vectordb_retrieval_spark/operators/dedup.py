@@ -401,7 +401,10 @@ def ngram_jaccard_pairs(
         word_shingles(F.col(text_col), shingle_n).alias("sh"),
     ).filter(F.size("sh") > 0)
     if not allow_quadratic:
-        n = t.count()
+        # guard on the RAW input row count (an upper bound on shingled
+        # rows): counting ``t`` would run the whole shingle transform
+        # once for validation and again for the join
+        n = df.select(id_col).count()
         if n > max_rows:
             raise ValueError(
                 f"ngram_jaccard_pairs: {n} rows > max_rows={max_rows}; the "
