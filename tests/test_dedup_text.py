@@ -146,6 +146,14 @@ def test_simhash_near_dup_pairs_equals_quadratic(corpus_df):
     }
     assert got == expected
 
+    # include_simhash rides the two fingerprints along with each pair
+    with_sh = simhash_near_dup_pairs(
+        corpus_df, max_hamming=3, include_simhash=True
+    ).collect()
+    assert {(r.a, r.b, r.hamming) for r in with_sh} == expected
+    for r in with_sh:
+        assert r.simhash_a == sh[r.a] and r.simhash_b == sh[r.b]
+
 
 def test_ngram_jaccard_pairs(corpus_df):
     rows = {(r.a, r.b): r.jaccard for r in

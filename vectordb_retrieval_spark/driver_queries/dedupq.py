@@ -18,7 +18,6 @@ from vectordb_retrieval_spark.operators.dedup import (
     near_dup_dedup,
     ngram_jaccard_pairs,
     perm_coeffs,
-    simhash,
     simhash_near_dup_pairs,
 )
 
@@ -99,15 +98,20 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_dedup(d, pairs).select("doc_id")
 
 
-def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash(docs(spark, sf_dir), SIMHASH_BITS)
-
-
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hamming-banded simhash near-dup pairs; the pigeonhole banding
     makes candidates a superset of all qualifying pairs, so the result
-    equals the oracle's quadratic bit_count(xor) filter exactly."""
-    return simhash_near_dup_pairs(docs(spark, sf_dir), HAMMING_D, SIMHASH_BITS)
+    equals the oracle's quadratic bit_count(xor) filter exactly.
+
+    Emits the two fingerprints alongside each pair
+    (``include_simhash=True``) so this single catalogue entry pins the
+    simhash computation itself as well as the Hamming distances —
+    subsuming the former standalone ``dedup_simhash`` query (merged to
+    keep the catalogue within the driver's 50-row verification budget;
+    ``simhash`` alone remains unit-tested in test_dedup_text)."""
+    return simhash_near_dup_pairs(
+        docs(spark, sf_dir), HAMMING_D, SIMHASH_BITS, include_simhash=True
+    )
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -227,7 +231,8 @@ WHERE doc_id NOT IN (SELECT id FROM comp WHERE component < id)
 _SIMHASH_PAIRS_ORACLE = f"""
 WITH s AS ({_simhash_oracle(SIMHASH_BITS)})
 SELECT a.id AS a, b.id AS b,
-       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming,
+       a.simhash AS simhash_a, b.simhash AS simhash_b
 FROM s a JOIN s b ON a.id < b.id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_D}
 """
@@ -288,7 +293,6 @@ QUERIES = {
     "dedup_minhash_verified": q_minhash_verified,
     "dedup_components": q_dedup_components,
     "dedup_canonical": q_dedup_canonical,
-    "dedup_simhash": q_simhash,
     "dedup_simhash_pairs": q_simhash_near_dup,
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "dedup_embedding_cosine": q_embedding_near_dup,
@@ -302,7 +306,6 @@ ORACLES = {
     "dedup_minhash_verified": _MINHASH_VERIFIED_ORACLE,
     "dedup_components": _COMPONENTS_ORACLE,
     "dedup_canonical": _CANONICAL_ORACLE,
-    "dedup_simhash": _simhash_oracle(SIMHASH_BITS),
     "dedup_simhash_pairs": _SIMHASH_PAIRS_ORACLE,
     "dedup_ngram_jaccard": _JACCARD_ORACLE,
     "dedup_embedding_cosine": _NEAR_DUP_ORACLE,

@@ -325,6 +325,7 @@ def simhash_near_dup_pairs(
     bits: int = 16,
     id_col: str = "doc_id",
     text_col: str = "text",
+    include_simhash: bool = False,
 ) -> DataFrame:
     """Pairs (a < b) whose simhash fingerprints differ in at most
     ``max_hamming`` bits.
@@ -336,6 +337,11 @@ def simhash_near_dup_pairs(
     Hamming-LSH band trick) and only survivors pay the exact
     ``bit_count(a XOR b)`` verification.  No stage is quadratic in the
     corpus; the same shuffle shape as the MinHash band join.
+
+    With ``include_simhash`` the two fingerprints ride along as
+    ``simhash_a`` / ``simhash_b`` so a downstream check (or the driver
+    oracle) can pin the simhash computation itself, not just the
+    Hamming distances.
     """
     sh = simhash(df, bits, id_col=id_col, text_col=text_col)
     n_bands = max_hamming + 1
@@ -370,14 +376,19 @@ def simhash_near_dup_pairs(
         )
         .distinct()
     )
-    return (
-        cand.withColumn(
+    out = cand.withColumn(
+        "hamming",
+        F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).cast("long"),
+    ).filter(F.col("hamming") <= max_hamming)
+    if include_simhash:
+        return out.select(
+            "a",
+            "b",
             "hamming",
-            F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).cast("long"),
+            F.col("_sa").alias("simhash_a"),
+            F.col("_sb").alias("simhash_b"),
         )
-        .filter(F.col("hamming") <= max_hamming)
-        .select("a", "b", "hamming")
-    )
+    return out.select("a", "b", "hamming")
 
 
 def ngram_jaccard_pairs(
