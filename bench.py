@@ -437,7 +437,132 @@ def main() -> int:
         )
         gres.unpersist()
 
+    # balanced-kmeans sharding + long-range links: bin-packed spatial
+    # shards routed by ball centroids, random shortcuts keeping the
+    # beam navigable across a shard's sub-clusters — the routed config
+    # that holds recall at few probes (the msmarco hnsw comparison
+    # point: 7,872 QPS @ 0.9857)
+    t0 = time.time()
+    gkm_art = GraphANNIndexer(
+        m=16, metric="cosine", num_partitions=8, partition_by="kmeans",
+        seed=11, long_links=8,
+    ).build(base384, id_col="id", vec_col="vec")
+    materialize(gkm_art.tables["graph"])
+    cosine_workload["graph_kmeans_build_s"] = round(time.time() - t0, 3)
+    gkm_searcher = GraphANNSearcher(ef_search=128, probe_partitions=2).attach(
+        gkm_art
+    )
+    # warm once: the first search on an artifact builds its shard-blob
+    # broadcast; serving reuses it (same amortization as the 16k rows)
+    materialize(
+        gkm_searcher.search(q384.limit(64), 20, qid_col="qid", vec_col="vec")
+    )
+    gkm_res = (
+        gkm_searcher.search(q384, 20, qid_col="qid", vec_col="vec")
+        .select("qid", "id")
+        .cache()
+    )
+    t0 = time.time()
+    materialize(gkm_res)
+    cosine_workload["qps_graph_kmeans_probe2_1024q"] = round(
+        1024 / (time.time() - t0), 2
+    )
+    cosine_workload["recall_graph_kmeans_probe2"] = round(
+        gkm_res.join(exact384, ["qid", "id"]).count() / (1024 * 20), 4
+    )
+    gkm_res.unpersist()
+
     for df in (base384, q384, exact384, sq8_res):
+        df.unpersist()
+
+    # Scale row: 10x the msmarco-regime corpus (200k×384-d clustered,
+    # cosine) — same operators as the 20k block above, so the deltas
+    # between the two blocks ARE the scaling curve (QPS and build time
+    # vs corpus size).  At this size the packed indexes exceed the 64 MB
+    # broadcast threshold, so these rows exercise the partitioned
+    # scan/shard paths — the plans that carry over to a real cluster —
+    # not the broadcast-serving fast path the small blocks use.
+    scale_n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "200000"))
+    base_s = clustered_vectors(
+        spark, scale_n, 384, n_clusters=200, spread=0.35, seed=13, stream=6,
+        num_partitions=int(cpus),
+    ).cache()
+    materialize(base_s)
+    q_s = clustered_vectors(
+        spark, 1024, 384, n_clusters=200, spread=0.35, seed=13, stream=7,
+        id_col="qid",
+    ).cache()
+    q_s.count()
+    exact_s = (
+        exact_knn(base_s, q_s, 20, "cosine", qid_col="qid", qvec_col="vec")
+        .select("qid", "id")
+        .cache()
+    )
+    t0 = time.time()
+    materialize(exact_s)
+    t_exact_s = time.time() - t0
+    scale_workload = {
+        "n_base": scale_n,
+        "qps_exact_1024q": round(1024 / t_exact_s, 2),
+    }
+
+    t0 = time.time()
+    sq8s_art = IVFIndexer(
+        nlist=256,
+        metric="cosine",
+        seed=13,
+        max_iter=5,
+        init_mode="k-means||",
+        codec=SQ8Codec(),
+    ).build(base_s, id_col="id", vec_col="vec")
+    materialize(sq8s_art.tables["assignment"])
+    scale_workload["ivf_sq8_build_s"] = round(time.time() - t0, 3)
+    sq8s_res = (
+        IVFSearcher(nprobe=10)
+        .attach(sq8s_art)
+        .search(q_s, 20, qid_col="qid", vec_col="vec")
+        .select("qid", "id")
+        .cache()
+    )
+    t0 = time.time()
+    materialize(sq8s_res)
+    scale_workload["qps_ivf_sq8_nprobe10_1024q"] = round(
+        1024 / (time.time() - t0), 2
+    )
+    scale_workload["recall_ivf_sq8_nprobe10"] = round(
+        sq8s_res.join(exact_s, ["qid", "id"]).count() / (1024 * 20), 4
+    )
+    sq8s_res.unpersist()
+
+    # balanced-kmeans sharding (over-partition + bin-pack keeps the
+    # largest shard ~= the median — a plain k=32 KMeans put 17% of the
+    # corpus in one shard, the build straggler AND beam hot spot) +
+    # long-range links for in-shard navigability; routed to the 4
+    # nearest shards by ball-centroid distance
+    t0 = time.time()
+    gs_art = GraphANNIndexer(
+        m=16, metric="cosine", num_partitions=32, partition_by="kmeans",
+        seed=13, long_links=8,
+    ).build(base_s, id_col="id", vec_col="vec")
+    materialize(gs_art.tables["graph"])
+    scale_workload["graph_kmeans_build_s"] = round(time.time() - t0, 3)
+    gs_res = (
+        GraphANNSearcher(ef_search=128, probe_partitions=4)
+        .attach(gs_art)
+        .search(q_s, 20, qid_col="qid", vec_col="vec")
+        .select("qid", "id")
+        .cache()
+    )
+    t0 = time.time()
+    materialize(gs_res)
+    scale_workload["qps_graph_probe4of32_1024q"] = round(
+        1024 / (time.time() - t0), 2
+    )
+    scale_workload["recall_graph_probe4of32"] = round(
+        gs_res.join(exact_s, ["qid", "id"]).count() / (1024 * 20), 4
+    )
+    gs_res.unpersist()
+    for df in (base_s, q_s, exact_s):
         df.unpersist()
 
     total = round(sum(timings.values()), 3)
@@ -451,6 +576,7 @@ def main() -> int:
                 "reference_workload_random_20k_64d": reference_workload,
                 "reference_workload_amortized_16384q": amortized,
                 "reference_workload_cosine_clustered_20k_384d": cosine_workload,
+                "scale_workload_cosine_clustered_200k_384d": scale_workload,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

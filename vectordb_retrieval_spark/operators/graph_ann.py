@@ -391,11 +391,39 @@ class GraphANNIndexer:
 
                 base = _norm_df(base, "vec")
             feats = base.withColumn("features", array_to_vector("vec"))
-            km = KMeans(k=n_parts, seed=self.seed, maxIter=10).fit(feats)
-            base = (
-                km.transform(feats)
-                .withColumn("pid", F.col("prediction").cast("long"))
-                .select("id", "vec", "pid")
+            # Over-partition + bin-pack (the SPANN/DiskANN balanced-
+            # posting-list design): k = n_parts KMeans inherits the
+            # data's cluster-mass skew directly — observed 17% of a
+            # 200 k corpus in ONE shard, which is both the build
+            # straggler (n² GEMM) and a per-query beam hot spot.
+            # Instead fit 4× as many small spatial balls and greedily
+            # pack them into equal-mass shards.  Each shard is routed
+            # by its member BALL centroids (not one merged mean), so
+            # routing keeps true ball geometry while shard mass stays
+            # bounded — the property that holds at any corpus size.
+            n_rows = base.count()
+            k_sub = max(n_parts, min(4 * n_parts, n_rows))
+            km = KMeans(k=k_sub, seed=self.seed, maxIter=10).fit(feats)
+            assigned = km.transform(feats)
+            sizes = {
+                int(r["prediction"]): int(r["count"])
+                for r in assigned.groupBy("prediction").count().collect()
+            }
+            # greedy bin-pack: heaviest ball first onto the lightest
+            # shard — deterministic (ties by ball index, then shard id)
+            loads = [0] * n_parts
+            sub_pid = np.zeros(k_sub, dtype=np.int64)
+            for c in sorted(range(k_sub), key=lambda c: (-sizes.get(c, 0), c)):
+                p = min(range(n_parts), key=lambda i: (loads[i], i))
+                sub_pid[c] = p
+                loads[p] += sizes.get(c, 0)
+            pid_map = F.array(*[F.lit(int(x)) for x in sub_pid])
+            base = assigned.withColumn(
+                "pid", F.element_at(pid_map, F.col("prediction") + 1).cast("long")
+            ).select("id", "vec", "pid")
+            # routing table: the k_sub ball centers with their shard ids
+            sub_cents = np.asarray(
+                [np.asarray(c, dtype=np.float64) for c in km.clusterCenters()]
             )
         else:
             base = base.withColumn(
@@ -443,7 +471,15 @@ class GraphANNIndexer:
 
         params = {"metric": metric, "m": m, "num_partitions": n_parts,
                   "partition_by": self.partition_by}
-        if self.partition_by in ("lsh", "kmeans"):
+        if self.partition_by == "kmeans":
+            # routing by the quantizer's ball centroids (several per
+            # bin-packed shard); k_sub × dim values — driver-small
+            cent = sub_cents
+            if metric == "cosine":
+                cent = normalize_rows(cent)
+            params["centroids"] = cent
+            params["centroid_pids"] = sub_pid
+        elif self.partition_by == "lsh":
             # per-shard centroids for query routing: P × dim values —
             # driver-small at any scale (blob column pruned from the
             # collect)
@@ -472,8 +508,10 @@ class GraphANNSearcher:
     global top-k merge.
 
     ``probe_partitions=p`` routes each query to its p nearest shards by
-    centroid distance (requires an artifact built with
-    ``partition_by="lsh"``); ``None`` probes every shard.
+    centroid distance — for kmeans artifacts a shard's distance is the
+    min over its bin-packed ball centroids (requires an artifact built
+    with ``partition_by="lsh"`` or ``"kmeans"``); ``None`` probes every
+    shard.
 
     ``force_beam=True`` runs the wave-synchronized beam even when
     ``ef_search`` ≥ shard size (where the GEMM short-circuit would give
@@ -533,26 +571,49 @@ class GraphANNSearcher:
                     "per-shard centroids)"
                 )
             cpids = art.params["centroid_pids"]
-            probe = min(probe, len(cpids))
             cd = pairwise_distances(qmat, cent, metric)
-            # deterministic routing: ties broken by centroid index
+            # a shard may own several routing centroids (kmeans shards
+            # are bin-packed balls); its distance to a query is the min
+            # over them, so probe_partitions always counts SHARDS.
+            # With one centroid per shard (lsh) this is the identity.
+            upids = np.unique(cpids)
+            shard_d = np.empty((cd.shape[0], len(upids)), dtype=cd.dtype)
+            for j, p_ in enumerate(upids):
+                shard_d[:, j] = cd[:, cpids == p_].min(axis=1)
+            probe = min(probe, len(upids))
+            # deterministic routing: ties broken by shard index
             nearest = np.lexsort(
-                (np.broadcast_to(np.arange(cd.shape[1]), cd.shape), cd), axis=1
+                (
+                    np.broadcast_to(np.arange(shard_d.shape[1]), shard_d.shape),
+                    shard_d,
+                ),
+                axis=1,
             )[:, :probe]
             route = {}
-            for ci in range(len(cpids)):
-                sel = np.nonzero((nearest == ci).any(axis=1))[0]
+            for j in range(len(upids)):
+                sel = np.nonzero((nearest == j).any(axis=1))[0]
                 if len(sel):
-                    route[int(cpids[ci])] = sel.astype(np.int64)
+                    route[int(upids[j])] = sel.astype(np.int64)
 
         # fan the query batch out across (shard × chunk) tasks: the
         # per-task kernel is CPU-bound NumPy, so shard count alone
         # under-uses a wide executor pool on big batches.  Chunk count
         # targets ~2 tasks per core with ≥128 queries per task.
+        # When routing is active, the chunk count is sized from the
+        # ACTIVE shard count and per-shard routed query counts (both
+        # known on the driver), and each task takes a stride of its
+        # shard's own routed list — otherwise probing 2 of 32 shards
+        # would leave 15/16 of the task slots as no-ops and the routed
+        # search could never beat probe-all on wall clock.
         n_q = len(qids)
         n_parts = art.params["num_partitions"]
         par = spark.sparkContext.defaultParallelism
-        chunks = max(1, min(-(-n_q // 128), -(-2 * par // n_parts)))
+        if route is not None:
+            avg = max(1, int(np.mean([len(v) for v in route.values()])))
+            n_active = max(1, len(route))
+            chunks = max(1, min(-(-avg // 64), -(-2 * par // n_active)))
+        else:
+            chunks = max(1, min(-(-n_q // 128), -(-2 * par // n_parts)))
         bounds = np.linspace(0, n_q, chunks + 1).astype(np.int64)
 
         # Small index ⇒ broadcast the packed shards (same decision
@@ -578,19 +639,22 @@ class GraphANNSearcher:
                 art.params["_shard_bc"] = None
         bc_shards = art.params["_shard_bc"]
 
-        bc = spark.sparkContext.broadcast((qids, qmat, route, bounds))
+        bc = spark.sparkContext.broadcast((qids, qmat, route, bounds, chunks))
 
         def search_shard(
             pid: int, qc_ix: int, blob: bytes
         ) -> Iterator[pd.DataFrame]:
-            q_ids, q_mat, rt, bnds = bc.value
-            lo, hi = bnds[qc_ix], bnds[qc_ix + 1]
+            q_ids, q_mat, rt, bnds, nck = bc.value
             if rt is not None:
                 sel = rt.get(int(pid))
                 if sel is None:
                     return
-                sel = sel[(sel >= lo) & (sel < hi)]
+                # stride over THIS shard's routed list: every chunk
+                # index gets an even share no matter how routing
+                # distributed queries across shards
+                sel = sel[qc_ix::nck]
             else:
+                lo, hi = bnds[qc_ix], bnds[qc_ix + 1]
                 sel = np.arange(lo, hi)
             if not len(sel):
                 return
