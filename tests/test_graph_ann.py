@@ -217,3 +217,27 @@ def test_graph_ann_kmeans_routing_with_long_links(spark):
     p = {(r.qid, r.id) for r in pred.collect()}
     t = {(r.qid, r.id) for r in truth.collect()}
     assert len(p & t) / len(t) >= 0.9
+
+
+def test_graph_ann_kmeans_shards_balanced(spark):
+    """Over-partition + bin-pack bounds shard mass: a k=num_partitions
+    KMeans inherits the data's cluster-mass skew directly (observed 17%
+    of a 200k corpus in one shard), so the builder fits 4x as many
+    balls and packs them into equal-mass shards.  No shard may exceed
+    2x the ideal share, and the routing table must carry one centroid
+    per BALL (several per shard), each mapped to its packed shard."""
+    from vectordb_retrieval_spark.sources.random_gen import clustered_vectors
+
+    base = clustered_vectors(
+        spark, 4000, 16, n_clusters=10, spread=0.25, seed=3, stream=1
+    )
+    art = GraphANNIndexer(
+        m=6, metric="l2", num_partitions=4, partition_by="kmeans", seed=3
+    ).build(base, id_col="id", vec_col="vec")
+    sizes = [r["n"] for r in art.tables["graph"].select("n").collect()]
+    assert sum(sizes) == 4000 and len(sizes) <= 4
+    assert max(sizes) <= 2 * (4000 / 4)
+    cpids = art.params["centroid_pids"]
+    assert len(cpids) >= len(sizes)
+    assert set(int(p) for p in cpids) <= set(range(4))
+    assert art.params["centroids"].shape == (len(cpids), 16)
