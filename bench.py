@@ -66,6 +66,32 @@ def main() -> int:
         .mapInPandas(lambda it: it, schema="id long")
     )
 
+    # Machine calibration: this container's effective CPU throughput
+    # swings several-fold between runs (observed 4-6x on identical
+    # configs across rounds), so absolute QPS is not comparable across
+    # BENCH_r{N}.json files without a denominator.  One fixed
+    # single-thread GEMM + one all-cores Spark GEMM give that
+    # denominator: rows in this file should be read as QPS relative to
+    # the calibration of the SAME file when judging round-over-round
+    # trends.
+    import numpy as np
+
+    cal_a = np.random.RandomState(0).rand(1024, 512).astype(np.float32)
+    cal_b = np.random.RandomState(1).rand(512, 1024).astype(np.float32)
+    cal_a @ cal_b  # BLAS warmup
+    t0 = time.time()
+    for _ in range(10):
+        cal_a @ cal_b
+    st_gflops = round(10 * 2 * 1024 * 512 * 1024 / (time.time() - t0) / 1e9, 2)
+    t0 = time.time()
+    spark.range(200_000_000).selectExpr("sum(id * 3 + 1)").collect()
+    calibration = {
+        # driver-process BLAS at its default threading — a stable
+        # denominator for this run's effective CPU speed
+        "driver_gemm_gflops": st_gflops,
+        "spark_allcores_sum_s": round(time.time() - t0, 3),
+    }
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()
@@ -572,6 +598,7 @@ def main() -> int:
                 "metric": "headline_suite_wall_seconds",
                 "value": total,
                 "unit": "sec",
+                "machine_calibration": calibration,
                 "queries": timings,
                 "reference_workload_random_20k_64d": reference_workload,
                 "reference_workload_amortized_16384q": amortized,
