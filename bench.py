@@ -331,6 +331,8 @@ def main() -> int:
         ("ivf_sq8_nprobe24", sq8r_art, IVFSearcher(nprobe=24)),
         ("ivf_pq_nprobe24", ivfpq_art, IVFSearcher(nprobe=24)),
         ("pq_m64k256", pq_art, PQADCSearcher()),
+        # reuses the shard-blob broadcast built by the 2048q search
+        ("graph_ef64", g_art, GraphANNSearcher(ef_search=64)),
     ):
         res16 = (
             searcher_.attach(art_)
