@@ -241,3 +241,44 @@ def test_graph_ann_kmeans_shards_balanced(spark):
     assert len(cpids) >= len(sizes)
     assert set(int(p) for p in cpids) <= set(range(4))
     assert art.params["centroids"].shape == (len(cpids), 16)
+
+
+def test_graph_ann_partitioned_path_equals_broadcast(spark):
+    """The two physical plans — broadcast shard blobs vs shuffle-
+    replicated blob rows — must produce identical results, routed or
+    not (broadcast_threshold=0 forces the partitioned branch)."""
+    from vectordb_retrieval_spark.sources.random_gen import clustered_vectors
+
+    base = clustered_vectors(
+        spark, 1500, 16, n_clusters=12, spread=0.3, seed=9, stream=1
+    )
+    queries = clustered_vectors(
+        spark, 200, 16, n_clusters=12, spread=0.3, seed=9, stream=2, id_col="qid"
+    )
+    art = GraphANNIndexer(
+        m=6, metric="l2", num_partitions=4, partition_by="kmeans", seed=9,
+        long_links=4,
+    ).build(base, id_col="id", vec_col="vec")
+    for probe in (None, 2):
+        rows_bc = {
+            tuple(r)
+            for r in GraphANNSearcher(ef_search=32, probe_partitions=probe)
+            .attach(art)
+            .search(queries, 5, qid_col="qid", vec_col="vec")
+            .collect()
+        }
+        art.params.pop("_shard_bc", None)
+        art.params.pop("_shard_pids", None)
+        rows_part = {
+            tuple(r)
+            for r in GraphANNSearcher(
+                ef_search=32, probe_partitions=probe, broadcast_threshold=0
+            )
+            .attach(art)
+            .search(queries, 5, qid_col="qid", vec_col="vec")
+            .collect()
+        }
+        assert rows_bc == rows_part
+        # reset the memoized over-threshold decision for the next loop
+        art.params.pop("_shard_bc", None)
+        art.params.pop("_shard_pids", None)
