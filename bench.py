@@ -480,11 +480,11 @@ def main() -> int:
     gkm_searcher = GraphANNSearcher(ef_search=128, probe_partitions=2).attach(
         gkm_art
     )
-    # warm once: the first search on an artifact builds its shard-blob
-    # broadcast; serving reuses it (same amortization as the 16k rows)
-    materialize(
-        gkm_searcher.search(q384.limit(64), 20, qid_col="qid", vec_col="vec")
-    )
+    # warm once with the full batch: the first search on an artifact
+    # builds its shard-blob broadcast and faults the kernel's scratch
+    # pages into the reused workers; the timed run is then a true
+    # repeated-serving measurement (same amortization as the 16k rows)
+    materialize(gkm_searcher.search(q384, 20, qid_col="qid", vec_col="vec"))
     gkm_res = (
         gkm_searcher.search(q384, 20, qid_col="qid", vec_col="vec")
         .select("qid", "id")
@@ -503,14 +503,17 @@ def main() -> int:
     for df in (base384, q384, exact384, sq8_res):
         df.unpersist()
 
-    # Scale row: 10x the msmarco-regime corpus (200k×384-d clustered,
+    # Scale row: 7.5x the msmarco-regime corpus (150k×384-d clustered,
     # cosine) — same operators as the 20k block above, so the deltas
     # between the two blocks ARE the scaling curve (QPS and build time
     # vs corpus size).  At this size the packed indexes exceed the 64 MB
     # broadcast threshold, so these rows exercise the partitioned
     # scan/shard paths — the plans that carry over to a real cluster —
     # not the broadcast-serving fast path the small blocks use.
-    scale_n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "200000"))
+    # (150k keeps the whole bench inside the driver's per-round budget
+    # even on this container's slow days; push SPARK_GRAFT_SCALE_N up
+    # for a bigger point.)
+    scale_n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "150000"))
     base_s = clustered_vectors(
         spark, scale_n, 384, n_clusters=200, spread=0.35, seed=13, stream=6,
         num_partitions=int(cpus),
@@ -605,7 +608,7 @@ def main() -> int:
                 "reference_workload_random_20k_64d": reference_workload,
                 "reference_workload_amortized_16384q": amortized,
                 "reference_workload_cosine_clustered_20k_384d": cosine_workload,
-                "scale_workload_cosine_clustered_200k_384d": scale_workload,
+                "scale_workload_cosine_clustered_150k_384d": scale_workload,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

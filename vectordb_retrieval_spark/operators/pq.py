@@ -81,7 +81,11 @@ class PQADCSearcher:
         codec: PQCodec = art.params["codec"]
         n = art.tables["codes"].count()
         width = codec.m * (1 if codec.ksub <= 256 else 2)
-        if n * (width + 8) > self.broadcast_threshold:
+        # packed codes + ids PLUS the per-worker float64 decode cache
+        # (8 bytes x dim per row) — same gate as
+        # serving.artifact_serving_broadcast
+        decoded = 8 * codec.codebooks.shape[0] * codec.codebooks.shape[2]
+        if n * (width + decoded + 8) > self.broadcast_threshold:
             art.params["_serving_bc"] = None
             return None
         packed = pack_clusters(
