@@ -506,7 +506,7 @@ def main() -> int:
     # Scale row: 7.5x the msmarco-regime corpus (150k×384-d clustered,
     # cosine) — same operators as the 20k block above, so the deltas
     # between the two blocks ARE the scaling curve (QPS and build time
-    # vs corpus size).  At this size the packed indexes exceed the 64 MB
+    # vs corpus size).  At this size the decoded indexes exceed the
     # broadcast threshold, so these rows exercise the partitioned
     # scan/shard paths — the plans that carry over to a real cluster —
     # not the broadcast-serving fast path the small blocks use.

@@ -104,7 +104,7 @@ class ClusterPrunedExactSearcher:
     thresholds, and launches the pruned phase-2 scan — the 100 TB plan,
     where the T_q collect is the only driver traffic."""
 
-    def __init__(self, nprobe: int = 4, broadcast_threshold: int = 64 << 20):
+    def __init__(self, nprobe: int = 4, broadcast_threshold: int = 128 << 20):
         self.nprobe = nprobe
         self.broadcast_threshold = broadcast_threshold
         self.artifact: IndexArtifact | None = None

@@ -333,7 +333,7 @@ class IVFSearcher:
     Both plans produce identical results (same probe selection, float64
     distances, (dist, id) tie-breaks)."""
 
-    def __init__(self, nprobe: int = 8, broadcast_threshold: int = 64 << 20):
+    def __init__(self, nprobe: int = 8, broadcast_threshold: int = 128 << 20):
         self.nprobe = nprobe
         self.broadcast_threshold = broadcast_threshold
         self.artifact: IndexArtifact | None = None

@@ -64,7 +64,7 @@ class PQADCSearcher:
     index path (operators/serving.py): one shuffle-free job over the
     query table, decoded codes memoized per worker across searches."""
 
-    def __init__(self, broadcast_threshold: int = 64 << 20):
+    def __init__(self, broadcast_threshold: int = 128 << 20):
         self.broadcast_threshold = broadcast_threshold
         self.artifact: IndexArtifact | None = None
 
