@@ -150,6 +150,43 @@ def artifact_serving_broadcast(
     return bc
 
 
+# padding sentinel for ragged candidate blocks: sorts after every real
+# id at equal (infinite) distance, filtered from the emitted rows
+_PAD_ID = np.int64(1) << 62
+
+
+def topk_block(
+    D: np.ndarray, I: np.ndarray, kk: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Row-wise smallest-kk over a padded (n_q, c) candidate block with
+    PER-ROW id arrays, ties by ascending id — the ragged-width sibling
+    of ``topk_rows``.  Padding entries are (inf, _PAD_ID): they sort
+    after every real candidate, so rows with fewer than kk real
+    candidates surface them at the tail for the caller to filter.
+    Boundary ties (kth == (k+1)th distance) re-rank the affected rows
+    with a full (dist, id) lexsort, so the kept set is always the
+    lexicographic top-kk."""
+    n = D.shape[1]
+    if n <= kk:
+        order = np.lexsort((I, D), axis=1)
+        return np.take_along_axis(D, order, axis=1), np.take_along_axis(
+            I, order, axis=1
+        )
+    part = np.argpartition(D, kk - 1, axis=1)[:, :kk]
+    pdist = np.take_along_axis(D, part, axis=1)
+    pids = np.take_along_axis(I, part, axis=1)
+    order = np.lexsort((pids, pdist), axis=1)
+    out_d = np.take_along_axis(pdist, order, axis=1)
+    out_i = np.take_along_axis(pids, order, axis=1)
+    thresh = out_d[:, -1]
+    ambiguous = np.nonzero((D <= thresh[:, None]).sum(axis=1) > kk)[0]
+    for r in ambiguous:
+        full = np.lexsort((I[r], D[r]))[:kk]
+        out_d[r] = D[r][full]
+        out_i[r] = I[r][full]
+    return out_d, out_i
+
+
 def topk_rows(d: np.ndarray, ids: np.ndarray, kk: int) -> tuple[np.ndarray, np.ndarray]:
     """Per-row smallest-kk selection over a (n_q, n_b) distance block,
     ties by ascending id — exact: boundary ties (kth == (k+1)th value)
@@ -221,6 +258,7 @@ def broadcast_probe_search(
             if norm_q:
                 qmat = normalize_rows(qmat.astype(np.float64)).astype(np.float32)
             n_q = len(qids)
+            all_rows = np.arange(n_q, dtype=np.int64)
             if cents is None or nprobe is None or nprobe >= len(cents):
                 probe_plan = [(bi, None) for bi in range(len(idx.cids))]
             else:
@@ -243,41 +281,81 @@ def broadcast_probe_search(
                     bi = idx.index.get(int(c))
                     if bi is not None:
                         probe_plan.append((bi, fq[bounds[j] : bounds[j + 1]]))
-            acc_q: list[np.ndarray] = []
-            acc_i: list[np.ndarray] = []
-            acc_d: list[np.ndarray] = []
+            # Scatter-merge: instead of a per-cluster top-k plus one
+            # (qid, dist, id) lexsort over nq×nprobe×k rows (profiled at
+            # ~80% of warm kernel time — the GEMMs are only ~15%), write
+            # every probed cluster's full distance block into ONE padded
+            # (n_q, width) candidate matrix at per-query fill offsets,
+            # then take a single vectorized row-wise top-k.  Segments cap
+            # the padded width at ~block_rows so an exhaustive scan (the
+            # standalone-PQ probe_plan) stays cache-sized: each segment
+            # reduces to per-query winners and the winners re-merge at
+            # the end.  Exactness is preserved: all candidate distances
+            # reach a (dist, id)-lexicographic selection, same order the
+            # old two-stage merge produced.
+            entries = []  # (bi, row_start, row_end, qrows|None)
             for bi, qrows in probe_plan:
-                bids = idx.ids[bi]
-                bvecs = idx.decoded(bi)
-                qsub = qmat if qrows is None else qmat[qrows]
-                rows = np.arange(n_q, dtype=np.int64) if qrows is None else qrows
-                for s in range(0, len(bids), block_rows):
-                    bid = bids[s : s + block_rows]
-                    d = pairwise_distances(qsub, bvecs[s : s + block_rows], metric)
+                sz = len(idx.ids[bi])
+                for s in range(0, sz, block_rows):
+                    entries.append((bi, s, min(sz, s + block_rows), qrows))
+            cap = max(block_rows, 4 * k)
+            seg_d: list[np.ndarray] = []
+            seg_i: list[np.ndarray] = []
+
+            def flush(pend, width: int) -> None:
+                D = np.full((n_q, width), np.inf)
+                I = np.full((n_q, width), _PAD_ID)
+                fill = np.zeros(n_q, dtype=np.int64)
+                for bi, s, e, qrows in pend:
+                    qsub = qmat if qrows is None else qmat[qrows]
+                    rows = all_rows if qrows is None else qrows
+                    d = pairwise_distances(qsub, idx.decoded(bi)[s:e], metric)
                     if accum is not None:
                         accum.add(int(d.size))
-                    kk = min(k, d.shape[1])
-                    od, oi = topk_rows(d, bid, kk)
-                    acc_q.append(np.repeat(rows, kk))
-                    acc_i.append(oi.ravel())
-                    acc_d.append(od.ravel())
-            if not acc_q:
+                    cols = fill[rows, None] + np.arange(e - s)
+                    D[rows[:, None], cols] = d
+                    I[rows[:, None], cols] = idx.ids[bi][s:e]
+                    fill[rows] += e - s
+                od, oi = topk_block(D, I, min(k, width))
+                seg_d.append(od)
+                seg_i.append(oi)
+
+            pend: list[tuple] = []
+            w = np.zeros(n_q, dtype=np.int64)
+            for ent in entries:
+                _, s, e, qrows = ent
+                inc = e - s
+                wmax = int(w.max() if qrows is None else w[qrows].max()) + inc
+                if pend and wmax > cap:
+                    flush(pend, int(w.max()))
+                    pend = []
+                    w = np.zeros(n_q, dtype=np.int64)
+                pend.append(ent)
+                if qrows is None:
+                    w += inc
+                else:
+                    w[qrows] += inc
+            if pend:
+                flush(pend, int(w.max()))
+            if not seg_d:
                 continue
-            aq = np.concatenate(acc_q)
-            ai = np.concatenate(acc_i)
-            ad = np.concatenate(acc_d)
-            order = np.lexsort((ai, ad, aq))
-            aq, ai, ad = aq[order], ai[order], ad[order]
-            starts = np.r_[0, np.nonzero(np.diff(aq))[0] + 1]
-            counts = np.diff(np.r_[starts, len(aq)])
-            rank = np.arange(len(aq)) - np.repeat(starts, counts)
-            keep = rank < k
+            if len(seg_d) == 1:
+                fd, fi = seg_d[0], seg_i[0]
+            else:
+                fd = np.concatenate(seg_d, axis=1)
+                fi = np.concatenate(seg_i, axis=1)
+                fd, fi = topk_block(fd, fi, min(k, fd.shape[1]))
+            kk = fd.shape[1]
+            valid = (fi != _PAD_ID).ravel()
+            ranks = np.broadcast_to(
+                np.arange(1, kk + 1, dtype=np.int32), fd.shape
+            ).ravel()
             yield pd.DataFrame(
                 {
-                    "qid": qids[aq[keep]],
-                    "id": ai[keep],
-                    "dist": ad[keep],
-                    "rank": (rank[keep] + 1).astype(np.int32),
+                    "qid": np.repeat(qids, kk)[valid],
+                    "id": fi.ravel()[valid],
+                    "dist": fd.ravel()[valid],
+                    "rank": ranks[valid],
                 }
             )
 
