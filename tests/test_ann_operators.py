@@ -480,3 +480,54 @@ def test_cluster_pruned_broadcast_path_equals_partitioned_path(dfs):
         .collect()
     )
     assert sorted(map(tuple, fast)) == sorted(map(tuple, slow))
+
+
+def test_lsh_broadcast_path_equals_pipeline_path(dfs):
+    """The packed-index LSH fast path must replicate the DataFrame
+    pipeline exactly — vote counts, (votes, best_probe, id) cap order,
+    rerank distances, rank assignment — across single-probe,
+    multi-probe, the E2LSH scheme, and the zero-candidate exact
+    fallback (forced via a sparse 16-bit hash space)."""
+    from vectordb_retrieval_spark.operators.lsh import LSHIndexer, LSHSearcher
+
+    base_df, query_df = dfs
+    configs = [
+        (dict(num_tables=3, hash_size=8, metric="cosine", seed=5), dict()),
+        (
+            dict(num_tables=2, hash_size=8, metric="cosine", seed=11),
+            dict(n_probes=4),
+        ),
+        (
+            dict(num_tables=2, hash_size=8, metric="l2", seed=1),
+            dict(n_probes=3),
+        ),
+        # sparse hash space: most queries collide with nothing -> the
+        # exact fallback path runs on both sides
+        (dict(num_tables=2, hash_size=16, metric="cosine", seed=3), dict()),
+    ]
+    for build_kw, search_kw in configs:
+        art = LSHIndexer(DIM, **build_kw).build(base_df)
+        fast = (
+            LSHSearcher(**search_kw)
+            .attach(art)
+            .search(query_df, K)
+            .collect()
+        )
+        art.params.pop("_serving_bc", None)
+        slow = (
+            LSHSearcher(broadcast_threshold=0, **search_kw)
+            .attach(art)
+            .search(query_df, K)
+            .collect()
+        )
+        fast_rows = sorted(((r["qid"], r["rank"], r["id"]) for r in fast))
+        slow_rows = sorted(((r["qid"], r["rank"], r["id"]) for r in slow))
+        assert fast_rows == slow_rows, build_kw
+        fd = {(r["qid"], r["rank"]): r["dist"] for r in fast}
+        sd = {(r["qid"], r["rank"]): r["dist"] for r in slow}
+        assert fd.keys() == sd.keys(), build_kw
+        for kk_, v in fd.items():
+            # fallback distances agree to BLAS-blocking ULP noise (one
+            # full-matrix GEMM vs exact_knn's per-Arrow-block GEMMs);
+            # oracle-facing outputs round to 6 dp, so ULPs are inert
+            assert abs(v - sd[kk_]) <= 1e-9 * max(1.0, abs(v)), (build_kw, kk_)

@@ -125,8 +125,47 @@ class LSHIndexer:
         )
 
 
+class PackedLSH:
+    """Pickled into the LSH serving broadcast: bucket → id-array dict,
+    id-sorted float32 vector matrix for rerank/fallback, and the
+    indexer (projections/offsets) so each task hashes its own queries."""
+
+    def __init__(self, buckets, ids, vecs, indexer):
+        self.buckets = buckets  # dict[(table_id, bucket_str)] -> int64 ids
+        self.ids = ids  # sorted int64, aligned with vecs rows
+        self.vecs = vecs  # float32 (n, d)
+        self.indexer = indexer
+
+    def nbytes(self) -> int:
+        b = self.ids.nbytes + self.vecs.nbytes
+        return b + sum(v.nbytes for v in self.buckets.values())
+
+
+def _ranked_prefix(keys: tuple, limit: int) -> np.ndarray:
+    """Boolean mask keeping rows whose rank within their (already
+    contiguous-sorted) group is < limit.  ``keys[0]`` must be the
+    group column of the lexsorted rows."""
+    g = keys[0]
+    starts = np.r_[0, np.nonzero(np.diff(g))[0] + 1]
+    counts = np.diff(np.r_[starts, len(g)])
+    rank = np.arange(len(g)) - np.repeat(starts, counts)
+    return rank < limit
+
+
 class LSHSearcher:
-    """Vote-and-cap candidate selection with exact rerank."""
+    """Vote-and-cap candidate selection with exact rerank.
+
+    Small-index fast path (same inversion as ``operators/serving.py``):
+    when buckets + float32 vectors pack under ``broadcast_threshold``,
+    the whole hash → probe → vote → cap → rerank → top-k pipeline (plus
+    the zero-candidate exact fallback) runs inside ONE mapInPandas job
+    over the query table — no bucket join, no vote shuffle, no window,
+    no extra fallback-probe action.  Result parity with the DataFrame
+    pipeline is exact: same probe dedup (min probe per bucket), same
+    (votes desc, best_probe asc, id asc) cap order, rerank via the same
+    ``rowwise_distance`` float64 arithmetic, fallback via the same
+    ``pairwise_distances`` form ``exact_knn`` uses, ties by (dist, id).
+    """
 
     def __init__(
         self,
@@ -134,6 +173,7 @@ class LSHSearcher:
         max_candidates: int | None = None,
         exact_fallback: bool = True,
         n_probes: int = 1,
+        broadcast_threshold: int = 128 << 20,
     ):
         self.candidate_multiplier = candidate_multiplier
         self.max_candidates = max_candidates
@@ -147,11 +187,213 @@ class LSHSearcher:
         # recall with the fallback off, or at corpus sizes where
         # fallback is unaffordable (the 100 TB operating point).
         self.n_probes = n_probes
+        self.broadcast_threshold = broadcast_threshold
         self.artifact: IndexArtifact | None = None
 
     def attach(self, artifact: IndexArtifact) -> "LSHSearcher":
         self.artifact = artifact
         return self
+
+    def _serving_broadcast(self, spark):
+        """Memoized PackedLSH broadcast, or None over the threshold.
+        Size is estimated from row counts before any collect (float32
+        vectors + int64 ids; rerank upcasts are per-batch transients,
+        so unlike the IVF family there is no persistent decode cache to
+        account for)."""
+        art = self.artifact
+        if "_serving_bc" in art.params:
+            return art.params["_serving_bc"]
+        indexer: LSHIndexer = art.params["indexer"]
+        n = art.tables["buckets"].count() // max(1, indexer.num_tables)
+        est = n * (4 * indexer.dimension + 8) + n * indexer.num_tables * 8
+        if est > self.broadcast_threshold:
+            art.params["_serving_bc"] = None
+            return None
+        vp = art.tables["vectors"].toPandas()
+        if len(vp) == 0:
+            art.params["_serving_bc"] = None
+            return None
+        ids = vp["id"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        vecs = np.vstack(vp["vec"].to_numpy()).astype(np.float32)[order]
+        bp = art.tables["buckets"].toPandas()
+        bt = bp["table_id"].to_numpy(dtype=np.int64)
+        bb = bp["bucket"].to_numpy()
+        bi = bp["id"].to_numpy(dtype=np.int64)
+        so = np.lexsort((bi, bb, bt))
+        bt, bb, bi = bt[so], bb[so], bi[so]
+        key_change = np.r_[
+            True, (bt[1:] != bt[:-1]) | (bb[1:] != bb[:-1])
+        ] if len(bt) else np.zeros(0, dtype=bool)
+        starts = np.nonzero(key_change)[0]
+        bounds = np.r_[starts, len(bt)]
+        buckets = {
+            (int(bt[s]), str(bb[s])): bi[s : bounds[j + 1]]
+            for j, s in enumerate(starts)
+        }
+        packed = PackedLSH(buckets, ids, vecs, indexer)
+        if packed.nbytes() > self.broadcast_threshold:
+            art.params["_serving_bc"] = None
+            return None
+        bc = spark.sparkContext.broadcast(packed)
+        art.params["_serving_bc"] = bc
+        return bc
+
+    def _broadcast_search(
+        self, query_df: DataFrame, bc_index, k: int, qid_col: str, vec_col: str
+    ) -> DataFrame:
+        metric = self.artifact.params["indexer"].metric
+        cap = self.max_candidates or (
+            max(k, math.ceil(self.candidate_multiplier * k)) * self.n_probes
+        )
+        n_probes = self.n_probes
+        fallback = self.exact_fallback
+        spark = query_df.sparkSession
+        q = query_df.select(
+            F.col(qid_col).alias("qid"), F.col(vec_col).alias("vec")
+        )
+        par = spark.sparkContext.defaultParallelism
+        if q.rdd.getNumPartitions() < par:
+            q = q.repartition(par)
+
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from vectordb_retrieval_spark.functions.distance import (
+                pairwise_distances,
+            )
+            from vectordb_retrieval_spark.functions.hashing import (
+                e2lsh_multiprobe_buckets,
+                sign_multiprobe_buckets,
+            )
+            from vectordb_retrieval_spark.functions.kernels import (
+                rowwise_distance,
+            )
+
+            idx: PackedLSH = bc_index.value
+            indexer = idx.indexer
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                qids = pdf["qid"].to_numpy(dtype=np.int64)
+                qmat = np.vstack(pdf["vec"].to_numpy()).astype(np.float32)
+                n_q = len(qids)
+                if n_probes > 1:
+                    if metric == "l2":
+                        probes = e2lsh_multiprobe_buckets(
+                            qmat,
+                            indexer.projections,
+                            indexer.offsets,
+                            indexer.bucket_width,
+                            n_probes,
+                        )
+                    else:
+                        probes = sign_multiprobe_buckets(
+                            qmat, indexer.projections, n_probes
+                        )
+                else:
+                    probes = indexer.bucket_of(qmat)[:, :, None]
+                n_tables = probes.shape[1]
+                # probe buckets; ascending-probe iteration + a seen-set
+                # per (query, table) implements the pipeline's
+                # min-probe-per-bucket dedup exactly
+                hit_q: list[int] = []
+                hit_p: list[int] = []
+                hit_ids: list[np.ndarray] = []
+                for r in range(n_q):
+                    for t in range(n_tables):
+                        seen: set = set()
+                        for p in range(probes.shape[2]):
+                            bkt = str(probes[r, t, p])
+                            if bkt in seen:
+                                continue
+                            seen.add(bkt)
+                            ids_arr = idx.buckets.get((t, bkt))
+                            if ids_arr is not None:
+                                hit_q.append(r)
+                                hit_p.append(p)
+                                hit_ids.append(ids_arr)
+                out_frames: list[pd.DataFrame] = []
+                have_cand = np.zeros(n_q, dtype=bool)
+                if hit_ids:
+                    sizes = np.fromiter(
+                        (len(a) for a in hit_ids), dtype=np.int64
+                    )
+                    cq = np.repeat(np.asarray(hit_q, dtype=np.int64), sizes)
+                    cp = np.repeat(np.asarray(hit_p, dtype=np.int64), sizes)
+                    ci = np.concatenate(hit_ids)
+                    # votes per (query, id) + min probe: sort by
+                    # (q, id, probe) and reduce on group boundaries
+                    o = np.lexsort((cp, ci, cq))
+                    cq, ci, cp = cq[o], ci[o], cp[o]
+                    new = np.r_[
+                        True, (cq[1:] != cq[:-1]) | (ci[1:] != ci[:-1])
+                    ]
+                    starts = np.nonzero(new)[0]
+                    bounds = np.r_[starts, len(cq)]
+                    votes = np.diff(bounds)
+                    uq, ui, ubp = cq[starts], ci[starts], cp[starts]
+                    # cap: (votes desc, best_probe asc, id asc) per query
+                    o2 = np.lexsort((ui, ubp, -votes, uq))
+                    uq, ui = uq[o2], ui[o2]
+                    keep = _ranked_prefix((uq,), cap)
+                    uq, ui = uq[keep], ui[keep]
+                    have_cand[uq] = True
+                    # exact rerank — same float64 row-wise arithmetic as
+                    # attach_query_distance
+                    rows = np.searchsorted(idx.ids, ui)
+                    dist = rowwise_distance(qmat[uq], idx.vecs[rows], metric)
+                    o3 = np.lexsort((ui, dist, uq))
+                    uq, ui, dist = uq[o3], ui[o3], dist[o3]
+                    topk = _ranked_prefix((uq,), k)
+                    tq, ti, td = uq[topk], ui[topk], dist[topk]
+                    starts = np.r_[0, np.nonzero(np.diff(tq))[0] + 1]
+                    counts = np.diff(np.r_[starts, len(tq)])
+                    rank = (
+                        np.arange(len(tq)) - np.repeat(starts, counts) + 1
+                    )
+                    out_frames.append(
+                        pd.DataFrame(
+                            {
+                                "qid": qids[tq],
+                                "id": ti,
+                                "dist": td,
+                                "rank": rank.astype(np.int32),
+                            }
+                        )
+                    )
+                miss = np.nonzero(~have_cand)[0]
+                if fallback and len(miss):
+                    # zero-candidate queries brute-scan the base — the
+                    # same pairwise_distances form exact_knn uses, so
+                    # fallback distances match the pipeline bit-for-bit
+                    from vectordb_retrieval_spark.operators.serving import (
+                        topk_block,
+                    )
+
+                    d = pairwise_distances(qmat[miss], idx.vecs, metric)
+                    kk = min(k, d.shape[1])
+                    od, oi = topk_block(
+                        d, np.broadcast_to(idx.ids, d.shape), kk
+                    )
+                    out_frames.append(
+                        pd.DataFrame(
+                            {
+                                "qid": np.repeat(qids[miss], kk),
+                                "id": oi.ravel(),
+                                "dist": od.ravel(),
+                                "rank": np.tile(
+                                    np.arange(1, kk + 1, dtype=np.int32),
+                                    len(miss),
+                                ),
+                            }
+                        )
+                    )
+                if out_frames:
+                    yield pd.concat(out_frames, ignore_index=True)
+
+        return q.mapInPandas(
+            kernel, schema="qid long, id long, dist double, rank int"
+        )
 
     def search(
         self,
@@ -166,6 +408,10 @@ class LSHSearcher:
         indexer: LSHIndexer = art.params["indexer"]
         metric = indexer.metric
         spark = query_df.sparkSession
+
+        bc_index = self._serving_broadcast(spark)
+        if bc_index is not None:
+            return self._broadcast_search(query_df, bc_index, k, qid_col, vec_col)
 
         qids, qmat = collect_vectors_cached(query_df, qid_col, vec_col)
         if self.n_probes > 1:
