@@ -641,6 +641,118 @@ class GraphANNSearcher:
 
         bc = spark.sparkContext.broadcast((qids, qmat, route, bounds, chunks))
 
+        def shard_cands(
+            q_sub: np.ndarray, blob: bytes
+        ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+            """Up to k candidates per query of ``q_sub`` against one
+            shard: (local query rows, global ids, float64 dists).  The
+            beam ranks in float32 (its own scratch); emitted distances
+            are recomputed in float64 so the global merge ranks the
+            same way a double oracle does — fp32 near-tie swaps cannot
+            leak into the final top-k."""
+            ids, mat, padj = _unpack_shard(blob)
+            out_r: list[np.ndarray] = []
+            out_i: list[np.ndarray] = []
+            out_d: list[np.ndarray] = []
+            # inner 512-query chunks keep per-wave scratch arrays
+            # (≈ chunk × ef × max_degree pairs) cache-sized — beam cost
+            # is linear in queries only while they fit
+            for s in range(0, len(q_sub), 512):
+                qc = q_sub[s : s + 512]
+                used_beam = not (ef >= len(mat) and not force_beam)
+                if used_beam:
+                    bd, bi = _batched_beam(mat, padj, qc, ef, metric)
+                else:
+                    bd, bi = _brute_topk(mat, qc, ef, metric)
+                valid = bi >= 0
+                accum.add(int(valid.sum()))
+                kk = min(k, bd.shape[1])
+                v = valid[:, :kk].reshape(-1)
+                flat_i = bi[:, :kk].reshape(-1)[v]
+                dist = bd[:, :kk].reshape(-1)[v]
+                qrep = np.repeat(np.arange(len(qc)), kk)[v]
+                if used_beam and len(flat_i):
+                    dist = rowwise_distance(qc[qrep], mat[flat_i], metric)
+                out_r.append(qrep + s)
+                out_i.append(ids[flat_i])
+                out_d.append(dist)
+            if not out_r:
+                z = np.empty(0, dtype=np.int64)
+                return z, z, np.empty(0, dtype=np.float64)
+            return (
+                np.concatenate(out_r),
+                np.concatenate(out_i),
+                np.concatenate(out_d),
+            )
+
+        if bc_shards is not None:
+            # Query-partitioned serving (the zero-shuffle inversion of
+            # operators/serving.py): every shard blob is already on
+            # every executor, so each task takes a STRIDE of the query
+            # batch, beams it through all of its queries' (routed)
+            # shards in-kernel, merges the per-shard candidates with
+            # one lexicographic (dist, id) prefix pass, and emits the
+            # final (qid, id, dist, rank) rows directly.  This removes
+            # the candidates exchange (n_q × probed_shards × k rows)
+            # and the window top-k stage the partitioned path needs —
+            # the merge that used to be a shuffle is a NumPy pass over
+            # data the task already holds.
+            n_tasks = max(1, min(-(-n_q // 64), 2 * par))
+            shard_pids = art.params["_shard_pids"]
+            tasks = spark.createDataFrame(
+                spark.sparkContext.parallelize(
+                    [(i,) for i in range(n_tasks)], n_tasks
+                ),
+                "qchunk int",
+            )
+
+            def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                q_ids, q_mat, rt, _, _ = bc.value
+                shards = bc_shards.value
+                for pdf in batches:
+                    for qc_ix in pdf["qchunk"]:
+                        qc_ix = int(qc_ix)
+                        acc_q: list[np.ndarray] = []
+                        acc_i: list[np.ndarray] = []
+                        acc_d: list[np.ndarray] = []
+                        for pid in shard_pids:
+                            if rt is not None:
+                                members = rt.get(int(pid))
+                                if members is None:
+                                    continue
+                                sel = members[members % n_tasks == qc_ix]
+                            else:
+                                sel = np.arange(qc_ix, len(q_ids), n_tasks)
+                            if not len(sel):
+                                continue
+                            lr, ci, cd = shard_cands(q_mat[sel], shards[pid])
+                            acc_q.append(sel[lr])
+                            acc_i.append(ci)
+                            acc_d.append(cd)
+                        if not acc_q:
+                            continue
+                        gq = np.concatenate(acc_q)
+                        gi = np.concatenate(acc_i)
+                        gd = np.concatenate(acc_d)
+                        order = np.lexsort((gi, gd, gq))
+                        gq, gi, gd = gq[order], gi[order], gd[order]
+                        starts = np.r_[0, np.nonzero(np.diff(gq))[0] + 1]
+                        counts = np.diff(np.r_[starts, len(gq)])
+                        rank = np.arange(len(gq)) - np.repeat(starts, counts)
+                        keep = rank < k
+                        yield pd.DataFrame(
+                            {
+                                "qid": q_ids[gq[keep]],
+                                "id": gi[keep],
+                                "dist": gd[keep],
+                                "rank": (rank[keep] + 1).astype(np.int32),
+                            }
+                        )
+
+            return tasks.mapInPandas(
+                kernel, schema="qid long, id long, dist double, rank int"
+            )
+
         def search_shard(
             pid: int, qc_ix: int, blob: bytes
         ) -> Iterator[pd.DataFrame]:
@@ -658,72 +770,24 @@ class GraphANNSearcher:
                 sel = np.arange(lo, hi)
             if not len(sel):
                 return
-            q_sub, qid_sub = q_mat[sel], q_ids[sel]
-            ids, mat, padj = _unpack_shard(blob)
-            # inner 512-query chunks keep per-wave scratch arrays
-            # (≈ chunk × ef × max_degree pairs) cache-sized — beam cost
-            # is linear in queries only while they fit
-            for s in range(0, len(q_sub), 512):
-                qc, qidc = q_sub[s : s + 512], qid_sub[s : s + 512]
-                used_beam = not (ef >= len(mat) and not force_beam)
-                if used_beam:
-                    bd, bi = _batched_beam(mat, padj, qc, ef, metric)
-                else:
-                    bd, bi = _brute_topk(mat, qc, ef, metric)
-                valid = bi >= 0
-                accum.add(int(valid.sum()))
-                kk = min(k, bd.shape[1])
-                v = valid[:, :kk].reshape(-1)
-                flat_i = bi[:, :kk].reshape(-1)[v]
-                dist = bd[:, :kk].reshape(-1)[v]
-                if used_beam and len(flat_i):
-                    # the beam ranks in float32 (its own scratch);
-                    # emitted distances are recomputed in float64 so
-                    # the global merge ranks the same way a double
-                    # oracle does — fp32 near-tie swaps cannot leak
-                    # into the final top-k
-                    qrep = np.repeat(np.arange(len(qc)), kk)[v]
-                    dist = rowwise_distance(qc[qrep], mat[flat_i], metric)
-                yield pd.DataFrame(
-                    {
-                        "qid": np.repeat(qidc, kk)[v],
-                        "id": ids[flat_i],
-                        "dist": dist,
-                    }
-                )
+            lr, ci, cd = shard_cands(q_mat[sel], blob)
+            yield pd.DataFrame({"qid": q_ids[sel[lr]], "id": ci, "dist": cd})
 
-        if bc_shards is not None:
-            pairs = [
-                (pid, c) for pid in art.params["_shard_pids"] for c in range(chunks)
-            ]
-            tasks = spark.createDataFrame(
-                spark.sparkContext.parallelize(pairs, len(pairs)),
-                "pid long, qchunk int",
-            )
-
-            def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-                for pdf in batches:
-                    for pid, qc_ix in zip(pdf["pid"], pdf["qchunk"]):
-                        yield from search_shard(
-                            int(pid), int(qc_ix), bc_shards.value[int(pid)]
-                        )
-
+        tasks = art.tables["graph"].select("pid", "blob")
+        if chunks > 1:
+            tasks = tasks.withColumn(
+                "qchunk",
+                F.explode(F.array(*[F.lit(i) for i in range(chunks)])),
+            ).repartition(n_parts * chunks, "pid", "qchunk")
         else:
-            tasks = art.tables["graph"].select("pid", "blob")
-            if chunks > 1:
-                tasks = tasks.withColumn(
-                    "qchunk",
-                    F.explode(F.array(*[F.lit(i) for i in range(chunks)])),
-                ).repartition(n_parts * chunks, "pid", "qchunk")
-            else:
-                tasks = tasks.withColumn("qchunk", F.lit(0))
+            tasks = tasks.withColumn("qchunk", F.lit(0))
 
-            def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-                for pdf in batches:
-                    for pid, qc_ix, blob in zip(
-                        pdf["pid"], pdf["qchunk"], pdf["blob"]
-                    ):
-                        yield from search_shard(int(pid), int(qc_ix), blob)
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                for pid, qc_ix, blob in zip(
+                    pdf["pid"], pdf["qchunk"], pdf["blob"]
+                ):
+                    yield from search_shard(int(pid), int(qc_ix), blob)
 
         cands = tasks.mapInPandas(
             kernel, schema="qid long, id long, dist double"
