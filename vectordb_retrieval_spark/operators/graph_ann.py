@@ -697,7 +697,11 @@ class GraphANNSearcher:
             # and the window top-k stage the partitioned path needs —
             # the merge that used to be a shuffle is a NumPy pass over
             # data the task already holds.
-            n_tasks = max(1, min(-(-n_q // 64), 2 * par))
+            # quota of 32 queries per task: at 1024-query serving
+            # batches a 64-query quota left half a 32-core pool idle;
+            # per-task beam compute (tens of ms) still dwarfs task
+            # overhead at 32
+            n_tasks = max(1, min(-(-n_q // 32), 2 * par))
             shard_pids = art.params["_shard_pids"]
             tasks = spark.createDataFrame(
                 spark.sparkContext.parallelize(
