@@ -172,14 +172,22 @@ def minhash_lsh_pairs(
     banded = wide.select("id", F.explode(band_rows).alias("bb")).select(
         "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    a = banded.select(
-        F.col("id").alias("a"), "band", "bucket"
+    # pairs from bucket groups, not a bucket self-join: the self-join
+    # evaluates the shingle+minhash pipeline once per side, and its
+    # equi-join shuffles the banded table twice.  Grouping shuffles it
+    # once and computes the signatures once; within a bucket the sorted
+    # id list emits (a < b) pairs via a slice-explode, which streams
+    # the (quadratic-per-bucket by definition) pair set instead of
+    # materializing it as one array.
+    grouped = (
+        banded.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
     )
-    b = banded.select(F.col("id").alias("b"), "band", "bucket")
     return (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
+        grouped.select(F.posexplode("ids").alias("i", "a"), "ids")
+        .select("a", F.expr("slice(ids, i + 2, size(ids))").alias("rest"))
+        .select("a", F.explode("rest").alias("b"))
         .distinct()
     )
 
@@ -206,11 +214,26 @@ def minhash_verified_pairs(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), shingle_n).alias("sh"),
     ).filter(F.size("sh") > 0)
+    # one join against the shingle table, not two: melt each candidate
+    # pair to (a, b, id) rows, attach shingles by id, fold back.  The
+    # two-join form evaluates the corpus-wide shingle scan once per
+    # side; this evaluates it once, and the fold-back shuffle is
+    # candidate-proportional (2 rows per surviving pair).
+    melted = cand.select(
+        "a", "b", F.explode(F.array("a", "b")).alias("id")
+    ).join(t, "id")
     inter = F.size(F.array_intersect("sha", "shb"))
     union = F.size(F.array_union("sha", "shb"))
     return (
-        cand.join(t.select(F.col("id").alias("a"), F.col("sh").alias("sha")), "a")
-        .join(t.select(F.col("id").alias("b"), F.col("sh").alias("shb")), "b")
+        melted.groupBy("a", "b")
+        .agg(
+            F.max(F.when(F.col("id") == F.col("a"), F.col("sh"))).alias("sha"),
+            F.max(F.when(F.col("id") == F.col("b"), F.col("sh"))).alias("shb"),
+        )
+        # both sides present (a doc with no shingles has no signature,
+        # so it can never reach the candidate list — this is belt and
+        # braces against a malformed pair input)
+        .filter(F.col("sha").isNotNull() & F.col("shb").isNotNull())
         .withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
