@@ -58,6 +58,7 @@ class PackedClusters:
         self.centroids = centroids
         self.index = {int(c): i for i, c in enumerate(cids)}
         self._dec: dict[int, np.ndarray] = {}
+        self._scan: dict = {}
 
     def decoded(self, i: int) -> np.ndarray:
         out = self._dec.get(i)
@@ -75,9 +76,30 @@ class PackedClusters:
             self._dec[i] = out
         return out
 
+    def scan_state(self, i: int, metric: str):
+        """Per-cluster distance-scan state, cached like the decode it
+        derives from: (rows, row_sq_norms) for l2, (normalized rows,
+        None) for cosine, (rows, None) for ip.  The cached pieces are
+        exactly the subexpressions ``pairwise_distances`` recomputes
+        per call — same float64 arithmetic, hoisted out of the
+        per-(query-batch × cluster) hot loop."""
+        key = (i, metric)
+        out = self._scan.get(key)
+        if out is None:
+            dec = self.decoded(i)
+            if metric == "l2":
+                out = (dec, (dec * dec).sum(axis=1))
+            elif metric == "cosine":
+                out = (normalize_rows(dec), None)
+            else:
+                out = (dec, None)
+            self._scan[key] = out
+        return out
+
     def __getstate__(self):
         state = self.__dict__.copy()
         state["_dec"] = {}
+        state["_scan"] = {}
         return state
 
     def nbytes(self) -> int:
@@ -259,6 +281,18 @@ def broadcast_probe_search(
                 qmat = normalize_rows(qmat.astype(np.float64)).astype(np.float32)
             n_q = len(qids)
             all_rows = np.arange(n_q, dtype=np.int64)
+            # per-batch query-side scan state, hoisted out of the
+            # per-cluster loop: the float64 upcast, squared norms (l2)
+            # and row normalization (cosine) are exactly what
+            # pairwise_distances would redo on every cluster call
+            q64 = qmat.astype(np.float64)
+            if metric == "l2":
+                qsq = (q64 * q64).sum(axis=1)
+            elif metric == "cosine":
+                q64 = normalize_rows(q64)
+                qsq = None
+            else:
+                qsq = None
             if cents is None or nprobe is None or nprobe >= len(cents):
                 probe_plan = [(bi, None) for bi in range(len(idx.cids))]
             else:
@@ -307,9 +341,29 @@ def broadcast_probe_search(
                 I = np.full((n_q, width), _PAD_ID)
                 fill = np.zeros(n_q, dtype=np.int64)
                 for bi, s, e, qrows in pend:
-                    qsub = qmat if qrows is None else qmat[qrows]
+                    qsub = q64 if qrows is None else q64[qrows]
                     rows = all_rows if qrows is None else qrows
-                    d = pairwise_distances(qsub, idx.decoded(bi)[s:e], metric)
+                    # same float64 arithmetic as pairwise_distances,
+                    # with the cluster-side subexpressions cached on
+                    # the broadcast index (scan_state) and the
+                    # query-side ones hoisted per batch
+                    b, bsq = idx.scan_state(bi, metric)
+                    b = b[s:e]
+                    if metric == "l2":
+                        qs_ = qsq if qrows is None else qsq[qrows]
+                        d = (
+                            qs_[:, None]
+                            + bsq[s:e][None, :]
+                            - 2.0 * (qsub @ b.T)
+                        )
+                        np.maximum(d, 0.0, out=d)
+                        np.sqrt(d, out=d)
+                    elif metric == "cosine":
+                        d = 1.0 - qsub @ b.T
+                    elif metric == "ip":
+                        d = -(qsub @ b.T)
+                    else:
+                        d = pairwise_distances(qsub, idx.decoded(bi)[s:e], metric)
                     if accum is not None:
                         accum.add(int(d.size))
                     cols = fill[rows, None] + np.arange(e - s)
