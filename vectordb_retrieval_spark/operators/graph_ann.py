@@ -614,6 +614,16 @@ class GraphANNSearcher:
             chunks = max(1, min(-(-avg // 64), -(-2 * par // n_active)))
         else:
             chunks = max(1, min(-(-n_q // 128), -(-2 * par // n_parts)))
+        # chunk fan-out on the PARTITIONED path pays a shuffle that
+        # replicates every shard blob per chunk; when the shard count
+        # already covers the executor pool, chunks=1 keeps the search a
+        # narrow zero-shuffle scan of the cached graph table instead
+        # (for a 150k x 384-d 32-shard index, chunks=2 was moving
+        # ~560 MB of blobs per search to cut task count from 32 to 64)
+        if art.params.get("_shard_bc") is None and (
+            n_active if route is not None else n_parts
+        ) >= par:
+            chunks = 1
         bounds = np.linspace(0, n_q, chunks + 1).astype(np.int64)
 
         # Small index ⇒ broadcast the packed shards (same decision
