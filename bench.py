@@ -356,6 +356,26 @@ def main() -> int:
         amortized[f"qps_{label}_16384q"] = round(16_384 / t16, 2)
         amortized[f"recall_{label}_16384q"] = recall16(res16)
         res16.unpersist()
+
+    # 65 536-query row for the reference's fastest config (ivf_sq8,
+    # BASELINE 248 897 QPS): the 16k rows still carry ~0.35 s of fixed
+    # Python-worker round-trip per job (an identity mapInPandas over
+    # the same cached queries measures that floor), so the marginal
+    # serving rate needs a bigger batch to show.  Queries are 4
+    # qid-shifted replicas of the 16k batch: per-query work is
+    # identical (no result caching anywhere in the kernel) and recall
+    # is the 16k row's by construction.
+    big64 = big16
+    for j in range(1, 4):
+        big64 = big64.union(
+            big16.select((F.col("qid") + 1_000_000 * j).alias("qid"), "vec")
+        )
+    big64 = big64.repartition(int(cpus)).cache()
+    big64.count()
+    res64, t64 = timed_search(IVFSearcher(nprobe=24).attach(sq8r_art), big64, 20)
+    amortized["qps_ivf_sq8_nprobe24_65536q"] = round(65_536 / t64, 2)
+    res64.unpersist()
+    big64.unpersist()
     for df in (big16, exact_16k):
         df.unpersist()
 
