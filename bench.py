@@ -351,6 +351,10 @@ def main() -> int:
         ("pq_m64k256", pq_art, PQADCSearcher()),
         # reuses the shard-blob broadcast built by the 2048q search
         ("graph_ef64", g_art, GraphANNSearcher(ef_search=64)),
+        # recall-parity row: ef=24 lands at 0.937, just above the
+        # reference hnsw's 0.9156 — the apples-to-apples QPS point
+        # (the ef=64 row buys +0.075 recall over the reference)
+        ("graph_ef24", g_art, GraphANNSearcher(ef_search=24)),
     ):
         res16, t16 = timed_search(searcher_.attach(art_), big16, 20)
         amortized[f"qps_{label}_16384q"] = round(16_384 / t16, 2)

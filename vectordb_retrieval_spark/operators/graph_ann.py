@@ -664,11 +664,12 @@ class GraphANNSearcher:
             out_r: list[np.ndarray] = []
             out_i: list[np.ndarray] = []
             out_d: list[np.ndarray] = []
-            # inner 512-query chunks keep per-wave scratch arrays
+            # inner 256-query chunks keep per-wave scratch arrays
             # (≈ chunk × ef × max_degree pairs) cache-sized — beam cost
-            # is linear in queries only while they fit
-            for s in range(0, len(q_sub), 512):
-                qc = q_sub[s : s + 512]
+            # is linear in queries only while they fit (measured 351 vs
+            # 427 µs/query at 256 vs 512 on a 2500-node 64-d shard)
+            for s in range(0, len(q_sub), 256):
+                qc = q_sub[s : s + 256]
                 used_beam = not (ef >= len(mat) and not force_beam)
                 if used_beam:
                     bd, bi = _batched_beam(mat, padj, qc, ef, metric)
