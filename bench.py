@@ -97,6 +97,17 @@ def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
+    # soft deadline: if a driver-side timeout killed this process before
+    # the final print, the whole run would produce NOTHING — so each
+    # optional block first checks the clock and is skipped (with a
+    # marker) once the budget is spent.  The blocks are ordered
+    # most-comparable-first, so a slow-container day degrades the tail,
+    # never the headline or the BASELINE-matched rows.
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "1200"))
+    t_start = time.time()
+
+    def over_budget() -> bool:
+        return time.time() - t_start > budget_s
 
     from vectordb_retrieval_spark.session import get_spark
 
@@ -411,233 +422,252 @@ def main() -> int:
     for df in (base, queries, big_queries, exact_big):
         df.unpersist()
 
-    # msmarco-regime workload (BASELINE msmarco rows: 384-d cosine; the
-    # top row there is ivf_sq8 at 0.9471 recall) — 20k base / 1024
-    # queries keeps the whole bench around two minutes.  Real embedding
-    # corpora are clustered, which is what makes IVF pruning work, so
-    # this block uses the Gaussian-mixture generator (uniform Gaussians
-    # at 384-d have no prunable structure and recall would be
-    # meaninglessly low for every nprobe).
-    from vectordb_retrieval_spark.operators.quant import SQ8Codec
-    from vectordb_retrieval_spark.sources.random_gen import clustered_vectors
+    def _cosine_block() -> dict:
+        # msmarco-regime workload (BASELINE msmarco rows: 384-d cosine; the
+        # top row there is ivf_sq8 at 0.9471 recall) — 20k base / 1024
+        # queries keeps the whole bench around two minutes.  Real embedding
+        # corpora are clustered, which is what makes IVF pruning work, so
+        # this block uses the Gaussian-mixture generator (uniform Gaussians
+        # at 384-d have no prunable structure and recall would be
+        # meaninglessly low for every nprobe).
+        from vectordb_retrieval_spark.operators.quant import SQ8Codec
+        from vectordb_retrieval_spark.sources.random_gen import clustered_vectors
 
-    base384 = clustered_vectors(
-        spark, 20_000, 384, n_clusters=100, spread=0.35, seed=11, stream=3
-    ).cache()
-    materialize(base384)
-    q384 = clustered_vectors(
-        spark, 1024, 384, n_clusters=100, spread=0.35, seed=11, stream=4,
-        id_col="qid",
-    ).cache()
-    q384.count()
-    materialize(
-        exact_knn(base384, q384, 20, "cosine", qid_col="qid", qvec_col="vec")
-    )
-    t_exact384 = timed_min(
-        lambda: materialize(
+        base384 = clustered_vectors(
+            spark, 20_000, 384, n_clusters=100, spread=0.35, seed=11, stream=3
+        ).cache()
+        materialize(base384)
+        q384 = clustered_vectors(
+            spark, 1024, 384, n_clusters=100, spread=0.35, seed=11, stream=4,
+            id_col="qid",
+        ).cache()
+        q384.count()
+        materialize(
             exact_knn(base384, q384, 20, "cosine", qid_col="qid", qvec_col="vec")
         )
-    )
-    exact384 = (
-        exact_knn(base384, q384, 20, "cosine", qid_col="qid", qvec_col="vec")
-        .select("qid", "id")
-        .cache()
-    )
-    exact384.count()
-    t0 = time.time()
-    sq8_art = IVFIndexer(
-        nlist=100,
-        metric="cosine",
-        seed=11,
-        max_iter=5,
-        init_mode="k-means||",
-        codec=SQ8Codec(),
-    ).build(base384, id_col="id", vec_col="vec")
-    materialize(sq8_art.tables["assignment"])
-    t_sq8_build = time.time() - t0
-    sq8_res, t_sq8 = timed_search(
-        IVFSearcher(nprobe=10).attach(sq8_art), q384, 20
-    )
-    hits384 = sq8_res.join(exact384, ["qid", "id"]).count()
-    cosine_workload = {
-        "qps_exact_1024q": round(1024 / t_exact384, 2),
-        "ivf_sq8_build_s": round(t_sq8_build, 3),
-        "qps_ivf_sq8_nprobe10_1024q": round(1024 / t_sq8, 2),
-        "recall_ivf_sq8_nprobe10": round(hits384 / (1024 * 20), 4),
-    }
+        t_exact384 = timed_min(
+            lambda: materialize(
+                exact_knn(base384, q384, 20, "cosine", qid_col="qid", qvec_col="vec")
+            )
+        )
+        exact384 = (
+            exact_knn(base384, q384, 20, "cosine", qid_col="qid", qvec_col="vec")
+            .select("qid", "id")
+            .cache()
+        )
+        exact384.count()
+        t0 = time.time()
+        sq8_art = IVFIndexer(
+            nlist=100,
+            metric="cosine",
+            seed=11,
+            max_iter=5,
+            init_mode="k-means||",
+            codec=SQ8Codec(),
+        ).build(base384, id_col="id", vec_col="vec")
+        materialize(sq8_art.tables["assignment"])
+        t_sq8_build = time.time() - t0
+        sq8_res, t_sq8 = timed_search(
+            IVFSearcher(nprobe=10).attach(sq8_art), q384, 20
+        )
+        hits384 = sq8_res.join(exact384, ["qid", "id"]).count()
+        cosine_workload = {
+            "qps_exact_1024q": round(1024 / t_exact384, 2),
+            "ivf_sq8_build_s": round(t_sq8_build, 3),
+            "qps_ivf_sq8_nprobe10_1024q": round(1024 / t_sq8, 2),
+            "recall_ivf_sq8_nprobe10": round(hits384 / (1024 * 20), 4),
+        }
 
-    # routed graph ANN on the clustered corpus — the configuration where
-    # sign-LSH spatial shards actually co-locate neighbors, so probing
-    # 4 of 8 shards must keep ~all of probe-all recall at ~half the
-    # per-query beam work.  This is the property that keeps graph search
-    # flat-cost as shard count grows with data (uniform Gaussians have
-    # no co-locatable structure; this row is the honest demonstration).
-    t0 = time.time()
-    # wider graph than the 64-d workload (m=16, ef=128): at 384-d the
-    # fixed per-job cost dominates the beam, so the recall-maximizing
-    # width is ~free at this scale
-    g384_art = GraphANNIndexer(
-        m=16, metric="cosine", num_partitions=8, partition_by="lsh", seed=11
-    ).build(base384, id_col="id", vec_col="vec")
-    materialize(g384_art.tables["graph"])
-    cosine_workload["graph_lsh_build_s"] = round(time.time() - t0, 3)
-    for label, probe in (("probe_all", None), ("probe4", 4)):
-        gres, t_g384 = timed_search(
-            GraphANNSearcher(ef_search=128, probe_partitions=probe).attach(
-                g384_art
-            ),
+        # routed graph ANN on the clustered corpus — the configuration where
+        # sign-LSH spatial shards actually co-locate neighbors, so probing
+        # 4 of 8 shards must keep ~all of probe-all recall at ~half the
+        # per-query beam work.  This is the property that keeps graph search
+        # flat-cost as shard count grows with data (uniform Gaussians have
+        # no co-locatable structure; this row is the honest demonstration).
+        t0 = time.time()
+        # wider graph than the 64-d workload (m=16, ef=128): at 384-d the
+        # fixed per-job cost dominates the beam, so the recall-maximizing
+        # width is ~free at this scale
+        g384_art = GraphANNIndexer(
+            m=16, metric="cosine", num_partitions=8, partition_by="lsh", seed=11
+        ).build(base384, id_col="id", vec_col="vec")
+        materialize(g384_art.tables["graph"])
+        cosine_workload["graph_lsh_build_s"] = round(time.time() - t0, 3)
+        for label, probe in (("probe_all", None), ("probe4", 4)):
+            gres, t_g384 = timed_search(
+                GraphANNSearcher(ef_search=128, probe_partitions=probe).attach(
+                    g384_art
+                ),
+                q384,
+                20,
+            )
+            cosine_workload[f"qps_graph_{label}_1024q"] = round(1024 / t_g384, 2)
+            cosine_workload[f"recall_graph_{label}"] = round(
+                gres.join(exact384, ["qid", "id"]).count() / (1024 * 20), 4
+            )
+            gres.unpersist()
+
+        # balanced-kmeans sharding + long-range links: bin-packed spatial
+        # shards routed by ball centroids, random shortcuts keeping the
+        # beam navigable across a shard's sub-clusters — the routed config
+        # that holds recall at few probes (the msmarco hnsw comparison
+        # point: 7,872 QPS @ 0.9857)
+        t0 = time.time()
+        gkm_art = GraphANNIndexer(
+            m=16, metric="cosine", num_partitions=8, partition_by="kmeans",
+            seed=11, long_links=8,
+        ).build(base384, id_col="id", vec_col="vec")
+        materialize(gkm_art.tables["graph"])
+        cosine_workload["graph_kmeans_build_s"] = round(time.time() - t0, 3)
+        # ef=64 measured at the same recall (1.0) as ef=128 on this
+        # corpus: the kmeans shards are tight balls, so the beam converges
+        # well inside 64 — the narrower beam is pure speed
+        gkm_res, t_gkm = timed_search(
+            GraphANNSearcher(ef_search=64, probe_partitions=2).attach(gkm_art),
             q384,
             20,
         )
-        cosine_workload[f"qps_graph_{label}_1024q"] = round(1024 / t_g384, 2)
-        cosine_workload[f"recall_graph_{label}"] = round(
-            gres.join(exact384, ["qid", "id"]).count() / (1024 * 20), 4
+        cosine_workload["qps_graph_kmeans_probe2_1024q"] = round(1024 / t_gkm, 2)
+        cosine_workload["recall_graph_kmeans_probe2"] = round(
+            gkm_res.join(exact384, ["qid", "id"]).count() / (1024 * 20), 4
         )
-        gres.unpersist()
+        gkm_res.unpersist()
 
-    # balanced-kmeans sharding + long-range links: bin-packed spatial
-    # shards routed by ball centroids, random shortcuts keeping the
-    # beam navigable across a shard's sub-clusters — the routed config
-    # that holds recall at few probes (the msmarco hnsw comparison
-    # point: 7,872 QPS @ 0.9857)
-    t0 = time.time()
-    gkm_art = GraphANNIndexer(
-        m=16, metric="cosine", num_partitions=8, partition_by="kmeans",
-        seed=11, long_links=8,
-    ).build(base384, id_col="id", vec_col="vec")
-    materialize(gkm_art.tables["graph"])
-    cosine_workload["graph_kmeans_build_s"] = round(time.time() - t0, 3)
-    # ef=64 measured at the same recall (1.0) as ef=128 on this
-    # corpus: the kmeans shards are tight balls, so the beam converges
-    # well inside 64 — the narrower beam is pure speed
-    gkm_res, t_gkm = timed_search(
-        GraphANNSearcher(ef_search=64, probe_partitions=2).attach(gkm_art),
-        q384,
-        20,
-    )
-    cosine_workload["qps_graph_kmeans_probe2_1024q"] = round(1024 / t_gkm, 2)
-    cosine_workload["recall_graph_kmeans_probe2"] = round(
-        gkm_res.join(exact384, ["qid", "id"]).count() / (1024 * 20), 4
-    )
-    gkm_res.unpersist()
+        # same routed config at a 4096-query serving batch: the 1024q row
+        # is dominated by the ~0.5 s per-job floor (probe1 and probe2
+        # measure the same there); the bigger batch shows the marginal
+        # serving rate, recall re-measured against its own exact GT
+        q4k = clustered_vectors(
+            spark, 4096, 384, n_clusters=100, spread=0.35, seed=11, stream=8,
+            id_col="qid",
+        ).cache()
+        q4k.count()
+        materialize(
+            exact_knn(base384, q4k, 20, "cosine", qid_col="qid", qvec_col="vec")
+        )
+        exact4k = (
+            exact_knn(base384, q4k, 20, "cosine", qid_col="qid", qvec_col="vec")
+            .select("qid", "id")
+            .cache()
+        )
+        exact4k.count()
+        gkm4_res, t_gkm4 = timed_search(
+            GraphANNSearcher(ef_search=64, probe_partitions=2).attach(gkm_art),
+            q4k,
+            20,
+        )
+        cosine_workload["qps_graph_kmeans_probe2_4096q"] = round(4096 / t_gkm4, 2)
+        cosine_workload["recall_graph_kmeans_probe2_4096q"] = round(
+            gkm4_res.join(exact4k, ["qid", "id"]).count() / (4096 * 20), 4
+        )
+        for df in (gkm4_res, q4k, exact4k):
+            df.unpersist()
 
-    # same routed config at a 4096-query serving batch: the 1024q row
-    # is dominated by the ~0.5 s per-job floor (probe1 and probe2
-    # measure the same there); the bigger batch shows the marginal
-    # serving rate, recall re-measured against its own exact GT
-    q4k = clustered_vectors(
-        spark, 4096, 384, n_clusters=100, spread=0.35, seed=11, stream=8,
-        id_col="qid",
-    ).cache()
-    q4k.count()
-    materialize(
-        exact_knn(base384, q4k, 20, "cosine", qid_col="qid", qvec_col="vec")
-    )
-    exact4k = (
-        exact_knn(base384, q4k, 20, "cosine", qid_col="qid", qvec_col="vec")
-        .select("qid", "id")
-        .cache()
-    )
-    exact4k.count()
-    gkm4_res, t_gkm4 = timed_search(
-        GraphANNSearcher(ef_search=64, probe_partitions=2).attach(gkm_art),
-        q4k,
-        20,
-    )
-    cosine_workload["qps_graph_kmeans_probe2_4096q"] = round(4096 / t_gkm4, 2)
-    cosine_workload["recall_graph_kmeans_probe2_4096q"] = round(
-        gkm4_res.join(exact4k, ["qid", "id"]).count() / (4096 * 20), 4
-    )
-    for df in (gkm4_res, q4k, exact4k):
-        df.unpersist()
+        for df in (base384, q384, exact384, sq8_res):
+            df.unpersist()
+        return cosine_workload
 
-    for df in (base384, q384, exact384, sq8_res):
-        df.unpersist()
-
-    # Scale row: 7.5x the msmarco-regime corpus (150k×384-d clustered,
-    # cosine) — same operators as the 20k block above, so the deltas
-    # between the two blocks ARE the scaling curve (QPS and build time
-    # vs corpus size).  At this size the decoded indexes exceed the
-    # broadcast threshold, so these rows exercise the partitioned
-    # scan/shard paths — the plans that carry over to a real cluster —
-    # not the broadcast-serving fast path the small blocks use.
-    # (150k keeps the whole bench inside the driver's per-round budget
-    # even on this container's slow days; push SPARK_GRAFT_SCALE_N up
-    # for a bigger point.)
-    scale_n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "150000"))
-    base_s = clustered_vectors(
-        spark, scale_n, 384, n_clusters=200, spread=0.35, seed=13, stream=6,
-        num_partitions=int(cpus),
-    ).cache()
-    materialize(base_s)
-    q_s = clustered_vectors(
-        spark, 1024, 384, n_clusters=200, spread=0.35, seed=13, stream=7,
-        id_col="qid",
-    ).cache()
-    q_s.count()
-    materialize(
-        exact_knn(base_s, q_s, 20, "cosine", qid_col="qid", qvec_col="vec")
+    cosine_workload = (
+        {"skipped": "bench budget exhausted"}
+        if over_budget()
+        else _cosine_block()
     )
-    t_exact_s = timed_min(
-        lambda: materialize(
+
+    def _scale_block() -> dict:
+        from vectordb_retrieval_spark.operators.quant import SQ8Codec
+        from vectordb_retrieval_spark.sources.random_gen import clustered_vectors
+
+        # Scale row: 7.5x the msmarco-regime corpus (150k×384-d clustered,
+        # cosine) — same operators as the 20k block above, so the deltas
+        # between the two blocks ARE the scaling curve (QPS and build time
+        # vs corpus size).  At this size the decoded indexes exceed the
+        # broadcast threshold, so these rows exercise the partitioned
+        # scan/shard paths — the plans that carry over to a real cluster —
+        # not the broadcast-serving fast path the small blocks use.
+        # (150k keeps the whole bench inside the driver's per-round budget
+        # even on this container's slow days; push SPARK_GRAFT_SCALE_N up
+        # for a bigger point.)
+        scale_n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "150000"))
+        base_s = clustered_vectors(
+            spark, scale_n, 384, n_clusters=200, spread=0.35, seed=13, stream=6,
+            num_partitions=int(cpus),
+        ).cache()
+        materialize(base_s)
+        q_s = clustered_vectors(
+            spark, 1024, 384, n_clusters=200, spread=0.35, seed=13, stream=7,
+            id_col="qid",
+        ).cache()
+        q_s.count()
+        materialize(
             exact_knn(base_s, q_s, 20, "cosine", qid_col="qid", qvec_col="vec")
         )
-    )
-    exact_s = (
-        exact_knn(base_s, q_s, 20, "cosine", qid_col="qid", qvec_col="vec")
-        .select("qid", "id")
-        .cache()
-    )
-    exact_s.count()
-    scale_workload = {
-        "n_base": scale_n,
-        "qps_exact_1024q": round(1024 / t_exact_s, 2),
-    }
+        t_exact_s = timed_min(
+            lambda: materialize(
+                exact_knn(base_s, q_s, 20, "cosine", qid_col="qid", qvec_col="vec")
+            )
+        )
+        exact_s = (
+            exact_knn(base_s, q_s, 20, "cosine", qid_col="qid", qvec_col="vec")
+            .select("qid", "id")
+            .cache()
+        )
+        exact_s.count()
+        scale_workload = {
+            "n_base": scale_n,
+            "qps_exact_1024q": round(1024 / t_exact_s, 2),
+        }
 
-    t0 = time.time()
-    sq8s_art = IVFIndexer(
-        nlist=256,
-        metric="cosine",
-        seed=13,
-        max_iter=5,
-        init_mode="k-means||",
-        codec=SQ8Codec(),
-    ).build(base_s, id_col="id", vec_col="vec")
-    materialize(sq8s_art.tables["assignment"])
-    scale_workload["ivf_sq8_build_s"] = round(time.time() - t0, 3)
-    sq8s_res, t_sq8s = timed_search(
-        IVFSearcher(nprobe=10).attach(sq8s_art), q_s, 20
-    )
-    scale_workload["qps_ivf_sq8_nprobe10_1024q"] = round(1024 / t_sq8s, 2)
-    scale_workload["recall_ivf_sq8_nprobe10"] = round(
-        sq8s_res.join(exact_s, ["qid", "id"]).count() / (1024 * 20), 4
-    )
-    sq8s_res.unpersist()
+        t0 = time.time()
+        sq8s_art = IVFIndexer(
+            nlist=256,
+            metric="cosine",
+            seed=13,
+            max_iter=5,
+            init_mode="k-means||",
+            codec=SQ8Codec(),
+        ).build(base_s, id_col="id", vec_col="vec")
+        materialize(sq8s_art.tables["assignment"])
+        scale_workload["ivf_sq8_build_s"] = round(time.time() - t0, 3)
+        sq8s_res, t_sq8s = timed_search(
+            IVFSearcher(nprobe=10).attach(sq8s_art), q_s, 20
+        )
+        scale_workload["qps_ivf_sq8_nprobe10_1024q"] = round(1024 / t_sq8s, 2)
+        scale_workload["recall_ivf_sq8_nprobe10"] = round(
+            sq8s_res.join(exact_s, ["qid", "id"]).count() / (1024 * 20), 4
+        )
+        sq8s_res.unpersist()
 
-    # balanced-kmeans sharding (over-partition + bin-pack keeps the
-    # largest shard ~= the median — a plain k=32 KMeans put 17% of the
-    # corpus in one shard, the build straggler AND beam hot spot) +
-    # long-range links for in-shard navigability; routed to the 4
-    # nearest shards by ball-centroid distance
-    t0 = time.time()
-    gs_art = GraphANNIndexer(
-        m=16, metric="cosine", num_partitions=32, partition_by="kmeans",
-        seed=13, long_links=8,
-    ).build(base_s, id_col="id", vec_col="vec")
-    materialize(gs_art.tables["graph"])
-    scale_workload["graph_kmeans_build_s"] = round(time.time() - t0, 3)
-    gs_res, t_gs = timed_search(
-        GraphANNSearcher(ef_search=64, probe_partitions=4).attach(gs_art),
-        q_s,
-        20,
+        # balanced-kmeans sharding (over-partition + bin-pack keeps the
+        # largest shard ~= the median — a plain k=32 KMeans put 17% of the
+        # corpus in one shard, the build straggler AND beam hot spot) +
+        # long-range links for in-shard navigability; routed to the 4
+        # nearest shards by ball-centroid distance
+        t0 = time.time()
+        gs_art = GraphANNIndexer(
+            m=16, metric="cosine", num_partitions=32, partition_by="kmeans",
+            seed=13, long_links=8,
+        ).build(base_s, id_col="id", vec_col="vec")
+        materialize(gs_art.tables["graph"])
+        scale_workload["graph_kmeans_build_s"] = round(time.time() - t0, 3)
+        gs_res, t_gs = timed_search(
+            GraphANNSearcher(ef_search=64, probe_partitions=4).attach(gs_art),
+            q_s,
+            20,
+        )
+        scale_workload["qps_graph_probe4of32_1024q"] = round(1024 / t_gs, 2)
+        scale_workload["recall_graph_probe4of32"] = round(
+            gs_res.join(exact_s, ["qid", "id"]).count() / (1024 * 20), 4
+        )
+        gs_res.unpersist()
+        for df in (base_s, q_s, exact_s):
+            df.unpersist()
+        return scale_workload
+
+    scale_workload = (
+        {"skipped": "bench budget exhausted"}
+        if over_budget()
+        else _scale_block()
     )
-    scale_workload["qps_graph_probe4of32_1024q"] = round(1024 / t_gs, 2)
-    scale_workload["recall_graph_probe4of32"] = round(
-        gs_res.join(exact_s, ["qid", "id"]).count() / (1024 * 20), 4
-    )
-    gs_res.unpersist()
-    for df in (base_s, q_s, exact_s):
-        df.unpersist()
 
     total = round(sum(timings.values()), 3)
     print(
