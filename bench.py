@@ -103,7 +103,7 @@ def main() -> int:
     # marker) once the budget is spent.  The blocks are ordered
     # most-comparable-first, so a slow-container day degrades the tail,
     # never the headline or the BASELINE-matched rows.
-    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "1200"))
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "2100"))
     t_start = time.time()
 
     def over_budget() -> bool:
