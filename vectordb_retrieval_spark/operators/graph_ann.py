@@ -152,6 +152,12 @@ def _batched_beam(
     beam_i[:, 0] = entry
     visited[:, entry] = True
     dmax = padj.shape[1]
+    # dedup scratch: last-writer tables indexed by (query, node) /
+    # node keys — stale entries are never read because every read is
+    # preceded by a write with this wave's keys
+    u_pair = np.empty(n_q * n, dtype=np.int32)
+    u_node = np.empty(n, dtype=np.int32)
+    lut = np.empty(n, dtype=np.int64)
 
     while True:
         frontier = (~beam_x) & (beam_i >= 0)
@@ -168,11 +174,24 @@ def _batched_beam(
         fa, fn = a_idx[ok], n_idx[ok]
         if len(fa):
             # same neighbor reachable from two frontier nodes of one
-            # query → dedup before distance + merge
-            uniq = np.unique(fa * np.int64(n) + fn)
-            fa, fn = uniq // n, uniq % n
+            # query → dedup before distance + merge.  O(P) last-writer
+            # representative pick instead of an O(P log P) unique-sort:
+            # an element is the keeper iff the scratch slot for its key
+            # still holds its own index after all writes.  Keeper ORDER
+            # differs from the sorted-unique form, but every consumer
+            # is order-free (scatter writes, element-wise distance,
+            # and the merge re-sorts by (query, dist)).
+            key = fa * np.int64(n) + fn
+            seq = np.arange(len(key), dtype=np.int32)
+            u_pair[key] = seq
+            rep = u_pair[key] == seq
+            fa, fn = fa[rep], fn[rep]
             visited[fa, fn] = True
-            un, inv = np.unique(fn, return_inverse=True)
+            seq = np.arange(len(fn), dtype=np.int32)
+            u_node[fn] = seq
+            un = fn[u_node[fn] == seq]
+            lut[un] = np.arange(len(un))
+            inv = lut[fn]
             if len(un) * n_q <= 32 * len(fa):
                 # GEMM over the wave's unique nodes, then 2-D lookup:
                 # BLAS beats the scattered row gather even computing
@@ -188,30 +207,53 @@ def _batched_beam(
                 nd = 1.0 - dot if metric == "cosine" else -dot
         else:
             nd = np.empty(0, dtype=np.float32)
-        # ragged merge: flat (query, dist, node, expanded) rows →
-        # one composite-key argsort (query-major, distance-minor; a
-        # single quicksort beats lexsort's two stable passes ~2×) →
-        # keep rank < ef per query
+        # ragged merge of two per-query-sorted lists.  The live beam is
+        # ascending by distance within every query BY CONSTRUCTION
+        # (each rebuild writes entries at their merged rank), and its
+        # np.nonzero row-major order makes the flat live arrays
+        # globally ascending under the (query-major, distance-minor)
+        # composite key — so only the NEW candidates need a sort, and
+        # the merged rank of every element is its own-side index plus a
+        # searchsorted count from the other side.  This replaces the
+        # full (live+new) composite argsort per wave; on exact
+        # composite-key ties live entries precede new ones (the
+        # composite key has no node component, so tie order only
+        # matters for equal-distance candidates at the ef boundary —
+        # both orders are valid beams, and the saturated/exhaustive
+        # paths the oracle checks keep every candidate regardless).
+        if not len(fa):
+            # frontier expanded nothing new: expansion flags were
+            # already set in place and the beam is untouched
+            continue
         live = beam_i >= 0
         lq, lslot = np.nonzero(live)
-        all_q = np.concatenate([lq, fa])
-        all_d = np.concatenate([beam_d[lq, lslot], nd])
-        all_i = np.concatenate([beam_i[lq, lslot], fn])
-        all_x = np.concatenate([beam_x[lq, lslot], np.zeros(len(fa), dtype=bool)])
-        dcap = float(all_d.max()) + 1.0
-        dlo = min(0.0, float(all_d.min()))
-        order = np.argsort(all_q.astype(np.float64) * (dcap - dlo) + (all_d - dlo))
-        sq_, sd, si, sx = all_q[order], all_d[order], all_i[order], all_x[order]
-        starts = np.r_[0, np.nonzero(np.diff(sq_))[0] + 1]
-        counts = np.diff(np.r_[starts, len(sq_)])
-        rank = np.arange(len(sq_)) - np.repeat(starts, counts)
-        keep = rank < ef
+        ld = beam_d[lq, lslot]
+        li = beam_i[lq, lslot]
+        lx = beam_x[lq, lslot]
+        dcap = float(max(ld.max(), nd.max() if len(nd) else 0.0)) + 1.0
+        dlo = min(0.0, float(min(ld.min(), nd.min() if len(nd) else 0.0)))
+        span = dcap - dlo
+        lkey = lq.astype(np.float64) * span + (ld - dlo)
+        nkey = fa.astype(np.float64) * span + (nd - dlo)
+        no = np.argsort(nkey)
+        fa_s, nd_s, fn_s, nkey = fa[no], nd[no], fn[no], nkey[no]
+        pos_l = np.arange(len(lq)) + np.searchsorted(nkey, lkey, side="left")
+        pos_n = np.arange(len(fa_s)) + np.searchsorted(lkey, nkey, side="right")
+        lcnt = np.bincount(lq, minlength=n_q)
+        ncnt = np.bincount(fa_s, minlength=n_q)
+        qstart = np.concatenate(([0], np.cumsum(lcnt + ncnt)[:-1]))
+        rank_l = pos_l - qstart[lq]
+        rank_n = pos_n - qstart[fa_s]
+        keep_l = rank_l < ef
+        keep_n = rank_n < ef
         beam_d.fill(np.inf)
         beam_i.fill(-1)
         beam_x.fill(False)
-        beam_d[sq_[keep], rank[keep]] = sd[keep]
-        beam_i[sq_[keep], rank[keep]] = si[keep]
-        beam_x[sq_[keep], rank[keep]] = sx[keep]
+        beam_d[lq[keep_l], rank_l[keep_l]] = ld[keep_l]
+        beam_i[lq[keep_l], rank_l[keep_l]] = li[keep_l]
+        beam_x[lq[keep_l], rank_l[keep_l]] = lx[keep_l]
+        beam_d[fa_s[keep_n], rank_n[keep_n]] = nd_s[keep_n]
+        beam_i[fa_s[keep_n], rank_n[keep_n]] = fn_s[keep_n]
     return beam_d, beam_i
 
 
