@@ -443,6 +443,104 @@ def test_pq_broadcast_path_equals_scan_path(dfs):
     assert sorted(map(tuple, fast)) == sorted(map(tuple, slow))
 
 
+def test_search_batch_fast_equals_exact_all_metrics():
+    """The fp32-selection serving path must emit the same (qid, id,
+    rank) rows as the full-float64 path, with dists equal to float64
+    rounding noise — including on data with exact duplicate vectors,
+    which forces boundary ties the guard must catch (fallback)."""
+    from vectordb_retrieval_spark.operators.serving import (
+        PackedClusters,
+        search_batch,
+    )
+
+    def packed(base, nlist, rng):
+        n = len(base)
+        cents = base[rng.choice(n, nlist, replace=False)].astype(np.float64)
+        b64 = base.astype(np.float64)
+        d2 = ((b64[:, None, :] - cents[None]) ** 2).sum(-1)
+        assign = d2.argmin(1)
+        order = np.argsort(assign, kind="stable")
+        ucs, starts = np.unique(assign[order], return_index=True)
+        bounds = np.r_[starts, n]
+        ids = [
+            np.arange(n, dtype=np.int64)[order][bounds[i] : bounds[i + 1]]
+            for i in range(len(ucs))
+        ]
+        pays = [base[order][bounds[i] : bounds[i + 1]] for i in range(len(ucs))]
+        return ucs, ids, pays, cents
+
+    def norm_q(qm):
+        norms = np.linalg.norm(qm.astype(np.float64), axis=1, keepdims=True)
+        return (qm / np.maximum(norms, 1e-30)).astype(np.float32)
+
+    rng = np.random.RandomState(3)
+    n, dim, nlist = 1500, 16, 12
+    base = rng.rand(n, dim).astype(np.float32)
+    qmat = rng.rand(64, dim).astype(np.float32)
+    qids = np.arange(64, dtype=np.int64)
+    ucs, ids, pays, cents = packed(base, nlist, rng)
+    # distinct vectors (the realistic regime): the two paths must agree
+    # exactly on (qid, id, rank), dists to float64 rounding noise
+    for metric in ("l2", "cosine", "ip"):
+        idx = PackedClusters(ucs, ids, pays, None, cents)
+        qm = norm_q(qmat) if metric == "cosine" else qmat
+        for nprobe, k in ((4, 30), (None, 10)):  # probed + exhaustive
+            f = (
+                search_batch(idx, qids, qm, nprobe, k, metric)
+                .sort_values(["qid", "rank"])
+                .reset_index(drop=True)
+            )
+            e = (
+                search_batch(idx, qids, qm, nprobe, k, metric, exact=True)
+                .sort_values(["qid", "rank"])
+                .reset_index(drop=True)
+            )
+            assert f[["qid", "id", "rank"]].values.tolist() == (
+                e[["qid", "id", "rank"]].values.tolist()
+            ), metric
+            np.testing.assert_allclose(
+                f["dist"].to_numpy(), e["dist"].to_numpy(), atol=1e-12, rtol=0
+            )
+
+    # duplicate-vector pile: exact-tie order is BLAS-shape-dependent in
+    # ANY GEMM engine (identical columns can round apart by position),
+    # so assert SET validity instead: every query emits k rows whose
+    # dists match the brute-force top-k dists — the guard's fallback
+    # keeps the output a true top-k even when fp32 selection can't
+    # separate the tie pile
+    dup = base.copy()
+    dup[400:440] = dup[0]
+    qd = qmat.copy()
+    qd[7] = dup[0]  # query sitting exactly on the pile
+    ucs, ids, pays, cents = packed(dup, nlist, rng)
+    k = 30
+    for metric in ("l2", "cosine"):
+        idx = PackedClusters(ucs, ids, pays, None, cents)
+        qm = norm_q(qd) if metric == "cosine" else qd
+        f = search_batch(idx, qids, qm, None, k, metric)
+        q64 = qm.astype(np.float64)
+        b64 = dup.astype(np.float64)
+        if metric == "cosine":
+            b64 = b64 / np.maximum(
+                np.linalg.norm(b64, axis=1, keepdims=True), 1e-30
+            )
+            q64 = q64 / np.maximum(
+                np.linalg.norm(q64, axis=1, keepdims=True), 1e-30
+            )
+            ref = 1.0 - q64 @ b64.T
+        else:
+            ref = np.sqrt(
+                np.maximum(
+                    ((q64[:, None, :] - b64[None]) ** 2).sum(-1), 0.0
+                )
+            )
+        ref_topk = np.sort(ref, axis=1)[:, :k]
+        f = f.sort_values(["qid", "rank"])
+        assert (f.groupby("qid").size() == k).all(), metric
+        got = f["dist"].to_numpy().reshape(64, k)
+        np.testing.assert_allclose(got, ref_topk, atol=1e-9, rtol=0)
+
+
 def test_serving_topk_rows_tie_safety():
     """Boundary ties (kth == (k+1)th distance) must resolve by id — the
     argpartition fast path alone would keep an arbitrary tied member."""

@@ -96,6 +96,62 @@ class PackedClusters:
             self._scan[key] = out
         return out
 
+    def packed_scan(self, metric: str):
+        """Whole-index scan state for the fp32-selection serving path:
+        one concatenated metric-transformed float64 matrix (cluster-major,
+        same row order as the per-cluster caches), its float32 downcast,
+        squared norms in both precisions (l2), global ids, per-cluster
+        row offsets, and the max row norm (the ip error bound's scale).
+
+        Built once per (index, metric) inside each worker and memoized
+        like the decode cache.  The per-cluster ``scan_state`` entries
+        are re-pointed at VIEWS of the packed matrix, so the exact
+        fallback path shares this memory instead of duplicating it."""
+        key = ("packed", metric)
+        got = self._scan.get(key)
+        if got is None:
+            mats = [self.decoded(i) for i in range(len(self.cids))]
+            F = (
+                np.concatenate(mats)
+                if mats
+                else np.zeros((0, 0), dtype=np.float64)
+            )
+            if metric == "cosine":
+                F = normalize_rows(F)
+            raw_sq = (F * F).sum(axis=1)
+            sq = raw_sq if metric == "l2" else None
+            gids = (
+                np.concatenate(self.ids)
+                if self.ids
+                else np.zeros(0, dtype=np.int64)
+            )
+            offs = np.r_[
+                np.int64(0), np.cumsum([len(i) for i in self.ids], dtype=np.int64)
+            ]
+            norm_max = float(np.sqrt(raw_sq.max())) if len(F) else 0.0
+            got = (
+                F,
+                sq,
+                F.astype(np.float32),
+                sq.astype(np.float32) if sq is not None else None,
+                gids,
+                offs,
+                norm_max,
+            )
+            self._scan[key] = got
+            # share memory with the exact path: per-cluster decode and
+            # scan caches become views into the packed matrix
+            self._dec.clear()
+            for i in range(len(self.cids)):
+                sl = slice(offs[i], offs[i + 1])
+                if metric != "cosine":
+                    self._dec[i] = F[sl]
+                self._scan[(i, metric)] = (
+                    F[sl],
+                    sq[sl] if sq is not None else None,
+                )
+        return got
+
     def __getstate__(self):
         state = self.__dict__.copy()
         state["_dec"] = {}
@@ -175,6 +231,8 @@ def artifact_serving_broadcast(
 # padding sentinel for ragged candidate blocks: sorts after every real
 # id at equal (infinite) distance, filtered from the emitted rows
 _PAD_ID = np.int64(1) << 62
+# int32 sibling for the fp32-selection path's position matrices
+_PAD_POS = np.int32(np.iinfo(np.int32).max)
 
 
 def topk_block(
@@ -235,6 +293,419 @@ def topk_rows(d: np.ndarray, ids: np.ndarray, kk: int) -> tuple[np.ndarray, np.n
     return out_d, out_i
 
 
+def _probe_plan(
+    idx: PackedClusters, qmat: np.ndarray, nprobe: int | None, n_q: int
+) -> list[tuple[int, np.ndarray | None]]:
+    """(cluster-slot, probing-query-rows) pairs.  ``None`` rows means
+    every query probes the cluster (the exhaustive plan)."""
+    cents = idx.centroids
+    if cents is None or nprobe is None or nprobe >= len(cents):
+        return [(bi, None) for bi in range(len(idx.cids))]
+    # identical probe selection to IVFSearcher.probe_clusters:
+    # nprobe nearest centroids by float64 L2, ties by cluster id
+    d2c = pairwise_distances(qmat, cents, "l2")
+    npb = min(nprobe, d2c.shape[1])
+    order = np.lexsort(
+        (np.broadcast_to(np.arange(d2c.shape[1]), d2c.shape), d2c),
+        axis=1,
+    )[:, :npb]
+    flat_c = order.ravel()
+    flat_q = np.repeat(np.arange(n_q), npb)
+    so = np.argsort(flat_c, kind="stable")
+    fc, fq = flat_c[so], flat_q[so]
+    ucs, starts = np.unique(fc, return_index=True)
+    bounds = np.r_[starts, len(fc)]
+    probe_plan = []
+    for j, c in enumerate(ucs):
+        bi = idx.index.get(int(c))
+        if bi is not None:
+            probe_plan.append((bi, fq[bounds[j] : bounds[j + 1]]))
+    return probe_plan
+
+
+def search_batch(
+    idx: PackedClusters,
+    qids: np.ndarray,
+    qmat: np.ndarray,
+    nprobe: int | None,
+    k: int,
+    metric: str,
+    accum=None,
+    block_rows: int = 8192,
+    exact: bool = False,
+) -> pd.DataFrame | None:
+    """One query batch's probe → scan → top-k against a packed index —
+    the whole per-task body of ``broadcast_probe_search``, module-level
+    so it can be unit-tested and profiled outside Spark.  ``qmat`` is
+    float32, already normalized when the metric requires it.  Returns
+    the (qid, id, dist, rank) frame, or None for an empty batch.
+
+    Two implementations with IDENTICAL results:
+
+    - fp32 selection + float64 refinement (default for l2/cosine/ip):
+      candidates are scored and top-(k+margin)-selected in float32
+      (half the memory traffic, 2× the GEMM rate), then the survivors'
+      distances are recomputed in float64 and re-ranked by (dist, id).
+      A per-query error-bound guard certifies the float32 selection
+      could not have excluded a true top-k member (excluded candidates
+      score ≥ the selection boundary minus a rigorous fp32 forward-error
+      bound); the rare uncertifiable queries re-run on the exact path.
+    - exact float64 scatter-merge (``exact=True``, custom metrics):
+      every candidate distance computed and ranked in float64."""
+    if len(qids) == 0:
+        return None
+    if exact or metric not in ("l2", "cosine", "ip"):
+        return _search_batch_exact(
+            idx, qids, qmat, nprobe, k, metric, accum, block_rows
+        )
+    return _search_batch_fast(
+        idx, qids, qmat, nprobe, k, metric, accum, block_rows
+    )
+
+
+# extra fp32 candidates kept beyond k ahead of the float64 re-rank:
+# the guard only has to separate the kth refined distance from the
+# selection boundary, and 8 spare slots make that gap the (k+8)-vs-k
+# population gap rather than adjacent neighbors
+_SEL_MARGIN = 8
+
+
+def _search_batch_fast(
+    idx: PackedClusters,
+    qids: np.ndarray,
+    qmat: np.ndarray,
+    nprobe: int | None,
+    k: int,
+    metric: str,
+    accum,
+    block_rows: int,
+) -> pd.DataFrame | None:
+    F64, sq64, F32, sq32, gids, offs, norm_max = idx.packed_scan(metric)
+    if len(gids) == 0:
+        return None
+    n_q = len(qids)
+    all_rows = np.arange(n_q, dtype=np.int64)
+    q64 = qmat.astype(np.float64)
+    if metric == "cosine":
+        q64 = normalize_rows(q64)
+    q32 = q64.astype(np.float32)
+    if metric == "l2":
+        qsq64 = (q64 * q64).sum(axis=1)
+        qsq32 = qsq64.astype(np.float32)
+    probe_plan = _probe_plan(idx, qmat, nprobe, n_q)
+
+    # --- fp32 selection: scatter SELECTION scores (l2: unclamped d²,
+    # cosine/ip: -dot — monotone with the final distance) and global
+    # row positions, segmented exactly like the exact path ---
+    m = k + _SEL_MARGIN
+    entries = []
+    for bi, qrows in probe_plan:
+        sz = len(idx.ids[bi])
+        for s in range(0, sz, block_rows):
+            entries.append((bi, s, min(sz, s + block_rows), qrows))
+    cap = max(block_rows, 4 * m)
+    seg_d: list[np.ndarray] = []
+    seg_i: list[np.ndarray] = []
+
+    def flush(pend, width: int) -> None:
+        # per-query fill width of THIS flush, for row bucketing below
+        fw = np.zeros(n_q, dtype=np.int64)
+        for _, s, e, qrows in pend:
+            if qrows is None:
+                fw += e - s
+            else:
+                fw[qrows] += e - s
+        # scatter destination rows sorted by fill: the padded width is
+        # set by the widest query (seen 2.5x the mean), so running the
+        # top-m selection on fill-sorted row buckets with trimmed
+        # column views cuts the selection's memory traffic to ~the
+        # actual candidate volume instead of n_q x max-width
+        dest = np.argsort(fw, kind="stable")
+        inv = np.empty(n_q, dtype=np.int64)
+        inv[dest] = np.arange(n_q, dtype=np.int64)
+        D = np.full((n_q, width), np.inf, dtype=np.float32)
+        # positions are int32: a broadcast shard over 2^31 rows cannot
+        # pass the serving size gate, so the downcast is safe
+        P = np.full((n_q, width), _PAD_POS, dtype=np.int32)
+        fill = np.zeros(n_q, dtype=np.int64)
+        for bi, s, e, qrows in pend:
+            qsub = q32 if qrows is None else q32[qrows]
+            rows = all_rows if qrows is None else qrows
+            o = int(offs[bi])
+            b = F32[o + s : o + e]
+            if metric == "l2":
+                qs_ = qsq32 if qrows is None else qsq32[qrows]
+                d = qs_[:, None] + sq32[o + s : o + e][None, :] - 2.0 * (
+                    qsub @ b.T
+                )
+            else:
+                d = -(qsub @ b.T)
+            if accum is not None:
+                accum.add(int(d.size))
+            drows = inv[rows]
+            cols = fill[rows, None] + np.arange(e - s)
+            D[drows[:, None], cols] = d
+            P[drows[:, None], cols] = np.arange(o + s, o + e, dtype=np.int32)
+            fill[rows] += e - s
+        kk = min(m, width)
+        od = np.empty((n_q, kk), dtype=np.float32)
+        oi = np.empty((n_q, kk), dtype=np.int32)
+        fw_sorted = fw[dest]
+        r0 = 0
+        n_buckets = 4 if n_q >= 64 else 1
+        step = (n_q + n_buckets - 1) // n_buckets
+        while r0 < n_q:
+            r1 = min(n_q, r0 + step)
+            wb = max(int(fw_sorted[r1 - 1]), 1)
+            bd, bi_ = topk_block(D[r0:r1, :wb], P[r0:r1, :wb], min(kk, wb))
+            if bd.shape[1] < kk:  # narrow bucket: pad out to kk columns
+                pad = kk - bd.shape[1]
+                bd = np.pad(bd, ((0, 0), (0, pad)), constant_values=np.inf)
+                bi_ = np.pad(bi_, ((0, 0), (0, pad)), constant_values=_PAD_POS)
+            od[r0:r1] = bd
+            oi[r0:r1] = bi_
+            r0 = r1
+        # un-permute back to query order
+        seg_d.append(od[inv])
+        seg_i.append(oi[inv])
+
+    pend: list[tuple] = []
+    w = np.zeros(n_q, dtype=np.int64)
+    tot = np.zeros(n_q, dtype=np.int64)  # total candidates per query
+    for ent in entries:
+        _, s, e, qrows = ent
+        inc = e - s
+        wmax = int(w.max() if qrows is None else w[qrows].max()) + inc
+        if pend and wmax > cap:
+            flush(pend, int(w.max()))
+            pend = []
+            w = np.zeros(n_q, dtype=np.int64)
+        pend.append(ent)
+        if qrows is None:
+            w += inc
+            tot += inc
+        else:
+            w[qrows] += inc
+            tot[qrows] += inc
+    if pend:
+        flush(pend, int(w.max()))
+    if not seg_d:
+        return None
+    if len(seg_d) == 1:
+        sd, sp = seg_d[0], seg_i[0]
+    else:
+        sd = np.concatenate(seg_d, axis=1)
+        sp = np.concatenate(seg_i, axis=1)
+        sd, sp = topk_block(sd, sp, min(m, sd.shape[1]))
+    mm = sd.shape[1]
+
+    # --- float64 refinement: recompute the selected candidates'
+    # distances in float64 and re-rank by (dist, id) — the emitted
+    # values and ordering are the exact path's ---
+    mask = sp != _PAD_POS
+    cp = np.where(mask, sp, 0).astype(np.int64)
+    Bm = F64[cp]  # (n_q, mm, dim) gather
+    dot = np.matmul(q64[:, None, :], Bm.transpose(0, 2, 1))[:, 0, :]
+    if metric == "l2":
+        s64 = qsq64[:, None] + sq64[cp] - 2.0 * dot  # unclamped d²
+        dist = np.sqrt(np.maximum(s64, 0.0))
+    else:
+        s64 = -dot
+        dist = 1.0 - dot if metric == "cosine" else -dot
+    dist = np.where(mask, dist, np.inf)
+    s64 = np.where(mask, s64, np.inf)
+    gid = np.where(mask, gids[cp], _PAD_ID)
+    kk = min(k, mm)
+    order = np.lexsort((gid, dist), axis=1)[:, :kk]
+    fd = np.take_along_axis(dist, order, axis=1)
+    fi = np.take_along_axis(gid, order, axis=1)
+    fs = np.take_along_axis(s64, order, axis=1)
+
+    # --- exactness guard.  Every candidate the fp32 selection dropped
+    # has fp32 score ≥ the selection boundary (the mth kept score —
+    # segment merges preserve this: a segment's own boundary is ≥ the
+    # merged one), hence float64 score ≥ boundary − B where B bounds the
+    # fp32 forward error.  If every emitted candidate's float64 score is
+    # < boundary − B, no dropped candidate can beat any of them, and the
+    # fp32 selection provably contains the float64 top-k.  B is the
+    # rigorous dot-product bound (dim+8)·eps32·scale with scale the max
+    # magnitude the fp32 arithmetic handles (l2: qsq+bsq+2|q||b| ≤
+    # 2(|q|+|b|)² via max norms; cosine: normalized rows, scale 2;
+    # ip: |q||b| max norms).  Queries the guard cannot certify — near
+    # boundary ties, fp32 underflow — re-run on the exact float64 path.
+    eps32 = float(np.finfo(np.float32).eps)
+    dim = q64.shape[1]
+    if metric == "l2":
+        qn_max = float(np.sqrt(qsq64.max())) if n_q else 0.0
+        scale = 2.0 * (qn_max + norm_max) ** 2
+    elif metric == "cosine":
+        scale = 2.0
+    else:
+        qn_max = float(np.sqrt((q64 * q64).sum(axis=1).max())) if n_q else 0.0
+        scale = qn_max * norm_max
+    bound = (dim + 8.0) * eps32 * scale
+    sel_boundary = sd[:, mm - 1].astype(np.float64)  # inf when fill < m
+    worst = np.where(np.isfinite(fs), fs, -np.inf).max(axis=1)
+    # queries whose total candidate count fits inside the selection
+    # width excluded nothing — exempt (their own worst candidate IS
+    # the boundary, which would spuriously fail the margin test)
+    bad = (tot > mm) & ~(worst < sel_boundary - bound)
+
+    frames = []
+    good = ~bad
+    if good.any():
+        fd_g, fi_g = fd[good], fi[good]
+        valid = (fi_g != _PAD_ID).ravel()
+        ranks = np.broadcast_to(
+            np.arange(1, kk + 1, dtype=np.int32), fd_g.shape
+        ).ravel()
+        frames.append(
+            pd.DataFrame(
+                {
+                    "qid": np.repeat(qids[good], kk)[valid],
+                    "id": fi_g.ravel()[valid],
+                    "dist": fd_g.ravel()[valid],
+                    "rank": ranks[valid],
+                }
+            )
+        )
+    if bad.any():
+        sub = _search_batch_exact(
+            idx, qids[bad], qmat[bad], nprobe, k, metric, accum, block_rows
+        )
+        if sub is not None:
+            frames.append(sub)
+    if not frames:
+        return None
+    return frames[0] if len(frames) == 1 else pd.concat(frames, ignore_index=True)
+
+
+def _search_batch_exact(
+    idx: PackedClusters,
+    qids: np.ndarray,
+    qmat: np.ndarray,
+    nprobe: int | None,
+    k: int,
+    metric: str,
+    accum=None,
+    block_rows: int = 8192,
+) -> pd.DataFrame | None:
+    """Full-float64 scatter-merge search — every candidate distance
+    computed and ranked in float64 (see ``search_batch``)."""
+    n_q = len(qids)
+    all_rows = np.arange(n_q, dtype=np.int64)
+    # per-batch query-side scan state, hoisted out of the
+    # per-cluster loop: the float64 upcast, squared norms (l2)
+    # and row normalization (cosine) are exactly what
+    # pairwise_distances would redo on every cluster call
+    q64 = qmat.astype(np.float64)
+    if metric == "l2":
+        qsq = (q64 * q64).sum(axis=1)
+    elif metric == "cosine":
+        q64 = normalize_rows(q64)
+        qsq = None
+    else:
+        qsq = None
+    probe_plan = _probe_plan(idx, qmat, nprobe, n_q)
+    # Scatter-merge: instead of a per-cluster top-k plus one
+    # (qid, dist, id) lexsort over nq×nprobe×k rows (profiled at
+    # ~80% of warm kernel time — the GEMMs are only ~15%), write
+    # every probed cluster's full distance block into ONE padded
+    # (n_q, width) candidate matrix at per-query fill offsets,
+    # then take a single vectorized row-wise top-k.  Segments cap
+    # the padded width at ~block_rows so an exhaustive scan (the
+    # standalone-PQ probe_plan) stays cache-sized: each segment
+    # reduces to per-query winners and the winners re-merge at
+    # the end.  Exactness is preserved: all candidate distances
+    # reach a (dist, id)-lexicographic selection, same order the
+    # old two-stage merge produced.
+    entries = []  # (bi, row_start, row_end, qrows|None)
+    for bi, qrows in probe_plan:
+        sz = len(idx.ids[bi])
+        for s in range(0, sz, block_rows):
+            entries.append((bi, s, min(sz, s + block_rows), qrows))
+    cap = max(block_rows, 4 * k)
+    seg_d: list[np.ndarray] = []
+    seg_i: list[np.ndarray] = []
+
+    def flush(pend, width: int) -> None:
+        D = np.full((n_q, width), np.inf)
+        I = np.full((n_q, width), _PAD_ID)
+        fill = np.zeros(n_q, dtype=np.int64)
+        for bi, s, e, qrows in pend:
+            qsub = q64 if qrows is None else q64[qrows]
+            rows = all_rows if qrows is None else qrows
+            # same float64 arithmetic as pairwise_distances,
+            # with the cluster-side subexpressions cached on
+            # the broadcast index (scan_state) and the
+            # query-side ones hoisted per batch
+            b, bsq = idx.scan_state(bi, metric)
+            b = b[s:e]
+            if metric == "l2":
+                qs_ = qsq if qrows is None else qsq[qrows]
+                d = (
+                    qs_[:, None]
+                    + bsq[s:e][None, :]
+                    - 2.0 * (qsub @ b.T)
+                )
+                np.maximum(d, 0.0, out=d)
+                np.sqrt(d, out=d)
+            elif metric == "cosine":
+                d = 1.0 - qsub @ b.T
+            elif metric == "ip":
+                d = -(qsub @ b.T)
+            else:
+                d = pairwise_distances(qsub, idx.decoded(bi)[s:e], metric)
+            if accum is not None:
+                accum.add(int(d.size))
+            cols = fill[rows, None] + np.arange(e - s)
+            D[rows[:, None], cols] = d
+            I[rows[:, None], cols] = idx.ids[bi][s:e]
+            fill[rows] += e - s
+        od, oi = topk_block(D, I, min(k, width))
+        seg_d.append(od)
+        seg_i.append(oi)
+
+    pend: list[tuple] = []
+    w = np.zeros(n_q, dtype=np.int64)
+    for ent in entries:
+        _, s, e, qrows = ent
+        inc = e - s
+        wmax = int(w.max() if qrows is None else w[qrows].max()) + inc
+        if pend and wmax > cap:
+            flush(pend, int(w.max()))
+            pend = []
+            w = np.zeros(n_q, dtype=np.int64)
+        pend.append(ent)
+        if qrows is None:
+            w += inc
+        else:
+            w[qrows] += inc
+    if pend:
+        flush(pend, int(w.max()))
+    if not seg_d:
+        return None
+    if len(seg_d) == 1:
+        fd, fi = seg_d[0], seg_i[0]
+    else:
+        fd = np.concatenate(seg_d, axis=1)
+        fi = np.concatenate(seg_i, axis=1)
+        fd, fi = topk_block(fd, fi, min(k, fd.shape[1]))
+    kk = fd.shape[1]
+    valid = (fi != _PAD_ID).ravel()
+    ranks = np.broadcast_to(
+        np.arange(1, kk + 1, dtype=np.int32), fd.shape
+    ).ravel()
+    return pd.DataFrame(
+        {
+            "qid": np.repeat(qids, kk)[valid],
+            "id": fi.ravel()[valid],
+            "dist": fd.ravel()[valid],
+            "rank": ranks[valid],
+        }
+    )
+
+
 def broadcast_probe_search(
     query_df: DataFrame,
     bc_index,
@@ -271,7 +742,6 @@ def broadcast_probe_search(
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         idx: PackedClusters = bc_index.value
-        cents = idx.centroids
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -279,138 +749,11 @@ def broadcast_probe_search(
             qmat = np.vstack(pdf["vec"].to_numpy()).astype(np.float32)
             if norm_q:
                 qmat = normalize_rows(qmat.astype(np.float64)).astype(np.float32)
-            n_q = len(qids)
-            all_rows = np.arange(n_q, dtype=np.int64)
-            # per-batch query-side scan state, hoisted out of the
-            # per-cluster loop: the float64 upcast, squared norms (l2)
-            # and row normalization (cosine) are exactly what
-            # pairwise_distances would redo on every cluster call
-            q64 = qmat.astype(np.float64)
-            if metric == "l2":
-                qsq = (q64 * q64).sum(axis=1)
-            elif metric == "cosine":
-                q64 = normalize_rows(q64)
-                qsq = None
-            else:
-                qsq = None
-            if cents is None or nprobe is None or nprobe >= len(cents):
-                probe_plan = [(bi, None) for bi in range(len(idx.cids))]
-            else:
-                # identical probe selection to IVFSearcher.probe_clusters:
-                # nprobe nearest centroids by float64 L2, ties by cluster id
-                d2c = pairwise_distances(qmat, cents, "l2")
-                npb = min(nprobe, d2c.shape[1])
-                order = np.lexsort(
-                    (np.broadcast_to(np.arange(d2c.shape[1]), d2c.shape), d2c),
-                    axis=1,
-                )[:, :npb]
-                flat_c = order.ravel()
-                flat_q = np.repeat(np.arange(n_q), npb)
-                so = np.argsort(flat_c, kind="stable")
-                fc, fq = flat_c[so], flat_q[so]
-                ucs, starts = np.unique(fc, return_index=True)
-                bounds = np.r_[starts, len(fc)]
-                probe_plan = []
-                for j, c in enumerate(ucs):
-                    bi = idx.index.get(int(c))
-                    if bi is not None:
-                        probe_plan.append((bi, fq[bounds[j] : bounds[j + 1]]))
-            # Scatter-merge: instead of a per-cluster top-k plus one
-            # (qid, dist, id) lexsort over nq×nprobe×k rows (profiled at
-            # ~80% of warm kernel time — the GEMMs are only ~15%), write
-            # every probed cluster's full distance block into ONE padded
-            # (n_q, width) candidate matrix at per-query fill offsets,
-            # then take a single vectorized row-wise top-k.  Segments cap
-            # the padded width at ~block_rows so an exhaustive scan (the
-            # standalone-PQ probe_plan) stays cache-sized: each segment
-            # reduces to per-query winners and the winners re-merge at
-            # the end.  Exactness is preserved: all candidate distances
-            # reach a (dist, id)-lexicographic selection, same order the
-            # old two-stage merge produced.
-            entries = []  # (bi, row_start, row_end, qrows|None)
-            for bi, qrows in probe_plan:
-                sz = len(idx.ids[bi])
-                for s in range(0, sz, block_rows):
-                    entries.append((bi, s, min(sz, s + block_rows), qrows))
-            cap = max(block_rows, 4 * k)
-            seg_d: list[np.ndarray] = []
-            seg_i: list[np.ndarray] = []
-
-            def flush(pend, width: int) -> None:
-                D = np.full((n_q, width), np.inf)
-                I = np.full((n_q, width), _PAD_ID)
-                fill = np.zeros(n_q, dtype=np.int64)
-                for bi, s, e, qrows in pend:
-                    qsub = q64 if qrows is None else q64[qrows]
-                    rows = all_rows if qrows is None else qrows
-                    # same float64 arithmetic as pairwise_distances,
-                    # with the cluster-side subexpressions cached on
-                    # the broadcast index (scan_state) and the
-                    # query-side ones hoisted per batch
-                    b, bsq = idx.scan_state(bi, metric)
-                    b = b[s:e]
-                    if metric == "l2":
-                        qs_ = qsq if qrows is None else qsq[qrows]
-                        d = (
-                            qs_[:, None]
-                            + bsq[s:e][None, :]
-                            - 2.0 * (qsub @ b.T)
-                        )
-                        np.maximum(d, 0.0, out=d)
-                        np.sqrt(d, out=d)
-                    elif metric == "cosine":
-                        d = 1.0 - qsub @ b.T
-                    elif metric == "ip":
-                        d = -(qsub @ b.T)
-                    else:
-                        d = pairwise_distances(qsub, idx.decoded(bi)[s:e], metric)
-                    if accum is not None:
-                        accum.add(int(d.size))
-                    cols = fill[rows, None] + np.arange(e - s)
-                    D[rows[:, None], cols] = d
-                    I[rows[:, None], cols] = idx.ids[bi][s:e]
-                    fill[rows] += e - s
-                od, oi = topk_block(D, I, min(k, width))
-                seg_d.append(od)
-                seg_i.append(oi)
-
-            pend: list[tuple] = []
-            w = np.zeros(n_q, dtype=np.int64)
-            for ent in entries:
-                _, s, e, qrows = ent
-                inc = e - s
-                wmax = int(w.max() if qrows is None else w[qrows].max()) + inc
-                if pend and wmax > cap:
-                    flush(pend, int(w.max()))
-                    pend = []
-                    w = np.zeros(n_q, dtype=np.int64)
-                pend.append(ent)
-                if qrows is None:
-                    w += inc
-                else:
-                    w[qrows] += inc
-            if pend:
-                flush(pend, int(w.max()))
-            if not seg_d:
-                continue
-            if len(seg_d) == 1:
-                fd, fi = seg_d[0], seg_i[0]
-            else:
-                fd = np.concatenate(seg_d, axis=1)
-                fi = np.concatenate(seg_i, axis=1)
-                fd, fi = topk_block(fd, fi, min(k, fd.shape[1]))
-            kk = fd.shape[1]
-            valid = (fi != _PAD_ID).ravel()
-            ranks = np.broadcast_to(
-                np.arange(1, kk + 1, dtype=np.int32), fd.shape
-            ).ravel()
-            yield pd.DataFrame(
-                {
-                    "qid": np.repeat(qids, kk)[valid],
-                    "id": fi.ravel()[valid],
-                    "dist": fd.ravel()[valid],
-                    "rank": ranks[valid],
-                }
+            out = search_batch(
+                idx, qids, qmat, nprobe, k, metric,
+                accum=accum, block_rows=block_rows,
             )
+            if out is not None:
+                yield out
 
     return q.mapInPandas(kernel, schema="qid long, id long, dist double, rank int")
