@@ -304,11 +304,28 @@ def _probe_plan(
     # identical probe selection to IVFSearcher.probe_clusters:
     # nprobe nearest centroids by float64 L2, ties by cluster id
     d2c = pairwise_distances(qmat, cents, "l2")
-    npb = min(nprobe, d2c.shape[1])
-    order = np.lexsort(
-        (np.broadcast_to(np.arange(d2c.shape[1]), d2c.shape), d2c),
-        axis=1,
-    )[:, :npb]
+    nc = d2c.shape[1]
+    npb = min(nprobe, nc)
+    if nc > 2 * npb:
+        # argpartition + small per-row sort instead of a full-width
+        # lexsort; boundary ties (kth == (k+1)th centroid distance)
+        # re-rank with the exact full lexsort — same (dist, cluster id)
+        # selection, a fraction of the sort traffic
+        part = np.argpartition(d2c, npb - 1, axis=1)[:, :npb]
+        pdist = np.take_along_axis(d2c, part, axis=1)
+        lo = np.lexsort((part, pdist), axis=1)
+        order = np.take_along_axis(part, lo, axis=1)
+        thresh = np.take_along_axis(pdist, lo[:, -1:], axis=1)[:, 0]
+        ambiguous = np.nonzero((d2c <= thresh[:, None]).sum(axis=1) > npb)[0]
+        if len(ambiguous):
+            cid_row = np.arange(nc)
+            for r in ambiguous:
+                order[r] = np.lexsort((cid_row, d2c[r]))[:npb]
+    else:
+        order = np.lexsort(
+            (np.broadcast_to(np.arange(nc), d2c.shape), d2c),
+            axis=1,
+        )[:, :npb]
     flat_c = order.ravel()
     flat_q = np.repeat(np.arange(n_q), npb)
     so = np.argsort(flat_c, kind="stable")
@@ -391,7 +408,6 @@ def _search_batch_fast(
     q32 = q64.astype(np.float32)
     if metric == "l2":
         qsq64 = (q64 * q64).sum(axis=1)
-        qsq32 = qsq64.astype(np.float32)
     probe_plan = _probe_plan(idx, qmat, nprobe, n_q)
 
     # --- fp32 selection: scatter SELECTION scores (l2: unclamped d²,
@@ -408,13 +424,15 @@ def _search_batch_fast(
     seg_i: list[np.ndarray] = []
 
     def flush(pend, width: int) -> None:
-        # per-query fill width of THIS flush, for row bucketing below
+        # per-query fill width of THIS flush (post pre-reduction), for
+        # row bucketing below
         fw = np.zeros(n_q, dtype=np.int64)
         for _, s, e, qrows in pend:
+            inc = min(e - s, m)
             if qrows is None:
-                fw += e - s
+                fw += inc
             else:
-                fw[qrows] += e - s
+                fw[qrows] += inc
         # scatter destination rows sorted by fill: the padded width is
         # set by the widest query (seen 2.5x the mean), so running the
         # top-m selection on fill-sorted row buckets with trimmed
@@ -433,20 +451,36 @@ def _search_batch_fast(
             rows = all_rows if qrows is None else qrows
             o = int(offs[bi])
             b = F32[o + s : o + e]
+            # selection score, NOT the distance: the per-query constant
+            # (qsq) is dropped for l2 — per-query monotone with d², and
+            # the guard re-adds it when comparing against refined d²
             if metric == "l2":
-                qs_ = qsq32 if qrows is None else qsq32[qrows]
-                d = qs_[:, None] + sq32[o + s : o + e][None, :] - 2.0 * (
-                    qsub @ b.T
-                )
+                d = sq32[o + s : o + e][None, :] - 2.0 * (qsub @ b.T)
             else:
                 d = -(qsub @ b.T)
             if accum is not None:
                 accum.add(int(d.size))
+            csize = e - s
+            if csize > m:
+                # per-cluster pre-reduction to the m smallest before
+                # scatter: a candidate dropped here has ≥ m cluster
+                # mates scoring ≤ it, so (same argument as segment
+                # merges) its score ≥ the final selection boundary —
+                # the guard stays sound and the scatter + global top-m
+                # traffic shrinks to m per (query, cluster)
+                part = np.argpartition(d, m - 1, axis=1)[:, :m]
+                d = np.take_along_axis(d, part, axis=1)
+                pcols = (part + (o + s)).astype(np.int32)
+                csize = m
+            else:
+                pcols = np.broadcast_to(
+                    np.arange(o + s, o + e, dtype=np.int32), d.shape
+                )
             drows = inv[rows]
-            cols = fill[rows, None] + np.arange(e - s)
+            cols = fill[rows, None] + np.arange(csize)
             D[drows[:, None], cols] = d
-            P[drows[:, None], cols] = np.arange(o + s, o + e, dtype=np.int32)
-            fill[rows] += e - s
+            P[drows[:, None], cols] = pcols
+            fill[rows] += csize
         kk = min(m, width)
         od = np.empty((n_q, kk), dtype=np.float32)
         oi = np.empty((n_q, kk), dtype=np.int32)
@@ -475,17 +509,18 @@ def _search_batch_fast(
     for ent in entries:
         _, s, e, qrows = ent
         inc = e - s
-        wmax = int(w.max() if qrows is None else w[qrows].max()) + inc
+        winc = min(inc, m)  # flush width uses the pre-reduced size
+        wmax = int(w.max() if qrows is None else w[qrows].max()) + winc
         if pend and wmax > cap:
             flush(pend, int(w.max()))
             pend = []
             w = np.zeros(n_q, dtype=np.int64)
         pend.append(ent)
         if qrows is None:
-            w += inc
+            w += winc
             tot += inc
         else:
-            w[qrows] += inc
+            w[qrows] += winc
             tot[qrows] += inc
     if pend:
         flush(pend, int(w.max()))
@@ -545,6 +580,10 @@ def _search_batch_fast(
         scale = qn_max * norm_max
     bound = (dim + 8.0) * eps32 * scale
     sel_boundary = sd[:, mm - 1].astype(np.float64)  # inf when fill < m
+    if metric == "l2":
+        # selection scores are qsq-shifted (d² − qsq); re-add the
+        # per-query constant so the boundary compares against refined d²
+        sel_boundary = sel_boundary + qsq64
     worst = np.where(np.isfinite(fs), fs, -np.inf).max(axis=1)
     # queries whose total candidate count fits inside the selection
     # width excluded nothing — exempt (their own worst candidate IS
