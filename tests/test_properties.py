@@ -171,3 +171,66 @@ def test_random_unit_vectors_and_format(spark):
     assert all(abs(r.n - 1.0) < 1e-5 for r in norms)
     s = df.select(format_vector_col(F.col("vec"), 2, 3).alias("s")).first().s
     assert s.startswith("[") and "…" in s and s.endswith("(dim=8)")
+
+
+@given(
+    data=st.data(),
+    metric=st.sampled_from(["l2", "cosine", "ip"]),
+    nprobe=st.sampled_from([1, 2, 4, None]),
+)
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+def test_serving_fast_path_property(data, metric, nprobe):
+    """Property: the fp32-selection serving kernel and the full-float64
+    kernel emit identical (qid, id, rank) top-k sets on arbitrary
+    distinct-vector inputs — the guard must catch every fp32-induced
+    near-tie, including adversarially scaled and clustered data."""
+    from vectordb_retrieval_spark.operators.serving import (
+        PackedClusters,
+        search_batch,
+    )
+
+    rng = np.random.RandomState(data.draw(st.integers(0, 2**31 - 1)))
+    n = data.draw(st.integers(30, 300))
+    dim = data.draw(st.sampled_from([3, 8, 17]))
+    nlist = data.draw(st.integers(1, 6))
+    scale = data.draw(st.sampled_from([1e-3, 1.0, 1e3]))
+    base = (rng.randn(n, dim) * scale).astype(np.float32)
+    # cluster the data so distances crowd together (harder for fp32)
+    base[n // 2 :] = base[: n - n // 2] * np.float32(1.0 + 1e-4)
+    k = data.draw(st.integers(1, 12))
+    cents = base[rng.choice(n, nlist, replace=False)].astype(np.float64)
+    b64 = base.astype(np.float64)
+    assign = ((b64[:, None, :] - cents[None]) ** 2).sum(-1).argmin(1)
+    order = np.argsort(assign, kind="stable")
+    ucs, starts = np.unique(assign[order], return_index=True)
+    bounds = np.r_[starts, n]
+    ids = [
+        np.arange(n, dtype=np.int64)[order][bounds[i] : bounds[i + 1]]
+        for i in range(len(ucs))
+    ]
+    pays = [base[order][bounds[i] : bounds[i + 1]] for i in range(len(ucs))]
+    idx = PackedClusters(ucs, ids, pays, None, cents)
+    qmat = (rng.randn(16, dim) * scale).astype(np.float32)
+    if metric == "cosine":
+        norms = np.linalg.norm(qmat.astype(np.float64), axis=1, keepdims=True)
+        qmat = (qmat / np.maximum(norms, 1e-30)).astype(np.float32)
+    qids = np.arange(16, dtype=np.int64)
+    fast = search_batch(idx, qids, qmat, nprobe, k, metric)
+    exact = search_batch(idx, qids, qmat, nprobe, k, metric, exact=True)
+    f = fast.sort_values(["qid", "rank"]).reset_index(drop=True)
+    e = exact.sort_values(["qid", "rank"]).reset_index(drop=True)
+    # id sets must match per (qid, rank) except where float64 dists tie
+    # EXACTLY (tie order is then id-canonical in both paths, but dist
+    # equality across different BLAS shapes is the one permitted slack)
+    assert len(f) == len(e)
+    same = f["id"].to_numpy() == e["id"].to_numpy()
+    if not same.all():
+        dd = np.abs(f["dist"].to_numpy() - e["dist"].to_numpy())
+        assert dd[~same].max() < 1e-9
+    np.testing.assert_allclose(
+        f["dist"].to_numpy(), e["dist"].to_numpy(), atol=1e-9, rtol=1e-9
+    )
