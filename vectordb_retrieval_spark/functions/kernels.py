@@ -109,6 +109,10 @@ def cluster_scan_topk(
     bc = spark.sparkContext.broadcast((qids, qmat, codec, probe_map))
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # local import: operators.serving depends on functions.*, so the
+        # reverse import stays out of module scope
+        from vectordb_retrieval_spark.operators.serving import topk_rows
+
         q_ids, q_mat, cdc, probes = bc.value
         acc_q: list[np.ndarray] = []
         acc_i: list[np.ndarray] = []
@@ -127,12 +131,13 @@ def cluster_scan_topk(
                 if accum is not None:
                     accum.add(int(d.size))
                 kk = min(k, d.shape[1])
-                order = np.lexsort((np.broadcast_to(ids, d.shape), d), axis=1)[
-                    :, :kk
-                ]
+                # tie-safe partial selection (argpartition + boundary
+                # re-rank) instead of a full per-row lexsort — identical
+                # lexicographic (dist, id) output, O(n) per row
+                od, oi = topk_rows(d, ids, kk)
                 acc_q.append(np.repeat(qrows, kk))
-                acc_i.append(ids[order].ravel())
-                acc_d.append(np.take_along_axis(d, order, axis=1).ravel())
+                acc_i.append(oi.ravel())
+                acc_d.append(od.ravel())
         if not acc_q:
             return
         aq = np.concatenate(acc_q)
