@@ -372,14 +372,14 @@ def main() -> int:
         amortized[f"recall_{label}_16384q"] = recall16(res16)
         res16.unpersist()
 
-    # 65 536-query row for the reference's fastest config (ivf_sq8,
-    # BASELINE 248 897 QPS): the 16k rows still carry ~0.35 s of fixed
-    # Python-worker round-trip per job (an identity mapInPandas over
-    # the same cached queries measures that floor), so the marginal
-    # serving rate needs a bigger batch to show.  Queries are 4
-    # qid-shifted replicas of the 16k batch: per-query work is
-    # identical (no result caching anywhere in the kernel) and recall
-    # is the 16k row's by construction.
+    # 65 536-query rows for the reference's fastest configs (ivf_sq8
+    # 248 897 / ivf_flat 111 697 / ivf_pq 43 245 QPS in BASELINE.md):
+    # the 16k rows still carry ~0.3 s of fixed Python-worker round-trip
+    # per job (an identity mapInArrow over the same cached queries
+    # measures that floor), so the marginal serving rate needs a bigger
+    # batch to show.  Queries are 4 qid-shifted replicas of the 16k
+    # batch: per-query work is identical (no result caching anywhere in
+    # the kernel) and recall is the 16k row's by construction.
     big64 = big16
     for j in range(1, 4):
         big64 = big64.union(
@@ -387,9 +387,14 @@ def main() -> int:
         )
     big64 = big64.repartition(int(cpus)).cache()
     big64.count()
-    res64, t64 = timed_search(IVFSearcher(nprobe=24).attach(sq8r_art), big64, 20)
-    amortized["qps_ivf_sq8_nprobe24_65536q"] = round(65_536 / t64, 2)
-    res64.unpersist()
+    for label64, art64, searcher64 in (
+        ("ivf_sq8_nprobe24", sq8r_art, IVFSearcher(nprobe=24)),
+        ("ivf_nprobe10", ivf_art, IVFSearcher(nprobe=10)),
+        ("ivf_pq_nprobe24", ivfpq_art, IVFSearcher(nprobe=24)),
+    ):
+        res64, t64 = timed_search(searcher64.attach(art64), big64, 20)
+        amortized[f"qps_{label64}_65536q"] = round(65_536 / t64, 2)
+        res64.unpersist()
     big64.unpersist()
     for df in (big16, exact_16k):
         df.unpersist()
