@@ -209,11 +209,12 @@ def artifact_serving_broadcast(
     else:
         width = cents.shape[1]  # SQ8: one byte per dim packed
     # gate on what a worker actually holds: packed payload + ids PLUS
-    # the float64 decode cache (8 bytes × dim per row).  Gating on
-    # packed bytes alone let a 57 MB SQ8 index through whose decode is
-    # 460 MB — every worker then pays a one-shot full-index decode and
-    # the "fast path" ran 30x slower than the partitioned scan.
-    decoded = 8 * cents.shape[1]
+    # the packed scan state (float64 matrix + float32 downcast + norms,
+    # ~12 bytes × dim per row).  Gating on packed bytes alone let a
+    # 57 MB SQ8 index through whose decode is 460 MB — every worker
+    # then pays a one-shot full-index decode and the "fast path" ran
+    # 30x slower than the partitioned scan.
+    decoded = 12 * cents.shape[1] + 12
     if n * (width + decoded + 8) > threshold:
         art.params["_serving_bc"] = None
         return None
