@@ -33,6 +33,17 @@ every-shard-contributes behavior.
 Graph shape: symmetric NSW (Malkov et al. 2014 single-layer variant)
 with exact m-NN edges plus an id-order chain for guaranteed
 connectivity (see ``_build_nsw``).
+
+Measured dead ends (do not re-attempt without new evidence; 20k x 64-d
+8-shard workload, ef 24-64): (a) one-expansion-per-query waves with the
+HNSW early stop — slower at equal ef AND lower recall than expanding
+the whole frontier (the "over-expansion" buys the ensemble recall);
+(b) fusing the per-shard beams into one disconnected union graph with
+per-query entries — bit-identical results, zero speedup at 256-query
+chunks and regressing at larger chunks (the wave kernel is data-bound,
+not call-overhead-bound); (c) a single unsharded 20k graph — ~4x lower
+recall at equal ef than 8-shard union-of-beams (independent entry
+points act as an ensemble), so fewer-bigger-shards is not a win either.
 """
 
 from __future__ import annotations
