@@ -26,6 +26,12 @@ of per-row array expressions.
 
 A pure column-expression variant (``exact_knn_expr``) is kept for plan
 inspection and as the declarative specification of the operator.
+
+Measured dead end: converting the base scan to ``mapInArrow``
+(flat-buffer vector decode, as operators/serving.py does for queries)
+gave no speedup — A/B at 150k×384-d showed the scan is GEMM-bound, so
+the pandas list-column decode is noise here.  Don't re-attempt without
+profiling evidence that decode has become the bottleneck.
 """
 
 from __future__ import annotations
