@@ -568,6 +568,49 @@ def main() -> int:
         for df in (gkm4_res, q4k, exact4k):
             df.unpersist()
 
+        # 16384-query amortized rows — the msmarco-regime analogue of the
+        # 64-d amortized block: at 1024q the ~0.3-0.5 s per-job floor is
+        # 30-60% of the wall, so the 1024q gap vs the msmarco baseline
+        # rows could not be decomposed into job floor vs kernel cost.
+        # The 16k batch amortizes the floor 16x; QPS here ≈ the marginal
+        # serving rate.  Recall is re-measured against the batch's own
+        # exact GT so the amortization is provably not a quality trade.
+        q16c = clustered_vectors(
+            spark, 16_384, 384, n_clusters=100, spread=0.35, seed=11,
+            stream=9, id_col="qid",
+        ).cache()
+        q16c.count()
+        t_exact16c = timed_min(
+            lambda: materialize(
+                exact_knn(
+                    base384, q16c, 20, "cosine", qid_col="qid", qvec_col="vec"
+                )
+            )
+        )
+        cosine_workload["qps_exact_16384q"] = round(16_384 / t_exact16c, 2)
+        exact16c = (
+            exact_knn(base384, q16c, 20, "cosine", qid_col="qid", qvec_col="vec")
+            .select("qid", "id")
+            .cache()
+        )
+        exact16c.count()
+        for label16, searcher16, art16 in (
+            ("ivf_sq8_nprobe10", IVFSearcher(nprobe=10), sq8_art),
+            (
+                "graph_kmeans_probe2",
+                GraphANNSearcher(ef_search=64, probe_partitions=2),
+                gkm_art,
+            ),
+        ):
+            r16, t16c = timed_search(searcher16.attach(art16), q16c, 20)
+            cosine_workload[f"qps_{label16}_16384q"] = round(16_384 / t16c, 2)
+            cosine_workload[f"recall_{label16}_16384q"] = round(
+                r16.join(exact16c, ["qid", "id"]).count() / (16_384 * 20), 4
+            )
+            r16.unpersist()
+        for df in (q16c, exact16c):
+            df.unpersist()
+
         for df in (base384, q384, exact384, sq8_res):
             df.unpersist()
         return cosine_workload
@@ -675,22 +718,93 @@ def main() -> int:
     )
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "machine_calibration": calibration,
-                "queries": timings,
-                "reference_workload_random_20k_64d": reference_workload,
-                "reference_workload_amortized_16384q": amortized,
-                "reference_workload_cosine_clustered_20k_384d": cosine_workload,
-                "scale_workload_cosine_clustered_150k_384d": scale_workload,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    detail = {
+        "metric": "headline_suite_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "machine_calibration": calibration,
+        "queries": timings,
+        "reference_workload_random_20k_64d": reference_workload,
+        "reference_workload_amortized_16384q": amortized,
+        "reference_workload_cosine_clustered_20k_384d": cosine_workload,
+        "scale_workload_cosine_clustered_150k_384d": scale_workload,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # Full detail goes to a FILE and an EARLY stdout line.  The driver
+    # tail-captures stdout into BENCH_r{N}.json, and the full dict has
+    # outgrown that window twice (r4/r5 recorded parsed: null, losing
+    # the headline timings and the calibration block) — so the LAST
+    # line printed is a compact (≤ ~1.4 KB) summary that always fits:
+    # headline total, machine calibration, and the BASELINE-comparable
+    # QPS/recall keys in priority order.
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:
+            json.dump(detail, fh, indent=1, sort_keys=True)
+    except OSError:
+        pass
+    print(json.dumps(detail, separators=(",", ":")))
+    sys.stdout.flush()
+
+    compact = {
+        "metric": "headline_suite_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "sf": detail["sf"],
+        "queries": {n: round(t, 2) for n, t in timings.items()},
+        "cal": calibration,
+    }
+    # BASELINE-comparable rows, highest-priority first; appended until
+    # the byte budget is spent so truncation (if ever needed) drops the
+    # least important keys, never the calibration or the headline.
+    pri: list[tuple[str, dict, str]] = [
+        # (compact key, source block, source key)
+        ("x16k", amortized, "qps_exact_16384q"),
+        ("sq8_65k", amortized, "qps_ivf_sq8_nprobe24_65536q"),
+        ("ivf_65k", amortized, "qps_ivf_nprobe10_65536q"),
+        ("ivfpq_65k", amortized, "qps_ivf_pq_nprobe24_65536q"),
+        ("pq_16k", amortized, "qps_pq_m64k256_16384q"),
+        ("g24_16k", amortized, "qps_graph_ef24_16384q"),
+        ("g64_16k", amortized, "qps_graph_ef64_16384q"),
+        ("r_sq8", amortized, "recall_ivf_sq8_nprobe24_16384q"),
+        ("r_ivf", amortized, "recall_ivf_nprobe10_16384q"),
+        ("r_ivfpq", amortized, "recall_ivf_pq_nprobe24_16384q"),
+        ("r_pq", amortized, "recall_pq_m64k256_16384q"),
+        ("r_g24", amortized, "recall_graph_ef24_16384q"),
+        ("r_g64", amortized, "recall_graph_ef64_16384q"),
+        ("x256", reference_workload, "qps_exact_256q"),
+        ("x2k", reference_workload, "qps_exact_2048q"),
+        ("lsh_2k", reference_workload, "qps_lsh_4t8b_2048q"),
+        ("r_lsh", reference_workload, "recall_lsh_4t8b"),
+        ("cp_2k", reference_workload, "qps_cluster_pruned_2048q"),
+        ("r_cp", reference_workload, "recall_cluster_pruned"),
+        ("c384_x16k", cosine_workload, "qps_exact_16384q"),
+        ("c384_sq8_16k", cosine_workload, "qps_ivf_sq8_nprobe10_16384q"),
+        ("c384_r_sq8", cosine_workload, "recall_ivf_sq8_nprobe10_16384q"),
+        ("c384_g_16k", cosine_workload, "qps_graph_kmeans_probe2_16384q"),
+        ("c384_r_g", cosine_workload, "recall_graph_kmeans_probe2_16384q"),
+        ("c384_x1k", cosine_workload, "qps_exact_1024q"),
+        ("c384_g_4k", cosine_workload, "qps_graph_kmeans_probe2_4096q"),
+        ("s150k_x1k", scale_workload, "qps_exact_1024q"),
+        ("s150k_sq8_1k", scale_workload, "qps_ivf_sq8_nprobe10_1024q"),
+        ("s150k_r_sq8", scale_workload, "recall_ivf_sq8_nprobe10"),
+        ("s150k_g_1k", scale_workload, "qps_graph_probe4of32_1024q"),
+        ("s150k_r_g", scale_workload, "recall_graph_probe4of32"),
+    ]
+    budget_bytes = 1400
+    base_probe = {}
+    for ck, block, sk in pri:
+        v = block.get(sk)
+        if v is None:
+            continue
+        base_probe[ck] = round(v, 4) if ck.startswith(("r_", "c384_r", "s150k_r")) else round(v)
+        trial = dict(compact)
+        trial["baseline"] = base_probe
+        if len(json.dumps(trial, separators=(",", ":"))) > budget_bytes:
+            del base_probe[ck]
+            break
+    compact["baseline"] = base_probe
+    print(json.dumps(compact, separators=(",", ":")))
     return 0
 
 
