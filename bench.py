@@ -685,6 +685,40 @@ def main() -> int:
         )
         sq8s_res.unpersist()
 
+        # 4096-query amortized rows: at 1024q the partitioned scan's
+        # wall is ~70% fixed two-stage cost (job floor + stage
+        # dispatch, see machine_calibration), so the 1024q ratio
+        # understates the kernel's pruning advantage.  The 4096q pair
+        # scales exact's GEMM 4× while the scan's fixed cost stays
+        # put — this ratio is the one that transfers to a cluster,
+        # where the per-job floor amortizes across a running service.
+        q4s = clustered_vectors(
+            spark, 4096, 384, n_clusters=200, spread=0.35, seed=13,
+            stream=10, id_col="qid",
+        ).cache()
+        q4s.count()
+        t_exact4s = timed_min(
+            lambda: materialize(
+                exact_knn(base_s, q4s, 20, "cosine", qid_col="qid", qvec_col="vec")
+            )
+        )
+        scale_workload["qps_exact_4096q"] = round(4096 / t_exact4s, 2)
+        exact4s = (
+            exact_knn(base_s, q4s, 20, "cosine", qid_col="qid", qvec_col="vec")
+            .select("qid", "id")
+            .cache()
+        )
+        exact4s.count()
+        sq84_res, t_sq84 = timed_search(
+            IVFSearcher(nprobe=10).attach(sq8s_art), q4s, 20
+        )
+        scale_workload["qps_ivf_sq8_nprobe10_4096q"] = round(4096 / t_sq84, 2)
+        scale_workload["recall_ivf_sq8_nprobe10_4096q"] = round(
+            sq84_res.join(exact4s, ["qid", "id"]).count() / (4096 * 20), 4
+        )
+        for df in (sq84_res, q4s, exact4s):
+            df.unpersist()
+
         # balanced-kmeans sharding (over-partition + bin-pack keeps the
         # largest shard ~= the median — a plain k=32 KMeans put 17% of the
         # corpus in one shard, the build straggler AND beam hot spot) +
@@ -788,6 +822,9 @@ def main() -> int:
         ("s150k_x1k", scale_workload, "qps_exact_1024q"),
         ("s150k_sq8_1k", scale_workload, "qps_ivf_sq8_nprobe10_1024q"),
         ("s150k_r_sq8", scale_workload, "recall_ivf_sq8_nprobe10"),
+        ("s150k_x4k", scale_workload, "qps_exact_4096q"),
+        ("s150k_sq8_4k", scale_workload, "qps_ivf_sq8_nprobe10_4096q"),
+        ("s150k_r_sq8_4k", scale_workload, "recall_ivf_sq8_nprobe10_4096q"),
         ("s150k_g_1k", scale_workload, "qps_graph_probe4of32_1024q"),
         ("s150k_r_g", scale_workload, "recall_graph_probe4of32"),
     ]

@@ -77,8 +77,146 @@ def rowwise_distance(
     raise ValueError(f"unknown metric {metric!r}")
 
 
-def cluster_scan_topk(
+def pack_assignment(
     assignment: DataFrame,
+    payload_col: str,
+    codec,
+    max_rows_per_blob: int = 512,
+) -> DataFrame:
+    """Assignment/code table → one row per cluster with flat binary
+    blobs: (cluster_id, n, ids int64-bytes, payload matrix-bytes,
+    width, dt).  ``dt`` is the payload's NumPy dtype char — float32
+    raw vectors, uint8 for SQ8/PQ(ksub≤256) codes, int16 otherwise.
+
+    This is the at-scale transport format for the partitioned scan
+    (the same ``_pack_shard`` inversion graph_ann.py applies to its
+    shard blobs): a search task recovers a whole cluster with two
+    zero-copy ``np.frombuffer`` views (~µs) instead of re-assembling
+    n Arrow list rows per probe — measured as the dominant cost of
+    the partitioned IVF scan at 150k×384-d (every search re-crossed
+    all 150k payload rows through per-row Arrow list decode).  Packing
+    is one shuffle of the compact codes, paid once per artifact; at
+    cluster scale the packed table persists partitioned by cluster_id
+    so probe filters prune partitions.
+
+    Clusters larger than ``max_rows_per_blob`` are split into several
+    blob rows (same cluster_id, distinct ``sub`` index).  This bounds
+    per-unit work: probed cluster mass is skewed twice over (big
+    clusters AND popular clusters — on the 150k clustered corpus one
+    task held 7.5× the mean distance count and its straggler tail was
+    ~45% of the search wall), and splitting a hot cluster lets its
+    scan spread over several tasks.  Fragment top-ks per (task, query)
+    then a global merge make the split invisible to results.  The cap
+    also keeps every blob far under Arrow's 2 GB binary-cell limit.
+
+    Placement is load-balanced, not hashed: blob units are greedily
+    bin-packed into exactly ``defaultParallelism`` partitions by n²
+    weight (expected scan work per cluster is rows × probing-query
+    count, and popularity tracks mass for distribution-matched
+    queries, so n² is the static proxy) via an identity-partitioned
+    RDD.  Hash placement binned whole clusters so unevenly that the
+    straggler task dominated search wall; round-robin still clumped
+    popular clusters ~2-4×.  The unit list collected for packing is
+    one row per blob (≤ nlist × ceil(max_cluster/cap)) — driver-small
+    for any sane nlist; at cluster scale the persisted
+    cluster_id-partitioned layout plus AQE skew handling replace this
+    in-memory placement."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parts = [p for p in batches if len(p)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        for cid, grp in pdf.groupby("cluster_id", sort=False):
+            ids = grp["id"].to_numpy(dtype=np.int64)
+            raw = np.vstack(grp[payload_col].to_numpy())
+            if codec is None:
+                mat = raw.astype(np.float32)
+                dt = "f4"
+            elif raw.size and raw.min() >= 0 and raw.max() < 256:
+                mat = raw.astype(np.uint8)
+                dt = "u1"
+            else:
+                mat = raw.astype(np.int16)
+                dt = "i2"
+            for sub, s in enumerate(range(0, len(ids), max_rows_per_blob)):
+                e = min(len(ids), s + max_rows_per_blob)
+                yield pd.DataFrame(
+                    {
+                        "cluster_id": [int(cid)],
+                        "n": [e - s],
+                        "ids": [ids[s:e].tobytes()],
+                        "payload": [
+                            np.ascontiguousarray(mat[s:e]).tobytes()
+                        ],
+                        "width": [int(mat.shape[1])],
+                        "dt": [dt],
+                        "sub": [sub],
+                    }
+                )
+
+    spark = assignment.sparkSession
+    blobs = (
+        assignment.select("cluster_id", "id", payload_col)
+        # whole clusters per task — packing needs every row of a
+        # cluster in one partition regardless of the input's layout
+        .repartition("cluster_id")
+        .mapInPandas(
+            kernel,
+            schema=(
+                "cluster_id long, n long, ids binary, payload binary, "
+                "width int, dt string, sub int"
+            ),
+        )
+        .cache()
+    )
+    units = blobs.select("cluster_id", "sub", "n").collect()
+    n_parts = max(1, spark.sparkContext.defaultParallelism)
+    order = sorted(
+        units, key=lambda r: (-(r["n"] ** 2), r["cluster_id"], r["sub"])
+    )
+    loads = [0] * n_parts
+    bucket: dict[tuple[int, int], int] = {}
+    for r in order:
+        b = min(range(n_parts), key=lambda i: (loads[i], i))
+        bucket[(r["cluster_id"], r["sub"])] = b
+        loads[b] += r["n"] ** 2
+    placed = spark.createDataFrame(
+        blobs.rdd.map(
+            lambda row: (bucket[(row["cluster_id"], row["sub"])], row)
+        ).partitionBy(n_parts, lambda b: b).values(),
+        blobs.schema,
+    ).cache()
+    placed.count()
+    blobs.unpersist()
+    return placed
+
+
+def packed_assignment_cached(art, table: str = "assignment") -> DataFrame:
+    """The packed form of an artifact's assignment table.  Build-time
+    artifacts carry it as the first-class ``packed`` table (persisted
+    parquet-partitioned by cluster_id, so probed searches prune blob
+    partitions at the scan); otherwise (derived artifacts: append /
+    delete, pre-packed-era saves) it is packed lazily on first
+    partitioned search and memoized (underscore param: runtime-only,
+    never persisted, dropped by further derivatives so they repack
+    against their own rows)."""
+    pre = art.tables.get("packed")
+    if pre is not None:
+        return pre
+    cached = art.params.get("_packed_df")
+    if cached is not None:
+        return cached
+    codec = art.params.get("codec")
+    payload_col = "vec" if codec is None else "codes"
+    # pack_assignment returns the placed table already cached + counted
+    packed = pack_assignment(art.tables[table], payload_col, codec)
+    art.params["_packed_df"] = packed
+    return packed
+
+
+def cluster_scan_topk(
+    packed: DataFrame,
     qids: np.ndarray,
     qmat: np.ndarray,
     probe_map: dict[int, np.ndarray],
@@ -86,47 +224,59 @@ def cluster_scan_topk(
     k: int,
     accum=None,
     codec=None,
-    payload_col: str = "vec",
 ) -> DataFrame:
-    """Scan the probed clusters of an IVF-style assignment table and
-    return fragment-local top-k rows (qid, id, dist).
+    """Scan the probed clusters of a PACKED assignment table (see
+    ``pack_assignment``) and return fragment-local top-k rows
+    (qid, id, dist).
 
     ``probe_map`` is cluster_id → query-row indices probing it.  Each
-    base row crosses Arrow once per cluster; one GEMM scores it against
-    all its probing queries.  Fragment top-ks are FUSED per task: the
-    kernel folds every probed cluster a task holds into one per-query
-    running top-k and emits it once at task end, so the caller's final
-    window sees ≤ n_q × tasks_probed × k rows instead of
-    n_q × nprobe × k — the probe fan-in merge happens map-side.
-    The probed ids double as a literal IN filter, which becomes a static
-    partition filter on a cluster_id-partitioned index.  ``accum``
-    counts exact distance computations (the reference's ``ndis``)."""
+    cluster blob deserializes with two ``np.frombuffer`` views; one
+    GEMM scores it against all its probing queries.  Fragment top-ks
+    are FUSED per task: the kernel folds every probed cluster a task
+    holds into one per-query running top-k and emits it once at task
+    end, so the caller's final window sees ≤ n_q × tasks_probed × k
+    rows instead of n_q × nprobe × k — the probe fan-in merge happens
+    map-side.  The probed ids double as a literal IN filter, which
+    becomes a static partition filter on a cluster_id-partitioned
+    index.  ``accum`` counts exact distance computations (the
+    reference's ``ndis``)."""
     from vectordb_retrieval_spark.functions.distance import pairwise_distances
     from pyspark.sql import functions as F
 
-    spark = assignment.sparkSession
+    spark = packed.sparkSession
     probed_ids = sorted(int(c) for c in probe_map)
     bc = spark.sparkContext.broadcast((qids, qmat, codec, probe_map))
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def kernel(batches):
+        # Arrow-native: blob cells are read as zero-copy buffer views
+        # (mapInPandas would copy every blob into Python bytes during
+        # the pandas conversion — ~the whole index per search).
         # local import: operators.serving depends on functions.*, so the
         # reverse import stays out of module scope
+        import pyarrow as pa
+
         from vectordb_retrieval_spark.operators.serving import topk_rows
 
         q_ids, q_mat, cdc, probes = bc.value
         acc_q: list[np.ndarray] = []
         acc_i: list[np.ndarray] = []
         acc_d: list[np.ndarray] = []
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            for cid, grp in pdf.groupby("cluster_id", sort=False):
-                qrows = probes.get(int(cid))
-                if qrows is None or len(grp) == 0:
+        for rb in batches:
+            cids = rb.column(0).to_numpy(zero_copy_only=False)
+            ns = rb.column(1).to_numpy(zero_copy_only=False)
+            ids_col = rb.column(2)
+            pay_col = rb.column(3)
+            widths = rb.column(4).to_numpy(zero_copy_only=False)
+            dts = rb.column(5).to_pylist()
+            for i in range(rb.num_rows):
+                qrows = probes.get(int(cids[i]))
+                if qrows is None or ns[i] == 0:
                     continue
-                raw = np.vstack(grp[payload_col].to_numpy())
+                ids = np.frombuffer(ids_col[i].as_buffer(), dtype=np.int64)
+                raw = np.frombuffer(
+                    pay_col[i].as_buffer(), dtype=dts[i]
+                ).reshape(int(ns[i]), int(widths[i]))
                 bvecs = raw.astype(np.float32) if cdc is None else cdc.decode(raw)
-                ids = grp["id"].to_numpy(dtype=np.int64)
                 d = pairwise_distances(q_mat[qrows], bvecs, metric)
                 if accum is not None:
                     accum.add(int(d.size))
@@ -149,14 +299,93 @@ def cluster_scan_topk(
         counts = np.diff(np.r_[starts, len(aq)])
         rank = np.arange(len(aq)) - np.repeat(starts, counts)
         keep = rank < k
-        yield pd.DataFrame(
-            {"qid": q_ids[aq[keep]], "id": ai[keep], "dist": ad[keep]}
+        aq, ai, ad = aq[keep], ai[keep], ad[keep]
+        # one LIST row per (task, query): the downstream merge shuffle
+        # then moves ~n_q × tasks rows instead of n_q × tasks × k —
+        # at 150k×384-d the flat form's 300k-row window merge cost more
+        # than the whole scan stage
+        qs = np.r_[0, np.nonzero(np.diff(aq))[0] + 1]
+        offsets = np.r_[qs, len(aq)].astype(np.int32)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(q_ids[aq[qs]]),
+                pa.ListArray.from_arrays(pa.array(offsets), pa.array(ai)),
+                pa.ListArray.from_arrays(pa.array(offsets), pa.array(ad)),
+            ],
+            names=["qid", "ids", "dists"],
         )
 
     return (
-        assignment.filter(F.col("cluster_id").isin(probed_ids))
-        .select("cluster_id", "id", payload_col)
-        .mapInPandas(kernel, schema="qid long, id long, dist double")
+        packed.filter(F.col("cluster_id").isin(probed_ids))
+        .mapInArrow(
+            kernel, schema="qid long, ids array<long>, dists array<double>"
+        )
+    )
+
+
+def merge_fragment_topk(
+    frag: DataFrame, k: int, n_queries: int | None = None
+) -> DataFrame:
+    """Global per-query merge of ``cluster_scan_topk`` fragment rows
+    (qid, ids list, dists list) → (qid, id, dist, rank), rank 1..k
+    ascending by (dist, id) — the same contract as
+    ``topk.topk_per_query``, as a numpy kernel over a qid-hashed
+    exchange instead of a row-per-candidate window sort.
+
+    Merge parallelism scales with the query count (one task per ~1024
+    queries, capped at defaultParallelism): the kernel is a single
+    lexsort over n_q × tasks_probed rows, so at serving batch sizes
+    task DISPATCH dominates — this container measured ~8 ms/task
+    beyond 16 in-flight python tasks, i.e. a 32-task merge stage cost
+    more than the merge itself."""
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        acc_q: list[np.ndarray] = []
+        acc_i: list[np.ndarray] = []
+        acc_d: list[np.ndarray] = []
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            qid = rb.column(0).to_numpy(zero_copy_only=False)
+            ids_l = rb.column(1)
+            ds_l = rb.column(2)
+            lens = ids_l.value_lengths().to_numpy(zero_copy_only=False)
+            acc_q.append(np.repeat(qid, lens))
+            acc_i.append(
+                ids_l.flatten().to_numpy(zero_copy_only=False)
+            )
+            acc_d.append(ds_l.flatten().to_numpy(zero_copy_only=False))
+        if not acc_q:
+            return
+        aq = np.concatenate(acc_q)
+        ai = np.concatenate(acc_i)
+        ad = np.concatenate(acc_d)
+        order = np.lexsort((ai, ad, aq))
+        aq, ai, ad = aq[order], ai[order], ad[order]
+        starts = np.r_[0, np.nonzero(np.diff(aq))[0] + 1]
+        counts = np.diff(np.r_[starts, len(aq)])
+        rank = np.arange(len(aq)) - np.repeat(starts, counts)
+        keep = rank < k
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(aq[keep]),
+                pa.array(ai[keep]),
+                pa.array(ad[keep]),
+                pa.array((rank[keep] + 1).astype(np.int32)),
+            ],
+            names=["qid", "id", "dist", "rank"],
+        )
+
+    par = frag.sparkSession.sparkContext.defaultParallelism
+    # ≥2 tasks: a single reducer serializes the whole shuffle fetch
+    # behind one python worker (measured 36% slower than 4 tasks)
+    n_tasks = (
+        max(2, min(par, -(-n_queries // 256))) if n_queries else par
+    )
+    return frag.repartition(n_tasks, "qid").mapInArrow(
+        kernel, schema="qid long, id long, dist double, rank int"
     )
 
 

@@ -32,6 +32,8 @@ from vectordb_retrieval_spark.functions.distance import pairwise_distances
 from vectordb_retrieval_spark.functions.kernels import (
     cluster_scan_topk,
     collect_vectors_cached,
+    merge_fragment_topk,
+    packed_assignment_cached,
 )
 from vectordb_retrieval_spark.operators.ivf import IVFIndexer
 from vectordb_retrieval_spark.operators.topk import topk_per_query
@@ -260,7 +262,7 @@ class ClusterPrunedExactSearcher:
         order = np.lexsort((np.broadcast_to(np.arange(qc.shape[1]), qc.shape), qc), axis=1)
         probed = order[:, :nprobe]
 
-        assignment = art.tables["assignment"]
+        packed = packed_assignment_cached(art)
 
         def to_map(qrows: np.ndarray, cids: np.ndarray) -> dict[int, np.ndarray]:
             return {int(c): qrows[cids == c] for c in np.unique(cids)}
@@ -270,13 +272,13 @@ class ClusterPrunedExactSearcher:
             # ndis counts every exact distance computed, parity with the
             # reference's record_operation counter
             return cluster_scan_topk(
-                assignment, qids, qmat, probe_map, "l2", k, accum=accum
+                packed, qids, qmat, probe_map, "l2", k, accum=accum
             )
 
         scored1 = scan(
             to_map(np.repeat(np.arange(len(qids)), nprobe), probed.reshape(-1))
         ).cache()
-        top1 = topk_per_query(scored1, k)
+        top1 = merge_fragment_topk(scored1, k, n_queries=len(qids))
         # per-query exact upper bound T_q = kth-best distance so far
         tq_rows = (
             top1.groupBy("qid").agg(F.max("dist").alias("t"), F.count("*").alias("n")).collect()
@@ -292,5 +294,7 @@ class ClusterPrunedExactSearcher:
         if len(extra_q) == 0:
             return top1
         scored2 = scan(to_map(extra_q, extra_c))
-        result = topk_per_query(scored1.unionByName(scored2), k)
+        result = merge_fragment_topk(
+            scored1.unionByName(scored2), k, n_queries=len(qids)
+        )
         return result

@@ -42,6 +42,9 @@ from vectordb_retrieval_spark.functions.distance import (
 from vectordb_retrieval_spark.functions.kernels import (
     cluster_scan_topk,
     collect_vectors_cached,
+    merge_fragment_topk,
+    pack_assignment,
+    packed_assignment_cached,
 )
 from vectordb_retrieval_spark.operators.topk import topk_per_query
 
@@ -132,9 +135,17 @@ class IVFIndexer:
         assigned = assigned.repartition("cluster_id").cache()
         assigned.count()
         feats.unpersist()
+        # packed per-cluster blobs — the partitioned scan's transport
+        # format (kernels.pack_assignment, returned cached + placed) and
+        # the fast source for the broadcast-serving collect; persisted
+        # parquet-partitioned by cluster_id so probed searches prune
+        # blob partitions on disk
+        packed = pack_assignment(
+            assigned, "vec" if self.codec is None else "codes", self.codec
+        )
         return IndexArtifact(
             kind="ivf",
-            tables={"assignment": assigned},
+            tables={"assignment": assigned, "packed": packed},
             params={
                 "centroids": self.centroids,
                 "metric": self.metric,
@@ -144,7 +155,10 @@ class IVFIndexer:
                 "nlist": self.nlist,
                 "seed": self.seed,
                 "metric": self.metric,
-                "partition_by": {"assignment": ["cluster_id"]},
+                "partition_by": {
+                    "assignment": ["cluster_id"],
+                    "packed": ["cluster_id"],
+                },
             },
         )
 
@@ -411,10 +425,13 @@ class IVFSearcher:
         probe = self.probe_clusters(qids, qmat)
 
         # No per-query fan-out join: cluster_scan_topk scores each
-        # probed cluster fragment against all its probing queries in one
+        # probed cluster blob against all its probing queries in one
         # GEMM and emits only fragment-local top-k (see kernels.py).
+        # The assignment is packed to per-cluster blobs once per
+        # artifact — frombuffer views instead of per-row Arrow list
+        # decode of the whole probed payload on every search.
         scored = cluster_scan_topk(
-            art.tables["assignment"],
+            packed_assignment_cached(art),
             qids,
             qmat,
             self._probe_rows(probe, len(qids)),
@@ -422,9 +439,8 @@ class IVFSearcher:
             k,
             accum=accum,
             codec=codec,
-            payload_col="vec" if codec is None else "codes",
         )
-        return topk_per_query(scored, k)
+        return merge_fragment_topk(scored, k, n_queries=len(qids))
 
     @staticmethod
     def _probe_rows(probe: pd.DataFrame, n_queries: int) -> dict[int, np.ndarray]:

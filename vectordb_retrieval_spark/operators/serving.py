@@ -183,6 +183,40 @@ def pack_clusters(
     return PackedClusters(ucids, ids, pays, codec, centroids)
 
 
+def pack_clusters_from_packed(
+    packed_df: DataFrame, centroids, codec
+) -> PackedClusters:
+    """PackedClusters from a per-cluster blob table
+    (kernels.pack_assignment): one nlist-row collect + frombuffer views
+    per cluster, instead of re-assembling every Arrow list row of the
+    assignment table on the driver.  Same bundle, same cluster order
+    (ascending cluster_id), same dtypes as ``pack_clusters``."""
+    rows = packed_df.select(
+        "cluster_id", "n", "ids", "payload", "width", "dt"
+    ).collect()
+    rows.sort(key=lambda r: r["cluster_id"])
+    cids: list[int] = []
+    ids: list[np.ndarray] = []
+    pays: list[np.ndarray] = []
+    for r in rows:
+        rid = np.frombuffer(bytes(r["ids"]), dtype=np.int64)
+        rp = np.frombuffer(bytes(r["payload"]), dtype=r["dt"]).reshape(
+            int(r["n"]), int(r["width"])
+        )
+        if cids and cids[-1] == r["cluster_id"]:
+            # sub-blob of the previous cluster (pack_assignment splits
+            # big clusters) — merge back into one per-cluster matrix
+            ids[-1] = np.concatenate([ids[-1], rid])
+            pays[-1] = np.concatenate([pays[-1], rp])
+        else:
+            cids.append(int(r["cluster_id"]))
+            ids.append(rid)
+            pays.append(rp)
+    return PackedClusters(
+        np.asarray(cids, dtype=np.int64), ids, pays, codec, centroids
+    )
+
+
 def artifact_serving_broadcast(
     art,
     spark,
@@ -218,8 +252,12 @@ def artifact_serving_broadcast(
     if n * (width + decoded + 8) > threshold:
         art.params["_serving_bc"] = None
         return None
-    packed = pack_clusters(
-        art.tables[table], "vec" if codec is None else "codes", cents, codec
+    from vectordb_retrieval_spark.functions.kernels import (
+        packed_assignment_cached,
+    )
+
+    packed = pack_clusters_from_packed(
+        packed_assignment_cached(art, table), cents, codec
     )
     if packed.nbytes() > threshold:
         art.params["_serving_bc"] = None
