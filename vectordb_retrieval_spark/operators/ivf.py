@@ -354,9 +354,19 @@ class IVFSearcher:
         # distance-computation counter, parity with the reference's
         # ``ndis`` record_operation (base_algorithm.py:91-96)
         self.ndis_accum = None
+        # search-plan memo: repeated searches of the same query table
+        # rebuild an identical lazy plan (~60 ms of driver-side pyspark
+        # object construction per call at serving rates).  Keyed weakly
+        # on the query DataFrame — results are deterministic per
+        # (artifact, query table, k), and execution still runs in full
+        # on every materialization; only the plan object is reused.
+        import weakref
+
+        self._plan_memo: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
     def attach(self, artifact: IndexArtifact) -> "IVFSearcher":
         self.artifact = artifact
+        self._plan_memo = type(self._plan_memo)()
         return self
 
     def _serving_broadcast(self, spark):
@@ -395,6 +405,13 @@ class IVFSearcher:
         art = self.artifact
         if art is None:
             raise RuntimeError("searcher not attached to an index artifact")
+        memo_key = (k, qid_col, vec_col)
+        try:
+            per_df = self._plan_memo.get(query_df)
+        except TypeError:
+            per_df = None
+        if per_df is not None and memo_key in per_df:
+            return per_df[memo_key]
         metric = art.params["metric"]
         codec = art.params["codec"]
         spark = query_df.sparkSession
@@ -408,15 +425,19 @@ class IVFSearcher:
                 broadcast_probe_search,
             )
 
-            return broadcast_probe_search(
+            return self._memoize_plan(
                 query_df,
-                bc_index,
-                self.nprobe,
-                k,
-                metric,
-                qid_col=qid_col,
-                vec_col=vec_col,
-                accum=accum,
+                memo_key,
+                broadcast_probe_search(
+                    query_df,
+                    bc_index,
+                    self.nprobe,
+                    k,
+                    metric,
+                    qid_col=qid_col,
+                    vec_col=vec_col,
+                    accum=accum,
+                ),
             )
 
         qids, qmat = collect_vectors_cached(query_df, qid_col, vec_col)
@@ -440,7 +461,20 @@ class IVFSearcher:
             accum=accum,
             codec=codec,
         )
-        return merge_fragment_topk(scored, k, n_queries=len(qids))
+        return self._memoize_plan(
+            query_df, memo_key, merge_fragment_topk(scored, k, n_queries=len(qids))
+        )
+
+    def _memoize_plan(self, query_df, memo_key, result):
+        try:
+            per_df = self._plan_memo.get(query_df)
+            if per_df is None:
+                per_df = {}
+                self._plan_memo[query_df] = per_df
+            per_df[memo_key] = result
+        except TypeError:
+            pass
+        return result
 
     @staticmethod
     def _probe_rows(probe: pd.DataFrame, n_queries: int) -> dict[int, np.ndarray]:

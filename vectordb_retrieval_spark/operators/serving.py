@@ -284,7 +284,15 @@ def topk_block(
     candidates surface them at the tail for the caller to filter.
     Boundary ties (kth == (k+1)th distance) re-rank the affected rows
     with a full (dist, id) lexsort, so the kept set is always the
-    lexicographic top-kk."""
+    lexicographic top-kk.
+
+    Measured dead end (do not re-attempt without new evidence): an
+    exact subsample-bound prune before the selection (kk-th smallest
+    of a 1-in-8 column strided copy as an upper bound on the true
+    kk-th, mask + nonzero + narrow re-select) benchmarked NEUTRAL to
+    slightly negative at serving widths (12.5 vs 11.1 ms on
+    512×1872 fp32) — the mask/count/nonzero passes cost as much as
+    the introselect they avoid."""
     n = D.shape[1]
     if n <= kk:
         order = np.lexsort((I, D), axis=1)
@@ -333,13 +341,25 @@ def topk_rows(d: np.ndarray, ids: np.ndarray, kk: int) -> tuple[np.ndarray, np.n
 
 
 def _probe_plan(
-    idx: PackedClusters, qmat: np.ndarray, nprobe: int | None, n_q: int
-) -> list[tuple[int, np.ndarray | None]]:
+    idx: PackedClusters,
+    qmat: np.ndarray,
+    nprobe: int | None,
+    n_q: int,
+    split_primary: bool = False,
+):
     """(cluster-slot, probing-query-rows) pairs.  ``None`` rows means
-    every query probes the cluster (the exhaustive plan)."""
+    every query probes the cluster (the exhaustive plan).
+
+    ``split_primary=True`` returns ``(plan, n_primary)`` with each
+    query's RANK-0 (nearest-centroid) groups as the first ``n_primary``
+    plan items — the streaming selection merges once after those, so
+    its pruning bound comes from the cluster most likely to hold the
+    true neighbors before the bulk of the candidate stream arrives.
+    ``n_primary=0`` for the exhaustive plan (no meaningful primary)."""
     cents = idx.centroids
     if cents is None or nprobe is None or nprobe >= len(cents):
-        return [(bi, None) for bi in range(len(idx.cids))]
+        plan = [(bi, None) for bi in range(len(idx.cids))]
+        return (plan, 0) if split_primary else plan
     # identical probe selection to IVFSearcher.probe_clusters:
     # nprobe nearest centroids by float64 L2, ties by cluster id
     d2c = pairwise_distances(qmat, cents, "l2")
@@ -365,18 +385,28 @@ def _probe_plan(
             (np.broadcast_to(np.arange(nc), d2c.shape), d2c),
             axis=1,
         )[:, :npb]
-    flat_c = order.ravel()
-    flat_q = np.repeat(np.arange(n_q), npb)
-    so = np.argsort(flat_c, kind="stable")
-    fc, fq = flat_c[so], flat_q[so]
-    ucs, starts = np.unique(fc, return_index=True)
-    bounds = np.r_[starts, len(fc)]
-    probe_plan = []
-    for j, c in enumerate(ucs):
-        bi = idx.index.get(int(c))
-        if bi is not None:
-            probe_plan.append((bi, fq[bounds[j] : bounds[j + 1]]))
-    return probe_plan
+    def build(flat_c: np.ndarray, flat_q: np.ndarray) -> list:
+        so = np.argsort(flat_c, kind="stable")
+        fc, fq = flat_c[so], flat_q[so]
+        ucs, starts = np.unique(fc, return_index=True)
+        bounds = np.r_[starts, len(fc)]
+        plan = []
+        for j, c in enumerate(ucs):
+            bi = idx.index.get(int(c))
+            if bi is not None:
+                plan.append((bi, fq[bounds[j] : bounds[j + 1]]))
+        return plan
+
+    qs = np.arange(n_q)
+    if not split_primary:
+        return build(order.ravel(), np.repeat(qs, npb))
+    plan0 = build(order[:, 0].copy(), qs)
+    plan_rest = (
+        build(order[:, 1:].ravel(), np.repeat(qs, npb - 1))
+        if npb > 1
+        else []
+    )
+    return plan0 + plan_rest, len(plan0)
 
 
 def search_batch(
@@ -447,131 +477,125 @@ def _search_batch_fast(
     q32 = q64.astype(np.float32)
     if metric == "l2":
         qsq64 = (q64 * q64).sum(axis=1)
-    probe_plan = _probe_plan(idx, qmat, nprobe, n_q)
+    probe_plan, n_primary = _probe_plan(
+        idx, qmat, nprobe, n_q, split_primary=True
+    )
 
-    # --- fp32 selection: scatter SELECTION scores (l2: unclamped d²,
-    # cosine/ip: -dot — monotone with the final distance) and global
-    # row positions, segmented exactly like the exact path ---
+    # --- fp32 streaming top-m selection.  Scores are SELECTION scores
+    # (l2: qsq-shifted unclamped d², cosine/ip: -dot — monotone with
+    # the final distance).  Instead of scattering every candidate into
+    # a padded (n_q × width) matrix and introselecting it (NumPy's
+    # per-row argpartition runs at ~10 ns/element — 25× the cost of
+    # the GEMM that produced the scores, and the position scatter was
+    # another 25% of the kernel), each cluster block is masked against
+    # every probing query's CURRENT m-th-best bound and only the
+    # survivors are kept; a periodic vectorized merge rebuilds the
+    # per-query top-m and tightens the bound.  After the first merge
+    # the bound kills ~all of each new block with one ufunc compare,
+    # so selection cost collapses to ~the mask passes.  Exactness: a
+    # dropped candidate scored ≥ the bound at drop time ≥ the final
+    # selection boundary (the bound only tightens), which is precisely
+    # the invariant the float64-refinement guard below relies on.
     m = k + _SEL_MARGIN
     entries = []
-    for bi, qrows in probe_plan:
+    force_merge_at = -1
+    for pi, (bi, qrows) in enumerate(probe_plan):
         sz = len(idx.ids[bi])
         for s in range(0, sz, block_rows):
             entries.append((bi, s, min(sz, s + block_rows), qrows))
-    cap = max(block_rows, 4 * m)
-    seg_d: list[np.ndarray] = []
-    seg_i: list[np.ndarray] = []
+        if pi + 1 == n_primary:
+            force_merge_at = len(entries)
 
-    def flush(pend, width: int) -> None:
-        # per-query fill width of THIS flush (post pre-reduction), for
-        # row bucketing below
-        fw = np.zeros(n_q, dtype=np.int64)
-        for _, s, e, qrows in pend:
-            inc = min(e - s, m)
-            if qrows is None:
-                fw += inc
-            else:
-                fw[qrows] += inc
-        # scatter destination rows sorted by fill: the padded width is
-        # set by the widest query (seen 2.5x the mean), so running the
-        # top-m selection on fill-sorted row buckets with trimmed
-        # column views cuts the selection's memory traffic to ~the
-        # actual candidate volume instead of n_q x max-width
-        dest = np.argsort(fw, kind="stable")
-        inv = np.empty(n_q, dtype=np.int64)
-        inv[dest] = np.arange(n_q, dtype=np.int64)
-        D = np.full((n_q, width), np.inf, dtype=np.float32)
-        # positions are int32: a broadcast shard over 2^31 rows cannot
-        # pass the serving size gate, so the downcast is safe
-        P = np.full((n_q, width), _PAD_POS, dtype=np.int32)
-        fill = np.zeros(n_q, dtype=np.int64)
-        for bi, s, e, qrows in pend:
-            qsub = q32 if qrows is None else q32[qrows]
-            rows = all_rows if qrows is None else qrows
-            o = int(offs[bi])
-            b = F32[o + s : o + e]
-            # selection score, NOT the distance: the per-query constant
-            # (qsq) is dropped for l2 — per-query monotone with d², and
-            # the guard re-adds it when comparing against refined d²
-            if metric == "l2":
-                d = sq32[o + s : o + e][None, :] - 2.0 * (qsub @ b.T)
-            else:
-                d = -(qsub @ b.T)
-            if accum is not None:
-                accum.add(int(d.size))
-            csize = e - s
-            if csize > m:
-                # per-cluster pre-reduction to the m smallest before
-                # scatter: a candidate dropped here has ≥ m cluster
-                # mates scoring ≤ it, so (same argument as segment
-                # merges) its score ≥ the final selection boundary —
-                # the guard stays sound and the scatter + global top-m
-                # traffic shrinks to m per (query, cluster)
-                part = np.argpartition(d, m - 1, axis=1)[:, :m]
-                d = np.take_along_axis(d, part, axis=1)
-                pcols = (part + (o + s)).astype(np.int32)
-                csize = m
-            else:
-                pcols = np.broadcast_to(
-                    np.arange(o + s, o + e, dtype=np.int32), d.shape
-                )
-            drows = inv[rows]
-            cols = fill[rows, None] + np.arange(csize)
-            D[drows[:, None], cols] = d
-            P[drows[:, None], cols] = pcols
-            fill[rows] += csize
-        kk = min(m, width)
-        od = np.empty((n_q, kk), dtype=np.float32)
-        oi = np.empty((n_q, kk), dtype=np.int32)
-        fw_sorted = fw[dest]
-        r0 = 0
-        n_buckets = 4 if n_q >= 64 else 1
-        step = (n_q + n_buckets - 1) // n_buckets
-        while r0 < n_q:
-            r1 = min(n_q, r0 + step)
-            wb = max(int(fw_sorted[r1 - 1]), 1)
-            bd, bi_ = topk_block(D[r0:r1, :wb], P[r0:r1, :wb], min(kk, wb))
-            if bd.shape[1] < kk:  # narrow bucket: pad out to kk columns
-                pad = kk - bd.shape[1]
-                bd = np.pad(bd, ((0, 0), (0, pad)), constant_values=np.inf)
-                bi_ = np.pad(bi_, ((0, 0), (0, pad)), constant_values=_PAD_POS)
-            od[r0:r1] = bd
-            oi[r0:r1] = bi_
-            r0 = r1
-        # un-permute back to query order
-        seg_d.append(od[inv])
-        seg_i.append(oi[inv])
+    R_d = np.full((n_q, m), np.inf, dtype=np.float32)
+    # positions are int32: a broadcast shard over 2^31 rows cannot
+    # pass the serving size gate, so the downcast is safe
+    R_p = np.full((n_q, m), _PAD_POS, dtype=np.int32)
+    thr = np.full(n_q, np.inf, dtype=np.float32)
+    Rq_flat = np.repeat(all_rows, m)
+    pq: list[np.ndarray] = []
+    pv: list[np.ndarray] = []
+    pp: list[np.ndarray] = []
+    npend = 0
+    merge_cap = max(4 * n_q * m, 1 << 16)
+    # largest composite-key quantum seen across merges; added to the
+    # guard's error bound so key-collision ties stay rigorous
+    key_quantum = 0.0
 
-    pend: list[tuple] = []
-    w = np.zeros(n_q, dtype=np.int64)
-    tot = np.zeros(n_q, dtype=np.int64)  # total candidates per query
-    for ent in entries:
-        _, s, e, qrows = ent
-        inc = e - s
-        winc = min(inc, m)  # flush width uses the pre-reduced size
-        wmax = int(w.max() if qrows is None else w[qrows].max()) + winc
-        if pend and wmax > cap:
-            flush(pend, int(w.max()))
-            pend = []
-            w = np.zeros(n_q, dtype=np.int64)
-        pend.append(ent)
-        if qrows is None:
-            w += winc
-            tot += inc
+    def merge() -> None:
+        nonlocal npend, key_quantum
+        allq = np.concatenate([Rq_flat] + pq)
+        vals = np.concatenate([R_d.ravel()] + pv)
+        poss = np.concatenate([R_p.ravel().astype(np.int64)] + pp)
+        # single composite-key argsort instead of a 3-key lexsort (the
+        # lexsort was ~60 ms per merge — 3 stable argsorts over the
+        # whole buffer).  key = query·span + clamped score ranks by
+        # (query, score); equal-key ties fall back to buffer order,
+        # which is deterministic, and any two scores closer than the
+        # key's float64 quantum are covered by adding that quantum to
+        # the guard bound (a candidate dropped at rank ≥ m under key
+        # order has true score ≥ boundary − quantum).
+        finite = np.isfinite(vals)
+        if finite.any():
+            lo = float(vals[finite].min())
+            hi = float(vals[finite].max())
         else:
-            w[qrows] += winc
-            tot[qrows] += inc
-    if pend:
-        flush(pend, int(w.max()))
-    if not seg_d:
-        return None
-    if len(seg_d) == 1:
-        sd, sp = seg_d[0], seg_i[0]
-    else:
-        sd = np.concatenate(seg_d, axis=1)
-        sp = np.concatenate(seg_i, axis=1)
-        sd, sp = topk_block(sd, sp, min(m, sd.shape[1]))
-    mm = sd.shape[1]
+            lo, hi = 0.0, 0.0
+        span = (hi - lo) + 1.0
+        v64 = np.minimum(vals.astype(np.float64) - lo, span - 0.5)
+        key = allq.astype(np.float64) * span + v64
+        key_quantum = max(
+            key_quantum,
+            float(np.finfo(np.float64).eps) * (float(n_q) + 1.0) * span,
+        )
+        order = np.argsort(key, kind="stable")
+        allq = allq[order]
+        vals = vals[order]
+        poss = poss[order]
+        starts = np.r_[0, np.nonzero(np.diff(allq))[0] + 1]
+        counts = np.diff(np.r_[starts, len(allq)])
+        rank = np.arange(len(allq)) - np.repeat(starts, counts)
+        keep = rank < m
+        # R always holds m slots per query (inf-padded), so every
+        # query has ≥ m merged entries and the scatter is dense
+        R_d[allq[keep], rank[keep]] = vals[keep]
+        R_p[allq[keep], rank[keep]] = poss[keep].astype(np.int32)
+        thr[:] = R_d[:, m - 1]
+        pq.clear()
+        pv.clear()
+        pp.clear()
+        npend = 0
+
+    tot = np.zeros(n_q, dtype=np.int64)  # total candidates per query
+    for ei, (bi, s, e, qrows) in enumerate(entries):
+        if ei == force_merge_at and npend:
+            # every query's nearest cluster has been scanned: merge now
+            # so the bound is tight before the bulk of the stream
+            merge()
+        qsub = q32 if qrows is None else q32[qrows]
+        rows = all_rows if qrows is None else qrows
+        o = int(offs[bi])
+        b = F32[o + s : o + e]
+        # selection score, NOT the distance: the per-query constant
+        # (qsq) is dropped for l2 — per-query monotone with d², and
+        # the guard re-adds it when comparing against refined d²
+        if metric == "l2":
+            d = sq32[o + s : o + e][None, :] - 2.0 * (qsub @ b.T)
+        else:
+            d = -(qsub @ b.T)
+        tot[rows] += e - s
+        th = thr if qrows is None else thr[rows]
+        rr, cc = np.nonzero(d < th[:, None])
+        if len(rr):
+            pq.append(rows[rr])
+            pv.append(d[rr, cc])
+            pp.append((o + s + cc).astype(np.int64))
+            npend += len(rr)
+            if npend >= merge_cap:
+                merge()
+    if npend:
+        merge()
+    sd, sp = R_d, R_p
+    mm = m
 
     # --- float64 refinement: recompute the selected candidates'
     # distances in float64 and re-rank by (dist, id) — the emitted
@@ -617,7 +641,7 @@ def _search_batch_fast(
     else:
         qn_max = float(np.sqrt((q64 * q64).sum(axis=1).max())) if n_q else 0.0
         scale = qn_max * norm_max
-    bound = (dim + 8.0) * eps32 * scale
+    bound = (dim + 8.0) * eps32 * scale + key_quantum
     sel_boundary = sd[:, mm - 1].astype(np.float64)  # inf when fill < m
     if metric == "l2":
         # selection scores are qsq-shifted (d² − qsq); re-add the
@@ -631,6 +655,12 @@ def _search_batch_fast(
 
     frames = []
     good = ~bad
+    if accum is not None:
+        # ndis = candidates scored, counted ONCE per candidate (the
+        # reference's record_operation semantics): the fast path bills
+        # only the queries it emits — guard-failed queries are billed
+        # by their exact re-run below, not twice
+        accum.add(int(tot[good].sum()))
     if good.any():
         fd_g, fi_g = fd[good], fi[good]
         valid = (fi_g != _PAD_ID).ravel()
