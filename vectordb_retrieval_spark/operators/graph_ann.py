@@ -648,6 +648,32 @@ class GraphANNSearcher:
                 if len(sel):
                     route[int(upids[j])] = sel.astype(np.int64)
 
+        # Small index ⇒ broadcast the packed shards (same decision
+        # Spark makes for broadcast joins): (shard, chunk) tasks come
+        # from an exact 1-row-per-partition RDD — perfectly even tasks,
+        # no blob shuffle at all.  Large index ⇒ shuffle-replicate the
+        # blob rows per chunk (shard_count × chunks rows — still the
+        # index, never the base data).
+        # shard-blob broadcast, built ONCE per artifact and reused by
+        # every subsequent search (leading "_": runtime-only, skipped
+        # by persistence).  A None entry remembers the over-threshold
+        # decision so the size probe doesn't re-run per search either.
+        # Probed BEFORE the chunk sizing below: on a first search the
+        # missing memo used to read as "partitioned path" and set
+        # chunks=1 even when the index was about to be broadcast.
+        if "_shard_bc" not in art.params:
+            total = art.tables["graph"].agg(
+                F.sum(F.length("blob")).alias("b")
+            ).collect()[0]["b"]
+            if total is not None and total <= self.broadcast_threshold:
+                rows = art.tables["graph"].select("pid", "blob").collect()
+                shards = {int(r["pid"]): bytes(r["blob"]) for r in rows}
+                art.params["_shard_bc"] = spark.sparkContext.broadcast(shards)
+                art.params["_shard_pids"] = sorted(shards)
+            else:
+                art.params["_shard_bc"] = None
+        bc_shards = art.params["_shard_bc"]
+
         # fan the query batch out across (shard × chunk) tasks: the
         # per-task kernel is CPU-bound NumPy, so shard count alone
         # under-uses a wide executor pool on big batches.  Chunk count
@@ -673,34 +699,11 @@ class GraphANNSearcher:
         # narrow zero-shuffle scan of the cached graph table instead
         # (for a 150k x 384-d 32-shard index, chunks=2 was moving
         # ~560 MB of blobs per search to cut task count from 32 to 64)
-        if art.params.get("_shard_bc") is None and (
+        if bc_shards is None and (
             n_active if route is not None else n_parts
         ) >= par:
             chunks = 1
         bounds = np.linspace(0, n_q, chunks + 1).astype(np.int64)
-
-        # Small index ⇒ broadcast the packed shards (same decision
-        # Spark makes for broadcast joins): (shard, chunk) tasks come
-        # from an exact 1-row-per-partition RDD — perfectly even tasks,
-        # no blob shuffle at all.  Large index ⇒ shuffle-replicate the
-        # blob rows per chunk (shard_count × chunks rows — still the
-        # index, never the base data).
-        # shard-blob broadcast, built ONCE per artifact and reused by
-        # every subsequent search (leading "_": runtime-only, skipped
-        # by persistence).  A None entry remembers the over-threshold
-        # decision so the size probe doesn't re-run per search either.
-        if "_shard_bc" not in art.params:
-            total = art.tables["graph"].agg(
-                F.sum(F.length("blob")).alias("b")
-            ).collect()[0]["b"]
-            if total is not None and total <= self.broadcast_threshold:
-                rows = art.tables["graph"].select("pid", "blob").collect()
-                shards = {int(r["pid"]): bytes(r["blob"]) for r in rows}
-                art.params["_shard_bc"] = spark.sparkContext.broadcast(shards)
-                art.params["_shard_pids"] = sorted(shards)
-            else:
-                art.params["_shard_bc"] = None
-        bc_shards = art.params["_shard_bc"]
 
         bc = spark.sparkContext.broadcast((qids, qmat, route, bounds, chunks))
 

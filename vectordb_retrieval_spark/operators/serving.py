@@ -110,14 +110,35 @@ class PackedClusters:
         key = ("packed", metric)
         got = self._scan.get(key)
         if got is None:
-            mats = [self.decoded(i) for i in range(len(self.cids))]
-            F = (
-                np.concatenate(mats)
-                if mats
-                else np.zeros((0, 0), dtype=np.float64)
-            )
-            if metric == "cosine":
-                F = normalize_rows(F)
+            # decode cluster-by-cluster into the preallocated packed
+            # matrix: holding every per-cluster float64 decode while
+            # concatenating (then normalizing a further copy for
+            # cosine) peaked construction RSS at ~2.5× the steady
+            # state the serving size gate budgets for; this form peaks
+            # at the packed matrix plus one cluster transient.  The
+            # per-cluster decode cache is consumed (popped) as it goes.
+            offs0 = np.r_[
+                np.int64(0),
+                np.cumsum([len(i) for i in self.ids], dtype=np.int64),
+            ]
+            total = int(offs0[-1])
+            F = None
+            for i in range(len(self.cids)):
+                dec = self._dec.pop(i, None)
+                if dec is None:
+                    raw = self.payloads[i]
+                    dec = (
+                        raw.astype(np.float64)
+                        if self.codec is None
+                        else self.codec.decode(raw)
+                    )
+                if metric == "cosine":
+                    dec = normalize_rows(dec)
+                if F is None:
+                    F = np.empty((total, dec.shape[1]), dtype=np.float64)
+                F[offs0[i] : offs0[i + 1]] = dec
+            if F is None:
+                F = np.zeros((0, 0), dtype=np.float64)
             raw_sq = (F * F).sum(axis=1)
             sq = raw_sq if metric == "l2" else None
             gids = (
@@ -125,9 +146,7 @@ class PackedClusters:
                 if self.ids
                 else np.zeros(0, dtype=np.int64)
             )
-            offs = np.r_[
-                np.int64(0), np.cumsum([len(i) for i in self.ids], dtype=np.int64)
-            ]
+            offs = offs0
             norm_max = float(np.sqrt(raw_sq.max())) if len(F) else 0.0
             got = (
                 F,
@@ -140,8 +159,12 @@ class PackedClusters:
             )
             self._scan[key] = got
             # share memory with the exact path: per-cluster decode and
-            # scan caches become views into the packed matrix
-            self._dec.clear()
+            # scan caches become views into the packed matrix.  For
+            # cosine the packed rows are NORMALIZED, so they cannot
+            # stand in for decoded() — the decode cache stays empty
+            # (entries were consumed above, not duplicated) and
+            # decoded() rebuilds lazily from the retained codes on the
+            # rare non-fast-path consumers (custom metrics).
             for i in range(len(self.cids)):
                 sl = slice(offs[i], offs[i + 1])
                 if metric != "cosine":
