@@ -116,6 +116,28 @@ def _entry_dists(m64, bsq, q64, qsq, entry: int, metric: str) -> np.ndarray:
     return 1.0 - s if metric == "cosine" else -s
 
 
+_BEAM_SCRATCH: dict[tuple[int, int], tuple] = {}
+
+
+def _beam_scratch(n_q: int, n: int) -> tuple:
+    """Reusable per-shape beam scratch (see ``_batched_beam``).  The
+    cache is tiny in practice (one shard size × one chunk size per
+    worker) but bounded anyway."""
+    key = (n_q, n)
+    got = _BEAM_SCRATCH.get(key)
+    if got is None:
+        if len(_BEAM_SCRATCH) >= 8:
+            _BEAM_SCRATCH.clear()
+        got = (
+            np.empty((n_q, n), dtype=bool),
+            np.empty(n_q * n, dtype=np.int32),
+            np.empty(n, dtype=np.int32),
+            np.empty(n, dtype=np.int64),
+        )
+        _BEAM_SCRATCH[key] = got
+    return got
+
+
 def _batched_beam(
     mat: np.ndarray,
     padj: np.ndarray,
@@ -158,17 +180,21 @@ def _batched_beam(
     beam_d = np.full((n_q, ef), np.inf, dtype=np.float32)
     beam_i = np.full((n_q, ef), -1, dtype=np.int64)
     beam_x = np.zeros((n_q, ef), dtype=bool)  # expanded flag
-    visited = np.zeros((n_q, n), dtype=bool)
+    # scratch reuse across calls (keyed on shape, worker-persistent):
+    # a serving task runs one beam per (shard × query-chunk) and the
+    # per-call ~3 MB of fresh allocations (visited + dedup tables)
+    # became cross-worker allocator churn at 32 concurrent workers —
+    # the shapes repeat exactly (fixed inner chunk size, shared shard
+    # size), so the buffers are reused and only ``visited`` pays a
+    # memset.  Dedup tables are last-writer: stale entries are never
+    # read because every read is preceded by a write with this wave's
+    # keys, so they need no clearing at all.
+    visited, u_pair, u_node, lut = _beam_scratch(n_q, n)
+    visited[:] = False
     beam_d[:, 0] = _entry_dists(m32, bsq, q32, qsq, entry, metric)
     beam_i[:, 0] = entry
     visited[:, entry] = True
     dmax = padj.shape[1]
-    # dedup scratch: last-writer tables indexed by (query, node) /
-    # node keys — stale entries are never read because every read is
-    # preceded by a write with this wave's keys
-    u_pair = np.empty(n_q * n, dtype=np.int32)
-    u_node = np.empty(n, dtype=np.int32)
-    lut = np.empty(n, dtype=np.int64)
 
     while True:
         frontier = (~beam_x) & (beam_i >= 0)
@@ -720,12 +746,14 @@ class GraphANNSearcher:
             out_r: list[np.ndarray] = []
             out_i: list[np.ndarray] = []
             out_d: list[np.ndarray] = []
-            # inner 256-query chunks keep per-wave scratch arrays
+            # inner 128-query chunks keep per-wave scratch arrays
             # (≈ chunk × ef × max_degree pairs) cache-sized — beam cost
-            # is linear in queries only while they fit (measured 351 vs
-            # 427 µs/query at 256 vs 512 on a 2500-node 64-d shard)
-            for s in range(0, len(q_sub), 256):
-                qc = q_sub[s : s + 256]
+            # is linear in queries only while they fit (measured 165 /
+            # 173 / 185 µs/query at 128 / 256 / 512 on a 2500-node
+            # 64-d shard); chunking never changes results (queries are
+            # fully independent inside the wave kernel)
+            for s in range(0, len(q_sub), 128):
+                qc = q_sub[s : s + 128]
                 used_beam = not (ef >= len(mat) and not force_beam)
                 if used_beam:
                     bd, bi = _batched_beam(mat, padj, qc, ef, metric)
@@ -767,8 +795,16 @@ class GraphANNSearcher:
             # quota of 32 queries per task: at 1024-query serving
             # batches a 64-query quota left half a 32-core pool idle;
             # per-task beam compute (tens of ms) still dwarfs task
-            # overhead at 32
-            n_tasks = max(1, min(-(-n_q // 32), 2 * par))
+            # overhead at 32.  Unrouted tasks are EQUAL work (every
+            # task beams its stride through every shard), so cap at
+            # one task per core — a 2·par fan-out ran as two waves
+            # whose straggler tails cost ~30% of the search wall;
+            # routed tasks stay at 2·par so uneven routing loads can
+            # rebalance across the pool.
+            n_tasks = max(
+                1,
+                min(-(-n_q // 32), 2 * par if route is not None else par),
+            )
             shard_pids = art.params["_shard_pids"]
             tasks = spark.createDataFrame(
                 spark.sparkContext.parallelize(
