@@ -629,3 +629,57 @@ def test_lsh_broadcast_path_equals_pipeline_path(dfs):
             # full-matrix GEMM vs exact_knn's per-Arrow-block GEMMs);
             # oracle-facing outputs round to 6 dp, so ULPs are inert
             assert abs(v - sd[kk_]) <= 1e-9 * max(1.0, abs(v)), (build_kw, kk_)
+
+
+def test_packed_subblob_split_matches_unsplit(dfs):
+    """pack_assignment splits big clusters into several blob rows and
+    bin-packs them across partitions; the partitioned scan + fragment
+    merge must produce identical results at ANY split granularity
+    (fragment top-ks per (task, query) then a global merge make the
+    split invisible)."""
+    from vectordb_retrieval_spark.functions.distance import normalize_rows
+    from vectordb_retrieval_spark.functions.kernels import (
+        cluster_scan_topk,
+        collect_vectors_cached,
+        merge_fragment_topk,
+        pack_assignment,
+    )
+    from vectordb_retrieval_spark.operators.ivf import IVFIndexer, IVFSearcher
+    from vectordb_retrieval_spark.operators.quant import SQ8Codec
+
+    base_df, query_df = dfs
+    for codec in (None, SQ8Codec()):
+        art = IVFIndexer(nlist=8, seed=3, codec=codec).build(base_df)
+        searcher = IVFSearcher(nprobe=3).attach(art)
+        qids, qmat = collect_vectors_cached(query_df, "qid", "vec")
+        probe = searcher.probe_clusters(qids, qmat)
+        pmap = searcher._probe_rows(probe, len(qids))
+        results = []
+        for cap in (7, 10**9):  # forced sub-blob splits vs whole clusters
+            packed = pack_assignment(
+                art.tables["assignment"],
+                "vec" if codec is None else "codes",
+                codec,
+                max_rows_per_blob=cap,
+            )
+            res = merge_fragment_topk(
+                cluster_scan_topk(
+                    packed, qids, qmat, pmap, "l2", K, codec=codec
+                ),
+                K,
+                n_queries=len(qids),
+            )
+            results.append(
+                sorted(
+                    (r["qid"], r["id"], r["rank"], round(r["dist"], 9))
+                    for r in res.collect()
+                )
+            )
+            packed.unpersist()
+        assert results[0] == results[1]
+        # and both match the broadcast fast path
+        fast = sorted(
+            (r["qid"], r["id"], r["rank"], round(r["dist"], 9))
+            for r in searcher.search(query_df, K).collect()
+        )
+        assert results[0] == fast
