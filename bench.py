@@ -51,13 +51,22 @@ BENCH_REPS = 3
 
 
 def timed_min(fn) -> float:
-    """Min wall time of BENCH_REPS invocations of ``fn``."""
-    best = float("inf")
+    """Min wall time of BENCH_REPS invocations of ``fn``, with two
+    extra reps when the spread is wide — interference only ever ADDS
+    time, so a >2.5× max/min spread means at least one rep was hit and
+    the min deserves more evidence (r6 observed a 2048-query row
+    measure 901 QPS in-suite vs 6,689 in a clean rerun)."""
+    ts = []
     for _ in range(BENCH_REPS):
         t0 = time.time()
         fn()
-        best = min(best, time.time() - t0)
-    return best
+        ts.append(time.time() - t0)
+    if max(ts) > 2.5 * max(min(ts), 1e-9):
+        for _ in range(2):
+            t0 = time.time()
+            fn()
+            ts.append(time.time() - t0)
+    return min(ts)
 
 
 def timed_search(searcher, qdf, k: int):
