@@ -43,7 +43,15 @@ per-query entries — bit-identical results, zero speedup at 256-query
 chunks and regressing at larger chunks (the wave kernel is data-bound,
 not call-overhead-bound); (c) a single unsharded 20k graph — ~4x lower
 recall at equal ef than 8-shard union-of-beams (independent entry
-points act as an ensemble), so fewer-bigger-shards is not a win either.
+points act as an ensemble), so fewer-bigger-shards is not a win either;
+(d) ef below 24 on this workload — ef 16/18/20 all measure IDENTICAL
+recall (0.9173) at ~the same wall as ef24, so narrowing the beam buys
+nothing (the walk saturates on the same node set); (e) carrying the
+beam as flat (query-major, rank-ordered) arrays across waves instead
+of rebuilding the (n_q, ef) matrices — bit-identical, zero net speedup
+(the saved matrix scatter/nonzero equals the added per-wave flat
+allocations); (f) fewer shards at higher ef/m (4x m16 ef24: recall
+0.896 vs 8-shard 0.926) — ensemble entry points dominate the trade.
 """
 
 from __future__ import annotations
