@@ -607,6 +607,28 @@ def _search_batch_fast(
             d = -(qsub @ b.T)
         tot[rows] += e - s
         th = thr if qrows is None else thr[rows]
+        if e - s > 4 * m and not np.isfinite(th).any():
+            # cold block — every probing query's bound is still inf
+            # (exhaustive plans have no primary phase; IVF primary
+            # clusters bigger than 4m land here too), so the mask
+            # below would keep EVERYTHING: an 8192-row exhaustive
+            # block flooded pending with n_q × 8192 survivors and its
+            # merge dominated the whole kernel.  Pre-reduce the block
+            # to its per-query top-m instead — sound for the guard (a
+            # dropped candidate has ≥ m block-mates scoring ≤ it,
+            # hence scores ≥ the final selection boundary).  For
+            # all-query (exhaustive) blocks, merge immediately so the
+            # NEXT block sees a finite bound; per-cluster blocks defer
+            # to the pending cap (merging after each of 100s of
+            # primary clusters would out-cost the scans).
+            od, oc = topk_rows(d, np.arange(s, e, dtype=np.int64), m)
+            pq.append(np.repeat(rows, od.shape[1]))
+            pv.append(od.ravel())
+            pp.append((o + oc).ravel().astype(np.int64))
+            npend += od.size
+            if qrows is None or npend >= merge_cap:
+                merge()
+            continue
         rr, cc = np.nonzero(d < th[:, None])
         if len(rr):
             pq.append(rows[rr])
