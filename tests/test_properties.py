@@ -234,3 +234,39 @@ def test_serving_fast_path_property(data, metric, nprobe):
     np.testing.assert_allclose(
         f["dist"].to_numpy(), e["dist"].to_numpy(), atol=1e-9, rtol=1e-9
     )
+
+
+def test_serving_cold_block_prereduction_exact():
+    """Exhaustive plans (no primary probe phase) hit the streaming
+    selection with every bound at infinity; blocks wider than 4m take
+    the cold-block pre-reduction path.  Pin that path against the
+    float64 exact kernel at a size that actually triggers it (cluster
+    width >> 4m), for every metric."""
+    from vectordb_retrieval_spark.operators.serving import (
+        PackedClusters,
+        search_batch,
+    )
+
+    rng = np.random.RandomState(11)
+    n, dim, k = 2000, 16, 10
+    base = rng.randn(n, dim).astype(np.float32)
+    idx = PackedClusters(
+        np.array([0]), [np.arange(n, dtype=np.int64)], [base], None, None
+    )
+    qids = np.arange(64, dtype=np.int64)
+    for metric in ("l2", "cosine", "ip"):
+        qmat = rng.randn(64, dim).astype(np.float32)
+        if metric == "cosine":
+            norms = np.linalg.norm(
+                qmat.astype(np.float64), axis=1, keepdims=True
+            )
+            qmat = (qmat / np.maximum(norms, 1e-30)).astype(np.float32)
+        fast = search_batch(idx, qids, qmat, None, k, metric)
+        exact = search_batch(idx, qids, qmat, None, k, metric, exact=True)
+        f = fast.sort_values(["qid", "rank"]).reset_index(drop=True)
+        e = exact.sort_values(["qid", "rank"]).reset_index(drop=True)
+        assert len(f) == len(e) == 64 * k
+        assert (f["id"].to_numpy() == e["id"].to_numpy()).all()
+        np.testing.assert_allclose(
+            f["dist"].to_numpy(), e["dist"].to_numpy(), atol=1e-9, rtol=1e-9
+        )
