@@ -51,7 +51,20 @@ beam as flat (query-major, rank-ordered) arrays across waves instead
 of rebuilding the (n_q, ef) matrices — bit-identical, zero net speedup
 (the saved matrix scatter/nonzero equals the added per-wave flat
 allocations); (f) fewer shards at higher ef/m (4x m16 ef24: recall
-0.896 vs 8-shard 0.926) — ensemble entry points dominate the trade.
+0.896 vs 8-shard 0.926) — ensemble entry points dominate the trade;
+(g) HNSW-style diversity pruning (Malkov Alg. 4: keep candidate c only
+if d(c, node) < d(c, every kept neighbor), plus a diversity-based
+degree cap) — on a single 20k graph it is a large navigability win
+(ef64 recall 0.735 → 0.959), but at the production operating point
+(8 shards of 2.5k, degree-matched at m=12/cap 26) it LOSES on
+work-at-equal-recall: heuristic needs ~ef20 ≈ 1.5 s beam-sum for the
+0.937 the kNN-edge ensemble reaches at ef24 ≈ 1.37 s — the
+union-of-beams ensemble already supplies the recall the heuristic buys,
+and the pruned graph's lower mean degree costs extra waves;
+(h) shard-count/m sweep at the 0.93-0.94 point (16sh m12 ef12-24,
+12sh m12 ef16-24, 8sh m16 ef16-24) — every config lands on the same
+recall-vs-beam-work frontier as the shipped 8sh m12 ef24 (within ±10%),
+so the frontier is data-bound, not configuration-bound.
 """
 
 from __future__ import annotations
