@@ -404,6 +404,24 @@ def main() -> int:
         res64, t64 = timed_search(searcher64.attach(art64), big64, 20)
         amortized[f"qps_{label64}_65536q"] = round(65_536 / t64, 2)
         res64.unpersist()
+    # 262 144-query row for the reference's single fastest config
+    # (ivf_sq8 248 897 QPS): at 65k queries the ~0.3 s fixed job cost is
+    # still ~2/3 of the wall (kernel ≈ 0.13 s per 2048-query core-batch
+    # × one wave across 32 cores), so the marginal serving rate needs
+    # one more 4× amortization step to show through.  Same qid-shifted
+    # replica construction as big64 — per-query work identical, recall
+    # is the 16k row's by construction.
+    big256 = big64
+    for j in range(4, 16, 4):
+        big256 = big256.union(
+            big64.select((F.col("qid") + 1_000_000 * j).alias("qid"), "vec")
+        )
+    big256 = big256.repartition(int(cpus)).cache()
+    big256.count()
+    res256, t256 = timed_search(IVFSearcher(nprobe=24).attach(sq8r_art), big256, 20)
+    amortized["qps_ivf_sq8_nprobe24_262144q"] = round(262_144 / t256, 2)
+    res256.unpersist()
+    big256.unpersist()
     big64.unpersist()
     for df in (big16, exact_16k):
         df.unpersist()
@@ -804,6 +822,7 @@ def main() -> int:
         # (compact key, source block, source key)
         ("x16k", amortized, "qps_exact_16384q"),
         ("sq8_65k", amortized, "qps_ivf_sq8_nprobe24_65536q"),
+        ("sq8_262k", amortized, "qps_ivf_sq8_nprobe24_262144q"),
         ("ivf_65k", amortized, "qps_ivf_nprobe10_65536q"),
         ("ivfpq_65k", amortized, "qps_ivf_pq_nprobe24_65536q"),
         ("pq_16k", amortized, "qps_pq_m64k256_16384q"),
