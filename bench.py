@@ -400,6 +400,9 @@ def main() -> int:
         ("ivf_sq8_nprobe24", sq8r_art, IVFSearcher(nprobe=24)),
         ("ivf_nprobe10", ivf_art, IVFSearcher(nprobe=10)),
         ("ivf_pq_nprobe24", ivfpq_art, IVFSearcher(nprobe=24)),
+        # graph at the recall-parity point: the 16k row still carries
+        # ~18% job floor; this is its marginal serving rate
+        ("graph_ef24", g_art, GraphANNSearcher(ef_search=24)),
     ):
         res64, t64 = timed_search(searcher64.attach(art64), big64, 20)
         amortized[f"qps_{label64}_65536q"] = round(65_536 / t64, 2)
@@ -827,6 +830,7 @@ def main() -> int:
         ("ivfpq_65k", amortized, "qps_ivf_pq_nprobe24_65536q"),
         ("pq_16k", amortized, "qps_pq_m64k256_16384q"),
         ("g24_16k", amortized, "qps_graph_ef24_16384q"),
+        ("g24_65k", amortized, "qps_graph_ef24_65536q"),
         ("g64_16k", amortized, "qps_graph_ef64_16384q"),
         ("r_sq8", amortized, "recall_ivf_sq8_nprobe24_16384q"),
         ("r_ivf", amortized, "recall_ivf_nprobe10_16384q"),
