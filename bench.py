@@ -375,6 +375,8 @@ def main() -> int:
         # reference hnsw's 0.9156 — the apples-to-apples QPS point
         # (the ef=64 row buys +0.075 recall over the reference)
         ("graph_ef24", g_art, GraphANNSearcher(ef_search=24)),
+        # the 2048q LSH row is ~2/3 job floor; this is its marginal rate
+        ("lsh_4t8b", lsh_art, LSHSearcher(candidate_multiplier=8.0)),
     ):
         res16, t16 = timed_search(searcher_.attach(art_), big16, 20)
         amortized[f"qps_{label}_16384q"] = round(16_384 / t16, 2)
@@ -403,6 +405,8 @@ def main() -> int:
         # graph at the recall-parity point: the 16k row still carries
         # ~18% job floor; this is its marginal serving rate
         ("graph_ef24", g_art, GraphANNSearcher(ef_search=24)),
+        # standalone PQ's 16k row is ~half floor; marginal ADC rate
+        ("pq_m64k256", pq_art, PQADCSearcher()),
     ):
         res64, t64 = timed_search(searcher64.attach(art64), big64, 20)
         amortized[f"qps_{label64}_65536q"] = round(65_536 / t64, 2)
@@ -829,6 +833,7 @@ def main() -> int:
         ("ivf_65k", amortized, "qps_ivf_nprobe10_65536q"),
         ("ivfpq_65k", amortized, "qps_ivf_pq_nprobe24_65536q"),
         ("pq_16k", amortized, "qps_pq_m64k256_16384q"),
+        ("pq_65k", amortized, "qps_pq_m64k256_65536q"),
         ("g24_16k", amortized, "qps_graph_ef24_16384q"),
         ("g24_65k", amortized, "qps_graph_ef24_65536q"),
         ("g64_16k", amortized, "qps_graph_ef64_16384q"),
@@ -841,6 +846,7 @@ def main() -> int:
         ("x256", reference_workload, "qps_exact_256q"),
         ("x2k", reference_workload, "qps_exact_2048q"),
         ("lsh_2k", reference_workload, "qps_lsh_4t8b_2048q"),
+        ("lsh_16k", amortized, "qps_lsh_4t8b_16384q"),
         ("r_lsh", reference_workload, "recall_lsh_4t8b"),
         ("cp_2k", reference_workload, "qps_cluster_pruned_2048q"),
         ("r_cp", reference_workload, "recall_cluster_pruned"),
