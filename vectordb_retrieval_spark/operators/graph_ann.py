@@ -143,15 +143,16 @@ _BEAM_SCRATCH: dict[tuple[int, int], tuple] = {}
 def _beam_scratch(n_q: int, n: int) -> tuple:
     """Reusable per-shape beam scratch (see ``_batched_beam``).  The
     cache is tiny in practice (one shard size × one chunk size per
-    worker) but bounded anyway."""
+    worker) but bounded anyway.  Arrays are sized for the sentinel
+    column (node index n = "always visited"), hence n+1."""
     key = (n_q, n)
     got = _BEAM_SCRATCH.get(key)
     if got is None:
         if len(_BEAM_SCRATCH) >= 8:
             _BEAM_SCRATCH.clear()
         got = (
-            np.empty((n_q, n), dtype=bool),
-            np.empty(n_q * n, dtype=np.int32),
+            np.empty(n_q * (n + 1), dtype=bool),
+            np.empty(n_q * (n + 1), dtype=np.int32),
             np.empty(n, dtype=np.int32),
             np.empty(n, dtype=np.int64),
         )
@@ -201,6 +202,13 @@ def _batched_beam(
     beam_d = np.full((n_q, ef), np.inf, dtype=np.float32)
     beam_i = np.full((n_q, ef), -1, dtype=np.int64)
     beam_x = np.zeros((n_q, ef), dtype=bool)  # expanded flag
+    # Sentinel-padded adjacency: padding index -1 becomes node ``n``,
+    # whose visited column is pre-set True — the padding test and the
+    # visited test collapse into ONE flat-key gather per wave (was: a
+    # >=0 mask, a boolean compaction, then a 2-D fancy gather — three
+    # full passes over the raw pair slots).
+    n1 = n + 1
+    padj_s = np.where(padj < 0, np.int32(n), padj.astype(np.int32, copy=False))
     # scratch reuse across calls (keyed on shape, worker-persistent):
     # a serving task runs one beam per (shard × query-chunk) and the
     # per-call ~3 MB of fresh allocations (visited + dedup tables)
@@ -210,12 +218,16 @@ def _batched_beam(
     # memset.  Dedup tables are last-writer: stale entries are never
     # read because every read is preceded by a write with this wave's
     # keys, so they need no clearing at all.
-    visited, u_pair, u_node, lut = _beam_scratch(n_q, n)
-    visited[:] = False
+    vflat, u_pair, u_node, lut = _beam_scratch(n_q, n)
+    vflat[:] = False
+    v2d = vflat.reshape(n_q, n1)
+    v2d[:, n] = True  # the sentinel column
     beam_d[:, 0] = _entry_dists(m32, bsq, q32, qsq, entry, metric)
     beam_i[:, 0] = entry
-    visited[:, entry] = True
+    v2d[:, entry] = True
     dmax = padj.shape[1]
+    qbase = np.arange(n_q, dtype=np.int64) * n1
+    lq_full = np.repeat(np.arange(n_q, dtype=np.int64), ef)
 
     while True:
         frontier = (~beam_x) & (beam_i >= 0)
@@ -224,13 +236,13 @@ def _batched_beam(
         fq, fslot = np.nonzero(frontier)
         beam_x[fq, fslot] = True
         nodes = beam_i[fq, fslot]
-        neigh = padj[nodes]  # (F, dmax)
-        a_idx = np.repeat(fq, dmax)
-        n_idx = neigh.reshape(-1)
-        ok = n_idx >= 0
-        ok[ok] &= ~visited[a_idx[ok], n_idx[ok]]
-        fa, fn = a_idx[ok], n_idx[ok]
-        if len(fa):
+        # one flat (query, node) key per raw pair slot: key = q·n1 + id.
+        # It drives the visited gather, the visited scatter AND the
+        # pair dedup below, and (query, node) recover from it by one
+        # divide over the SURVIVING pairs only.
+        kall = np.repeat(qbase[fq], dmax) + padj_s[nodes].reshape(-1)
+        kk = kall[~vflat[kall]]
+        if len(kk):
             # same neighbor reachable from two frontier nodes of one
             # query → dedup before distance + merge.  O(P) last-writer
             # representative pick instead of an O(P log P) unique-sort:
@@ -239,12 +251,12 @@ def _batched_beam(
             # differs from the sorted-unique form, but every consumer
             # is order-free (scatter writes, element-wise distance,
             # and the merge re-sorts by (query, dist)).
-            key = fa * np.int64(n) + fn
-            seq = np.arange(len(key), dtype=np.int32)
-            u_pair[key] = seq
-            rep = u_pair[key] == seq
-            fa, fn = fa[rep], fn[rep]
-            visited[fa, fn] = True
+            seq = np.arange(len(kk), dtype=np.int32)
+            u_pair[kk] = seq
+            kk = kk[u_pair[kk] == seq]
+            vflat[kk] = True
+            fa = kk // n1
+            fn = kk - fa * n1
             seq = np.arange(len(fn), dtype=np.int32)
             u_node[fn] = seq
             un = fn[u_node[fn] == seq]
@@ -264,7 +276,20 @@ def _batched_beam(
             else:
                 nd = 1.0 - dot if metric == "cosine" else -dot
         else:
-            nd = np.empty(0, dtype=np.float32)
+            # frontier expanded nothing new: expansion flags were
+            # already set in place and the beam is untouched
+            continue
+        # bound pre-filter: a candidate whose distance is >= the
+        # query's current ef-th best can never enter the merged beam
+        # (its merged rank = #better live + #better new >= ef), so it
+        # is dropped BEFORE the sort machinery.  Exact: merging only
+        # raises ranks.  Late waves drop most candidates here — the
+        # merge cost tracks beam churn instead of frontier size.
+        keepb = nd < beam_d[fa, ef - 1]
+        if not keepb.all():
+            fa, fn, nd = fa[keepb], fn[keepb], nd[keepb]
+            if not len(fa):
+                continue
         # ragged merge of two per-query-sorted lists.  The live beam is
         # ascending by distance within every query BY CONSTRUCTION
         # (each rebuild writes entries at their merged rank), and its
@@ -279,15 +304,22 @@ def _batched_beam(
         # matters for equal-distance candidates at the ef boundary —
         # both orders are valid beams, and the saturated/exhaustive
         # paths the oracle checks keep every candidate regardless).
-        if not len(fa):
-            # frontier expanded nothing new: expansion flags were
-            # already set in place and the beam is untouched
-            continue
         live = beam_i >= 0
-        lq, lslot = np.nonzero(live)
-        ld = beam_d[lq, lslot]
-        li = beam_i[lq, lslot]
-        lx = beam_x[lq, lslot]
+        if live.all():
+            # steady state (beam full for every query): the flat live
+            # arrays are the row-major ravels — no nonzero, no gathers,
+            # constant per-query counts
+            lq = lq_full
+            ld = beam_d.reshape(-1)
+            li = beam_i.reshape(-1)
+            lx = beam_x.reshape(-1)
+            lcnt = ef
+        else:
+            lq, lslot = np.nonzero(live)
+            ld = beam_d[lq, lslot]
+            li = beam_i[lq, lslot]
+            lx = beam_x[lq, lslot]
+            lcnt = np.bincount(lq, minlength=n_q)
         dcap = float(max(ld.max(), nd.max() if len(nd) else 0.0)) + 1.0
         dlo = min(0.0, float(min(ld.min(), nd.min() if len(nd) else 0.0)))
         span = dcap - dlo
@@ -297,19 +329,19 @@ def _batched_beam(
         fa_s, nd_s, fn_s, nkey = fa[no], nd[no], fn[no], nkey[no]
         pos_l = np.arange(len(lq)) + np.searchsorted(nkey, lkey, side="left")
         pos_n = np.arange(len(fa_s)) + np.searchsorted(lkey, nkey, side="right")
-        lcnt = np.bincount(lq, minlength=n_q)
         ncnt = np.bincount(fa_s, minlength=n_q)
         qstart = np.concatenate(([0], np.cumsum(lcnt + ncnt)[:-1]))
         rank_l = pos_l - qstart[lq]
         rank_n = pos_n - qstart[fa_s]
         keep_l = rank_l < ef
         keep_n = rank_n < ef
+        ld, li, lx = ld[keep_l], li[keep_l], lx[keep_l]
         beam_d.fill(np.inf)
         beam_i.fill(-1)
         beam_x.fill(False)
-        beam_d[lq[keep_l], rank_l[keep_l]] = ld[keep_l]
-        beam_i[lq[keep_l], rank_l[keep_l]] = li[keep_l]
-        beam_x[lq[keep_l], rank_l[keep_l]] = lx[keep_l]
+        beam_d[lq[keep_l], rank_l[keep_l]] = ld
+        beam_i[lq[keep_l], rank_l[keep_l]] = li
+        beam_x[lq[keep_l], rank_l[keep_l]] = lx
         beam_d[fa_s[keep_n], rank_n[keep_n]] = nd_s[keep_n]
         beam_i[fa_s[keep_n], rank_n[keep_n]] = fn_s[keep_n]
     return beam_d, beam_i
