@@ -92,6 +92,59 @@ def test_beam_search_exhaustive_is_exact(n, seed):
 
 
 @given(
+    n=st.integers(min_value=3, max_value=120),
+    n_q=st.integers(min_value=1, max_value=24),
+    ef=st.integers(min_value=1, max_value=32),
+    seed=st.integers(min_value=0, max_value=1000),
+    metric=st.sampled_from(["l2", "cosine", "ip"]),
+)
+@settings(max_examples=40, deadline=None)
+def test_beam_invariants_narrow_ef(n, n_q, ef, seed, metric):
+    """The NARROW beam (ef < n — the paths the exhaustive oracle never
+    exercises: bound pre-filter, full-live merge fast path, sentinel
+    adjacency) must always satisfy the kernel's contract:
+
+    - per query, live slots are a prefix, ascending by distance;
+    - every emitted distance equals a recompute against the base row
+      (the beam never mislabels which node a distance belongs to);
+    - no node appears twice in one query's beam;
+    - the entry node's true distance is an upper bound for slot 0
+      (slot 0 is the best node the walk SAW, which includes the entry).
+    """
+    rng = np.random.RandomState(seed)
+    mat = rng.randn(n, 4).astype(np.float32)
+    q = rng.randn(n_q, 4).astype(np.float32)
+    if metric == "cosine":
+        # the kernel's cosine contract: base rows AND queries arrive
+        # pre-normalized (GraphANNSearcher normalizes upstream)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-9)
+        q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-9)
+    adj = _build_nsw(mat, m=3, ef_construction=8, metric="l2")
+    bd, bi = _batched_beam(mat, _pad_adjacency(adj), q, ef=ef, metric=metric)
+    m32 = mat.astype(np.float32)
+    for r in range(n_q):
+        live = bi[r] >= 0
+        n_live = int(live.sum())
+        assert live[:n_live].all(), "live slots must be a prefix"
+        ids = bi[r, :n_live]
+        assert len(set(ids.tolist())) == n_live, "duplicate node in beam"
+        d = bd[r, :n_live]
+        assert (np.diff(d) >= 0).all(), "beam not ascending"
+        want = rowwise_distance(
+            np.repeat(q[r : r + 1], n_live, axis=0).astype(np.float64),
+            m32[ids].astype(np.float64),
+            metric,
+        ).astype(np.float32)
+        np.testing.assert_allclose(d, want, rtol=1e-4, atol=1e-4)
+        d_entry = rowwise_distance(
+            q[r : r + 1].astype(np.float64),
+            m32[:1].astype(np.float64),
+            metric,
+        )[0]
+        assert d[0] <= d_entry + 1e-4
+
+
+@given(
     seed=st.integers(min_value=0, max_value=10_000),
     k=st.integers(min_value=1, max_value=8),
 )
