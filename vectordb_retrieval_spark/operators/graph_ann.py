@@ -859,12 +859,15 @@ class GraphANNSearcher:
                 min(-(-n_q // 32), 2 * par if route is not None else par),
             )
             shard_pids = art.params["_shard_pids"]
-            tasks = spark.createDataFrame(
-                spark.sparkContext.parallelize(
-                    [(i,) for i in range(n_tasks)], n_tasks
-                ),
-                "qchunk int",
-            )
+            # spark.range is a JVM-native scan with exactly one row per
+            # task; a parallelize-backed DataFrame inserts an EXTRA
+            # python stage (pickled-row scan → InternalRow conversion)
+            # ahead of the serving kernel — measured ~+0.2 s per search
+            # job on a 32-core local pool (vs ~0.07 s for the whole
+            # JVM-only job floor)
+            tasks = spark.range(
+                0, n_tasks, 1, numPartitions=n_tasks
+            ).selectExpr("cast(id as int) qchunk")
 
             def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 q_ids, q_mat, rt, _, _ = bc.value
