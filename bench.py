@@ -69,6 +69,31 @@ def timed_min(fn) -> float:
     return min(ts)
 
 
+def timed_group(fns) -> list[float]:
+    """Interleaved min-timing of several warm plans: every rep times
+    each plan back-to-back, so all of them sample the SAME interference
+    windows.  Min-of-reps is already robust for a single row, but a
+    RATIO of two separately-timed rows is not — r6 observed the 150k
+    ivf_sq8-vs-exact ratio measure 4.1× in one run and 1.1× in the next
+    on identical code because one side's whole rep set landed in a slow
+    window the other side never saw.  Interleaving makes the two mins
+    come from the same windows, so the ratio survives container noise.
+    Follows timed_min's spread policy (2 extra rounds when any plan's
+    max/min exceeds 2.5×)."""
+    ts: list[list[float]] = [[] for _ in fns]
+    def round_():
+        for i, fn in enumerate(fns):
+            t0 = time.time()
+            fn()
+            ts[i].append(time.time() - t0)
+    for _ in range(BENCH_REPS):
+        round_()
+    if any(max(t) > 2.5 * max(min(t), 1e-9) for t in ts):
+        for _ in range(2):
+            round_()
+    return [min(t) for t in ts]
+
+
 def timed_search(searcher, qdf, k: int):
     """Warm one full batch, then time BENCH_REPS more and keep the min
     — steady-state serving.
@@ -683,22 +708,13 @@ def main() -> int:
         materialize(
             exact_knn(base_s, q_s, 20, "cosine", qid_col="qid", qvec_col="vec")
         )
-        t_exact_s = timed_min(
-            lambda: materialize(
-                exact_knn(base_s, q_s, 20, "cosine", qid_col="qid", qvec_col="vec")
-            )
-        )
-        exact_s = (
-            exact_knn(base_s, q_s, 20, "cosine", qid_col="qid", qvec_col="vec")
-            .select("qid", "id")
-            .cache()
-        )
-        exact_s.count()
-        scale_workload = {
-            "n_base": scale_n,
-            "qps_exact_1024q": round(1024 / t_exact_s, 2),
-        }
+        scale_workload = {"n_base": scale_n}
 
+        # build BOTH at-scale indexes before any timing, then interleave
+        # the 1024q reps of exact / ivf_sq8 / graph (timed_group): the
+        # block's headline claim is the sq8-vs-exact RATIO, which only
+        # survives container noise when both sides sample the same
+        # interference windows
         t0 = time.time()
         sq8s_art = IVFIndexer(
             nlist=256,
@@ -710,10 +726,63 @@ def main() -> int:
         ).build(base_s, id_col="id", vec_col="vec")
         materialize(sq8s_art.tables["assignment"])
         scale_workload["ivf_sq8_build_s"] = round(time.time() - t0, 3)
-        sq8s_res, t_sq8s = timed_search(
-            IVFSearcher(nprobe=10).attach(sq8s_art), q_s, 20
+
+        t0 = time.time()
+        gs_art = GraphANNIndexer(
+            m=16, metric="cosine", num_partitions=32, partition_by="kmeans",
+            seed=13, long_links=8,
+        ).build(base_s, id_col="id", vec_col="vec")
+        materialize(gs_art.tables["graph"])
+        scale_workload["graph_kmeans_build_s"] = round(time.time() - t0, 3)
+
+        sq8s_searcher = IVFSearcher(nprobe=10).attach(sq8s_art)
+        gs_searcher = GraphANNSearcher(ef_search=64, probe_partitions=4).attach(
+            gs_art
         )
+        # warm each plan once (index packing / shard broadcast belongs
+        # to build per the reference's methodology), then interleave.
+        # NOTE: recall result-frames are cached only AFTER the timing —
+        # searchers memoize the plan per query batch, so caching first
+        # would turn every timed rep into a cache scan
+        materialize(sq8s_searcher.search(q_s, 20, qid_col="qid", vec_col="vec"))
+        materialize(gs_searcher.search(q_s, 20, qid_col="qid", vec_col="vec"))
+        t_exact_s, t_sq8s, t_gs = timed_group(
+            [
+                lambda: materialize(
+                    exact_knn(
+                        base_s, q_s, 20, "cosine", qid_col="qid", qvec_col="vec"
+                    )
+                ),
+                lambda: materialize(
+                    sq8s_searcher.search(
+                        q_s, 20, qid_col="qid", vec_col="vec"
+                    ).select("qid", "id")
+                ),
+                lambda: materialize(
+                    gs_searcher.search(
+                        q_s, 20, qid_col="qid", vec_col="vec"
+                    ).select("qid", "id")
+                ),
+            ]
+        )
+        scale_workload["qps_exact_1024q"] = round(1024 / t_exact_s, 2)
         scale_workload["qps_ivf_sq8_nprobe10_1024q"] = round(1024 / t_sq8s, 2)
+        exact_s = (
+            exact_knn(base_s, q_s, 20, "cosine", qid_col="qid", qvec_col="vec")
+            .select("qid", "id")
+            .cache()
+        )
+        exact_s.count()
+        sq8s_res = (
+            sq8s_searcher.search(q_s, 20, qid_col="qid", vec_col="vec")
+            .select("qid", "id")
+            .cache()
+        )
+        gs_res = (
+            gs_searcher.search(q_s, 20, qid_col="qid", vec_col="vec")
+            .select("qid", "id")
+            .cache()
+        )
         scale_workload["recall_ivf_sq8_nprobe10"] = round(
             sq8s_res.join(exact_s, ["qid", "id"]).count() / (1024 * 20), 4
         )
@@ -731,22 +800,36 @@ def main() -> int:
             stream=10, id_col="qid",
         ).cache()
         q4s.count()
-        t_exact4s = timed_min(
-            lambda: materialize(
-                exact_knn(base_s, q4s, 20, "cosine", qid_col="qid", qvec_col="vec")
-            )
+        materialize(
+            exact_knn(base_s, q4s, 20, "cosine", qid_col="qid", qvec_col="vec")
+        )
+        materialize(sq8s_searcher.search(q4s, 20, qid_col="qid", vec_col="vec"))
+        t_exact4s, t_sq84 = timed_group(
+            [
+                lambda: materialize(
+                    exact_knn(
+                        base_s, q4s, 20, "cosine", qid_col="qid", qvec_col="vec"
+                    )
+                ),
+                lambda: materialize(
+                    sq8s_searcher.search(
+                        q4s, 20, qid_col="qid", vec_col="vec"
+                    ).select("qid", "id")
+                ),
+            ]
         )
         scale_workload["qps_exact_4096q"] = round(4096 / t_exact4s, 2)
+        scale_workload["qps_ivf_sq8_nprobe10_4096q"] = round(4096 / t_sq84, 2)
         exact4s = (
             exact_knn(base_s, q4s, 20, "cosine", qid_col="qid", qvec_col="vec")
             .select("qid", "id")
             .cache()
         )
-        exact4s.count()
-        sq84_res, t_sq84 = timed_search(
-            IVFSearcher(nprobe=10).attach(sq8s_art), q4s, 20
+        sq84_res = (
+            sq8s_searcher.search(q4s, 20, qid_col="qid", vec_col="vec")
+            .select("qid", "id")
+            .cache()
         )
-        scale_workload["qps_ivf_sq8_nprobe10_4096q"] = round(4096 / t_sq84, 2)
         scale_workload["recall_ivf_sq8_nprobe10_4096q"] = round(
             sq84_res.join(exact4s, ["qid", "id"]).count() / (4096 * 20), 4
         )
@@ -757,19 +840,8 @@ def main() -> int:
         # largest shard ~= the median — a plain k=32 KMeans put 17% of the
         # corpus in one shard, the build straggler AND beam hot spot) +
         # long-range links for in-shard navigability; routed to the 4
-        # nearest shards by ball-centroid distance
-        t0 = time.time()
-        gs_art = GraphANNIndexer(
-            m=16, metric="cosine", num_partitions=32, partition_by="kmeans",
-            seed=13, long_links=8,
-        ).build(base_s, id_col="id", vec_col="vec")
-        materialize(gs_art.tables["graph"])
-        scale_workload["graph_kmeans_build_s"] = round(time.time() - t0, 3)
-        gs_res, t_gs = timed_search(
-            GraphANNSearcher(ef_search=64, probe_partitions=4).attach(gs_art),
-            q_s,
-            20,
-        )
+        # nearest shards by ball-centroid distance.  Built above,
+        # timed in the interleaved 1024q group.
         scale_workload["qps_graph_probe4of32_1024q"] = round(1024 / t_gs, 2)
         scale_workload["recall_graph_probe4of32"] = round(
             gs_res.join(exact_s, ["qid", "id"]).count() / (1024 * 20), 4
