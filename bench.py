@@ -50,14 +50,14 @@ def materialize(df) -> None:
 BENCH_REPS = 3
 
 
-def timed_min(fn) -> float:
-    """Min wall time of BENCH_REPS invocations of ``fn``, with two
+def timed_min(fn, reps: int = BENCH_REPS) -> float:
+    """Min wall time of ``reps`` invocations of ``fn``, with two
     extra reps when the spread is wide — interference only ever ADDS
     time, so a >2.5× max/min spread means at least one rep was hit and
     the min deserves more evidence (r6 observed a 2048-query row
     measure 901 QPS in-suite vs 6,689 in a clean rerun)."""
     ts = []
-    for _ in range(BENCH_REPS):
+    for _ in range(reps):
         t0 = time.time()
         fn()
         ts.append(time.time() - t0)
@@ -94,7 +94,7 @@ def timed_group(fns) -> list[float]:
     return [min(t) for t in ts]
 
 
-def timed_search(searcher, qdf, k: int):
+def timed_search(searcher, qdf, k: int, reps: int = BENCH_REPS):
     """Warm one full batch, then time BENCH_REPS more and keep the min
     — steady-state serving.
 
@@ -116,7 +116,8 @@ def timed_search(searcher, qdf, k: int):
             searcher.search(qdf, k, qid_col="qid", vec_col="vec").select(
                 "qid", "id"
             )
-        )
+        ),
+        reps=reps,
     )
     res = (
         searcher.search(qdf, k, qid_col="qid", vec_col="vec")
@@ -423,19 +424,16 @@ def main() -> int:
         )
     big64 = big64.repartition(int(cpus)).cache()
     big64.count()
-    for label64, art64, searcher64 in (
-        ("ivf_sq8_nprobe24", sq8r_art, IVFSearcher(nprobe=24)),
-        ("ivf_nprobe10", ivf_art, IVFSearcher(nprobe=10)),
-        ("ivf_pq_nprobe24", ivfpq_art, IVFSearcher(nprobe=24)),
+    searchers64 = [
+        ("ivf_sq8_nprobe24", IVFSearcher(nprobe=24).attach(sq8r_art)),
+        ("ivf_nprobe10", IVFSearcher(nprobe=10).attach(ivf_art)),
+        ("ivf_pq_nprobe24", IVFSearcher(nprobe=24).attach(ivfpq_art)),
         # graph at the recall-parity point: the 16k row still carries
         # ~18% job floor; this is its marginal serving rate
-        ("graph_ef24", g_art, GraphANNSearcher(ef_search=24)),
+        ("graph_ef24", GraphANNSearcher(ef_search=24).attach(g_art)),
         # standalone PQ's 16k row is ~half floor; marginal ADC rate
-        ("pq_m64k256", pq_art, PQADCSearcher()),
-    ):
-        res64, t64 = timed_search(searcher64.attach(art64), big64, 20)
-        amortized[f"qps_{label64}_65536q"] = round(65_536 / t64, 2)
-        res64.unpersist()
+        ("pq_m64k256", PQADCSearcher().attach(pq_art)),
+    ]
     # 262 144-query row for the reference's single fastest config
     # (ivf_sq8 248 897 QPS): at 65k queries the ~0.3 s fixed job cost is
     # still ~2/3 of the wall (kernel ≈ 0.13 s per 2048-query core-batch
@@ -450,9 +448,28 @@ def main() -> int:
         )
     big256 = big256.repartition(int(cpus)).cache()
     big256.count()
-    res256, t256 = timed_search(IVFSearcher(nprobe=24).attach(sq8r_art), big256, 20)
-    amortized["qps_ivf_sq8_nprobe24_262144q"] = round(262_144 / t256, 2)
-    res256.unpersist()
+    sq8_262 = IVFSearcher(nprobe=24).attach(sq8r_art)
+    # TWO time-separated passes over the 65k/262k rows, keeping each
+    # row's min: min-of-reps cannot survive a sustained (10 s+)
+    # interference window covering a row's whole rep set — identical
+    # code measured the pq 65k row at 6.0k and 50.9k QPS in adjacent
+    # runs.  The second pass lands ~1 min after the first (the other
+    # rows in between provide the separation), which decorrelates the
+    # windows; a row's min over both passes needs interference to
+    # strike the same row twice, a minute apart, to stay biased.
+    t64_best: dict[str, float] = {}
+    t256_best = float("inf")
+    for _pass in range(2):
+        for label64, searcher64 in searchers64:
+            res64, t64 = timed_search(searcher64, big64, 20)
+            t64_best[label64] = min(t64, t64_best.get(label64, float("inf")))
+            res64.unpersist()
+        res256, t256 = timed_search(sq8_262, big256, 20)
+        t256_best = min(t256, t256_best)
+        res256.unpersist()
+    for label64, _ in searchers64:
+        amortized[f"qps_{label64}_65536q"] = round(65_536 / t64_best[label64], 2)
+    amortized["qps_ivf_sq8_nprobe24_262144q"] = round(262_144 / t256_best, 2)
     big256.unpersist()
     big64.unpersist()
     for df in (big16, exact_16k):
