@@ -589,6 +589,15 @@ def _search_batch_fast(
         npend = 0
 
     tot = np.zeros(n_q, dtype=np.int64)  # total candidates per query
+    # score-tile cap: a (queries × block_rows) GEMM output of 8192-row
+    # exhaustive blocks against 2048-query tasks is 67 MB of fp32 per
+    # block per worker — at 32 concurrent workers that is DRAM-bound
+    # and made the exhaustive (standalone-PQ) path swing 2× with
+    # background load while the probed path (tiny blocks) stayed flat.
+    # Tiling the queries keeps each score tile cache-sized; appends
+    # stay query-ascending, so pending content, order, and merge points
+    # are identical to the untiled form.
+    tile_elems = 2 * 1024 * 1024
     for ei, (bi, s, e, qrows) in enumerate(entries):
         if ei == force_merge_at and npend:
             # every query's nearest cluster has been scanned: merge now
@@ -598,15 +607,11 @@ def _search_batch_fast(
         rows = all_rows if qrows is None else qrows
         o = int(offs[bi])
         b = F32[o + s : o + e]
-        # selection score, NOT the distance: the per-query constant
-        # (qsq) is dropped for l2 — per-query monotone with d², and
-        # the guard re-adds it when comparing against refined d²
-        if metric == "l2":
-            d = sq32[o + s : o + e][None, :] - 2.0 * (qsub @ b.T)
-        else:
-            d = -(qsub @ b.T)
+        bsq_blk = sq32[o + s : o + e] if metric == "l2" else None
         tot[rows] += e - s
         th = thr if qrows is None else thr[rows]
+        n_sub = len(rows)
+        q_tile = max(32, tile_elems // max(e - s, 1))
         if e - s > 4 * m and not np.isfinite(th).any():
             # cold block — every probing query's bound is still inf
             # (exhaustive plans have no primary phase; IVF primary
@@ -621,22 +626,40 @@ def _search_batch_fast(
             # NEXT block sees a finite bound; per-cluster blocks defer
             # to the pending cap (merging after each of 100s of
             # primary clusters would out-cost the scans).
-            od, oc = topk_rows(d, np.arange(s, e, dtype=np.int64), m)
-            pq.append(np.repeat(rows, od.shape[1]))
-            pv.append(od.ravel())
-            pp.append((o + oc).ravel().astype(np.int64))
-            npend += od.size
+            blk_cols = np.arange(s, e, dtype=np.int64)
+            for ts_ in range(0, n_sub, q_tile):
+                te_ = min(n_sub, ts_ + q_tile)
+                qs_t = qsub[ts_:te_]
+                if metric == "l2":
+                    d = bsq_blk[None, :] - 2.0 * (qs_t @ b.T)
+                else:
+                    d = -(qs_t @ b.T)
+                od, oc = topk_rows(d, blk_cols, m)
+                pq.append(np.repeat(rows[ts_:te_], od.shape[1]))
+                pv.append(od.ravel())
+                pp.append((o + oc).ravel().astype(np.int64))
+                npend += od.size
             if qrows is None or npend >= merge_cap:
                 merge()
             continue
-        rr, cc = np.nonzero(d < th[:, None])
-        if len(rr):
-            pq.append(rows[rr])
-            pv.append(d[rr, cc])
-            pp.append((o + s + cc).astype(np.int64))
-            npend += len(rr)
-            if npend >= merge_cap:
-                merge()
+        for ts_ in range(0, n_sub, q_tile):
+            te_ = min(n_sub, ts_ + q_tile)
+            qs_t = qsub[ts_:te_]
+            # selection score, NOT the distance: the per-query constant
+            # (qsq) is dropped for l2 — per-query monotone with d², and
+            # the guard re-adds it when comparing against refined d²
+            if metric == "l2":
+                d = bsq_blk[None, :] - 2.0 * (qs_t @ b.T)
+            else:
+                d = -(qs_t @ b.T)
+            rr, cc = np.nonzero(d < th[ts_:te_, None])
+            if len(rr):
+                pq.append(rows[ts_ + rr])
+                pv.append(d[rr, cc])
+                pp.append((o + s + cc).astype(np.int64))
+                npend += len(rr)
+        if npend >= merge_cap:
+            merge()
     if npend:
         merge()
     sd, sp = R_d, R_p
