@@ -9,12 +9,17 @@ import numpy as np
 import pytest
 
 from vectordb_retrieval_spark.sources.embedder import embed_text, subsample
-from vectordb_retrieval_spark.sources.glove import glove_dataset, read_glove
+from vectordb_retrieval_spark.sources.glove import (
+    glove_dataset,
+    read_glove,
+    write_glove,
+)
 from vectordb_retrieval_spark.sources.random_gen import random_dataset, random_vectors
 from vectordb_retrieval_spark.sources.tfidf import TfidfVectorizer, tfidf_dataset
 from vectordb_retrieval_spark.sources.vec_files import (
     ivecs_ground_truth,
     read_vecs,
+    write_vecs,
 )
 from vectordb_retrieval_spark.sources.vector_schema import (
     find_vector_column,
@@ -247,3 +252,58 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS bk_a")
         spark.sql("DROP TABLE IF EXISTS bk_b")
+
+
+def test_write_vecs_roundtrip_multishard(spark, tmp_path):
+    """Distributed export → read_vecs recovers every vector bit-exactly,
+    with positional ids equal to the rank by the original id column —
+    across multiple range-partitioned shard files."""
+    rng = np.random.RandomState(3)
+    mat = rng.randn(37, 6).astype(np.float32)
+    # non-contiguous, shuffled ids: rank order must still be recovered
+    ids = (np.arange(37) * 7 + 3).tolist()
+    rows = [(int(i), [float(x) for x in v]) for i, v in zip(ids, mat)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, schema="vec_id long, emb array<float>")
+    out = tmp_path / "export_f"
+    write_vecs(df, str(out), "fvecs", id_col="vec_id", vec_col="emb", num_shards=4)
+    assert len(list(out.glob("shard-*.fvecs"))) >= 2
+    back = read_vecs(spark, str(out), "fvecs").collect()
+    gm = {r.id: np.array(r.vec, dtype=np.float32) for r in back}
+    assert sorted(gm) == list(range(37))
+    order = np.argsort(ids)
+    for rank, orig_pos in enumerate(order):
+        np.testing.assert_array_equal(gm[rank], mat[orig_pos])
+
+
+def test_write_vecs_ivecs_roundtrip(spark, tmp_path):
+    imat = np.random.RandomState(4).randint(-500, 500, size=(11, 3)).astype(np.int32)
+    rows = [(i, [int(x) for x in v]) for i, v in enumerate(imat)]
+    df = spark.createDataFrame(rows, schema="id long, vec array<int>")
+    out = tmp_path / "export_i"
+    write_vecs(df, str(out), "ivecs", num_shards=2)
+    back = read_vecs(spark, str(out), "ivecs").collect()
+    gm = {r.id: np.array(r.vec, dtype=np.int32) for r in back}
+    for i in range(11):
+        np.testing.assert_array_equal(gm[i], imat[i])
+
+
+def test_write_glove_roundtrip_bit_exact(spark, tmp_path):
+    """shortest-repr text export parses back to the identical float32s,
+    including awkward values (subnormals, negatives, exponents)."""
+    rng = np.random.RandomState(5)
+    mat = np.concatenate(
+        [
+            rng.randn(20, 4).astype(np.float32) * 1e-4,
+            np.array([[1e-40, -0.1, 3.0000002, 12345678.0]], dtype=np.float32),
+        ]
+    )
+    rows = [(f"w{i}", [float(x) for x in v]) for i, v in enumerate(mat)]
+    df = spark.createDataFrame(rows, schema="word string, vec array<float>")
+    out = tmp_path / "glove_out"
+    write_glove(df, str(out))
+    back = read_glove(spark, str(out)).collect()
+    gm = {r.word: np.array(r.vec, dtype=np.float32) for r in back}
+    assert len(gm) == len(mat)
+    for i in range(len(mat)):
+        np.testing.assert_array_equal(gm[f"w{i}"], mat[i])

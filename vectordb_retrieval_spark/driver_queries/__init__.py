@@ -22,6 +22,7 @@ def collect_catalogue() -> tuple[
     from vectordb_retrieval_spark.driver_queries import (
         ann,
         dedupq,
+        filesq,
         knn,
         metricsq,
         sourcesq,
@@ -31,7 +32,7 @@ def collect_catalogue() -> tuple[
 
     queries: dict = {}
     oracles: dict = {}
-    for mod in (knn, metricsq, ann, dedupq, textq, sourcesq, streamq):
+    for mod in (knn, metricsq, ann, dedupq, textq, sourcesq, filesq, streamq):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
     return queries, oracles

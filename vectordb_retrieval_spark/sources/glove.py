@@ -13,6 +13,7 @@ operator.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -67,3 +68,28 @@ def glove_dataset(
         train = train.orderBy("_r", "id").limit(train_limit).select("id", "vec")
     gt = ground_truth(train, test, ground_truth_k, metric, qid_col="qid", qvec_col="vec")
     return train, test, gt
+
+
+def write_glove(
+    df: DataFrame, path: str, word_col: str = "word", vec_col: str = "vec"
+) -> None:
+    """Distributed GloVe-text export (inverse of ``read_glove``): one
+    ``word v1 … vd`` line per row, written through Spark's native text
+    sink.  Floats are formatted with Python shortest-repr of the
+    float32 value, which ``read_glove``'s string→float cast recovers
+    bit-exactly (the decimal equals the float32 value, so
+    nearest-float parse returns the original)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def fmt(words: pd.Series, vecs: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                f"{w} " + " ".join(repr(float(x)) for x in v)
+                for w, v in zip(words, vecs)
+            ]
+        )
+
+    df.select(
+        fmt(F.col(word_col), F.col(vec_col)).alias("value")
+    ).write.mode("overwrite").text(path)

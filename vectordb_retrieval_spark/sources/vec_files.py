@@ -103,6 +103,68 @@ def read_vecs(
     )
 
 
+def write_vecs(
+    df: DataFrame,
+    path: str,
+    kind: str = "fvecs",
+    id_col: str = "id",
+    vec_col: str = "vec",
+    num_shards: int = 4,
+) -> None:
+    """Distributed .fvecs/.ivecs export — the inverse of ``read_vecs``.
+
+    Rows are range-partitioned on ``id_col`` and each partition writes
+    one shard file named by its partition index, so the lexicographic
+    file order ``read_vecs`` relies on reproduces the global id order:
+    reading the export back yields positional ids equal to each row's
+    rank by ``id_col``.  Executors write directly under ``path`` —
+    correct on local mode or any shared filesystem (the same contract
+    as a Parquet ``path``); record layout matches the reference
+    (``dataset.py:522-574``): ``[dim: int32][dim × payload]``.
+    """
+    import os
+
+    if kind not in ("fvecs", "ivecs"):
+        raise ValueError(f"kind must be fvecs|ivecs, got {kind!r}")
+    payload_dtype = np.float32 if kind == "fvecs" else np.int32
+    os.makedirs(path, exist_ok=True)
+
+    part = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .repartitionByRange(num_shards, "id")
+        .sortWithinPartitions("id")
+        .withColumn("pid", F.spark_partition_id())
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fh = None
+        written = 0
+        try:
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                if fh is None:
+                    pid = int(pdf["pid"].iloc[0])
+                    fh = open(
+                        os.path.join(path, f"shard-{pid:05d}.{kind}"), "wb"
+                    )
+                mat = np.asarray(
+                    [np.asarray(v, dtype=payload_dtype) for v in pdf["vec"]]
+                )
+                out = np.empty((mat.shape[0], mat.shape[1] + 1), dtype=np.int32)
+                out[:, 0] = mat.shape[1]
+                out.view(payload_dtype)[:, 1:] = mat
+                out.tofile(fh)
+                written += len(pdf)
+        finally:
+            if fh is not None:
+                fh.close()
+        yield pd.DataFrame({"n": [written]})
+
+    # one count row per partition forces full evaluation of the write
+    part.mapInPandas(kernel, schema="n long").collect()
+
+
 def convert_vecs_to_parquet(
     spark: SparkSession, src: str, dst: str, kind: str = "fvecs"
 ) -> None:
