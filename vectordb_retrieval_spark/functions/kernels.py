@@ -224,6 +224,7 @@ def cluster_scan_topk(
     k: int,
     accum=None,
     codec=None,
+    n_tasks: int | None = None,
 ) -> DataFrame:
     """Scan the probed clusters of a PACKED assignment table (see
     ``pack_assignment``) and return fragment-local top-k rows
@@ -315,11 +316,17 @@ def cluster_scan_topk(
             names=["qid", "ids", "dists"],
         )
 
-    return (
-        packed.filter(F.col("cluster_id").isin(probed_ids))
-        .mapInArrow(
-            kernel, schema="qid long, ids array<long>, dists array<double>"
-        )
+    src = packed.filter(F.col("cluster_id").isin(probed_ids))
+    if n_tasks is not None and n_tasks < src.rdd.getNumPartitions():
+        # small serving batches: the per-task python dispatch (~4-8 ms
+        # on this pool) rivals the per-task kernel, so a one-partition-
+        # per-core layout pays ~2× the whole stage in handshakes.
+        # coalesce is a narrow dependency — each task reads several
+        # cached/pruned blob partitions locally, no shuffle; the greedy
+        # bin-packing keeps merged loads near-even.
+        src = src.coalesce(n_tasks)
+    return src.mapInArrow(
+        kernel, schema="qid long, ids array<long>, dists array<double>"
     )
 
 
@@ -337,7 +344,34 @@ def merge_fragment_topk(
     lexsort over n_q × tasks_probed rows, so at serving batch sizes
     task DISPATCH dominates — this container measured ~8 ms/task
     beyond 16 in-flight python tasks, i.e. a 32-task merge stage cost
-    more than the merge itself."""
+    more than the merge itself.
+
+    Small batches (≤ 4096 queries) merge JVM-side instead: explode the
+    fragment lists and row_number over (dist, id) — identical
+    lexicographic output, but the merge stage carries no python-worker
+    handshake at all (a JVM-only stage costs ~0.07 s on this pool vs
+    ~0.15-0.28 s for a python one), which is most of a small-batch
+    search's wall.  Candidate counts there are bounded by
+    n_q × scan_tasks × k, so the exploded exchange stays tiny."""
+    if n_queries is not None and n_queries <= 4096:
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        w = Window.partitionBy("qid").orderBy(
+            F.col("dist").asc(), F.col("id").asc()
+        )
+        return (
+            frag.select(
+                "qid", F.explode(F.arrays_zip("ids", "dists")).alias("z")
+            )
+            .select(
+                "qid",
+                F.col("z.ids").alias("id"),
+                F.col("z.dists").alias("dist"),
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
 
     def kernel(batches):
         import pyarrow as pa

@@ -267,12 +267,18 @@ class ClusterPrunedExactSearcher:
         def to_map(qrows: np.ndarray, cids: np.ndarray) -> dict[int, np.ndarray]:
             return {int(c): qrows[cids == c] for c in np.unique(cids)}
 
+        # small serving batches: shrink the scan stage so per-task
+        # python dispatch doesn't dominate (same rationale as
+        # IVFSearcher; merge_fragment_topk takes its JVM path too)
+        scan_tasks = max(8, len(qids) // 64) if len(qids) <= 4096 else None
+
         def scan(probe_map: dict[int, np.ndarray]) -> DataFrame:
             # per-cluster GEMM + fragment-local top-k (see kernels.py);
             # ndis counts every exact distance computed, parity with the
             # reference's record_operation counter
             return cluster_scan_topk(
-                packed, qids, qmat, probe_map, "l2", k, accum=accum
+                packed, qids, qmat, probe_map, "l2", k, accum=accum,
+                n_tasks=scan_tasks,
             )
 
         scored1 = scan(

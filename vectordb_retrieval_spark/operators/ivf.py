@@ -451,6 +451,13 @@ class IVFSearcher:
         # The assignment is packed to per-cluster blobs once per
         # artifact — frombuffer views instead of per-row Arrow list
         # decode of the whole probed payload on every search.
+        # small serving batches: kernel time per task is a few ms, so
+        # the one-partition-per-core scan layout is dispatch-bound —
+        # shrink the stage (≥8-way keeps the GEMM parallel) and let
+        # merge_fragment_topk take its JVM small-batch path
+        scan_tasks = (
+            max(8, len(qids) // 64) if len(qids) <= 4096 else None
+        )
         scored = cluster_scan_topk(
             packed_assignment_cached(art),
             qids,
@@ -460,6 +467,7 @@ class IVFSearcher:
             k,
             accum=accum,
             codec=codec,
+            n_tasks=scan_tasks,
         )
         return self._memoize_plan(
             query_df, memo_key, merge_fragment_topk(scored, k, n_queries=len(qids))
