@@ -806,12 +806,13 @@ def main() -> int:
         sq8s_res.unpersist()
 
         # 4096-query amortized rows: at 1024q the partitioned scan's
-        # wall is ~70% fixed two-stage cost (job floor + stage
-        # dispatch, see machine_calibration), so the 1024q ratio
-        # understates the kernel's pruning advantage.  The 4096q pair
-        # scales exact's GEMM 4× while the scan's fixed cost stays
-        # put — this ratio is the one that transfers to a cluster,
-        # where the per-job floor amortizes across a running service.
+        # wall used to be ~70% fixed two-stage cost; the small-batch
+        # path (coalesced scan tasks + JVM-side merge, kernels.py)
+        # halved that floor, but the 1024q ratio still understates the
+        # kernel's pruning advantage.  The 4096q pair scales exact's
+        # GEMM 4× while the scan's fixed cost stays put — this ratio
+        # is the one that transfers to a cluster, where the per-job
+        # floor amortizes across a running service.
         q4s = clustered_vectors(
             spark, 4096, 384, n_clusters=200, spread=0.35, seed=13,
             stream=10, id_col="qid",

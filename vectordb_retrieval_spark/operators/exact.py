@@ -54,6 +54,10 @@ from vectordb_retrieval_spark.operators.topk import pad_topk, topk_per_query
 
 _CAND_SCHEMA = "qid long, id long, dist double"
 
+# score tile cap in float64 elements (see kernel comment); module-level
+# so a profiling harness can A/B tile sizes in one session
+SCORE_TILE_ELEMS = 2_000_000
+
 
 def _collect_queries(
     query_df: DataFrame, qid_col: str, vec_col: str
@@ -91,6 +95,7 @@ def exact_knn(
     spark = base_df.sparkSession
     qids, qmat = _collect_queries(query_df, qid_col, qvec_col)
     bc = spark.sparkContext.broadcast((qids, qmat))
+    tile_elems = SCORE_TILE_ELEMS  # driver-time capture, A/B-able
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         q_ids, q_mat = bc.value
@@ -102,18 +107,34 @@ def exact_knn(
                 continue
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             block = np.vstack(pdf[vec_col].to_numpy()).astype(np.float32)
-            dmat = (
-                np.asarray(custom(q_mat.astype(np.float64), block.astype(np.float64)))
-                if custom is not None
-                else pairwise_distances(q_mat, block, metric)
-            )  # (n_q, n_block)
-            if block.shape[0] > k:
-                part = np.argpartition(dmat, k - 1, axis=1)[:, :k]
-                cand_d.append(np.take_along_axis(dmat, part, axis=1))
-                cand_i.append(ids[part])
-            else:
-                cand_d.append(dmat)
-                cand_i.append(np.broadcast_to(ids, (n_q, len(ids))).copy())
+            n_block = block.shape[0]
+            # score tile cap (~2M float64 elements): an untiled
+            # (n_q × arrow_batch) matrix is ~330 MB at 4096 queries —
+            # 32 workers streaming that from DRAM saturate memory
+            # bandwidth (same fix as serving.py's exhaustive scan).
+            # Chunking queries is bit-identical: each query row's
+            # distances and argpartition are row-independent.
+            q_step = max(1, tile_elems // max(n_block, 1))
+            bd: list[np.ndarray] = []
+            bi: list[np.ndarray] = []
+            for s in range(0, n_q, q_step):
+                qc = q_mat[s : s + q_step]
+                dmat = (
+                    np.asarray(
+                        custom(qc.astype(np.float64), block.astype(np.float64))
+                    )
+                    if custom is not None
+                    else pairwise_distances(qc, block, metric)
+                )  # (chunk, n_block)
+                if n_block > k:
+                    part = np.argpartition(dmat, k - 1, axis=1)[:, :k]
+                    bd.append(np.take_along_axis(dmat, part, axis=1))
+                    bi.append(ids[part])
+                else:
+                    bd.append(dmat)
+                    bi.append(np.broadcast_to(ids, (len(qc), len(ids))).copy())
+            cand_d.append(np.concatenate(bd, axis=0))
+            cand_i.append(np.concatenate(bi, axis=0))
         if not cand_d:
             return
         dall = np.concatenate(cand_d, axis=1)
