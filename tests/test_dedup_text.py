@@ -25,8 +25,11 @@ from vectordb_retrieval_spark.operators.multimodal import (
     frame_sample,
 )
 from vectordb_retrieval_spark.operators.textops import (
+    decontam_overlap,
     doc_fingerprint,
     lang_id,
+    quality_filter,
+    repetition_signals,
     text_quality,
     token_counts,
 )
@@ -331,3 +334,53 @@ def test_media_features_histogram(spark):
     assert len(rows) == 16
     for b in range(16):
         assert rows[(0, b)] == want[b]
+
+
+def test_repetition_signals(corpus_df):
+    rows = {r.id: r for r in repetition_signals(corpus_df).collect()}
+    # doc 0: "the" twice of 9 tokens; 8 bigrams all distinct; 8 distinct words
+    assert rows[0].top_word_frac == pytest.approx(2 / 9, abs=1e-6)
+    assert rows[0].top_2gram_frac == pytest.approx(1 / 8, abs=1e-6)
+    assert rows[0].distinct_ratio == pytest.approx(8 / 9, abs=1e-6)
+    # single-token doc: degenerate word frac, no bigrams
+    assert rows[4].top_word_frac == 1.0
+    assert rows[4].top_2gram_frac is None
+    assert rows[4].distinct_ratio == 1.0
+
+
+def test_quality_filter_rules(corpus_df):
+    rows = {r.id: r for r in quality_filter(corpus_df).collect()}
+    r0 = rows[0]
+    # doc 0: 9 tokens (< 20 -> r_len fails), mean len in window, has "the",
+    # top word 2/9 > 1/5 -> repetition rule fails, so keep = 0
+    assert (r0.r_len, r0.r_mean_len, r0.r_stopword, r0.r_repetition, r0.keep) == (
+        0, 1, 1, 0, 0,
+    )
+    long_ok = " ".join(f"tok{i}" for i in range(30)) + " the"
+    df = corpus_df.sparkSession.createDataFrame(
+        [(9, long_ok)], "doc_id long, text string"
+    )
+    r = quality_filter(df).collect()[0]
+    assert (r.r_len, r.r_mean_len, r.r_stopword, r.r_repetition, r.keep) == (
+        1, 1, 1, 1, 1,
+    )
+
+
+def test_decontam_overlap_counts_shared_shingles(spark):
+    # bench = ids % 50 == 0 (docs 0 and 50); doc 1 repeats doc 50's text
+    data = [
+        (0, CORPUS[0][1]),
+        (50, CORPUS[1][1]),
+        (1, CORPUS[1][1]),
+        (4, "zz tiny"),
+    ]
+    df = spark.createDataFrame(data, schema="doc_id long, text string")
+    rows = {
+        (r.train_id, r.bench_id): r.n_shared for r in decontam_overlap(df).collect()
+    }
+    # identical text: all 7 distinct 3-shingles shared
+    assert rows[(1, 50)] == 7
+    # case-differing first shingle: 6 of 7 shared with doc 0
+    assert rows[(1, 0)] == 6
+    # 2-token doc has no 3-shingles, so never appears
+    assert all(t != 4 for t, _ in rows)

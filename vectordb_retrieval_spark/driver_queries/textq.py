@@ -16,8 +16,11 @@ from vectordb_retrieval_spark.operators.multimodal import (
 )
 from vectordb_retrieval_spark.operators.textops import (
     STOPWORDS,
+    decontam_overlap,
     doc_fingerprint,
     lang_id,
+    quality_filter,
+    repetition_signals,
     text_quality,
     token_counts,
 )
@@ -65,6 +68,18 @@ def q_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads = attach_binary_payload(docs(spark, sf_dir))
     return media_features(payloads, 16)
+
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_signals(docs(spark, sf_dir))
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_filter(docs(spark, sf_dir))
+
+
+def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decontam_overlap(docs(spark, sf_dir))
 
 
 _QUALITY_ORACLE = f"""
@@ -126,6 +141,68 @@ SELECT doc_id AS id,
 FROM s
 """
 
+_REPETITION_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS (
+  SELECT doc_id, toks,
+         CASE WHEN len(toks) >= 2 THEN
+           list_transform(generate_series(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i+1])
+         ELSE [] END AS g2
+  FROM t
+)
+SELECT doc_id AS id,
+       round(list_max(list_transform(list_distinct(toks),
+               w -> len(list_filter(toks, x -> x = w)))) * 1.0 / len(toks), 6)
+         AS top_word_frac,
+       CASE WHEN len(g2) > 0 THEN
+         round(list_max(list_transform(list_distinct(g2),
+                 w -> len(list_filter(g2, x -> x = w)))) * 1.0 / len(g2), 6)
+       END AS top_2gram_frac,
+       round(len(list_distinct(toks)) * 1.0 / len(toks), 6) AS distinct_ratio
+FROM g
+"""
+
+_QUALITY_FILTER_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+f AS (
+  SELECT doc_id, len(toks) AS n,
+         list_sum(list_transform(toks, x -> length(x))) AS chars,
+         len(list_filter(toks,
+             x -> list_contains({_sql_str_list(STOPWORDS['en'])}, x))) AS n_stop,
+         list_max(list_transform(list_distinct(toks),
+             w -> len(list_filter(toks, x -> x = w)))) AS top
+  FROM t
+)
+SELECT doc_id AS id,
+       CAST(n >= 20 AND n <= 400 AS INT) AS r_len,
+       CAST(chars >= 2 * n AND chars <= 12 * n AS INT) AS r_mean_len,
+       CAST(n_stop > 0 AS INT) AS r_stopword,
+       CAST(top * 5 <= n AS INT) AS r_repetition,
+       CAST(n >= 20 AND n <= 400 AND chars >= 2 * n AND chars <= 12 * n
+            AND n_stop > 0 AND top * 5 <= n AS INT) AS keep
+FROM f
+"""
+
+_DECONTAM_ORACLE = f"""
+WITH t AS (SELECT doc_id AS id, {_TOKS} AS toks FROM documents),
+s AS (
+  SELECT id,
+         CASE WHEN len(toks) >= 3 THEN
+           list_distinct(list_transform(generate_series(1, len(toks) - 2),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+         ELSE [] END AS sh
+  FROM t
+),
+e AS (SELECT id, unnest(sh) AS g FROM s)
+SELECT tr.id AS train_id, be.id AS bench_id, count(*) AS n_shared
+FROM e tr JOIN e be ON tr.g = be.g
+WHERE tr.id % 50 <> 0 AND be.id % 50 = 0
+GROUP BY tr.id, be.id
+HAVING count(*) >= 2
+ORDER BY train_id, bench_id
+"""
+
 _MULTIMODAL_ORACLE = """
 SELECT doc_id AS id,
        16 + CAST('0x' || substr(md5(text), 1, 2) AS INT) % 64 AS width,
@@ -180,6 +257,9 @@ QUERIES = {
     "text_lang_id": q_lang_id,
     "text_token_counts": q_token_counts,
     "text_doc_fingerprint": q_doc_fingerprint,
+    "text_repetition": q_repetition,
+    "text_quality_filter": q_quality_filter,
+    "text_decontam_overlap": q_decontam,
     "multimodal_decode_meta": q_multimodal_meta,
     "multimodal_frame_sample": q_frame_sample,
     "multimodal_resize": q_resize,
@@ -191,6 +271,9 @@ ORACLES = {
     "text_lang_id": _lang_oracle(),
     "text_token_counts": _TOKEN_COUNT_ORACLE,
     "text_doc_fingerprint": _FINGERPRINT_ORACLE,
+    "text_repetition": _REPETITION_ORACLE,
+    "text_quality_filter": _QUALITY_FILTER_ORACLE,
+    "text_decontam_overlap": _DECONTAM_ORACLE,
     "multimodal_decode_meta": _MULTIMODAL_ORACLE,
     "multimodal_frame_sample": _FRAME_ORACLE,
     "multimodal_resize": _RESIZE_ORACLE,

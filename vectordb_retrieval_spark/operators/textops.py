@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from vectordb_retrieval_spark.operators.dedup import (
     canonical_text,
     tokens_expr,
+    word_shingles,
 )
 
 STOPWORDS = {
@@ -94,6 +95,124 @@ def token_counts(
         F.regexp_count(F.col(text_col), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]")).alias(
             "n_tokens_re"
         ),
+    )
+
+
+def repetition_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition features: fraction of tokens taken by the
+    most frequent token / 2-gram, and the distinct-token ratio.  High
+    top-fraction or low distinct-ratio marks boilerplate or degenerate
+    repetition (ref analogue: the quality gates around dataset.py's
+    passage selection; rule values follow Rae et al. 2021 table A1).
+
+    Pure column expressions; the per-doc mode is O(distinct × n) inside
+    one row — no shuffle, no UDF.
+    """
+    toks = tokens_expr(F.col(text_col))
+
+    def top_frac(arr):
+        top = F.array_max(
+            F.transform(
+                F.array_distinct(arr),
+                lambda w: F.size(F.filter(arr, lambda x: x == w)),
+            )
+        )
+        return F.round(top / F.size(arr), 6)
+
+    grams2 = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        F.col(id_col).alias("id"),
+        top_frac(toks).alias("top_word_frac"),
+        F.when(F.size(grams2) > 0, top_frac(grams2)).alias("top_2gram_frac"),
+        F.round(F.size(F.array_distinct(toks)) / F.size(toks), 6).alias(
+            "distinct_ratio"
+        ),
+    )
+
+
+def quality_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 20,
+    max_tokens: int = 400,
+    min_mean_len: int = 2,
+    max_mean_len: int = 12,
+    top_word_den: int = 5,
+) -> DataFrame:
+    """C4/Gopher-style keep/drop rule set over the per-doc features:
+    token-count window, mean-token-length window, ≥1 English stopword,
+    most-frequent-token fraction ≤ 1/top_word_den.  Thresholds compare
+    in integer arithmetic (e.g. top*den ≤ n, sum ≥ min_mean*n) so the
+    oracle comparison is exact — no float rounding at the decision
+    boundary.  Returns one 0/1 column per rule plus the conjunction.
+    """
+    toks = tokens_expr(F.col(text_col))
+    n = F.size(toks)
+    tok_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda w: F.size(F.filter(toks, lambda x: x == w)),
+        )
+    )
+    r_len = (n >= min_tokens) & (n <= max_tokens)
+    r_mean = (tok_chars >= min_mean_len * n) & (tok_chars <= max_mean_len * n)
+    r_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t))) > 0
+    r_rep = top * top_word_den <= n
+    return df.select(
+        F.col(id_col).alias("id"),
+        r_len.cast("int").alias("r_len"),
+        r_mean.cast("int").alias("r_mean_len"),
+        r_stop.cast("int").alias("r_stopword"),
+        r_rep.cast("int").alias("r_repetition"),
+        (r_len & r_mean & r_stop & r_rep).cast("int").alias("keep"),
+    )
+
+
+def decontam_overlap(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_shared: int = 2,
+    bench_mod: int = 50,
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs whose n-gram
+    shingles overlap a held-out benchmark set (docs with
+    id % bench_mod == 0).  Shingles are distinct per doc, so the join
+    count IS the number of distinct shared n-grams.
+
+    Scale shape: the benchmark side is the small dimension — broadcast
+    it, stream the training-side gram explode past it with no shuffle
+    of the big side; the only aggregation is the per-pair count.  At
+    100 TB the bench set (an eval suite) stays broadcast-sized.
+    """
+    sh = word_shingles(F.col(text_col), n)
+    ex = df.select(F.col(id_col).alias("id"), F.explode(sh).alias("sh"))
+    bench = ex.where(F.col("id") % bench_mod == 0).select(
+        F.col("id").alias("bench_id"), "sh"
+    )
+    train = ex.where(F.col("id") % bench_mod != 0).select(
+        F.col("id").alias("train_id"), "sh"
+    )
+    return (
+        train.join(F.broadcast(bench), "sh")
+        .groupBy("train_id", "bench_id")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+        .orderBy("train_id", "bench_id")
     )
 
 
