@@ -384,3 +384,17 @@ def test_decontam_overlap_counts_shared_shingles(spark):
     assert rows[(1, 0)] == 6
     # 2-token doc has no 3-shingles, so never appears
     assert all(t != 4 for t, _ in rows)
+
+
+def test_decontam_hot_gram_cap(spark):
+    # the shared sentence appears in 3 bench docs; with the cap at 2 its
+    # grams are dropped and train doc 1 no longer matches anything
+    hot = "alpha beta gamma delta"
+    data = [(0, hot), (50, hot), (100, hot), (1, hot)]
+    df = spark.createDataFrame(data, schema="doc_id long, text string")
+    uncapped = decontam_overlap(df).collect()
+    assert {(r.train_id, r.bench_id) for r in uncapped} == {
+        (1, 0), (1, 50), (1, 100),
+    }
+    capped = decontam_overlap(df, max_bench_gram_df=2).collect()
+    assert capped == []

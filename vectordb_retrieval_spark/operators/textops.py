@@ -188,6 +188,7 @@ def decontam_overlap(
     n: int = 3,
     min_shared: int = 2,
     bench_mod: int = 50,
+    max_bench_gram_df: int | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: flag training docs whose n-gram
     shingles overlap a held-out benchmark set (docs with
@@ -196,14 +197,30 @@ def decontam_overlap(
 
     Scale shape: the benchmark side is the small dimension — broadcast
     it, stream the training-side gram explode past it with no shuffle
-    of the big side; the only aggregation is the per-pair count.  At
-    100 TB the bench set (an eval suite) stays broadcast-sized.
+    of the big side; the only aggregation is the per-pair count
+    (verified BroadcastHashJoin/BuildRight with pruned ReadSchema on
+    the plan).  At 100 TB the bench set (an eval suite) stays
+    broadcast-sized.  `max_bench_gram_df` drops grams present in more
+    than that many bench docs before the join — stop-phrase grams
+    otherwise multiply join output by their bench-side frequency; the
+    cap is computed on the already-small bench side, so it costs one
+    tiny aggregate and keeps the fan-out per training gram bounded.
     """
     sh = word_shingles(F.col(text_col), n)
     ex = df.select(F.col(id_col).alias("id"), F.explode(sh).alias("sh"))
     bench = ex.where(F.col("id") % bench_mod == 0).select(
         F.col("id").alias("bench_id"), "sh"
     )
+    if max_bench_gram_df is not None:
+        # shingles are distinct per doc, so count(*) per gram = its
+        # bench document frequency
+        keep = (
+            bench.groupBy("sh")
+            .agg(F.count("*").alias("gram_df"))
+            .where(F.col("gram_df") <= max_bench_gram_df)
+            .select("sh")
+        )
+        bench = bench.join(keep, "sh")
     train = ex.where(F.col("id") % bench_mod != 0).select(
         F.col("id").alias("train_id"), "sh"
     )
