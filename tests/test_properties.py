@@ -323,3 +323,87 @@ def test_serving_cold_block_prereduction_exact():
         np.testing.assert_allclose(
             f["dist"].to_numpy(), e["dist"].to_numpy(), atol=1e-9, rtol=1e-9
         )
+
+
+_WORDS = ["the", "fox", "data", "spark", "table", "row", "agg", "scan"]
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=1, max_size=40),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_textops_match_python_reference(spark, docs):
+    """repetition_signals / quality_filter / decontam_overlap agree with
+    a pure-Python Counter/set reference on random token lists.  Doc ids
+    are multiples of 25 so alternating docs land on the benchmark side
+    (id % 50 == 0)."""
+    from collections import Counter
+
+    from vectordb_retrieval_spark.operators.textops import (
+        decontam_overlap,
+        quality_filter,
+        repetition_signals,
+    )
+
+    rows = [(i * 25, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+
+    rep = {r.id: r for r in repetition_signals(df).collect()}
+    qf = {r.id: r for r in quality_filter(df).collect()}
+    for (doc_id, _), toks in zip(rows, docs):
+        n = len(toks)
+        top = Counter(toks).most_common(1)[0][1]
+        r = rep[doc_id]
+        assert r.top_word_frac == pytest.approx(top / n, abs=1e-6)
+        assert r.distinct_ratio == pytest.approx(len(set(toks)) / n, abs=1e-6)
+        if n >= 2:
+            g2 = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+            top2 = Counter(g2).most_common(1)[0][1]
+            assert r.top_2gram_frac == pytest.approx(top2 / len(g2), abs=1e-6)
+        else:
+            assert r.top_2gram_frac is None
+        chars = sum(len(t) for t in toks)
+        q = qf[doc_id]
+        assert q.r_len == int(20 <= n <= 400)
+        assert q.r_mean_len == int(2 * n <= chars <= 12 * n)
+        assert q.r_stopword == int("the" in toks)
+        assert q.r_repetition == int(top * 5 <= n)
+        assert q.keep == (
+            q.r_len & q.r_mean_len & q.r_stopword & q.r_repetition
+        )
+
+    def shingles(toks):
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    expected = {}
+    for (tid, _), ttoks in zip(rows, docs):
+        if tid % 50 == 0:
+            continue
+        for (bid, _), btoks in zip(rows, docs):
+            if bid % 50 != 0:
+                continue
+            shared = len(shingles(ttoks) & shingles(btoks))
+            if shared >= 2:
+                expected[(tid, bid)] = shared
+    got = {
+        (r.train_id, r.bench_id): r.n_shared
+        for r in decontam_overlap(df).collect()
+    }
+    assert got == expected
+
+
+def test_decontam_join_broadcasts_bench_side(spark):
+    """The benchmark side must broadcast — a sort-merge join here would
+    shuffle the full training-corpus gram stream."""
+    from vectordb_retrieval_spark.operators.textops import decontam_overlap
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        decontam_overlap(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
