@@ -30,9 +30,14 @@ def collect_catalogue() -> tuple[
         textq,
     )
 
+    # Order = priority if the driver ever truncates the catalogue:
+    # reference-parity first (knn/metrics/ann), then the pipeline
+    # extensions, then streaming (sole driver evidence for §2.9),
+    # then the source/persistence round-trips (which also carry
+    # pytest coverage of their own).
     queries: dict = {}
     oracles: dict = {}
-    for mod in (knn, metricsq, ann, dedupq, textq, sourcesq, filesq, streamq):
+    for mod in (knn, metricsq, ann, dedupq, textq, streamq, sourcesq, filesq):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
     return queries, oracles
