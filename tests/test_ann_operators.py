@@ -683,3 +683,35 @@ def test_packed_subblob_split_matches_unsplit(dfs):
             for r in searcher.search(query_df, K).collect()
         )
         assert results[0] == fast
+
+
+def test_packed_placement_balances_skewed_clusters(spark):
+    """One cluster holding ~60% of a corpus must not land on one scan
+    partition: sub-blob splitting + greedy n²-weight bin-packing bounds
+    the heaviest partition's row mass near the mean."""
+    import numpy as np
+
+    from vectordb_retrieval_spark.functions.kernels import pack_assignment
+
+    rng = np.random.RandomState(7)
+    n_hot, n_rest, n_clusters = 6000, 4000, 16
+    rows = [(int(i), 0, [float(x) for x in rng.randn(8)]) for i in range(n_hot)]
+    rows += [
+        (int(n_hot + i), 1 + int(i % (n_clusters - 1)),
+         [float(x) for x in rng.randn(8)])
+        for i in range(n_rest)
+    ]
+    assignment = spark.createDataFrame(
+        rows, schema="id long, cluster_id int, vec array<float>"
+    )
+    packed = pack_assignment(assignment, "vec", None, max_rows_per_blob=512)
+    per_part = (
+        packed.rdd.mapPartitions(lambda it: [sum(r["n"] for r in it)]).collect()
+    )
+    packed.unpersist()
+    assert sum(per_part) == n_hot + n_rest
+    busy = [p for p in per_part if p > 0]
+    mean = sum(busy) / len(busy)
+    # hot cluster = 12x the mean cluster mass; packed placement must
+    # spread it: no partition above 2x the busy-partition mean
+    assert max(busy) <= 2.0 * mean, per_part
