@@ -398,3 +398,18 @@ def test_decontam_hot_gram_cap(spark):
     }
     capped = decontam_overlap(df, max_bench_gram_df=2).collect()
     assert capped == []
+
+
+def test_corpus_stats(corpus_df):
+    from vectordb_retrieval_spark.operators.textops import corpus_stats
+
+    r = corpus_stats(corpus_df).collect()[0]
+    assert r.n_docs == 5
+    assert r.min_tokens == 1  # "zz"
+    assert r.max_tokens == 11  # spanish doc
+    assert r.total_tokens == 9 + 9 + 9 + 11 + 1
+    # vocab across docs: case-sensitive distinct tokens
+    vocab = set()
+    for _, text in CORPUS:
+        vocab.update(t for t in text.split() if t)
+    assert r.vocab_size == len(vocab)

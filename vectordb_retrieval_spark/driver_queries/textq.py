@@ -16,6 +16,7 @@ from vectordb_retrieval_spark.operators.multimodal import (
 )
 from vectordb_retrieval_spark.operators.textops import (
     STOPWORDS,
+    corpus_stats,
     decontam_overlap,
     doc_fingerprint,
     lang_id,
@@ -80,6 +81,10 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontam_overlap(docs(spark, sf_dir))
+
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus_stats(docs(spark, sf_dir))
 
 
 _QUALITY_ORACLE = f"""
@@ -203,6 +208,18 @@ HAVING count(*) >= 2
 ORDER BY train_id, bench_id
 """
 
+_CORPUS_STATS_ORACLE = f"""
+WITH t AS (SELECT {_TOKS} AS toks FROM documents)
+SELECT count(*) AS n_docs,
+       CAST(sum(len(toks)) AS BIGINT) AS total_tokens,
+       min(len(toks)) AS min_tokens,
+       max(len(toks)) AS max_tokens,
+       round(avg(len(toks)), 6) AS mean_tokens,
+       (SELECT count(DISTINCT tok)
+        FROM (SELECT unnest(toks) AS tok FROM t)) AS vocab_size
+FROM t
+"""
+
 _MULTIMODAL_ORACLE = """
 SELECT doc_id AS id,
        16 + CAST('0x' || substr(md5(text), 1, 2) AS INT) % 64 AS width,
@@ -260,6 +277,7 @@ QUERIES = {
     "text_repetition": q_repetition,
     "text_quality_filter": q_quality_filter,
     "text_decontam_overlap": q_decontam,
+    "text_corpus_stats": q_corpus_stats,
     "multimodal_decode_meta": q_multimodal_meta,
     "multimodal_frame_sample": q_frame_sample,
     "multimodal_resize": q_resize,
@@ -274,6 +292,7 @@ ORACLES = {
     "text_repetition": _REPETITION_ORACLE,
     "text_quality_filter": _QUALITY_FILTER_ORACLE,
     "text_decontam_overlap": _DECONTAM_ORACLE,
+    "text_corpus_stats": _CORPUS_STATS_ORACLE,
     "multimodal_decode_meta": _MULTIMODAL_ORACLE,
     "multimodal_frame_sample": _FRAME_ORACLE,
     "multimodal_resize": _RESIZE_ORACLE,

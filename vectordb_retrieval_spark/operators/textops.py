@@ -233,6 +233,31 @@ def decontam_overlap(
     )
 
 
+def corpus_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One-row corpus summary: doc count, total/min/max/mean tokens per
+    doc, distinct vocabulary size.  The per-doc features reduce with a
+    map-side-combined global aggregate; the vocabulary count is the one
+    genuine shuffle (distinct over exploded tokens).  At 100 TB swap
+    `countDistinct` for `approx_count_distinct` (HLL, no exact-distinct
+    shuffle) — exact here because the oracle compares values.
+    """
+    toks = tokens_expr(F.col(text_col))
+    per_doc = df.select(F.size(toks).alias("n"), toks.alias("toks"))
+    agg = per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n").alias("total_tokens"),
+        F.min("n").alias("min_tokens"),
+        F.max("n").alias("max_tokens"),
+        F.round(F.avg("n"), 6).alias("mean_tokens"),
+    )
+    vocab = per_doc.select(F.explode("toks").alias("tok")).agg(
+        F.countDistinct("tok").alias("vocab_size")
+    )
+    return agg.crossJoin(vocab)
+
+
 def doc_fingerprint(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
