@@ -1,0 +1,71 @@
+"""Unit tests for the temporal join operators (as-of, range).
+
+The sf0.01 oracle gate checks full-scale parity against DuckDB's
+native ASOF JOIN / inequality join; these pin the edge semantics on
+hand-built rows.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from vectordb_retrieval_spark.operators.temporal import asof_join, range_join
+
+
+def _ts(s: float) -> datetime:
+    return datetime.utcfromtimestamp(1_700_000_000 + s)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(i, k, _ts(s)) for i, k, s in rows],
+        schema="event_id long, user_id long, ts timestamp",
+    )
+
+
+def test_asof_backward_semantics(spark):
+    left = _df(spark, [(1, 7, 10.0), (2, 7, 20.0), (3, 7, 5.0), (4, 8, 10.0)])
+    #                       latest<=10   latest<=20   none before 5   other key
+    right = _df(spark, [(100, 7, 6.0), (101, 7, 10.0), (102, 7, 15.0), (103, 9, 1.0)])
+    got = {
+        r.event_id: r.asof_event_id
+        for r in asof_join(left, right, right_payload=("event_id",)).collect()
+    }
+    # equal timestamps count as "at or before" (101 at t=10 matches row 1)
+    assert got == {1: 101, 2: 102, 3: None, 4: None}
+
+
+def test_asof_payload_struct_consistency(spark):
+    """All attached columns must come from the SAME matched row."""
+    left = _df(spark, [(1, 7, 30.0)])
+    right = _df(spark, [(100, 7, 10.0), (101, 7, 20.0)])
+    r = asof_join(left, right, right_payload=("event_id", "ts")).collect()[0]
+    assert r.asof_event_id == 101
+    assert r.asof_ts == _ts(20.0)
+
+
+def test_range_join_matches_brute_force(spark):
+    rows_l = [(i, 0, float(i * 37 % 211)) for i in range(40)]
+    rows_r = [(1000 + i, 0, float(i * 53 % 199)) for i in range(40)]
+    left, right = _df(spark, rows_l), _df(spark, rows_r)
+    w = 25
+    got = {
+        (r.a, r.b, r.dt_us) for r in range_join(left, right, window_s=w).collect()
+    }
+    expected = {
+        (i, j, int((sr - sl) * 1_000_000))
+        for i, _, sl in rows_l
+        for j, _, sr in rows_r
+        if abs(sr - sl) <= w
+    }
+    assert got == expected
+
+
+def test_range_join_boundary_inclusive_and_cross_bucket(spark):
+    # 59.5s apart but straddling a 60s bucket edge; and exactly 60s apart
+    left = _df(spark, [(1, 0, 59.0), (2, 0, 200.0)])
+    right = _df(spark, [(10, 0, 118.5), (20, 0, 260.0), (30, 0, 261.0)])
+    got = {(r.a, r.b) for r in range_join(left, right, window_s=60).collect()}
+    assert (1, 10) in got  # cross-bucket (59.0 -> 118.5, buckets 0 vs 1)
+    assert (2, 20) in got  # exactly 60s: inclusive
+    assert (2, 30) not in got  # 61s: out

@@ -27,6 +27,7 @@ def collect_catalogue() -> tuple[
         metricsq,
         sourcesq,
         streamq,
+        temporalq,
         textq,
     )
 
@@ -37,7 +38,9 @@ def collect_catalogue() -> tuple[
     # pytest coverage of their own).
     queries: dict = {}
     oracles: dict = {}
-    for mod in (knn, metricsq, ann, dedupq, textq, streamq, sourcesq, filesq):
+    for mod in (
+        knn, metricsq, ann, dedupq, textq, streamq, temporalq, sourcesq, filesq
+    ):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
     return queries, oracles

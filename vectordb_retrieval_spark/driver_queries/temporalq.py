@@ -1,0 +1,67 @@
+"""Temporal-join driver queries over the events table."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vectordb_retrieval_spark.operators.temporal import asof_join, range_join
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ts arrives TIMESTAMP_NTZ; cast for unix_micros (session TZ is
+    # pinned UTC, so the cast is value-preserving)
+    return spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+
+
+def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join(clicks, views, right_payload=("event_id", "ts"))
+    return joined.select(
+        F.col("event_id").alias("id"),
+        "user_id",
+        F.col("asof_event_id").alias("asof_id"),
+        (F.unix_micros("ts") - F.unix_micros("asof_ts")).alias("lag_us"),
+    )
+
+
+def q_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    errors = ev.where(F.col("event_type") == "error")
+    clicks = ev.where(F.col("event_type") == "click")
+    return range_join(errors, clicks, window_s=60)
+
+
+_ASOF_ORACLE = """
+WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view')
+SELECT c.event_id AS id, c.user_id AS user_id, v.event_id AS asof_id,
+       date_diff('microsecond', v.ts, c.ts) AS lag_us
+FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts
+"""
+
+_RANGE_ORACLE = """
+SELECT e.event_id AS a, c.event_id AS b,
+       date_diff('microsecond', e.ts, c.ts) AS dt_us
+FROM events e JOIN events c
+  ON e.event_type = 'error' AND c.event_type = 'click'
+ AND abs(date_diff('microsecond', e.ts, c.ts)) <= 60 * 1000000
+"""
+
+QUERIES = {
+    "events_asof_join": q_asof,
+    "events_range_join": q_range,
+}
+
+ORACLES = {
+    "events_asof_join": _ASOF_ORACLE,
+    "events_range_join": _RANGE_ORACLE,
+}
