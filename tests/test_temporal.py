@@ -69,3 +69,18 @@ def test_range_join_boundary_inclusive_and_cross_bucket(spark):
     assert (1, 10) in got  # cross-bucket (59.0 -> 118.5, buckets 0 vs 1)
     assert (2, 20) in got  # exactly 60s: inclusive
     assert (2, 30) not in got  # 61s: out
+
+
+def test_asof_plan_has_no_join_node(spark):
+    """The as-of reformulation must stay join-free: one exchange on the
+    key, a sort, and a window — no BroadcastHashJoin/SortMergeJoin."""
+    left = _df(spark, [(1, 7, 10.0)])
+    right = _df(spark, [(100, 7, 6.0)])
+    plan = (
+        asof_join(left, right, right_payload=("event_id",))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan, plan
+    assert "Window" in plan, plan
