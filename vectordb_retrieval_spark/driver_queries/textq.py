@@ -87,6 +87,23 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_stats(docs(spark, sf_dir))
 
 
+def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end cleaning pipeline in one call: exact-dedup keepers
+    ∧ quality-rule keeps → corpus stats of the surviving docs.  Pure
+    composition of the tested operators (dedup.exact_dedup,
+    quality_filter, corpus_stats)."""
+    from vectordb_retrieval_spark.operators.dedup import exact_dedup
+
+    d = docs(spark, sf_dir)
+    keepers = exact_dedup(d).select(F.col("keeper_id").alias("doc_id"))
+    kept = (
+        quality_filter(d)
+        .where(F.col("keep") == 1)
+        .select(F.col("id").alias("doc_id"))
+    )
+    return corpus_stats(d.join(keepers, "doc_id").join(kept, "doc_id"))
+
+
 _QUALITY_ORACLE = f"""
 WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
 SELECT doc_id AS id,
@@ -220,6 +237,35 @@ SELECT count(*) AS n_docs,
 FROM t
 """
 
+_CLEAN_CORPUS_ORACLE = f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+keepers AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY {_CANON}),
+f AS (
+  SELECT doc_id, len(toks) AS n,
+         list_sum(list_transform(toks, x -> length(x))) AS chars,
+         len(list_filter(toks,
+             x -> list_contains({_sql_str_list(STOPWORDS['en'])}, x))) AS n_stop,
+         list_max(list_transform(list_distinct(toks),
+             w -> len(list_filter(toks, x -> x = w)))) AS top
+  FROM t
+),
+surv AS (
+  SELECT t.toks FROM t
+  JOIN keepers USING (doc_id)
+  JOIN f ON f.doc_id = t.doc_id
+  WHERE f.n >= 20 AND f.n <= 400 AND f.chars >= 2 * f.n AND f.chars <= 12 * f.n
+    AND f.n_stop > 0 AND f.top * 5 <= f.n
+)
+SELECT count(*) AS n_docs,
+       CAST(sum(len(toks)) AS BIGINT) AS total_tokens,
+       min(len(toks)) AS min_tokens,
+       max(len(toks)) AS max_tokens,
+       round(avg(len(toks)), 6) AS mean_tokens,
+       (SELECT count(DISTINCT tok)
+        FROM (SELECT unnest(toks) AS tok FROM surv)) AS vocab_size
+FROM surv
+"""
+
 _MULTIMODAL_ORACLE = """
 SELECT doc_id AS id,
        16 + CAST('0x' || substr(md5(text), 1, 2) AS INT) % 64 AS width,
@@ -278,6 +324,7 @@ QUERIES = {
     "text_quality_filter": q_quality_filter,
     "text_decontam_overlap": q_decontam,
     "text_corpus_stats": q_corpus_stats,
+    "pipeline_clean_corpus": q_clean_corpus,
     "multimodal_decode_meta": q_multimodal_meta,
     "multimodal_frame_sample": q_frame_sample,
     "multimodal_resize": q_resize,
@@ -293,6 +340,7 @@ ORACLES = {
     "text_quality_filter": _QUALITY_FILTER_ORACLE,
     "text_decontam_overlap": _DECONTAM_ORACLE,
     "text_corpus_stats": _CORPUS_STATS_ORACLE,
+    "pipeline_clean_corpus": _CLEAN_CORPUS_ORACLE,
     "multimodal_decode_meta": _MULTIMODAL_ORACLE,
     "multimodal_frame_sample": _FRAME_ORACLE,
     "multimodal_resize": _RESIZE_ORACLE,
