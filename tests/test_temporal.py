@@ -84,3 +84,20 @@ def test_asof_plan_has_no_join_node(spark):
     )
     assert "Join" not in plan, plan
     assert "Window" in plan, plan
+
+
+def test_sessionize_gap_semantics(spark):
+    from vectordb_retrieval_spark.operators.temporal import sessionize
+
+    # user 7: gaps 10s, 40s, 10s with gap_s=30 -> sessions 0,0,1,1
+    # user 8: single event -> session 0
+    df = _df(
+        spark,
+        [(1, 7, 0.0), (2, 7, 10.0), (3, 7, 50.0), (4, 7, 60.0), (5, 8, 0.0)],
+    )
+    got = {r.event_id: r.session_idx for r in sessionize(df, gap_s=30).collect()}
+    assert got == {1: 0, 2: 0, 3: 1, 4: 1, 5: 0}
+    # boundary: exactly gap_s apart stays in the same session (strict >)
+    df2 = _df(spark, [(1, 7, 0.0), (2, 7, 30.0), (3, 7, 60.1)])
+    got2 = {r.event_id: r.session_idx for r in sessionize(df2, gap_s=30).collect()}
+    assert got2 == {1: 0, 2: 0, 3: 1}

@@ -5,7 +5,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from vectordb_retrieval_spark.operators.temporal import asof_join, range_join
+from vectordb_retrieval_spark.operators.temporal import (
+    asof_join,
+    range_join,
+    sessionize,
+)
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -40,6 +44,13 @@ def q_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return range_join(errors, clicks, window_s=60)
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return sessionize(ev, gap_s=1800).select(
+        F.col("event_id").alias("id"), "user_id", "session_idx"
+    )
+
+
 _ASOF_ORACLE = """
 WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
 v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view')
@@ -56,12 +67,30 @@ FROM events e JOIN events c
  AND abs(date_diff('microsecond', e.ts, c.ts)) <= 60 * 1000000
 """
 
+_SESSION_ORACLE = """
+WITH g AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+               OR date_diff('microsecond', lag(ts) OVER w, ts)
+                  > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+)
+SELECT event_id AS id, user_id,
+       sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+FROM g
+"""
+
 QUERIES = {
     "events_asof_join": q_asof,
     "events_range_join": q_range,
+    "events_sessionize": q_sessionize,
 }
 
 ORACLES = {
     "events_asof_join": _ASOF_ORACLE,
     "events_range_join": _RANGE_ORACLE,
+    "events_sessionize": _SESSION_ORACLE,
 }

@@ -68,6 +68,34 @@ def asof_join(
     return out.drop("__side", "__rp", "__m")
 
 
+def sessionize(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_s: int = 1800,
+) -> DataFrame:
+    """Gap-based sessionization: within each key, a new session starts
+    when the gap to the previous event exceeds ``gap_s`` (strict >).
+    Adds ``session_idx`` (0-based per key, in time order) — two window
+    passes over one shuffle on the key, no UDFs.  This is the batch
+    analogue of Structured Streaming's session window; at 100 TB it is
+    one hash shuffle of (key, ts, id), nothing else.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    prev = F.lag(F.unix_micros(F.col(ts_col))).over(w)
+    new_session = (
+        prev.isNull()
+        | (F.unix_micros(F.col(ts_col)) - prev > gap_s * 1_000_000)
+    ).cast("long")
+    return df.withColumn(
+        "session_idx",
+        F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        - 1,
+    )
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,
