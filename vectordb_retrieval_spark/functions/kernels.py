@@ -25,6 +25,8 @@ def collect_vectors(
     """Driver-side collect of a (small) vector table → (ids, float32 matrix)."""
     pdf = df.select(id_col, vec_col).toPandas()
     ids = pdf[id_col].to_numpy(dtype=np.int64)
+    if len(pdf) == 0:  # np.vstack rejects an empty sequence
+        return ids, np.empty((0, 0), dtype=np.float32)
     mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float32)
     return ids, mat
 

@@ -64,6 +64,8 @@ def _collect_queries(
 ) -> tuple[np.ndarray, np.ndarray]:
     pdf = query_df.select(qid_col, vec_col).toPandas()
     qids = pdf[qid_col].to_numpy(dtype=np.int64)
+    if len(pdf) == 0:  # np.vstack rejects an empty sequence
+        return qids, np.empty((0, 0), dtype=np.float32)
     qmat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float32)
     return qids, qmat
 
@@ -94,6 +96,8 @@ def exact_knn(
     qvec_col = qvec_col or vec_col
     spark = base_df.sparkSession
     qids, qmat = _collect_queries(query_df, qid_col, qvec_col)
+    if len(qids) == 0:  # empty serving batch: empty result, same schema
+        return spark.createDataFrame([], _CAND_SCHEMA + ", rank int")
     bc = spark.sparkContext.broadcast((qids, qmat))
     tile_elems = SCORE_TILE_ELEMS  # driver-time capture, A/B-able
 
@@ -186,6 +190,8 @@ def exact_range_search(
     qvec_col = qvec_col or vec_col
     spark = base_df.sparkSession
     qids, qmat = _collect_queries(query_df, qid_col, qvec_col)
+    if len(qids) == 0:  # empty serving batch: empty result, same schema
+        return spark.createDataFrame([], _CAND_SCHEMA)
     bc = spark.sparkContext.broadcast((qids, qmat))
 
     def seq_dist(x: np.ndarray, y: np.ndarray, m: str) -> float:
