@@ -52,3 +52,44 @@ def test_temporal_empty_inputs(spark):
     ).selectExpr("event_id", "user_id", "cast(ts as timestamp) as ts")
     r = asof_join(left, empty, right_payload=("event_id",)).collect()
     assert [(x.event_id, x.asof_event_id) for x in r] == [(1, None)]
+
+
+def test_all_searchers_handle_empty_query_batch(spark):
+    """Every index family must serve an empty batch as an empty result
+    (the exact paths regressed on this once — kernels.collect_vectors
+    and exact._collect_queries now return (0, 0) matrices safely)."""
+    import numpy as np
+
+    from vectordb_retrieval_spark.operators.cluster_pruned import (
+        ClusterPrunedExactIndexer,
+        ClusterPrunedExactSearcher,
+    )
+    from vectordb_retrieval_spark.operators.graph_ann import (
+        GraphANNIndexer,
+        GraphANNSearcher,
+    )
+    from vectordb_retrieval_spark.operators.ivf import IVFIndexer, IVFSearcher
+    from vectordb_retrieval_spark.operators.lsh import LSHIndexer, LSHSearcher
+    from vectordb_retrieval_spark.operators.pq import PQIndexer, PQADCSearcher
+
+    rng = np.random.RandomState(0)
+    base = spark.createDataFrame(
+        [(i, [float(x) for x in rng.randn(8)]) for i in range(300)],
+        "id long, vec array<float>",
+    )
+    q0 = spark.createDataFrame([], "qid long, vec array<float>")
+    searchers = [
+        LSHSearcher(max_candidates=50).attach(
+            LSHIndexer(dimension=8, num_tables=2, hash_size=6, seed=1).build(base)
+        ),
+        PQADCSearcher().attach(PQIndexer(m=4, ksub=16, seed=1).build(base)),
+        ClusterPrunedExactSearcher().attach(
+            ClusterPrunedExactIndexer(nlist=8, seed=1).build(base)
+        ),
+        GraphANNSearcher(ef_search=10).attach(
+            GraphANNIndexer(num_partitions=2, m=6, seed=1).build(base)
+        ),
+        IVFSearcher(nprobe=3).attach(IVFIndexer(nlist=8, seed=1).build(base)),
+    ]
+    for s in searchers:
+        assert s.search(q0, 5).count() == 0, type(s).__name__
