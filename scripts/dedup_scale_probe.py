@@ -1,0 +1,93 @@
+"""Standalone dedup-at-scale probe: the MinHash+LSH near-dup pipeline
+(signatures -> band buckets -> candidate pairs -> exact-Jaccard verify)
+over a synthetic corpus generated DISTRIBUTED (no driver text, no
+collect): every doc's words derive from xxhash64(source_id, position),
+so the generator is one narrow `spark.range` projection at any size.
+
+Planted structure: docs with id % 20 == 7 are near-duplicates of
+id - 7 (same 80 words + 3 extra), everything else is unique.  The
+probe times the full verified pipeline and reports planted-pair recall
+at the verify threshold — the correctness-at-scale signal — plus the
+docs/sec rate.
+
+    python scripts/dedup_scale_probe.py [n_docs]
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from vectordb_retrieval_spark.session import get_spark  # noqa: E402
+
+
+def synth_docs(spark, n_docs: int, words: int = 80, vocab: int = 20_000):
+    base = spark.range(n_docs).withColumnRenamed("id", "doc_id")
+    src = F.when(
+        (F.col("doc_id") % 20 == 7) & (F.col("doc_id") >= 7),
+        F.col("doc_id") - 7,
+    ).otherwise(F.col("doc_id"))
+    word = lambda seed_col, i: F.concat(  # noqa: E731
+        F.lit("w"), F.pmod(F.xxhash64(seed_col, i), F.lit(vocab))
+    )
+    body = F.concat_ws(
+        " ", F.transform(F.sequence(F.lit(1), F.lit(words)), lambda i: word(src, i))
+    )
+    extra = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1001), F.lit(1003)), lambda i: word(F.col("doc_id"), i)
+        ),
+    )
+    text = F.when(
+        (F.col("doc_id") % 20 == 7) & (F.col("doc_id") >= 7),
+        F.concat_ws(" ", body, extra),
+    ).otherwise(body)
+    return base.select("doc_id", text.alias("text"))
+
+
+def main() -> int:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    spark = get_spark("dedup_scale_probe", master="local[32]")
+
+    from vectordb_retrieval_spark.operators.dedup import minhash_verified_pairs
+
+    docs = synth_docs(spark, n_docs).repartition(32).cache()
+    docs.count()  # materialize generation outside the timed window
+
+    t0 = time.time()
+    pairs = minhash_verified_pairs(
+        docs, threshold=0.7, n_perm=64, bands=16, shingle_n=3
+    ).cache()
+    n_pairs = pairs.count()
+    wall = time.time() - t0
+
+    planted = pairs.where(
+        (F.col("b") - F.col("a") == 7) & (F.col("b") % 20 == 7)
+    ).count()
+    n_planted = docs.where(
+        (F.col("doc_id") % 20 == 7) & (F.col("doc_id") >= 7)
+    ).count()
+    print(
+        "DEDUP_SCALE_PROBE "
+        + json.dumps(
+            {
+                "n_docs": n_docs,
+                "wall_s": round(wall, 2),
+                "docs_per_sec": round(n_docs / wall, 1),
+                "verified_pairs": n_pairs,
+                "planted_pairs": n_planted,
+                "planted_found": planted,
+                "planted_recall": round(planted / max(n_planted, 1), 4),
+            },
+            sort_keys=True,
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
