@@ -45,9 +45,11 @@ def main() -> int:
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failures = []
+    n_run = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_run += 1
         t0 = time.time()
         try:
             got = fn(spark, sf_dir).toPandas()
@@ -85,7 +87,7 @@ def main() -> int:
             print(f"FAIL {name}: {'; '.join(status)}")
         else:
             print(f"PASS {name}: {len(g)} rows ({t_spark:.1f}s spark)")
-    print(f"\n{len(qs) - len(failures)}/{len(qs) if not only else len(only)} passed")
+    print(f"\n{n_run - len(failures)}/{n_run} passed")
     return 1 if failures else 0
 
 

@@ -51,9 +51,18 @@ _FIXTURE_ROOT = "/tmp/vr_spark_fixtures"
 
 def _fixture_dir(name: str, sf_dir: str) -> str:
     """Fresh per-process fixture path keyed by scale factor (queries run
-    serially within one driver process; stale content is removed)."""
+    serially within one driver process; stale content is removed).
+    Sibling pid directories left by earlier driver processes are swept
+    on first use so repeated gate runs don't grow /tmp without bound."""
+    pid = str(os.getpid())
+    if os.path.isdir(_FIXTURE_ROOT):
+        for stale in os.listdir(_FIXTURE_ROOT):
+            if stale != pid:
+                shutil.rmtree(
+                    os.path.join(_FIXTURE_ROOT, stale), ignore_errors=True
+                )
     tag = os.path.basename(os.path.normpath(sf_dir))
-    d = os.path.join(_FIXTURE_ROOT, str(os.getpid()), f"{name}-{tag}")
+    d = os.path.join(_FIXTURE_ROOT, pid, f"{name}-{tag}")
     shutil.rmtree(d, ignore_errors=True)
     os.makedirs(os.path.dirname(d), exist_ok=True)
     return d
@@ -110,9 +119,13 @@ def q_npy_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded driver-side fixture write (.npy is a single-file format;
     at sf0.01 gate scale this is 500 rows), then the distributed
     memmap-per-task read with the reference's first-n limit."""
+    # collect bounded by the read limit (2× so the reader's first-n
+    # semantics are still exercised against a longer file), never the
+    # whole table — the oracle only checks the first NPY_LIMIT rows
     pdf = (
         spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         .orderBy("vec_id")
+        .limit(2 * NPY_LIMIT)
         .select("embedding")
         .toPandas()
     )

@@ -53,10 +53,15 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ASOF_ORACLE = """
 WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
-v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view')
-SELECT c.event_id AS id, c.user_id AS user_id, v.event_id AS asof_id,
-       date_diff('microsecond', v.ts, c.ts) AS lag_us
-FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts
+v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+m AS (
+  SELECT c.event_id AS id, c.user_id AS user_id, v.event_id AS asof_id,
+         date_diff('microsecond', v.ts, c.ts) AS lag_us,
+         row_number() OVER (PARTITION BY c.event_id
+                            ORDER BY v.ts DESC, v.event_id DESC) AS rn
+  FROM c LEFT JOIN v ON c.user_id = v.user_id AND v.ts <= c.ts
+)
+SELECT id, user_id, asof_id, lag_us FROM m WHERE rn = 1
 """
 
 _RANGE_ORACLE = """

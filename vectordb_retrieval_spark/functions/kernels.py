@@ -319,13 +319,16 @@ def cluster_scan_topk(
         )
 
     src = packed.filter(F.col("cluster_id").isin(probed_ids))
-    if n_tasks is not None and n_tasks < src.rdd.getNumPartitions():
+    if n_tasks is not None:
         # small serving batches: the per-task python dispatch (~4-8 ms
         # on this pool) rivals the per-task kernel, so a one-partition-
         # per-core layout pays ~2× the whole stage in handshakes.
         # coalesce is a narrow dependency — each task reads several
         # cached/pruned blob partitions locally, no shuffle; the greedy
-        # bin-packing keeps merged loads near-even.
+        # bin-packing keeps merged loads near-even.  Unconditional:
+        # coalesce to >= current partitions is a no-op, and asking the
+        # RDD for its partition count would force a plan conversion on
+        # every search just to decide whether to skip a no-op.
         src = src.coalesce(n_tasks)
     return src.mapInArrow(
         kernel, schema="qid long, ids array<long>, dists array<double>"

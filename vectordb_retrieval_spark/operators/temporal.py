@@ -37,7 +37,10 @@ def asof_join(
 
     The right payload travels as ONE struct so all attached columns
     come from the same matched row.  Equal-timestamp rows on opposite
-    sides count as "at or before" (right sorts first at ties).
+    sides count as "at or before" (right sorts first at ties).  Among
+    right rows tied on (key, ts) the MAX payload struct wins — a
+    deterministic tiebreak (field-wise struct comparison, so put a
+    unique id first in ``right_payload``); mirror it in any oracle.
     """
     rp = F.struct(*[F.col(c) for c in right_payload])
     l_tagged = left.withColumn("__side", F.lit(1)).withColumn(
@@ -58,7 +61,7 @@ def asof_join(
     u = l_tagged.unionByName(r_tagged.select(l_tagged.columns))
     w = (
         Window.partitionBy(key_col)
-        .orderBy(ts_col, "__side")
+        .orderBy(ts_col, "__side", F.col("__rp").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = u.withColumn("__m", F.last("__rp", ignorenulls=True).over(w))

@@ -117,9 +117,13 @@ def write_vecs(
     one shard file named by its partition index, so the lexicographic
     file order ``read_vecs`` relies on reproduces the global id order:
     reading the export back yields positional ids equal to each row's
-    rank by ``id_col``.  Executors write directly under ``path`` —
-    correct on local mode or any shared filesystem (the same contract
-    as a Parquet ``path``); record layout matches the reference
+    rank by ``id_col``.  Executors write to a shared filesystem under
+    ``path`` (the same contract as a Parquet ``path``) with a
+    task-commit protocol: each task writes a temp name salted by its
+    attempt number and ``os.replace``s it into place at task end, so a
+    speculative or zombie retry can never interleave bytes with the
+    winning attempt — last rename wins atomically with complete
+    content.  Record layout matches the reference
     (``dataset.py:522-574``): ``[dim: int32][dim × payload]``.
     """
     import os
@@ -137,7 +141,10 @@ def write_vecs(
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
         fh = None
+        tmp = final = None
         written = 0
         try:
             for pdf in batches:
@@ -145,9 +152,13 @@ def write_vecs(
                     continue
                 if fh is None:
                     pid = int(pdf["pid"].iloc[0])
-                    fh = open(
-                        os.path.join(path, f"shard-{pid:05d}.{kind}"), "wb"
+                    ctx = TaskContext.get()
+                    attempt = ctx.taskAttemptId() if ctx is not None else os.getpid()
+                    final = os.path.join(path, f"shard-{pid:05d}.{kind}")
+                    tmp = os.path.join(
+                        path, f".shard-{pid:05d}.{kind}.tmp-{attempt}"
                     )
+                    fh = open(tmp, "wb")
                 mat = np.asarray(
                     [np.asarray(v, dtype=payload_dtype) for v in pdf["vec"]]
                 )
@@ -156,9 +167,19 @@ def write_vecs(
                 out.view(payload_dtype)[:, 1:] = mat
                 out.tofile(fh)
                 written += len(pdf)
-        finally:
+        except BaseException:
             if fh is not None:
                 fh.close()
+                fh = None
+                if tmp is not None:
+                    try:
+                        os.remove(tmp)
+                    except OSError:
+                        pass
+            raise
+        if fh is not None:
+            fh.close()
+            os.replace(tmp, final)
         yield pd.DataFrame({"n": [written]})
 
     # one count row per partition forces full evaluation of the write
