@@ -715,3 +715,87 @@ def test_packed_placement_balances_skewed_clusters(spark):
     # hot cluster = 12x the mean cluster mass; packed placement must
     # spread it: no partition above 2x the busy-partition mean
     assert max(busy) <= 2.0 * mean, per_part
+
+
+def test_loaded_artifact_partitioned_search_equals_fresh(dfs, tmp_path):
+    """Regression pin: a packed table loaded from a cluster_id-PARTITIONED
+    parquet artifact comes back with cluster_id moved to the schema tail
+    (and narrowed to int by partition-column inference); the scan kernel
+    reads Arrow columns positionally, so without cluster_scan_topk's
+    explicit column-order select a loaded artifact silently scanned
+    garbage.  Partitioned search on save→load must be bit-identical to
+    the fresh build."""
+    from vectordb_retrieval_spark.operators.ivf import IVFIndexer, IVFSearcher
+    from vectordb_retrieval_spark.persistence import load_artifact, save_artifact
+
+    base_df, query_df = dfs
+    art = IVFIndexer(nlist=16, seed=1).build(base_df)
+    path = str(tmp_path / "ivf_art")
+    save_artifact(art, path)
+    art2 = load_artifact(base_df.sparkSession, path)
+    fresh = (
+        IVFSearcher(nprobe=4, broadcast_threshold=0)
+        .attach(art)
+        .search(query_df, K)
+        .select("qid", "id", "rank")
+        .collect()
+    )
+    loaded = (
+        IVFSearcher(nprobe=4, broadcast_threshold=0)
+        .attach(art2)
+        .search(query_df, K)
+        .select("qid", "id", "rank")
+        .collect()
+    )
+    assert sorted(map(tuple, fresh)) == sorted(map(tuple, loaded))
+
+
+def test_persisted_packed_partition_pruning(dfs, tmp_path):
+    """Plan-pin of the at-scale claim: the persisted packed table is
+    parquet-PARTITIONED by cluster_id, so the probed-id IN filter must
+    reach the scan as a static PartitionFilter and only the probed
+    partition directories may be read (numFiles/numPartitions metrics
+    == probed count, not nlist)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from vectordb_retrieval_spark.operators.ivf import IVFIndexer
+    from vectordb_retrieval_spark.persistence import load_artifact, save_artifact
+
+    base_df, _ = dfs
+    spark = base_df.sparkSession
+    nlist, probed = 16, [1, 4, 7]
+    art = IVFIndexer(nlist=nlist, seed=1).build(base_df)
+    path = str(tmp_path / "ivf_art_prune")
+    save_artifact(art, path)
+    packed = load_artifact(spark, path).tables["packed"]
+
+    on_disk = [
+        d
+        for d in os.listdir(os.path.join(path, "tables", "packed"))
+        if d.startswith("cluster_id=")
+    ]
+    assert len(on_disk) == nlist  # layout really is hive-partitioned
+
+    # the exact projection+filter cluster_scan_topk builds (kernels.py)
+    src = packed.select(
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "n",
+        "ids",
+        "payload",
+        "width",
+        "dt",
+        "sub",
+    ).filter(F.col("cluster_id").isin(probed))
+    src.collect()
+    qe = src._jdf.queryExecution()
+    plan = qe.executedPlan()
+    plan_str = plan.toString()
+    assert "PartitionFilters: [" in plan_str, plan_str
+    assert "cluster_id" in plan_str.split("PartitionFilters: [", 1)[1].split("]", 1)[0], plan_str
+    scan = plan.collectLeaves().apply(0)
+    assert scan.getClass().getSimpleName() == "FileSourceScanExec"
+    metrics = scan.metrics()
+    assert int(metrics.apply("numPartitions").value()) == len(probed), plan_str
+    assert int(metrics.apply("numFiles").value()) == len(probed), plan_str

@@ -318,7 +318,24 @@ def cluster_scan_topk(
             names=["qid", "ids", "dists"],
         )
 
-    src = packed.filter(F.col("cluster_id").isin(probed_ids))
+    # Pin column ORDER and the partition column's width before the
+    # Arrow kernel: the kernel reads record-batch columns positionally,
+    # and a packed table loaded from a cluster_id-PARTITIONED parquet
+    # artifact comes back with cluster_id moved to the tail of the
+    # schema (and narrowed to int by partition-column inference) —
+    # without this select a loaded artifact would scan garbage.  The
+    # select is a zero-cost projection; the isin filter still reaches
+    # the scan as a static partition filter (plan-pinned in
+    # tests/test_ann_operators.py::test_persisted_packed_partition_pruning).
+    src = packed.select(
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "n",
+        "ids",
+        "payload",
+        "width",
+        "dt",
+        "sub",
+    ).filter(F.col("cluster_id").isin(probed_ids))
     if n_tasks is not None:
         # small serving batches: the per-task python dispatch (~4-8 ms
         # on this pool) rivals the per-task kernel, so a one-partition-
