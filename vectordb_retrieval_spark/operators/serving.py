@@ -30,6 +30,11 @@ reference's in-memory throughput.
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
+import time
+import uuid
 from typing import Iterator
 
 import numpy as np
@@ -43,6 +48,19 @@ from vectordb_retrieval_spark.functions.distance import (
 )
 
 
+# node-local shared home for decoded packed-scan arrays: every python
+# worker on an executor deserializes its OWN copy of the broadcast, so
+# at 32 workers the decoded index was resident 32× and the GEMM wave
+# thrashed L3.  The first worker to build a (key, metric) scan state
+# publishes it under /dev/shm (atomic dir rename); everyone else mmaps
+# it read-only, so the whole node shares ONE physical copy through the
+# page cache.  Entries are content-addressed by the bundle's share_key
+# (assigned once, driver-side) and swept by age on each publish.
+_SHM_ROOT = "/dev/shm/vr_spark_shm"
+_SHM_MIN_BYTES = 4 << 20  # below this, per-worker copies are cheap
+_SHM_TTL_S = 3600.0
+
+
 class PackedClusters:
     """Pickled into the index broadcast: per-cluster id arrays and
     payload matrices (float32 vectors, or uint8/int16 codes when a
@@ -50,12 +68,13 @@ class PackedClusters:
     probing.  The decode cache is per-process state and is excluded
     from pickling."""
 
-    def __init__(self, cids, ids, payloads, codec, centroids):
+    def __init__(self, cids, ids, payloads, codec, centroids, share_key=None):
         self.cids = cids
         self.ids = ids
         self.payloads = payloads
         self.codec = codec
         self.centroids = centroids
+        self.share_key = share_key
         self.index = {int(c): i for i, c in enumerate(cids)}
         self._dec: dict[int, np.ndarray] = {}
         self._scan: dict = {}
@@ -157,6 +176,8 @@ class PackedClusters:
                 offs,
                 norm_max,
             )
+            got = self._share_scan(got, metric)
+            F, sq = got[0], got[1]
             self._scan[key] = got
             # share memory with the exact path: per-cluster decode and
             # scan caches become views into the packed matrix.  For
@@ -174,6 +195,63 @@ class PackedClusters:
                     sq[sl] if sq is not None else None,
                 )
         return got
+
+    def _share_scan(self, got, metric: str):
+        """Publish/attach the packed scan arrays through node-local
+        shared memory (see ``_SHM_ROOT``).  Returns the same tuple with
+        the big arrays replaced by read-only mmaps of one shared copy,
+        or ``got`` unchanged when sharing is off (no share_key, tiny
+        index, no /dev/shm, any I/O error).  Every worker computes
+        byte-identical arrays from the same broadcast, so whichever
+        publish wins the atomic rename is equivalent."""
+        F, sq, F32, sq32, gids, offs, norm_max = got
+        if (
+            self.share_key is None
+            or F.nbytes + F32.nbytes < _SHM_MIN_BYTES
+            or not os.path.isdir("/dev/shm")
+        ):
+            return got
+        final = os.path.join(_SHM_ROOT, f"{self.share_key}-{metric}")
+
+        def attach():
+            parts = []
+            for name in ("F64", "sq64", "F32", "sq32", "gids"):
+                path = os.path.join(final, f"{name}.npy")
+                parts.append(
+                    np.load(path, mmap_mode="r") if os.path.exists(path) else None
+                )
+            return (*parts, offs, norm_max)
+
+        try:
+            if not os.path.isdir(final):
+                os.makedirs(_SHM_ROOT, exist_ok=True)
+                # age sweep keeps abandoned entries from pinning tmpfs
+                now = time.time()
+                for entry in os.listdir(_SHM_ROOT):
+                    p = os.path.join(_SHM_ROOT, entry)
+                    try:
+                        if now - os.path.getmtime(p) > _SHM_TTL_S:
+                            shutil.rmtree(p, ignore_errors=True)
+                    except OSError:
+                        continue
+                tmp = tempfile.mkdtemp(prefix=".pub-", dir=_SHM_ROOT)
+                try:
+                    np.save(os.path.join(tmp, "F64.npy"), F)
+                    np.save(os.path.join(tmp, "F32.npy"), F32)
+                    np.save(os.path.join(tmp, "gids.npy"), gids)
+                    if sq is not None:
+                        np.save(os.path.join(tmp, "sq64.npy"), sq)
+                        np.save(os.path.join(tmp, "sq32.npy"), sq32)
+                    os.rename(tmp, final)
+                except OSError:
+                    # lost the publish race (or tmpfs full): attach to
+                    # the winner if there is one, else stay private
+                    shutil.rmtree(tmp, ignore_errors=True)
+                    if not os.path.isdir(final):
+                        return got
+            return attach()
+        except (OSError, ValueError):
+            return got
 
     def __getstate__(self):
         state = self.__dict__.copy()
@@ -203,7 +281,9 @@ def pack_clusters(
     bounds = np.r_[starts, len(cid)]
     ids = [ids_all[bounds[i] : bounds[i + 1]] for i in range(len(ucids))]
     pays = [payload[bounds[i] : bounds[i + 1]] for i in range(len(ucids))]
-    return PackedClusters(ucids, ids, pays, codec, centroids)
+    return PackedClusters(
+        ucids, ids, pays, codec, centroids, share_key=uuid.uuid4().hex
+    )
 
 
 def pack_clusters_from_packed(
@@ -236,7 +316,12 @@ def pack_clusters_from_packed(
             ids.append(rid)
             pays.append(rp)
     return PackedClusters(
-        np.asarray(cids, dtype=np.int64), ids, pays, codec, centroids
+        np.asarray(cids, dtype=np.int64),
+        ids,
+        pays,
+        codec,
+        centroids,
+        share_key=uuid.uuid4().hex,
     )
 
 
@@ -329,7 +414,13 @@ def topk_block(
     out_d = np.take_along_axis(pdist, order, axis=1)
     out_i = np.take_along_axis(pids, order, axis=1)
     thresh = out_d[:, -1]
-    ambiguous = np.nonzero((D <= thresh[:, None]).sum(axis=1) > kk)[0]
+    # rows whose kk-th kept value is inf hold FEWER than kk finite
+    # candidates: every finite candidate is already kept (and sorted by
+    # the lexsort above), so the pad-induced inf ties can't change the
+    # kept set — skip them instead of lexsorting each such row
+    ambiguous = np.nonzero(
+        np.isfinite(thresh) & ((D <= thresh[:, None]).sum(axis=1) > kk)
+    )[0]
     for r in ambiguous:
         full = np.lexsort((I[r], D[r]))[:kk]
         out_d[r] = D[r][full]
@@ -521,20 +612,31 @@ def _search_batch_fast(
     # the invariant the float64-refinement guard below relies on.
     m = k + _SEL_MARGIN
     entries = []
-    force_merge_at = -1
+    primaries = []  # single-block primary entries — batched pre-pass
+    n_stream_primary = 0  # entries from oversized (multi-block) primaries
     for pi, (bi, qrows) in enumerate(probe_plan):
         sz = len(idx.ids[bi])
+        # primary single-block entries initialize R DIRECTLY (plan0
+        # lists each query exactly once, so per-query rows are disjoint
+        # and the phase reduces to ONE dense scatter + ONE vectorized
+        # top-m) — no pending, no forced merge; thresholds come up
+        # tight before the rest of the stream.  Oversized (multi-block)
+        # primaries fall through to the streaming path and merge at the
+        # primary boundary below.
+        if pi < n_primary and sz <= block_rows:
+            primaries.append((bi, qrows))
+            continue
         for s in range(0, sz, block_rows):
             entries.append((bi, s, min(sz, s + block_rows), qrows))
-        if pi + 1 == n_primary:
-            force_merge_at = len(entries)
+        if pi < n_primary:
+            n_stream_primary = len(entries)
+    force_merge_at = n_stream_primary if n_stream_primary else -1
 
     R_d = np.full((n_q, m), np.inf, dtype=np.float32)
     # positions are int32: a broadcast shard over 2^31 rows cannot
     # pass the serving size gate, so the downcast is safe
     R_p = np.full((n_q, m), _PAD_POS, dtype=np.int32)
     thr = np.full(n_q, np.inf, dtype=np.float32)
-    Rq_flat = np.repeat(all_rows, m)
     pq: list[np.ndarray] = []
     pv: list[np.ndarray] = []
     pp: list[np.ndarray] = []
@@ -546,17 +648,20 @@ def _search_batch_fast(
 
     def merge() -> None:
         nonlocal npend, key_quantum
-        allq = np.concatenate([Rq_flat] + pq)
-        vals = np.concatenate([R_d.ravel()] + pv)
-        poss = np.concatenate([R_p.ravel().astype(np.int64)] + pp)
-        # single composite-key argsort instead of a 3-key lexsort (the
-        # lexsort was ~60 ms per merge — 3 stable argsorts over the
-        # whole buffer).  key = query·span + clamped score ranks by
-        # (query, score); equal-key ties fall back to buffer order,
-        # which is deterministic, and any two scores closer than the
-        # key's float64 quantum are covered by adding that quantum to
-        # the guard bound (a candidate dropped at rank ≥ m under key
-        # order has true score ≥ boundary − quantum).
+        allq = np.concatenate(pq)
+        vals = np.concatenate(pv)
+        poss = np.concatenate(pp)
+        # stage 1 — per-query top-m of the PENDING buffer alone, via a
+        # single composite-key argsort (a 3-key lexsort was ~60 ms per
+        # merge: 3 stable argsorts over the whole buffer).
+        # key = query·span + clamped score ranks by (query, score);
+        # equal-key ties fall back to buffer order, which is
+        # deterministic, and any two scores closer than the key's
+        # float64 quantum are covered by adding that quantum to the
+        # guard bound (a candidate dropped at rank ≥ m under key order
+        # has true score ≥ boundary − quantum).  R stays OUT of this
+        # sort: it is already per-query sorted, so stage 2 folds it in
+        # with a dense row-wise pass at a fraction of the cost.
         finite = np.isfinite(vals)
         if finite.any():
             lo = float(vals[finite].min())
@@ -578,10 +683,22 @@ def _search_batch_fast(
         counts = np.diff(np.r_[starts, len(allq)])
         rank = np.arange(len(allq)) - np.repeat(starts, counts)
         keep = rank < m
-        # R always holds m slots per query (inf-padded), so every
-        # query has ≥ m merged entries and the scatter is dense
-        R_d[allq[keep], rank[keep]] = vals[keep]
-        R_p[allq[keep], rank[keep]] = poss[keep].astype(np.int32)
+        D_new = np.full((n_q, m), np.inf, dtype=np.float32)
+        P_new = np.full((n_q, m), _PAD_POS, dtype=np.int32)
+        D_new[allq[keep], rank[keep]] = vals[keep]
+        P_new[allq[keep], rank[keep]] = poss[keep].astype(np.int32)
+        # stage 2 — fold into R: both sides are per-query ascending, so
+        # one stable row-wise argsort of the (n_q × 2m) concat gives the
+        # merged top-m EXACTLY (true fp32 comparisons — no composite
+        # key, no quantum; value ties resolve R-first/buffer-order,
+        # deterministic, and tie order is guard-covered like any other
+        # selection tie).
+        comb = np.concatenate([R_d, D_new], axis=1)
+        sel2 = np.argsort(comb, axis=1, kind="stable")[:, :m]
+        R_d[:] = np.take_along_axis(comb, sel2, axis=1)
+        R_p[:] = np.take_along_axis(
+            np.concatenate([R_p, P_new], axis=1), sel2, axis=1
+        )
         thr[:] = R_d[:, m - 1]
         pq.clear()
         pv.clear()
@@ -598,10 +715,53 @@ def _search_batch_fast(
     # stay query-ascending, so pending content, order, and merge points
     # are identical to the untiled form.
     tile_elems = 2 * 1024 * 1024
+
+    # --- primary pre-pass: one dense (covered-queries × max-width)
+    # score matrix filled per cluster, then ONE vectorized top-m
+    # (topk_block) initializes R and the thresholds.  plan0 lists each
+    # query at most once, so cluster scatters land on disjoint rows;
+    # per-entry cost collapses to the GEMM + a row scatter (the
+    # per-entry topk_rows this replaces spent ~100 µs/call on
+    # argpartition/lexsort dispatch overhead alone).  Sound for the
+    # guard: dropped candidates score ≥ the m-th kept of their own
+    # primary block, which is ≥ the final boundary since R only
+    # tightens.
+    if primaries:
+        w_max = max(len(idx.ids[bi]) for bi, _ in primaries)
+        D0 = np.full((n_q, w_max), np.inf, dtype=np.float32)
+        P0 = np.full((n_q, w_max), _PAD_ID, dtype=np.int64)
+        covered = np.zeros(n_q, dtype=bool)
+        for bi, qrows in primaries:
+            o = int(offs[bi])
+            w = len(idx.ids[bi])
+            b = F32[o : o + w]
+            qsub = q32[qrows]
+            if metric == "l2":
+                d = sq32[o : o + w][None, :] - 2.0 * (qsub @ b.T)
+            else:
+                d = -(qsub @ b.T)
+            D0[qrows, :w] = d
+            P0[qrows, :w] = np.arange(o, o + w, dtype=np.int64)
+            covered[qrows] = True
+            tot[qrows] += w
+        sel = np.nonzero(covered)[0]
+        if len(sel) == n_q:
+            od, op = topk_block(D0, P0, m)
+        else:
+            od, op = topk_block(D0[sel], P0[sel], m)
+        width = min(m, od.shape[1])
+        R_d[sel[:, None], np.arange(width)[None, :]] = od[:, :width]
+        pw = op[:, :width]
+        R_p[sel[:, None], np.arange(width)[None, :]] = np.where(
+            pw == _PAD_ID, np.int64(_PAD_POS), pw
+        ).astype(np.int32)
+        thr[sel] = R_d[sel, m - 1]
+
     for ei, (bi, s, e, qrows) in enumerate(entries):
         if ei == force_merge_at and npend:
-            # every query's nearest cluster has been scanned: merge now
-            # so the bound is tight before the bulk of the stream
+            # queries whose primary cluster was too big for the dense
+            # pre-pass (multi-block) went through pending: merge so
+            # their bound is tight before the bulk of the stream
             merge()
         qsub = q32 if qrows is None else q32[qrows]
         rows = all_rows if qrows is None else qrows
