@@ -244,9 +244,11 @@ def test_graph_ann_kmeans_shards_balanced(spark):
 
 
 def test_graph_ann_partitioned_path_equals_broadcast(spark):
-    """The two physical plans — broadcast shard blobs vs shuffle-
-    replicated blob rows — must produce identical results, routed or
-    not (broadcast_threshold=0 forces the partitioned branch)."""
+    """The three physical plans — broadcast shard blobs, node-local
+    /dev/shm shard cache, and shuffle-replicated blob rows — must
+    produce identical results, routed or not (broadcast_threshold=0
+    forces the over-threshold branches; node_local_cache picks between
+    the shm and blob-shipping plans there)."""
     from vectordb_retrieval_spark.sources.random_gen import clustered_vectors
 
     base = clustered_vectors(
@@ -259,6 +261,11 @@ def test_graph_ann_partitioned_path_equals_broadcast(spark):
         m=6, metric="l2", num_partitions=4, partition_by="kmeans", seed=9,
         long_links=4,
     ).build(base, id_col="id", vec_col="vec")
+
+    def reset():
+        for key in ("_shard_bc", "_shard_pids", "_shm_shards"):
+            art.params.pop(key, None)
+
     for probe in (None, 2):
         rows_bc = {
             tuple(r)
@@ -267,18 +274,30 @@ def test_graph_ann_partitioned_path_equals_broadcast(spark):
             .search(queries, 5, qid_col="qid", vec_col="vec")
             .collect()
         }
-        art.params.pop("_shard_bc", None)
-        art.params.pop("_shard_pids", None)
+        reset()
+        shm_searcher = GraphANNSearcher(
+            ef_search=32, probe_partitions=probe, broadcast_threshold=0
+        ).attach(art)
+        rows_shm = {
+            tuple(r)
+            for r in shm_searcher.search(
+                queries, 5, qid_col="qid", vec_col="vec"
+            ).collect()
+        }
+        assert art.params.get("_shm_shards") is not None  # shm plan ran
+        reset()
         rows_part = {
             tuple(r)
             for r in GraphANNSearcher(
-                ef_search=32, probe_partitions=probe, broadcast_threshold=0
+                ef_search=32,
+                probe_partitions=probe,
+                broadcast_threshold=0,
+                node_local_cache=False,
             )
             .attach(art)
             .search(queries, 5, qid_col="qid", vec_col="vec")
             .collect()
         }
-        assert rows_bc == rows_part
+        assert rows_bc == rows_shm == rows_part
         # reset the memoized over-threshold decision for the next loop
-        art.params.pop("_shard_bc", None)
-        art.params.pop("_shard_pids", None)
+        reset()

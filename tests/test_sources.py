@@ -195,6 +195,19 @@ def test_embedder_stub_deterministic_and_normalized(spark):
     assert not np.array_equal(out[0], out[2])
 
 
+def _sentence_transformers_available() -> bool:
+    try:
+        import sentence_transformers  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    _sentence_transformers_available(),
+    reason="sentence-transformers installed: the unavailable branch can't fire",
+)
 def test_embedder_real_model_unavailable(spark):
     docs = spark.createDataFrame([(0, "x")], schema="doc_id long, text string")
     with pytest.raises(Exception) as exc:
@@ -202,6 +215,27 @@ def test_embedder_real_model_unavailable(spark):
     assert "NotImplementedError" in str(exc.value) or isinstance(
         exc.value, NotImplementedError
     )
+
+
+@pytest.mark.skipif(
+    not _sentence_transformers_available(),
+    reason="sentence-transformers not installed in this environment",
+)
+def test_embedder_real_model_branch(spark):
+    """When the library is present the same mapInPandas plumbing must
+    run real inference: right shape/dtype, deterministic across calls,
+    distinct texts -> distinct vectors."""
+    docs = spark.createDataFrame(
+        [(0, "hello world"), (1, "hello world"), (2, "something else entirely")],
+        schema="doc_id long, text string",
+    )
+    out = {
+        r.id: np.array(r.embedding)
+        for r in embed_text(docs, model_name="all-MiniLM-L6-v2").collect()
+    }
+    assert out[0].shape == (384,)
+    np.testing.assert_array_equal(out[0], out[1])
+    assert not np.array_equal(out[0], out[2])
 
 
 def test_subsample_deterministic(spark):

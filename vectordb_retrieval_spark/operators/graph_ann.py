@@ -69,6 +69,8 @@ so the frontier is data-bound, not configuration-bound.
 
 from __future__ import annotations
 
+import os
+import uuid
 from typing import Iterator
 
 import numpy as np
@@ -87,6 +89,88 @@ from vectordb_retrieval_spark.functions.hashing import (
     sign_buckets,
 )
 from vectordb_retrieval_spark.operators.topk import topk_per_query
+
+
+# Node-local shard cache (see also serving._SHM_ROOT): above the
+# broadcast threshold the partitioned path used to ship every probed
+# shard blob through Arrow into the python workers ON EVERY SEARCH —
+# at 1M×384-d that is ~GBs of blob traffic per 1024-query batch and it
+# dominated the search wall.  On a single-node master (local[...]) the
+# shards are instead PUBLISHED once to /dev/shm by a one-off job and
+# every search maps them read-only by pid: tasks carry only (pid,
+# chunk) ints, the page cache holds one physical copy per node, and
+# per-search blob traffic drops to zero.  This is the index-replica
+# serving architecture (the reference's in-RAM index, FAISS serving
+# fleets): the cluster distributes QUERIES, not index bytes.  On a
+# multi-executor master the publish would land each shard on one node
+# only, so the gate keeps the blob-shipping path there; a cluster
+# deployment replicates the artifact per node the same way (node-local
+# SSD/ramdisk) before flipping this on.
+_SHM_SHARD_ROOT = "/dev/shm/vr_spark_shm"
+_SHM_SHARD_TTL_S = 3600.0
+_SHARD_MMAPS: dict = {}
+
+
+def _mmap_shard(root: str, pid: int):
+    """Read-only mmap of a published shard blob, memoized per process
+    (the mmap object must outlive every frombuffer view taken on it)."""
+    import mmap as _mmap
+    import os
+
+    path = os.path.join(root, f"{pid}.bin")
+    mm = _SHARD_MMAPS.get(path)
+    if mm is None:
+        if len(_SHARD_MMAPS) >= 8192:
+            _SHARD_MMAPS.clear()
+        with open(path, "rb") as fh:
+            mm = _mmap.mmap(fh.fileno(), 0, prot=_mmap.PROT_READ)
+        _SHARD_MMAPS[path] = mm
+    return mm
+
+
+def _publish_shards(graph_df: DataFrame, key: str) -> tuple[str, list[int]]:
+    """One distributed pass over the graph table writing each (pid,
+    blob) to /dev/shm (tmp file + atomic rename; re-publish of an
+    existing pid is a no-op).  Returns (root, sorted pids).  Stale
+    sibling entries are age-swept first."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    os.makedirs(_SHM_SHARD_ROOT, exist_ok=True)
+    now = _time.time()
+    for entry in os.listdir(_SHM_SHARD_ROOT):
+        p = os.path.join(_SHM_SHARD_ROOT, entry)
+        try:
+            if now - os.path.getmtime(p) > _SHM_SHARD_TTL_S:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            continue
+    root = os.path.join(_SHM_SHARD_ROOT, f"shards-{key}")
+
+    def pub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        os.makedirs(root, exist_ok=True)
+        done = []
+        for pdf in batches:
+            for pid, blob in zip(pdf["pid"], pdf["blob"]):
+                pid = int(pid)
+                final = os.path.join(root, f"{pid}.bin")
+                if not os.path.exists(final):
+                    fd, tmp = tempfile.mkstemp(dir=root, prefix=".pub-")
+                    with os.fdopen(fd, "wb") as fh:
+                        fh.write(blob)
+                    os.replace(tmp, final)
+                done.append(pid)
+        yield pd.DataFrame({"pid": np.asarray(done, dtype=np.int64)})
+
+    pids = sorted(
+        int(r["pid"])
+        for r in graph_df.select("pid", "blob")
+        .mapInPandas(pub, schema="pid long")
+        .collect()
+    )
+    return root, pids
 
 
 def _pad_adjacency(adj: list[np.ndarray]) -> np.ndarray:
@@ -657,11 +741,17 @@ class GraphANNSearcher:
         probe_partitions: int | None = None,
         broadcast_threshold: int = 64 << 20,
         force_beam: bool = False,
+        node_local_cache: bool = True,
     ):
         self.ef_search = ef_search
         self.probe_partitions = probe_partitions
         self.broadcast_threshold = broadcast_threshold
         self.force_beam = force_beam
+        # over-threshold indexes on a single-node master: publish shard
+        # blobs to /dev/shm once and serve through mmaps (see
+        # _publish_shards).  False forces the blob-shipping partitioned
+        # plan — the multi-executor path, kept testable.
+        self.node_local_cache = node_local_cache
         self.artifact: IndexArtifact | None = None
         self.ndis_accum = None
 
@@ -752,6 +842,35 @@ class GraphANNSearcher:
             else:
                 art.params["_shard_bc"] = None
         bc_shards = art.params["_shard_bc"]
+        # over-threshold on a single-node master: publish the shards to
+        # node-local shared memory once and serve every search through
+        # read-only mmaps (see _publish_shards) — same query-partitioned
+        # plan as the broadcast path, zero per-search blob traffic
+        shm_shards = (
+            art.params.get("_shm_shards") if self.node_local_cache else None
+        )
+        if shm_shards is not None and not os.path.isdir(shm_shards[0]):
+            shm_shards = None  # swept while idle: republish below
+        if (
+            bc_shards is None
+            and shm_shards is None
+            and self.node_local_cache
+            and spark.sparkContext.master.startswith("local")
+            and os.path.isdir("/dev/shm")
+        ):
+            try:
+                shm_shards = _publish_shards(
+                    art.tables["graph"], uuid.uuid4().hex
+                )
+            except OSError:
+                shm_shards = None
+        if self.node_local_cache:
+            art.params["_shm_shards"] = shm_shards
+        if shm_shards is not None:
+            try:
+                os.utime(shm_shards[0])  # keep the TTL sweep at bay
+            except OSError:
+                pass
 
         # fan the query batch out across (shard × chunk) tasks: the
         # per-task kernel is CPU-bound NumPy, so shard count alone
@@ -833,10 +952,11 @@ class GraphANNSearcher:
                 np.concatenate(out_d),
             )
 
-        if bc_shards is not None:
+        if bc_shards is not None or shm_shards is not None:
             # Query-partitioned serving (the zero-shuffle inversion of
             # operators/serving.py): every shard blob is already on
-            # every executor, so each task takes a STRIDE of the query
+            # every executor (broadcast) or node (shm publish), so each
+            # task takes a STRIDE of the query
             # batch, beams it through all of its queries' (routed)
             # shards in-kernel, merges the per-shard candidates with
             # one lexicographic (dist, id) prefix pass, and emits the
@@ -858,7 +978,12 @@ class GraphANNSearcher:
                 1,
                 min(-(-n_q // 32), 2 * par if route is not None else par),
             )
-            shard_pids = art.params["_shard_pids"]
+            shard_pids = (
+                art.params["_shard_pids"]
+                if bc_shards is not None
+                else shm_shards[1]
+            )
+            shm_root = None if bc_shards is not None else shm_shards[0]
             # spark.range is a JVM-native scan with exactly one row per
             # task; a parallelize-backed DataFrame inserts an EXTRA
             # python stage (pickled-row scan → InternalRow conversion)
@@ -871,7 +996,11 @@ class GraphANNSearcher:
 
             def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 q_ids, q_mat, rt, _, _ = bc.value
-                shards = bc_shards.value
+                if shm_root is None:
+                    shards = bc_shards.value
+                    get_blob = shards.__getitem__
+                else:
+                    get_blob = lambda p: _mmap_shard(shm_root, p)  # noqa: E731
                 for pdf in batches:
                     for qc_ix in pdf["qchunk"]:
                         qc_ix = int(qc_ix)
@@ -888,7 +1017,7 @@ class GraphANNSearcher:
                                 sel = np.arange(qc_ix, len(q_ids), n_tasks)
                             if not len(sel):
                                 continue
-                            lr, ci, cd = shard_cands(q_mat[sel], shards[pid])
+                            lr, ci, cd = shard_cands(q_mat[sel], get_blob(pid))
                             acc_q.append(sel[lr])
                             acc_i.append(ci)
                             acc_d.append(cd)
