@@ -86,6 +86,41 @@ def main() -> int:
             sort_keys=True,
         )
     )
+
+    if "--decontam" in sys.argv:
+        # Decontamination at the same corpus size: docs with
+        # id % 100 == 0 form the held-out benchmark (n_docs/100 docs —
+        # the "1M train × 10k bench" shape), everything else is train.
+        # Planted structure doubles as the contamination oracle: every
+        # bench doc b has near-dup train doc b+7 (b % 20 == 0 always
+        # holds for b % 100 == 0), sharing ~all shingles — so pair
+        # (b+7, b) must be flagged.  Timed with the hot-gram cap OFF
+        # and ON (cap = 5 bench-doc df) to measure the skew guard's
+        # cost/benefit at scale.
+        from vectordb_retrieval_spark.operators.textops import decontam_overlap
+
+        out = {"n_docs": n_docs, "n_bench": n_docs // 100}
+        for label, cap in (("cap_off", None), ("cap_5", 5)):
+            t0 = time.time()
+            dec = decontam_overlap(
+                docs, n=3, min_shared=2, bench_mod=100,
+                max_bench_gram_df=cap,
+            ).cache()
+            n_flagged = dec.count()
+            w = time.time() - t0
+            hits = dec.where(
+                (F.col("train_id") - F.col("bench_id") == 7)
+            ).count()
+            out[f"{label}_wall_s"] = round(w, 2)
+            out[f"{label}_docs_per_sec"] = round(n_docs / w, 1)
+            out[f"{label}_flagged_pairs"] = n_flagged
+            # one planted pair (b+7, b) per bench doc b (b+7 < n_docs
+            # holds for every multiple of 100 below n_docs when n >= 8)
+            out[f"{label}_planted_hit_rate"] = round(
+                hits / max(n_docs // 100, 1), 4
+            )
+            dec.unpersist()
+        print("DECONTAM_SCALE_PROBE " + json.dumps(out, sort_keys=True))
     return 0
 
 

@@ -410,14 +410,29 @@ def test_ivf_broadcast_path_equals_partitioned_path(dfs):
             .collect()
         )
         art.params.pop("_serving_bc", None)
-        slow = (
+        shm = (
             IVFSearcher(nprobe=4, broadcast_threshold=0)
             .attach(art)
             .search(query_df, K)
             .select("qid", "id", "rank")
             .collect()
         )
-        assert sorted(map(tuple, fast)) == sorted(map(tuple, slow))
+        assert art.params.get("_packed_shm") is not None  # shm plan ran
+        art.params.pop("_serving_bc", None)
+        slow = (
+            IVFSearcher(
+                nprobe=4, broadcast_threshold=0, node_local_cache=False
+            )
+            .attach(art)
+            .search(query_df, K)
+            .select("qid", "id", "rank")
+            .collect()
+        )
+        assert (
+            sorted(map(tuple, fast))
+            == sorted(map(tuple, shm))
+            == sorted(map(tuple, slow))
+        )
 
 
 def test_pq_broadcast_path_equals_scan_path(dfs):
@@ -570,14 +585,29 @@ def test_cluster_pruned_broadcast_path_equals_partitioned_path(dfs):
         .collect()
     )
     art.params.pop("_serving_bc", None)
-    slow = (
+    shm = (
         ClusterPrunedExactSearcher(nprobe=2, broadcast_threshold=0)
         .attach(art)
         .search(query_df, K)
         .select("qid", "id", "rank")
         .collect()
     )
-    assert sorted(map(tuple, fast)) == sorted(map(tuple, slow))
+    assert art.params.get("_packed_shm") is not None  # shm plan ran
+    art.params.pop("_serving_bc", None)
+    slow = (
+        ClusterPrunedExactSearcher(
+            nprobe=2, broadcast_threshold=0, node_local_cache=False
+        )
+        .attach(art)
+        .search(query_df, K)
+        .select("qid", "id", "rank")
+        .collect()
+    )
+    assert (
+        sorted(map(tuple, fast))
+        == sorted(map(tuple, shm))
+        == sorted(map(tuple, slow))
+    )
 
 
 def test_lsh_broadcast_path_equals_pipeline_path(dfs):

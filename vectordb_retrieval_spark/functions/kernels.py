@@ -79,6 +79,26 @@ def rowwise_distance(
     raise ValueError(f"unknown metric {metric!r}")
 
 
+# read-only mmaps of published packed blobs, memoized per process (the
+# mmap object must outlive every frombuffer view taken on it)
+_BLOB_MMAPS: dict = {}
+
+
+def _mmap_blob(root: str, cid: int, sub: int):
+    import mmap as _mmap
+    import os
+
+    path = os.path.join(root, f"{cid}-{sub}.bin")
+    mm = _BLOB_MMAPS.get(path)
+    if mm is None:
+        if len(_BLOB_MMAPS) >= 65536:
+            _BLOB_MMAPS.clear()
+        with open(path, "rb") as fh:
+            mm = _mmap.mmap(fh.fileno(), 0, prot=_mmap.PROT_READ)
+        _BLOB_MMAPS[path] = mm
+    return mm
+
+
 def pack_assignment(
     assignment: DataFrame,
     payload_col: str,
@@ -217,6 +237,90 @@ def packed_assignment_cached(art, table: str = "assignment") -> DataFrame:
     return packed
 
 
+def packed_shm_cached(art, table: str = "assignment"):
+    """Node-local shared-memory form of the packed assignment (the same
+    serving architecture as graph_ann's shard cache): on a single-node
+    master, each (cluster_id, sub) blob is published ONCE to /dev/shm
+    (one distributed pass over the packed table; ids bytes + payload
+    bytes per file, tmp + atomic rename) and searches then scan a
+    blob-free METADATA table — per-search Arrow traffic drops from the
+    probed payload bytes to a few hundred metadata ints, and the page
+    cache holds one physical copy of the index per node.  The metadata
+    DataFrame is a narrow projection of the placed packed table, so it
+    inherits the load-balanced task placement.
+
+    Returns (shm_root, metadata DataFrame) or None when gated off
+    (multi-executor master, no /dev/shm, publish failure).  Memoized on
+    the artifact (runtime-only ``_`` param)."""
+    import os
+    import shutil
+    import tempfile
+    import time
+    import uuid
+
+    memo = art.params.get("_packed_shm", "unset")
+    if memo is None:
+        return None
+    if memo != "unset" and os.path.isdir(memo[0]):
+        return memo
+    packed = packed_assignment_cached(art, table)
+    spark = packed.sparkSession
+    if not (
+        spark.sparkContext.master.startswith("local")
+        and os.path.isdir("/dev/shm")
+    ):
+        art.params["_packed_shm"] = None
+        return None
+    shm_base = "/dev/shm/vr_spark_shm"
+    root = os.path.join(shm_base, f"packed-{uuid.uuid4().hex}")
+    try:
+        os.makedirs(shm_base, exist_ok=True)
+        now = time.time()
+        for entry in os.listdir(shm_base):
+            p = os.path.join(shm_base, entry)
+            try:
+                if now - os.path.getmtime(p) > 3600.0:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                continue
+
+        def pub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            os.makedirs(root, exist_ok=True)
+            n_done = 0
+            for pdf in batches:
+                for cid, sub, ids, payload in zip(
+                    pdf["cluster_id"], pdf["sub"], pdf["ids"], pdf["payload"]
+                ):
+                    final = os.path.join(root, f"{int(cid)}-{int(sub)}.bin")
+                    if not os.path.exists(final):
+                        fd, tmp = tempfile.mkstemp(dir=root, prefix=".pub-")
+                        with os.fdopen(fd, "wb") as fh:
+                            fh.write(ids)
+                            fh.write(payload)
+                        os.replace(tmp, final)
+                    n_done += 1
+            yield pd.DataFrame({"n": [n_done]})
+
+        total_rows = packed.count()
+        published = sum(
+            r["n"]
+            for r in packed.select("cluster_id", "sub", "ids", "payload")
+            .mapInPandas(pub, schema="n long")
+            .collect()
+        )
+        if published != total_rows:
+            raise OSError(f"published {published} of {total_rows} blobs")
+        meta = packed.select("cluster_id", "n", "width", "dt", "sub").cache()
+        meta.count()
+        got = (root, meta)
+        art.params["_packed_shm"] = got
+        return got
+    except OSError:
+        shutil.rmtree(root, ignore_errors=True)
+        art.params["_packed_shm"] = None
+        return None
+
+
 def cluster_scan_topk(
     packed: DataFrame,
     qids: np.ndarray,
@@ -227,6 +331,7 @@ def cluster_scan_topk(
     accum=None,
     codec=None,
     n_tasks: int | None = None,
+    shm_root: str | None = None,
 ) -> DataFrame:
     """Scan the probed clusters of a PACKED assignment table (see
     ``pack_assignment``) and return fragment-local top-k rows
@@ -267,18 +372,36 @@ def cluster_scan_topk(
         for rb in batches:
             cids = rb.column(0).to_numpy(zero_copy_only=False)
             ns = rb.column(1).to_numpy(zero_copy_only=False)
-            ids_col = rb.column(2)
-            pay_col = rb.column(3)
-            widths = rb.column(4).to_numpy(zero_copy_only=False)
-            dts = rb.column(5).to_pylist()
+            if shm_root is None:
+                ids_col = rb.column(2)
+                pay_col = rb.column(3)
+                widths = rb.column(4).to_numpy(zero_copy_only=False)
+                dts = rb.column(5).to_pylist()
+            else:
+                widths = rb.column(2).to_numpy(zero_copy_only=False)
+                dts = rb.column(3).to_pylist()
+                subs = rb.column(4).to_numpy(zero_copy_only=False)
             for i in range(rb.num_rows):
                 qrows = probes.get(int(cids[i]))
                 if qrows is None or ns[i] == 0:
                     continue
-                ids = np.frombuffer(ids_col[i].as_buffer(), dtype=np.int64)
-                raw = np.frombuffer(
-                    pay_col[i].as_buffer(), dtype=dts[i]
-                ).reshape(int(ns[i]), int(widths[i]))
+                if shm_root is None:
+                    ids = np.frombuffer(ids_col[i].as_buffer(), dtype=np.int64)
+                    raw = np.frombuffer(
+                        pay_col[i].as_buffer(), dtype=dts[i]
+                    ).reshape(int(ns[i]), int(widths[i]))
+                else:
+                    # node-local blob: two frombuffer views on a shared
+                    # read-only mmap (see packed_shm_cached) — zero
+                    # per-search blob bytes through Arrow
+                    mm = _mmap_blob(shm_root, int(cids[i]), int(subs[i]))
+                    n_i = int(ns[i])
+                    ids = np.frombuffer(mm, dtype=np.int64, count=n_i)
+                    raw = np.frombuffer(
+                        mm, dtype=dts[i],
+                        count=n_i * int(widths[i]),
+                        offset=8 * n_i,
+                    ).reshape(n_i, int(widths[i]))
                 bvecs = raw.astype(np.float32) if cdc is None else cdc.decode(raw)
                 d = pairwise_distances(q_mat[qrows], bvecs, metric)
                 if accum is not None:
@@ -327,15 +450,27 @@ def cluster_scan_topk(
     # select is a zero-cost projection; the isin filter still reaches
     # the scan as a static partition filter (plan-pinned in
     # tests/test_ann_operators.py::test_persisted_packed_partition_pruning).
-    src = packed.select(
-        F.col("cluster_id").cast("long").alias("cluster_id"),
-        "n",
-        "ids",
-        "payload",
-        "width",
-        "dt",
-        "sub",
-    ).filter(F.col("cluster_id").isin(probed_ids))
+    if shm_root is None:
+        src = packed.select(
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            "n",
+            "ids",
+            "payload",
+            "width",
+            "dt",
+            "sub",
+        ).filter(F.col("cluster_id").isin(probed_ids))
+    else:
+        # shm mode: ``packed`` is the blob-free metadata table
+        # (packed_shm_cached) — the scan moves a few hundred ints; the
+        # kernel mmaps blob bytes node-locally
+        src = packed.select(
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            "n",
+            "width",
+            "dt",
+            "sub",
+        ).filter(F.col("cluster_id").isin(probed_ids))
     if n_tasks is not None:
         # small serving batches: the per-task python dispatch (~4-8 ms
         # on this pool) rivals the per-task kernel, so a one-partition-

@@ -34,6 +34,7 @@ from vectordb_retrieval_spark.functions.kernels import (
     collect_vectors_cached,
     merge_fragment_topk,
     packed_assignment_cached,
+    packed_shm_cached,
 )
 from vectordb_retrieval_spark.operators.ivf import IVFIndexer
 from vectordb_retrieval_spark.operators.topk import topk_per_query
@@ -106,9 +107,17 @@ class ClusterPrunedExactSearcher:
     thresholds, and launches the pruned phase-2 scan — the 100 TB plan,
     where the T_q collect is the only driver traffic."""
 
-    def __init__(self, nprobe: int = 4, broadcast_threshold: int = 128 << 20):
+    def __init__(
+        self,
+        nprobe: int = 4,
+        broadcast_threshold: int = 128 << 20,
+        node_local_cache: bool = True,
+    ):
         self.nprobe = nprobe
         self.broadcast_threshold = broadcast_threshold
+        # see IVFSearcher: /dev/shm blob transport on single-node
+        # masters; False forces the blob-shipping partitioned plan
+        self.node_local_cache = node_local_cache
         self.artifact: IndexArtifact | None = None
         self.ndis_accum = None  # LongAccumulator, set on first search
 
@@ -262,7 +271,9 @@ class ClusterPrunedExactSearcher:
         order = np.lexsort((np.broadcast_to(np.arange(qc.shape[1]), qc.shape), qc), axis=1)
         probed = order[:, :nprobe]
 
-        packed = packed_assignment_cached(art)
+        shm = packed_shm_cached(art) if self.node_local_cache else None
+        packed = packed_assignment_cached(art) if shm is None else shm[1]
+        shm_root = None if shm is None else shm[0]
 
         def to_map(qrows: np.ndarray, cids: np.ndarray) -> dict[int, np.ndarray]:
             return {int(c): qrows[cids == c] for c in np.unique(cids)}
@@ -278,7 +289,7 @@ class ClusterPrunedExactSearcher:
             # reference's record_operation counter
             return cluster_scan_topk(
                 packed, qids, qmat, probe_map, "l2", k, accum=accum,
-                n_tasks=scan_tasks,
+                n_tasks=scan_tasks, shm_root=shm_root,
             )
 
         scored1 = scan(

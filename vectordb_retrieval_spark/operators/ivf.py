@@ -45,6 +45,7 @@ from vectordb_retrieval_spark.functions.kernels import (
     merge_fragment_topk,
     pack_assignment,
     packed_assignment_cached,
+    packed_shm_cached,
 )
 from vectordb_retrieval_spark.operators.topk import topk_per_query
 
@@ -347,9 +348,19 @@ class IVFSearcher:
     Both plans produce identical results (same probe selection, float64
     distances, (dist, id) tie-breaks)."""
 
-    def __init__(self, nprobe: int = 8, broadcast_threshold: int = 128 << 20):
+    def __init__(
+        self,
+        nprobe: int = 8,
+        broadcast_threshold: int = 128 << 20,
+        node_local_cache: bool = True,
+    ):
         self.nprobe = nprobe
         self.broadcast_threshold = broadcast_threshold
+        # over-threshold indexes on a single-node master: publish packed
+        # blobs to /dev/shm once and scan a blob-free metadata table
+        # (kernels.packed_shm_cached).  False forces the blob-shipping
+        # partitioned plan — the multi-executor path, kept testable.
+        self.node_local_cache = node_local_cache
         self.artifact: IndexArtifact | None = None
         # distance-computation counter, parity with the reference's
         # ``ndis`` record_operation (base_algorithm.py:91-96)
@@ -458,8 +469,11 @@ class IVFSearcher:
         scan_tasks = (
             max(8, len(qids) // 64) if len(qids) <= 4096 else None
         )
+        shm = (
+            packed_shm_cached(art) if self.node_local_cache else None
+        )
         scored = cluster_scan_topk(
-            packed_assignment_cached(art),
+            packed_assignment_cached(art) if shm is None else shm[1],
             qids,
             qmat,
             self._probe_rows(probe, len(qids)),
@@ -468,6 +482,7 @@ class IVFSearcher:
             accum=accum,
             codec=codec,
             n_tasks=scan_tasks,
+            shm_root=None if shm is None else shm[0],
         )
         return self._memoize_plan(
             query_df, memo_key, merge_fragment_topk(scored, k, n_queries=len(qids))
