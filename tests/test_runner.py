@@ -121,10 +121,13 @@ def test_persisted_ivf_probe_prunes_partitions(spark, small_base, tmp_path):
     loaded = load_artifact(spark, path)
     queries = random_vectors(spark, 4, 8, seed=9, stream=2, id_col="qid")
     # broadcast_threshold=0 pins the partitioned-scan plan (a small
-    # index would otherwise take the broadcast-serving fast path,
-    # which has no parquet scan to prune)
-    res = IVFSearcher(nprobe=1, broadcast_threshold=0).attach(loaded).search(
-        queries, 3, qid_col="qid", vec_col="vec"
+    # index would otherwise take the broadcast-serving fast path) and
+    # node_local_cache=False pins the BLOB-SHIPPING variant (the shm
+    # plan scans a blob-free metadata table — no parquet scan to prune)
+    res = (
+        IVFSearcher(nprobe=1, broadcast_threshold=0, node_local_cache=False)
+        .attach(loaded)
+        .search(queries, 3, qid_col="qid", vec_col="vec")
     )
     plan = res._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [cluster_id" in plan
