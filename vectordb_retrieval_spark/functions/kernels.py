@@ -262,6 +262,10 @@ def packed_shm_cached(art, table: str = "assignment"):
     if memo is None:
         return None
     if memo != "unset" and os.path.isdir(memo[0]):
+        try:
+            os.utime(memo[0])  # keep the TTL sweep at bay while in use
+        except OSError:
+            pass
         return memo
     packed = packed_assignment_cached(art, table)
     spark = packed.sparkSession
