@@ -829,3 +829,24 @@ def test_persisted_packed_partition_pruning(dfs, tmp_path):
     metrics = scan.metrics()
     assert int(metrics.apply("numPartitions").value()) == len(probed), plan_str
     assert int(metrics.apply("numFiles").value()) == len(probed), plan_str
+
+
+def test_packed_shm_republish_after_sweep(dfs, tmp_path):
+    """If the TTL sweep collects a published packed-blob dir while the
+    artifact is idle, the next search must republish and return
+    identical results (the memo may not go stale-poisoned)."""
+    import shutil
+
+    from vectordb_retrieval_spark.operators.ivf import IVFIndexer, IVFSearcher
+
+    base_df, query_df = dfs
+    art = IVFIndexer(nlist=8, seed=4).build(base_df)
+    searcher = IVFSearcher(nprobe=3, broadcast_threshold=0).attach(art)
+    first = searcher.search(query_df, K).select("qid", "id", "rank").collect()
+    shm = art.params.get("_packed_shm")
+    assert shm is not None
+    shutil.rmtree(shm[0], ignore_errors=True)  # simulate the sweep
+    second = searcher.search(query_df, K).select("qid", "id", "rank").collect()
+    shm2 = art.params.get("_packed_shm")
+    assert shm2 is not None and shm2[0] != shm[0]  # republished fresh
+    assert sorted(map(tuple, first)) == sorted(map(tuple, second))

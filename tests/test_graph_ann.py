@@ -301,3 +301,28 @@ def test_graph_ann_partitioned_path_equals_broadcast(spark):
         assert rows_bc == rows_shm == rows_part
         # reset the memoized over-threshold decision for the next loop
         reset()
+
+
+def test_graph_shm_republish_after_sweep(spark):
+    """Swept shard cache ⇒ next search republishes, identical results."""
+    import shutil
+
+    import numpy as np
+
+    from tests.conftest import make_vector_df
+
+    rng = np.random.RandomState(5)
+    base = make_vector_df(spark, rng.randn(1200, 12).astype(np.float32))
+    queries = make_vector_df(
+        spark, rng.randn(32, 12).astype(np.float32), id_name="qid"
+    )
+    art = GraphANNIndexer(m=6, num_partitions=4, seed=5).build(base)
+    searcher = GraphANNSearcher(ef_search=24, broadcast_threshold=0).attach(art)
+    first = searcher.search(queries, 5).select("qid", "id", "rank").collect()
+    shm = art.params.get("_shm_shards")
+    assert shm is not None
+    shutil.rmtree(shm[0], ignore_errors=True)
+    second = searcher.search(queries, 5).select("qid", "id", "rank").collect()
+    shm2 = art.params.get("_shm_shards")
+    assert shm2 is not None and shm2[0] != shm[0]
+    assert sorted(map(tuple, first)) == sorted(map(tuple, second))

@@ -416,7 +416,22 @@ class IVFSearcher:
         art = self.artifact
         if art is None:
             raise RuntimeError("searcher not attached to an index artifact")
-        memo_key = (k, qid_col, vec_col)
+        # memoized plans bake in the shm blob root; a TTL-swept root
+        # must invalidate them (and the artifact memo, so the plan
+        # build below republishes) instead of serving dead file paths
+        import os
+
+        shm_memo = art.params.get("_packed_shm")
+        if isinstance(shm_memo, tuple) and not os.path.isdir(shm_memo[0]):
+            art.params.pop("_packed_shm", None)
+            self._plan_memo = type(self._plan_memo)()
+            shm_memo = None
+        memo_key = (
+            k,
+            qid_col,
+            vec_col,
+            shm_memo[0] if isinstance(shm_memo, tuple) else None,
+        )
         try:
             per_df = self._plan_memo.get(query_df)
         except TypeError:
