@@ -1094,6 +1094,8 @@ def main() -> int:
         ("s150k_r_sq8_4k", scale_workload, "recall_ivf_sq8_nprobe10_4096q"),
         ("s150k_g_1k", scale_workload, "qps_graph_probe4of32_1024q"),
         ("s150k_r_g", scale_workload, "recall_graph_probe4of32"),
+        ("c384_x16k_n", normalized, "c384_x16k_n"),
+        ("s150k_x1k_n", normalized, "s150k_x1k_n"),
     ]
     budget_bytes = 1600
     base_probe = {}
