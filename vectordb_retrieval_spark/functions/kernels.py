@@ -82,6 +82,83 @@ def rowwise_distance(
 # read-only mmaps of published packed blobs, memoized per process (the
 # mmap object must outlive every frombuffer view taken on it)
 _BLOB_MMAPS: dict = {}
+# decoded-scan-form cache (see _decoded_shm): per-root disable flag set
+# when /dev/shm can't hold the decoded index — fall back to per-call
+# decode rather than fail the search
+_DEC_DISABLED: set = set()
+
+
+def _decoded_shm(root: str, cid: int, sub: int, raw, cdc, metric: str):
+    """The float64 scan form of one packed blob, shm-cached: the
+    partitioned kernel used to re-decode codes → f64 and recompute row
+    norms on EVERY search (at 150k×384-d that is ~0.5 GB of decode +
+    norm traffic per search; 3 GB at 1M).  The decode is deterministic,
+    so the first task to need a (cluster, sub, metric) publishes its
+    scan form to /dev/shm (tmp + atomic rename) and everyone mmaps one
+    shared copy.  Returns (mat64, aux):
+
+    - l2:     mat64 = decoded f64 rows, aux = their squared norms —
+              exactly the ``(b*b).sum(axis=1)`` pairwise_distances
+              recomputes per call
+    - cosine: mat64 = normalize_rows(decoded), aux = None
+    - ip:     mat64 = decoded f64 rows, aux = None
+
+    Returns None when caching is disabled for this root (publish
+    failed: tmpfs full) — caller decodes per call."""
+    import mmap as _mmap
+    import os
+    import tempfile
+
+    from vectordb_retrieval_spark.functions.distance import normalize_rows
+
+    if root in _DEC_DISABLED:
+        return None
+    path = os.path.join(root, f"{cid}-{sub}.{metric}.dec64")
+    mm = _BLOB_MMAPS.get(path)
+    if mm is None:
+        if not os.path.exists(path):
+            b64 = (
+                np.asarray(raw.astype(np.float32), dtype=np.float64)
+                if cdc is None
+                else np.asarray(cdc.decode(raw), dtype=np.float64)
+            )
+            if metric == "cosine":
+                payload = np.ascontiguousarray(normalize_rows(b64)).tobytes()
+            elif metric == "l2":
+                payload = (
+                    np.ascontiguousarray(b64).tobytes()
+                    + (b64 * b64).sum(axis=1).tobytes()
+                )
+            else:
+                payload = np.ascontiguousarray(b64).tobytes()
+            try:
+                fd, tmp = tempfile.mkstemp(dir=root, prefix=".dec-")
+                with os.fdopen(fd, "wb") as fh:
+                    fh.write(payload)
+                os.replace(tmp, path)
+            except OSError:
+                _DEC_DISABLED.add(root)
+                return None
+        try:
+            with open(path, "rb") as fh:
+                mm = _mmap.mmap(fh.fileno(), 0, prot=_mmap.PROT_READ)
+        except OSError:
+            _DEC_DISABLED.add(root)
+            return None
+        if len(_BLOB_MMAPS) >= 65536:
+            _BLOB_MMAPS.clear()
+        _BLOB_MMAPS[path] = mm
+    n, width = raw.shape
+    mat64 = np.frombuffer(mm, dtype=np.float64, count=n * width).reshape(
+        n, width
+    )
+    if metric == "l2":
+        aux = np.frombuffer(
+            mm, dtype=np.float64, count=n, offset=8 * n * width
+        )
+    else:
+        aux = None
+    return mat64, aux
 
 
 def _mmap_blob(root: str, cid: int, sub: int):
@@ -406,8 +483,47 @@ def cluster_scan_topk(
                         count=n_i * int(widths[i]),
                         offset=8 * n_i,
                     ).reshape(n_i, int(widths[i]))
-                bvecs = raw.astype(np.float32) if cdc is None else cdc.decode(raw)
-                d = pairwise_distances(q_mat[qrows], bvecs, metric)
+                dec = (
+                    _decoded_shm(
+                        shm_root, int(cids[i]), int(subs[i]), raw, cdc, metric
+                    )
+                    if shm_root is not None
+                    and metric in ("l2", "cosine", "ip")
+                    else None
+                )
+                if dec is not None:
+                    # shm-cached scan form: inline the EXACT arithmetic
+                    # pairwise_distances runs, with the base-side decode
+                    # and norms read from the shared cache instead of
+                    # recomputed per search
+                    mat64, aux = dec
+                    q = np.asarray(q_mat[qrows], dtype=np.float64)
+                    if metric == "l2":
+                        sq = (
+                            (q * q).sum(axis=1)[:, None]
+                            + aux[None, :]
+                            - 2.0 * (q @ mat64.T)
+                        )
+                        np.maximum(sq, 0.0, out=sq)
+                        d = np.sqrt(sq)
+                    elif metric == "cosine":
+                        # mat64 is already normalize_rows(decoded); the
+                        # query side re-normalizes exactly as
+                        # pairwise_distances does
+                        from vectordb_retrieval_spark.functions.distance import (
+                            normalize_rows,
+                        )
+
+                        d = 1.0 - normalize_rows(q) @ mat64.T
+                    else:
+                        d = -(q @ mat64.T)
+                else:
+                    bvecs = (
+                        raw.astype(np.float32)
+                        if cdc is None
+                        else cdc.decode(raw)
+                    )
+                    d = pairwise_distances(q_mat[qrows], bvecs, metric)
                 if accum is not None:
                     accum.add(int(d.size))
                 kk = min(k, d.shape[1])
