@@ -1,0 +1,188 @@
+"""Lexical (BM25), hybrid-fusion, and filtered-vector-search tests.
+
+Filtered search must give IDENTICAL results across every physical plan
+(broadcast PackedClusters view, node-local shm partitioned scan,
+blob-shipping partitioned scan) and must equal brute-force kNN over the
+allowed subset when the probe is exhaustive — the pre-filtering
+contract (mask before top-k, all k results satisfy the predicate).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import make_vector_df
+from vectordb_retrieval_spark.operators.exact import exact_knn
+from vectordb_retrieval_spark.operators.ivf import FixedCentroidIVFIndexer, IVFSearcher
+from vectordb_retrieval_spark.operators.text_retrieval import bm25_rank, rrf_fuse
+
+
+# ---------- BM25 ----------
+
+
+def _bm25_py(docs: dict[int, str], terms: list[str], k1=1.2, b=0.75):
+    """Plain-python BM25 reference (Lucene idf)."""
+    toks = {d: t.split() for d, t in docs.items()}
+    dl = {d: len(ts) for d, ts in toks.items()}
+    n = len(docs)
+    avgdl = sum(dl.values()) / n
+    scores: dict[int, float] = {}
+    for term in terms:
+        df = sum(1 for ts in toks.values() if term in ts)
+        if df == 0:
+            continue
+        idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        for d, ts in toks.items():
+            tf = ts.count(term)
+            if tf == 0:
+                continue
+            s = idf * (tf * (k1 + 1.0)) / (
+                tf + k1 * (1.0 - b + b * dl[d] / avgdl)
+            )
+            scores[d] = scores.get(d, 0.0) + s
+    return scores
+
+
+def test_bm25_matches_python_reference(spark):
+    docs = {
+        0: "spark join window spark spark",
+        1: "hash join hash shuffle",
+        2: "window agg scan filter",
+        3: "spark",
+        4: "scan filter agg order",  # matches no query term
+    }
+    df = spark.createDataFrame(
+        [(d, t) for d, t in docs.items()], schema="doc_id long, text string"
+    )
+    terms = ["spark", "join", "shuffle"]
+    got = {
+        r["doc_id"]: r["score"]
+        for r in bm25_rank(df, terms).collect()
+    }
+    want = _bm25_py(docs, terms)
+    assert set(got) == set(want)  # doc 4 absent
+    for d in want:
+        assert got[d] == pytest.approx(want[d], rel=1e-12)
+
+
+def test_bm25_rank_order_and_topn(spark):
+    df = spark.createDataFrame(
+        [(i, "common " * (i + 1) + ("rare" if i == 2 else "")) for i in range(6)],
+        schema="doc_id long, text string",
+    )
+    res = bm25_rank(df, ["rare", "common"], top_n=3).collect()
+    assert [r["rank"] for r in res] == [1, 2, 3]
+    # doc 2 holds the only 'rare' hit → top score
+    assert res[0]["doc_id"] == 2
+
+
+# ---------- RRF ----------
+
+
+def test_rrf_fusion_small(spark):
+    r1 = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 3)], schema="doc_id long, rank int"
+    )
+    r2 = spark.createDataFrame(
+        [(11, 1), (13, 2)], schema="doc_id long, rank int"
+    )
+    got = {r["doc_id"]: r["rrf_score"] for r in rrf_fuse([r1, r2]).collect()}
+    want = {
+        10: 1 / 61,
+        11: 1 / 62 + 1 / 61,
+        12: 1 / 63,
+        13: 1 / 62,
+    }
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], rel=1e-12)
+    ranked = rrf_fuse([r1, r2], top_n=2).collect()
+    assert [r["doc_id"] for r in ranked] == [11, 10]
+
+
+# ---------- filtered IVF search ----------
+
+
+@pytest.fixture(scope="module")
+def filt_setup(spark):
+    rng = np.random.RandomState(7)
+    base = rng.randn(400, 8).astype(np.float32)
+    cents = rng.randn(6, 8).astype(np.float64)
+    bdf = make_vector_df(spark, base).cache()
+    bdf.count()
+    qdf = make_vector_df(spark, rng.randn(25, 8).astype(np.float32),
+                         id_name="qid").cache()
+    qdf.count()
+    # allowed: every id ≡ 0 or 1 (mod 3) — drops a third of the corpus
+    allowed = bdf.filter(F.col("id") % 3 < 2).select("id").cache()
+    allowed.count()
+    art = FixedCentroidIVFIndexer(cents, metric="l2").build(bdf)
+    return bdf, qdf, allowed, art, cents
+
+
+def _rows(df):
+    return sorted(
+        (r["qid"], r["rank"], r["id"], round(r["dist"], 9))
+        for r in df.collect()
+    )
+
+
+def test_filtered_exhaustive_equals_brute_force(spark, filt_setup):
+    bdf, qdf, allowed, art, cents = filt_setup
+    res = (
+        IVFSearcher(nprobe=len(cents))
+        .attach(art)
+        .search(qdf, 10, allowed_df=allowed, allowed_id_col="id")
+    )
+    brute = exact_knn(
+        bdf.join(allowed, "id", "left_semi"), qdf, 10, "l2"
+    )
+    assert _rows(res) == _rows(brute)
+    # pre-filter contract: every emitted id satisfies the predicate
+    assert res.filter(F.col("id") % 3 >= 2).count() == 0
+
+
+def test_filtered_same_results_across_physical_plans(spark, filt_setup):
+    bdf, qdf, allowed, art, cents = filt_setup
+    plans = []
+    for thresh, node_local in ((128 << 20, True), (0, True), (0, False)):
+        s = IVFSearcher(
+            nprobe=3, broadcast_threshold=thresh, node_local_cache=node_local
+        ).attach(art)
+        plans.append(
+            _rows(s.search(qdf, 10, allowed_df=allowed, allowed_id_col="id"))
+        )
+    assert plans[0] == plans[1] == plans[2]
+    assert len(plans[0]) > 0
+
+
+def test_filtered_full_allowlist_equals_unfiltered(spark, filt_setup):
+    bdf, qdf, allowed, art, cents = filt_setup
+    s = IVFSearcher(nprobe=3).attach(art)
+    full = bdf.select("id")
+    assert _rows(
+        s.search(qdf, 10, allowed_df=full, allowed_id_col="id")
+    ) == _rows(s.search(qdf, 10))
+
+
+def test_filtered_selective_allowlist_underfills_not_crashes(spark, filt_setup):
+    bdf, qdf, allowed, art, cents = filt_setup
+    three = bdf.filter(F.col("id") < 3).select("id")
+    res = (
+        IVFSearcher(nprobe=len(cents))
+        .attach(art)
+        .search(qdf, 10, allowed_df=three, allowed_id_col="id")
+    )
+    rows = res.collect()
+    # ≤3 allowed rows exist → ≤3 results per query, all allowed
+    per_q: dict = {}
+    for r in rows:
+        per_q.setdefault(r["qid"], []).append(r["id"])
+    for ids in per_q.values():
+        assert len(ids) <= 3
+        assert all(i < 3 for i in ids)
+    assert len(per_q) == 25

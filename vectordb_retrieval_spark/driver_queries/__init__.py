@@ -25,6 +25,7 @@ def collect_catalogue() -> tuple[
         filesq,
         knn,
         metricsq,
+        retrievalq,
         sourcesq,
         streamq,
         temporalq,
@@ -39,7 +40,8 @@ def collect_catalogue() -> tuple[
     queries: dict = {}
     oracles: dict = {}
     for mod in (
-        knn, metricsq, ann, dedupq, textq, streamq, temporalq, sourcesq, filesq
+        knn, metricsq, ann, dedupq, textq, streamq, temporalq,
+        retrievalq, sourcesq, filesq,
     ):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)

@@ -1,0 +1,276 @@
+"""Lexical / hybrid / filtered retrieval driver queries.
+
+Four capabilities a production vector store serves beyond plain ANN,
+each hash-checked against a DuckDB oracle:
+
+- ``bm25_topk``          — Lucene-BM25 keyword ranking over documents
+- ``hybrid_rrf``         — reciprocal-rank fusion of the BM25 ranking
+                           with a dense exact-kNN ranking
+- ``filtered_knn_exact`` — metadata-predicate + exact kNN (the filter
+                           is a plain pushed-down scan predicate)
+- ``filtered_ivf_search``— metadata-predicate + PRUNED IVF search: the
+                           allowed-id mask applies inside the probed
+                           clusters BEFORE top-k selection
+                           (pre-filtering), reproduced exactly in SQL
+
+Reference: Human-Augment-Analytics/vectordb-retrieval retrieves dense
+top-k only (src/algorithms/*); lexical scoring appears only as a
+dataprep embedding stage (src/dataprep).  These queries are engine
+extensions in the spirit of its retrieval metrics (recall parity needs
+a GT join, fusion needs rank-aligned inputs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vectordb_retrieval_spark.driver_queries.common import K, QUERY_FILTER, emb
+from vectordb_retrieval_spark.operators.exact import exact_knn
+from vectordb_retrieval_spark.operators.ivf import FixedCentroidIVFIndexer, IVFSearcher
+from vectordb_retrieval_spark.operators.text_retrieval import bm25_rank, rrf_fuse
+
+# fixed keyword query over the synthetic corpus vocabulary
+TERMS = ["spark", "join", "window", "hash", "shuffle"]
+BM25_TOP = 50
+FUSE_CAND = 100
+FUSE_TOP = 20
+HYBRID_QID = 0  # the dense query vector: embeddings.vec_id = 0
+ALLOWED_LABELS = (0, 1)
+# reuse the ivf_fixed_search configuration (ann.py) so the filtered
+# variant exercises the SAME pruned probe, plus the pre-filter mask
+N_FIXED_CENTROIDS = 8
+NPROBE_FIXED = 3
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = bm25_rank(_docs(spark, sf_dir), TERMS, top_n=BM25_TOP)
+    return res.select(
+        "doc_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
+def hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RRF-fuse the BM25 top-100 with the dense exact top-100 for one
+    query embedding (vec_id 0); doc_id and vec_id share a key space in
+    the synthetic corpus."""
+    docs = _docs(spark, sf_dir)
+    base = emb(spark, sf_dir)
+    lex = bm25_rank(docs, TERMS, top_n=FUSE_CAND)
+    qv = base.filter(F.col("vec_id") == HYBRID_QID)
+    dense = exact_knn(
+        base, qv, FUSE_CAND, "cosine",
+        id_col="vec_id", vec_col="embedding", qid_col="vec_id",
+    ).select(F.col("id").alias("doc_id"), "rank")
+    fused = rrf_fuse([lex, dense], top_n=FUSE_TOP)
+    return fused.select(
+        "doc_id", F.round("rrf_score", 6).alias("rrf_score"), "rank"
+    )
+
+
+def filtered_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact kNN over the label-filtered base: the predicate is a plain
+    DataFrame filter, so Catalyst pushes it into the parquet scan —
+    the candidate matrix never holds a disallowed row."""
+    base = emb(spark, sf_dir)
+    allowed = base.filter(F.col("label").isin(*ALLOWED_LABELS))
+    qs = base.filter(F.expr(QUERY_FILTER))
+    res = exact_knn(
+        allowed, qs, K, "l2",
+        id_col="vec_id", vec_col="embedding", qid_col="vec_id",
+    )
+    return res.select("qid", "id", "rank")
+
+
+def filtered_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRUNED + pre-filtered IVF: fixed centroids, nprobe=3, and an
+    allowed-id mask applied inside the probed clusters before top-k —
+    the DuckDB oracle reproduces probing AND the mask exactly."""
+    base = emb(spark, sf_dir)
+    cdf = base.filter(F.col("vec_id") < N_FIXED_CENTROIDS).orderBy("vec_id")
+    from vectordb_retrieval_spark.functions.kernels import collect_vectors
+
+    _, cents = collect_vectors(cdf, "vec_id", "embedding")
+    art = FixedCentroidIVFIndexer(cents, metric="l2").build(
+        base, id_col="vec_id", vec_col="embedding"
+    )
+    qs = base.filter(F.expr(QUERY_FILTER))
+    allowed = base.filter(F.col("label").isin(*ALLOWED_LABELS)).select(
+        F.col("vec_id").alias("id")
+    )
+    res = (
+        IVFSearcher(nprobe=NPROBE_FIXED)
+        .attach(art)
+        .search(
+            qs, K, qid_col="vec_id", vec_col="embedding",
+            allowed_df=allowed,
+        )
+    )
+    return res.select("qid", "id", "rank")
+
+
+_TERMS_SQL = ", ".join(f"'{t}'" for t in TERMS)
+
+# mirror of operators/text_retrieval.bm25_rank: whitespace tokens,
+# Lucene idf, k1=1.2 b=0.75, (score desc, doc_id) ranking
+_BM25_COMMON = f"""
+toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),
+                                    x -> x <> '')) AS term
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN ({_TERMS_SQL}) GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+bm25 AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * (tf.tf * 2.2)
+              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS score
+  FROM tf
+  JOIN dl USING (doc_id)
+  JOIN dfreq USING (term)
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+"""
+
+_BM25_ORACLE = f"""
+WITH {_BM25_COMMON},
+r AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM bm25
+)
+SELECT doc_id, round(score, 6) AS score, rank
+FROM r WHERE rank <= {BM25_TOP}
+"""
+
+_HYBRID_ORACLE = f"""
+WITH {_BM25_COMMON},
+lex AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM bm25 QUALIFY rank <= {FUSE_CAND}
+),
+qv AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE vec_id = {HYBRID_QID}
+),
+dense AS (
+  SELECT b.vec_id AS doc_id,
+         row_number() OVER (
+           ORDER BY 1.0 - list_cosine_similarity(qv.v, CAST(b.embedding AS DOUBLE[])),
+                    b.vec_id
+         ) AS rank
+  FROM embeddings b CROSS JOIN qv
+  QUALIFY rank <= {FUSE_CAND}
+),
+contrib AS (
+  SELECT doc_id, 1.0 / (60.0 + rank) AS c FROM lex
+  UNION ALL
+  SELECT doc_id, 1.0 / (60.0 + rank) AS c FROM dense
+),
+fused AS (
+  SELECT doc_id, sum(c) AS rrf_score FROM contrib GROUP BY doc_id
+),
+r AS (
+  SELECT doc_id, rrf_score,
+         row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS rank
+  FROM fused
+)
+SELECT doc_id, round(rrf_score, 6) AS rrf_score, rank
+FROM r WHERE rank <= {FUSE_TOP}
+"""
+
+_LABELS_SQL = ", ".join(str(x) for x in ALLOWED_LABELS)
+
+_FILTERED_KNN_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id % 10 = 0
+),
+d AS (
+  SELECT q.qid, b.vec_id AS id,
+         list_distance(q.qv, CAST(b.embedding AS DOUBLE[])) AS dist
+  FROM q CROSS JOIN embeddings b
+  WHERE b.label IN ({_LABELS_SQL})
+),
+r AS (
+  SELECT qid, id,
+         row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank
+  FROM d
+)
+SELECT qid, id, rank FROM r WHERE rank <= {K}
+"""
+
+# ivf_fixed_search's oracle (ann.py _IVF_SEARCH_ORACLE) with the
+# pre-filter: candidates keep probed-cluster membership AND the label
+# predicate — rank among survivors, exactly the kernel's mask-then-topk
+_FILTERED_IVF_ORACLE = f"""
+WITH c AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id < {N_FIXED_CENTROIDS}
+),
+assign AS (
+  SELECT id, cid AS cluster_id FROM (
+    SELECT b.vec_id AS id, c.cid,
+           row_number() OVER (
+             PARTITION BY b.vec_id
+             ORDER BY list_distance(CAST(b.embedding AS DOUBLE[]), c.cv), c.cid
+           ) AS rn
+    FROM embeddings b CROSS JOIN c
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id % 10 = 0
+),
+probe AS (
+  SELECT qid, cid AS cluster_id FROM (
+    SELECT q.qid, c.cid,
+           row_number() OVER (
+             PARTITION BY q.qid ORDER BY list_distance(q.qv, c.cv), c.cid
+           ) AS rn
+    FROM q CROSS JOIN c
+  ) WHERE rn <= {NPROBE_FIXED}
+),
+cand AS (
+  SELECT p.qid, a.id
+  FROM probe p
+  JOIN assign a ON a.cluster_id = p.cluster_id
+  JOIN embeddings bl ON bl.vec_id = a.id AND bl.label IN ({_LABELS_SQL})
+),
+rr AS (
+  SELECT cand.qid, cand.id,
+         row_number() OVER (
+           PARTITION BY cand.qid
+           ORDER BY list_distance(q2.qv, CAST(be.embedding AS DOUBLE[])), cand.id
+         ) AS rank
+  FROM cand
+  JOIN q q2 ON q2.qid = cand.qid
+  JOIN embeddings be ON be.vec_id = cand.id
+)
+SELECT qid, id, rank FROM rr WHERE rank <= {K}
+"""
+
+QUERIES = {
+    "bm25_topk": bm25_topk,
+    "hybrid_rrf": hybrid_rrf,
+    "filtered_knn_exact": filtered_knn_exact,
+    "filtered_ivf_search": filtered_ivf_search,
+}
+
+ORACLES = {
+    "bm25_topk": _BM25_ORACLE,
+    "hybrid_rrf": _HYBRID_ORACLE,
+    "filtered_knn_exact": _FILTERED_KNN_ORACLE,
+    "filtered_ivf_search": _FILTERED_IVF_ORACLE,
+}

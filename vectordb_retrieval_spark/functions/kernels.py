@@ -63,6 +63,65 @@ def collect_vectors_cached(
     return out
 
 
+# Same immutability argument as _collect_memo: a DataFrame's partition
+# count never changes, but reading it costs a DataFrame→RDD plan
+# conversion in the driver — pure fixed cost when serving paths ask it
+# of the same cached query batch on every search call.
+_nparts_memo: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _collect_sorted_ids(df: DataFrame, id_col: str) -> np.ndarray:
+    pdf = df.select(id_col).toPandas()
+    return np.unique(pdf[id_col].to_numpy(dtype=np.int64))
+
+
+# allowed-id sets for filtered vector search: collected + broadcast once
+# per (filter frame, column) — serving workloads reuse one predicate
+# across many query batches, and re-broadcasting per search would leak
+# JVM broadcast blocks at serving rates.
+_ids_memo: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def allowed_ids_broadcast_cached(df: DataFrame, id_col: str):
+    """(sorted unique int64 ids, spark Broadcast of them) for a filter
+    frame, WeakKey-memoized on the DataFrame object."""
+    key = id_col
+    try:
+        per_df = _ids_memo.get(df)
+        if per_df is not None and key in per_df:
+            return per_df[key]
+    except TypeError:
+        ids = _collect_sorted_ids(df, id_col)
+        return ids, df.sparkSession.sparkContext.broadcast(ids)
+    ids = _collect_sorted_ids(df, id_col)
+    out = (ids, df.sparkSession.sparkContext.broadcast(ids))
+    try:
+        if per_df is None:
+            per_df = {}
+            _ids_memo[df] = per_df
+        per_df[key] = out
+    except TypeError:
+        pass
+    return out
+
+
+def num_partitions_cached(df: DataFrame) -> int:
+    """``df.rdd.getNumPartitions()`` with a WeakKey memo on the
+    DataFrame object; falls back to the plain call for unweakrefable
+    frames."""
+    try:
+        n = _nparts_memo.get(df)
+    except TypeError:
+        return df.rdd.getNumPartitions()
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        try:
+            _nparts_memo[df] = n
+        except TypeError:
+            pass
+    return n
+
+
 def rowwise_distance(
     qvecs: np.ndarray, bvecs: np.ndarray, metric: str
 ) -> np.ndarray:
@@ -413,10 +472,18 @@ def cluster_scan_topk(
     codec=None,
     n_tasks: int | None = None,
     shm_root: str | None = None,
+    allowed: np.ndarray | None = None,
 ) -> DataFrame:
     """Scan the probed clusters of a PACKED assignment table (see
     ``pack_assignment``) and return fragment-local top-k rows
     (qid, id, dist).
+
+    ``allowed`` (sorted int64 global ids) makes the scan PRE-filtered:
+    disallowed rows are masked out of each probed cluster before
+    scoring, so every emitted candidate satisfies the predicate — the
+    filtered-vector-search contract.  Partition pruning is unchanged
+    (the probe IN filter still drives it); the mask costs one
+    ``np.isin`` per probed cluster.
 
     ``probe_map`` is cluster_id → query-row indices probing it.  Each
     cluster blob deserializes with two ``np.frombuffer`` views; one
@@ -434,7 +501,7 @@ def cluster_scan_topk(
 
     spark = packed.sparkSession
     probed_ids = sorted(int(c) for c in probe_map)
-    bc = spark.sparkContext.broadcast((qids, qmat, codec, probe_map))
+    bc = spark.sparkContext.broadcast((qids, qmat, codec, probe_map, allowed))
 
     def kernel(batches):
         # Arrow-native: blob cells are read as zero-copy buffer views
@@ -446,7 +513,7 @@ def cluster_scan_topk(
 
         from vectordb_retrieval_spark.operators.serving import topk_rows
 
-        q_ids, q_mat, cdc, probes = bc.value
+        q_ids, q_mat, cdc, probes, allow = bc.value
         acc_q: list[np.ndarray] = []
         acc_i: list[np.ndarray] = []
         acc_d: list[np.ndarray] = []
@@ -483,6 +550,15 @@ def cluster_scan_topk(
                         count=n_i * int(widths[i]),
                         offset=8 * n_i,
                     ).reshape(n_i, int(widths[i]))
+                fmask = None
+                if allow is not None:
+                    fmask = np.isin(ids, allow)
+                    if not fmask.any():
+                        continue
+                    if fmask.all():
+                        fmask = None
+                    else:
+                        ids = ids[fmask]
                 dec = (
                     _decoded_shm(
                         shm_root, int(cids[i]), int(subs[i]), raw, cdc, metric
@@ -491,6 +567,14 @@ def cluster_scan_topk(
                     and metric in ("l2", "cosine", "ip")
                     else None
                 )
+                if dec is not None and fmask is not None:
+                    # the shm cache holds the UNfiltered cluster form;
+                    # the filter mask gathers a per-search view
+                    mat64, aux = dec
+                    dec = (
+                        mat64[fmask],
+                        aux[fmask] if aux is not None else None,
+                    )
                 if dec is not None:
                     # shm-cached scan form: inline the EXACT arithmetic
                     # pairwise_distances runs, with the base-side decode
@@ -518,6 +602,8 @@ def cluster_scan_topk(
                     else:
                         d = -(q @ mat64.T)
                 else:
+                    if fmask is not None:
+                        raw = raw[fmask]
                     bvecs = (
                         raw.astype(np.float32)
                         if cdc is None

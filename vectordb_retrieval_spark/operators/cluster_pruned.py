@@ -33,6 +33,7 @@ from vectordb_retrieval_spark.functions.kernels import (
     cluster_scan_topk,
     collect_vectors_cached,
     merge_fragment_topk,
+    num_partitions_cached,
     packed_assignment_cached,
     packed_shm_cached,
 )
@@ -139,7 +140,10 @@ class ClusterPrunedExactSearcher:
         spark = query_df.sparkSession
         q = query_df.select(F.col(qid_col).alias("qid"), F.col(vec_col).alias("vec"))
         par = spark.sparkContext.defaultParallelism
-        if q.rdd.getNumPartitions() < par:
+        # memoized partition count: the narrow select preserves the
+        # caller frame's partitioning, so key the memo on query_df and
+        # skip the per-search DataFrame→RDD conversion
+        if num_partitions_cached(query_df) < par:
             q = q.repartition(par)
 
         def kernel(batches):

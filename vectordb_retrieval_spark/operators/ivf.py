@@ -412,7 +412,20 @@ class IVFSearcher:
         k: int,
         qid_col: str = "qid",
         vec_col: str = "vec",
+        allowed_df: DataFrame | None = None,
+        allowed_id_col: str = "id",
     ) -> DataFrame:
+        """``allowed_df`` turns this into a FILTERED vector search: only
+        base rows whose id appears in ``allowed_df[allowed_id_col]`` are
+        candidates, masked BEFORE top-k selection (pre-filtering — all k
+        results satisfy the predicate; post-filtering an unfiltered
+        top-k under-fills under selective predicates).  Both physical
+        plans honor it: the broadcast path through a filtered
+        PackedClusters view, the partitioned scan through a per-cluster
+        ``np.isin`` mask.  The id set is collected + broadcast once per
+        filter frame (WeakKey memo).  At 100 TB scale prefer predicates
+        that prune at the source (partition columns on the assignment
+        table); an id allowlist broadcast is the general fallback."""
         art = self.artifact
         if art is None:
             raise RuntimeError("searcher not attached to an index artifact")
@@ -426,11 +439,27 @@ class IVFSearcher:
             art.params.pop("_packed_shm", None)
             self._plan_memo = type(self._plan_memo)()
             shm_memo = None
+        allowed = allowed_bc = None
+        filt_key = None
+        if allowed_df is not None:
+            import hashlib
+
+            from vectordb_retrieval_spark.functions.kernels import (
+                allowed_ids_broadcast_cached,
+            )
+
+            allowed, allowed_bc = allowed_ids_broadcast_cached(
+                allowed_df, allowed_id_col
+            )
+            # content key, not object identity: a recycled id() after GC
+            # must not serve a stale plan for a different filter
+            filt_key = (len(allowed), hashlib.md5(allowed.tobytes()).hexdigest())
         memo_key = (
             k,
             qid_col,
             vec_col,
             shm_memo[0] if isinstance(shm_memo, tuple) else None,
+            filt_key,
         )
         try:
             per_df = self._plan_memo.get(query_df)
@@ -463,6 +492,7 @@ class IVFSearcher:
                     qid_col=qid_col,
                     vec_col=vec_col,
                     accum=accum,
+                    allowed_bc=allowed_bc,
                 ),
             )
 
@@ -498,6 +528,7 @@ class IVFSearcher:
             codec=codec,
             n_tasks=scan_tasks,
             shm_root=None if shm is None else shm[0],
+            allowed=allowed,
         )
         return self._memoize_plan(
             query_df, memo_key, merge_fragment_topk(scored, k, n_queries=len(qids))

@@ -38,6 +38,7 @@ from vectordb_retrieval_spark.functions.hashing import (
 from vectordb_retrieval_spark.functions.kernels import (
     attach_query_distance,
     collect_vectors_cached,
+    num_partitions_cached,
 )
 from vectordb_retrieval_spark.operators.exact import exact_knn
 from vectordb_retrieval_spark.operators.topk import topk_per_query
@@ -254,7 +255,10 @@ class LSHSearcher:
             F.col(qid_col).alias("qid"), F.col(vec_col).alias("vec")
         )
         par = spark.sparkContext.defaultParallelism
-        if q.rdd.getNumPartitions() < par:
+        # memoized partition count keyed on the caller's frame (the
+        # narrow select preserves partitioning) — avoids a per-search
+        # DataFrame→RDD plan conversion
+        if num_partitions_cached(query_df) < par:
             q = q.repartition(par)
 
         def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

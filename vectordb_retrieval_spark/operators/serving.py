@@ -78,6 +78,7 @@ class PackedClusters:
         self.index = {int(c): i for i, c in enumerate(cids)}
         self._dec: dict[int, np.ndarray] = {}
         self._scan: dict = {}
+        self._filt: dict = {}
 
     def decoded(self, i: int) -> np.ndarray:
         out = self._dec.get(i)
@@ -257,10 +258,41 @@ class PackedClusters:
         state = self.__dict__.copy()
         state["_dec"] = {}
         state["_scan"] = {}
+        state["_filt"] = {}
         return state
 
     def nbytes(self) -> int:
         return sum(p.nbytes + i.nbytes for p, i in zip(self.payloads, self.ids))
+
+    def filtered(self, allowed: np.ndarray) -> "PackedClusters":
+        """PRE-filtering view: a derived PackedClusters holding only the
+        rows whose global id is in ``allowed`` — the vector-DB filtered-
+        search contract (mask applied BEFORE top-k selection, so all k
+        results satisfy the predicate; post-filtering an unfiltered
+        top-k under-fills and loses recall under selective filters).
+        Search code runs unchanged on the view: probing still ranks the
+        ORIGINAL coarse centroids, every scan/guard invariant holds.
+
+        Memoized per filter content (md5 of the sorted id bytes) so
+        repeated searches with the same predicate pay the gather once
+        per process; the view is private (share_key=None — per-filter
+        shm entries would churn the TTL sweep)."""
+        import hashlib
+
+        allowed = np.asarray(allowed, dtype=np.int64)
+        key = (len(allowed), hashlib.md5(allowed.tobytes()).hexdigest())
+        got = self._filt.get(key)
+        if got is None:
+            ids2, pays2 = [], []
+            for i in range(len(self.cids)):
+                m = np.isin(self.ids[i], allowed)
+                ids2.append(self.ids[i][m])
+                pays2.append(self.payloads[i][m])
+            got = PackedClusters(
+                self.cids, ids2, pays2, self.codec, self.centroids
+            )
+            self._filt[key] = got
+        return got
 
 
 def pack_clusters(
@@ -1053,6 +1085,7 @@ def broadcast_probe_search(
     accum=None,
     normalize_queries: bool | None = None,
     block_rows: int = 8192,
+    allowed_bc=None,
 ) -> DataFrame:
     """Search a broadcast PackedClusters index: each task probes and
     scans for its own queries and emits their final (qid, id, dist,
@@ -1063,6 +1096,8 @@ def broadcast_probe_search(
     — the exhaustive form standalone PQ uses.  ``normalize_queries``
     defaults to (metric == 'cosine'); standalone PQ passes it
     explicitly because its codec normalizes while ADC runs in L2.
+    ``allowed_bc`` (a broadcast sorted int64 id array) turns the search
+    into a PRE-filtered one via ``PackedClusters.filtered``.
     """
     spark = query_df.sparkSession
     if normalize_queries is None:
@@ -1072,7 +1107,15 @@ def broadcast_probe_search(
     # executor pool costs one tiny round-robin exchange and sets the
     # search's whole parallelism
     par = spark.sparkContext.defaultParallelism
-    if q.rdd.getNumPartitions() < par:
+    # partition count read via a WeakKey memo on the caller's frame: a
+    # narrow select preserves partitioning, and the plain
+    # .rdd.getNumPartitions() is a DataFrame→RDD plan conversion paid
+    # per SEARCH otherwise (serving batches reuse the same query frame)
+    from vectordb_retrieval_spark.functions.kernels import (
+        num_partitions_cached,
+    )
+
+    if num_partitions_cached(query_df) < par:
         q = q.repartition(par)
     norm_q = normalize_queries
 
@@ -1085,6 +1128,8 @@ def broadcast_probe_search(
         import pyarrow as pa
 
         idx: PackedClusters = bc_index.value
+        if allowed_bc is not None:
+            idx = idx.filtered(allowed_bc.value)
         for rb in batches:
             if rb.num_rows == 0:
                 continue

@@ -1,0 +1,135 @@
+"""Lexical retrieval + hybrid fusion over document tables.
+
+The reference engine retrieves by dense vectors only (its TF-IDF stage,
+``src/dataprep`` in Human-Augment-Analytics/vectordb-retrieval, builds
+EMBEDDINGS from text rather than serving lexical queries).  A
+production corpus engine needs the lexical side too: BM25 scoring for
+keyword queries and rank fusion to combine lexical and vector results.
+Both are pure DataFrame compositions — one explode + two aggregations
+for BM25 (term statistics are corpus-wide aggregates, broadcast back),
+a union + groupBy for reciprocal-rank fusion — so they inherit
+Catalyst's pushdown/pruning and scale with the corpus.
+
+BM25 variant: Lucene's (k1=1.2, b=0.75, idf = ln(1 + (N-df+0.5)/(df+0.5)))
+— non-negative idf, the industry-standard form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+TOKEN_PATTERN = r"\s+"
+
+
+def doc_tokens(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, term) rows: whitespace tokenization, empty tokens dropped.
+    Column expressions only — no UDF."""
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.col(text_col), TOKEN_PATTERN)).alias("term"),
+        )
+        .filter(F.length("term") > 0)
+    )
+
+
+def bm25_rank(
+    docs: DataFrame,
+    query_terms: list[str],
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int | None = None,
+) -> DataFrame:
+    """BM25 document ranking for a bag of query terms.
+
+    Returns (doc_id, score, rank), rank 1.. by (score desc, doc_id asc),
+    only documents matching ≥1 term.  ``top_n`` limits via a
+    distributed TakeOrdered (orderBy + limit — partial top-k per
+    partition, no global sort), so the plan holds at corpus scale:
+
+    - one explode + groupBy for document lengths (single shuffle on id),
+    - term frequencies for the (tiny) query-term subset only — the
+      explode output is filtered to the query terms BEFORE the groupBy,
+      so the tf shuffle carries matched rows only,
+    - document frequencies + corpus stats are scalar-sized aggregates
+      joined back via broadcast.
+    """
+    toks = doc_tokens(docs, id_col, text_col)
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    matched = toks.filter(F.col("term").isin(query_terms))
+    tf = matched.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                1.0
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "score_t",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1.0))
+            / (
+                F.col("tf")
+                + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("score_t").alias("score"))
+    )
+    ranked = scored.orderBy(F.col("score").desc(), F.col("doc_id"))
+    if top_n is not None:
+        ranked = ranked.limit(top_n)
+    # rank over the (small) retained set; after the limit this window
+    # runs on ≤ top_n rows
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return ranked.select(
+        "doc_id", "score", F.row_number().over(w).alias("rank")
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    *,
+    k: int = 60,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    top_n: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack & Clarke, SIGIR'09):
+    score(d) = Σ_r 1/(k + rank_r(d)) over the rankings that contain d.
+    Returns (doc_id, rrf_score, rank) by (score desc, id asc).  A
+    union + one groupBy — no per-ranking state, scales with the union
+    of the candidate lists."""
+    parts = [
+        r.select(
+            F.col(id_col).alias("doc_id"),
+            (1.0 / (F.lit(float(k)) + F.col(rank_col))).alias("contrib"),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy("doc_id").agg(F.sum("contrib").alias("rrf_score"))
+    ranked = fused.orderBy(F.col("rrf_score").desc(), F.col("doc_id"))
+    if top_n is not None:
+        ranked = ranked.limit(top_n)
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col("doc_id"))
+    return ranked.select(
+        "doc_id", "rrf_score", F.row_number().over(w).alias("rank")
+    )
