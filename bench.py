@@ -35,6 +35,8 @@ HEADLINE = [
     "dedup_minhash_verified",
     "text_quality",
     "multimodal_frame_sample",
+    "bm25_topk",
+    "filtered_ivf_search",
 ]
 
 

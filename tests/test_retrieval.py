@@ -169,6 +169,22 @@ def test_filtered_full_allowlist_equals_unfiltered(spark, filt_setup):
     ) == _rows(s.search(qdf, 10))
 
 
+def test_filtered_exact_pushes_predicate_to_scan(spark):
+    """filtered_knn_exact's predicate must reach the parquet scan
+    (PushedFilters carries label) — the filter prunes candidate rows
+    BEFORE they enter the distance kernel, which at 100 TB is the
+    difference between scanning the allowed slice and the corpus."""
+    from vectordb_retrieval_spark.driver_queries.retrievalq import (
+        filtered_knn_exact,
+    )
+
+    res = filtered_knn_exact(spark, "/root/testdata/sf0.001")
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters:" in plan, plan
+    pushed = plan.split("PushedFilters:", 1)[1].split("]", 1)[0]
+    assert "label" in pushed, plan
+
+
 def test_filtered_selective_allowlist_underfills_not_crashes(spark, filt_setup):
     bdf, qdf, allowed, art, cents = filt_setup
     three = bdf.filter(F.col("id") < 3).select("id")

@@ -153,3 +153,66 @@ def test_streaming_dedup_drops_cross_batch_duplicates(spark, tmp_path):
     )
     q.awaitTermination(300)
     assert len(seen) == 3 == len(set(seen))
+
+
+def test_streaming_ingest_append_equals_rebuild(spark, tmp_path):
+    """foreachBatch ivf_append over micro-batches must leave an index
+    whose search results equal the single-shot full build — the
+    streaming-ingest contract (per-row assignment is order-independent)."""
+    from pyspark.sql import functions as F
+
+    from vectordb_retrieval_spark.operators.ivf import (
+        FixedCentroidIVFIndexer,
+        IVFSearcher,
+        ivf_append,
+    )
+
+    rng = np.random.RandomState(31)
+    base = random_vectors(spark, 200, 8, seed=31).cache()
+    base.count()
+    cents = rng.randn(4, 8).astype(np.float64)
+    queries = random_vectors(spark, 10, 8, seed=32, id_col="qid").cache()
+    queries.count()
+
+    full = FixedCentroidIVFIndexer(cents, metric="l2").build(base)
+
+    holder = [
+        FixedCentroidIVFIndexer(cents, metric="l2").build(
+            base.filter(F.col("id") % 3 == 0)
+        )
+    ]
+    vdir = str(tmp_path / "ingest")
+    (
+        base.filter(F.col("id") % 3 != 0)
+        .withColumn("batch", (F.col("id") % 3).cast("int"))
+        .repartition(2, "batch")
+        .write.partitionBy("batch")
+        .parquet(vdir)
+    )
+    stream = (
+        spark.readStream.schema("id long, vec array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(vdir + "/batch=*")
+    )
+
+    def sink(df, epoch_id):
+        holder[0] = ivf_append(holder[0], df)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    def rows(art):
+        res = IVFSearcher(nprobe=2).attach(art).search(queries, 5)
+        return sorted(
+            (r["qid"], r["rank"], r["id"], round(r["dist"], 9))
+            for r in res.collect()
+        )
+
+    got, want = rows(holder[0]), rows(full)
+    assert got == want
+    assert len(got) > 0

@@ -203,6 +203,74 @@ SELECT DISTINCT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
 FROM documents
 """
 
+
+def q_streaming_ingest_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous index ingestion: build the fixed-centroid IVF on a
+    quarter of the corpus, stream the remaining three quarters in
+    micro-batches through foreachBatch → ``ivf_append``, then search.
+    Per-row cluster assignment is order-independent, so the streamed
+    index ≡ the single-shot full build and the result hash-matches
+    ivf_fixed_search's oracle — the FAISS ``index.add`` loop
+    (reference src/algorithms/ivf_*.py) re-expressed as a Structured
+    Streaming sink."""
+    from vectordb_retrieval_spark.driver_queries.ann import (
+        NPROBE_FIXED,
+        ivf_fixed_centroids,
+    )
+    from vectordb_retrieval_spark.operators.ivf import (
+        FixedCentroidIVFIndexer,
+        IVFSearcher,
+        ivf_append,
+    )
+
+    base = emb(spark, sf_dir)
+    cents = ivf_fixed_centroids(spark, sf_dir)
+    art_holder = [
+        FixedCentroidIVFIndexer(cents, metric="l2").build(
+            base.filter(F.col("vec_id") % 4 == 0),
+            id_col="vec_id",
+            vec_col="embedding",
+        )
+    ]
+
+    workdir = tempfile.mkdtemp(prefix="streamingest-")
+    vdir = os.path.join(workdir, "vecs")
+    (
+        base.filter(F.col("vec_id") % 4 != 0)
+        .withColumn("batch", (F.col("vec_id") % 4).cast("int"))
+        .select("batch", "vec_id", "embedding")
+        .repartition(3, "batch")  # exactly one file per micro-batch dir
+        .write.partitionBy("batch")
+        .parquet(vdir)
+    )
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(vdir, "batch=*"))
+    )
+
+    def sink(df: DataFrame, epoch_id: int) -> None:
+        art_holder[0] = ivf_append(
+            art_holder[0], df, id_col="vec_id", vec_col="embedding"
+        )
+
+    with _state_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+
+    qs = base.filter(F.expr(QUERY_FILTER))
+    res = (
+        IVFSearcher(nprobe=NPROBE_FIXED)
+        .attach(art_holder[0])
+        .search(qs, K, qid_col="vec_id", vec_col="embedding")
+    )
+    return res.select("qid", "id", "rank")
+
 # windowed_stats first: it is cheap and purely batch-shaped, so if the
 # driver budget runs out mid-module the expensive stateful-stream queries
 # are the ones at risk, not this one (it had no CORRECTNESS row in r1).
@@ -210,10 +278,22 @@ QUERIES = {
     "streaming_windowed_stats": q_windowed_stats,
     "streaming_running_topk": q_streaming_topk,
     "streaming_dedup": q_streaming_dedup,
+    # LAST in this module: lands after the driver's 50-slot boundary,
+    # keeping the checked parity rows in place
+    "streaming_ingest_search": q_streaming_ingest_search,
 }
+
+def _ingest_oracle() -> str:
+    # append ≡ rebuild, so the streamed index answers ivf_fixed_search's
+    # exact oracle (same fixed centroids, same nprobe)
+    from vectordb_retrieval_spark.driver_queries.ann import _IVF_SEARCH_ORACLE
+
+    return _IVF_SEARCH_ORACLE
+
 
 ORACLES = {
     "streaming_running_topk": KNN_ORACLE.format(dist_expr=DIST_EXPRS["l2"]),
     "streaming_dedup": _STREAM_DEDUP_ORACLE,
     "streaming_windowed_stats": _WINDOW_ORACLE,
+    "streaming_ingest_search": _ingest_oracle(),
 }

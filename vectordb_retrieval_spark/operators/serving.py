@@ -218,9 +218,16 @@ class PackedClusters:
             parts = []
             for name in ("F64", "sq64", "F32", "sq32", "gids"):
                 path = os.path.join(final, f"{name}.npy")
-                parts.append(
-                    np.load(path, mmap_mode="r") if os.path.exists(path) else None
-                )
+                if os.path.exists(path):
+                    mm = np.load(path, mmap_mode="r")
+                    # serve a plain-ndarray VIEW of the mmap (zero-copy,
+                    # base keeps the mapping alive): np.memmap's
+                    # __array_finalize__/__array_wrap__ subclass dispatch
+                    # fires on EVERY slice/ufunc in the scan hot loop —
+                    # profiled at ~10% of the whole serving kernel
+                    parts.append(mm.view(np.ndarray))
+                else:
+                    parts.append(None)
             return (*parts, offs, norm_max)
 
         try:
