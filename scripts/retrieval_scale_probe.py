@@ -1,0 +1,147 @@
+"""Scale probes for the round-7 retrieval extensions.
+
+1. BM25 at corpus scale: rank a fixed 5-term query over a synthetic
+   N-doc corpus (distributed xxhash64 generation, planted term hits so
+   the expected top docs are known).  Reports docs/sec through the full
+   tokenize → tf/df → score → top-k plan and checks the planted docs
+   own the top ranks.
+
+2. Filtered IVF at 150k×384-d: a label predicate keeping 1/4 of the
+   corpus, searched through the pre-filter mask at matched recall.
+   Reports filtered vs unfiltered QPS and verifies the pre-filter
+   contract (exhaustive-probe filtered search ≡ brute force over the
+   allowed slice on a 20k sample).
+
+    python scripts/retrieval_scale_probe.py [n_docs] [n_base]
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from vectordb_retrieval_spark.session import get_spark  # noqa: E402
+
+
+def synth_docs(spark, n_docs: int, words: int = 80, vocab: int = 20_000):
+    """Unique docs of hash-derived words; docs with id % 1000 == 13
+    carry 8 'needle' tokens — the planted BM25 hits."""
+    base = spark.range(n_docs).withColumnRenamed("id", "doc_id")
+    word = lambda i: F.concat(  # noqa: E731
+        F.lit("w"), F.pmod(F.xxhash64(F.col("doc_id"), i), F.lit(vocab))
+    )
+    body = F.concat_ws(
+        " ", F.transform(F.sequence(F.lit(1), F.lit(words)), word)
+    )
+    needles = F.lit("needle " * 8)
+    text = F.when(
+        F.col("doc_id") % 1000 == 13, F.concat(needles, body)
+    ).otherwise(body)
+    return base.select("doc_id", text.alias("text"))
+
+
+def bm25_probe(spark, n_docs: int) -> dict:
+    from vectordb_retrieval_spark.operators.text_retrieval import bm25_rank
+
+    docs = synth_docs(spark, n_docs).repartition(32).cache()
+    docs.count()
+    t0 = time.time()
+    top = bm25_rank(
+        docs, ["needle", "w17", "w23", "w99", "w4242"], top_n=100
+    ).collect()
+    wall = time.time() - t0
+    planted_in_top = sum(1 for r in top if r["doc_id"] % 1000 == 13)
+    docs.unpersist()
+    return {
+        "bm25_n_docs": n_docs,
+        "bm25_wall_s": round(wall, 1),
+        "bm25_docs_per_s": round(n_docs / wall),
+        "bm25_planted_in_top100": planted_in_top,
+    }
+
+
+def filtered_probe(spark, n_base: int, dim: int = 384) -> dict:
+    from vectordb_retrieval_spark.operators.exact import exact_knn
+    from vectordb_retrieval_spark.operators.ivf import IVFIndexer, IVFSearcher
+    from vectordb_retrieval_spark.operators.quant import SQ8Codec
+    from vectordb_retrieval_spark.sources.random_gen import clustered_vectors
+
+    def materialize(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    base = clustered_vectors(
+        spark, n_base, dim, n_clusters=64, seed=11
+    ).cache()
+    base.count()
+    queries = clustered_vectors(
+        spark, 1024, dim, n_clusters=64, seed=11, stream=3, id_col="qid"
+    ).repartition(32).cache()
+    queries.count()
+    # label = id % 4; the filter keeps label 0 — a 25% slice
+    allowed = base.filter(F.col("id") % 4 == 0).select("id").cache()
+    allowed.count()
+
+    art = IVFIndexer(
+        nlist=int(np.sqrt(n_base) * 2), seed=11, max_iter=10,
+        init_mode="k-means||", metric="cosine", codec=SQ8Codec(),
+    ).build(base)
+    s = IVFSearcher(nprobe=10)
+    s.attach(art)
+
+    materialize(s.search(queries, 10))
+    t0 = time.time()
+    materialize(s.search(queries, 10))
+    t_unf = time.time() - t0
+
+    materialize(s.search(queries, 10, allowed_df=allowed))
+    t0 = time.time()
+    materialize(s.search(queries, 10, allowed_df=allowed))
+    t_f = time.time() - t0
+
+    # contract check on a 20k sample: exhaustive filtered ≡ brute force
+    sample = base.filter(F.col("id") < 20_000).cache()
+    sample.count()
+    art_s = IVFIndexer(
+        nlist=64, seed=11, max_iter=5, init_mode="k-means||", metric="cosine"
+    ).build(sample)
+    allowed_s = sample.filter(F.col("id") % 4 == 0).select("id")
+    qs_s = queries.limit(64).cache()
+    qs_s.count()
+    got = (
+        IVFSearcher(nprobe=10_000)
+        .attach(art_s)
+        .search(qs_s, 10, allowed_df=allowed_s)
+        .select("qid", "id", "rank")
+    )
+    want = exact_knn(
+        sample.filter(F.col("id") % 4 == 0), qs_s, 10, "cosine"
+    ).select("qid", "id", "rank")
+    eq = sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    return {
+        "filt_n_base": n_base,
+        "filt_dim": dim,
+        "filt_qps_unfiltered_1024q": round(1024 / t_unf, 1),
+        "filt_qps_filtered_1024q": round(1024 / t_f, 1),
+        "filt_selectivity": 0.25,
+        "filt_contract_exact_match": bool(eq),
+    }
+
+
+def main() -> int:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    n_base = int(sys.argv[2]) if len(sys.argv) > 2 else 150_000
+    spark = get_spark("retrieval_scale_probe", master="local[32]")
+    out = {}
+    out.update(bm25_probe(spark, n_docs))
+    out.update(filtered_probe(spark, n_base))
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
