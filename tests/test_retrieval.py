@@ -80,6 +80,40 @@ def test_bm25_rank_order_and_topn(spark):
     assert res[0]["doc_id"] == 2
 
 
+def test_bm25_search_multiquery_matches_per_query_rank(spark):
+    """Batched bm25_search must give each query the same ranking as a
+    standalone bm25_rank over that query's terms."""
+    from vectordb_retrieval_spark.operators.text_retrieval import bm25_search
+
+    docs = {
+        0: "spark join window spark",
+        1: "hash join hash shuffle",
+        2: "window agg scan filter spark",
+        3: "spark shuffle",
+        4: "scan filter agg order",
+    }
+    ddf = spark.createDataFrame(
+        [(d, t) for d, t in docs.items()], schema="doc_id long, text string"
+    )
+    bags = {7: ["spark", "join"], 8: ["scan", "agg"], 9: ["shuffle"]}
+    qdf = spark.createDataFrame(
+        list(bags.items()), schema="qid long, terms array<string>"
+    )
+    got = {
+        (r["qid"], r["doc_id"]): (r["score"], r["rank"])
+        for r in bm25_search(ddf, qdf, k=10).collect()
+    }
+    for qid, terms in bags.items():
+        want = bm25_rank(ddf, terms).collect()
+        for r in want:
+            g = got[(qid, r["doc_id"])]
+            assert g[0] == pytest.approx(r["score"], rel=1e-12)
+            assert g[1] == r["rank"]
+    assert len(got) == sum(
+        len(bm25_rank(ddf, t).collect()) for t in bags.values()
+    )
+
+
 # ---------- RRF ----------
 
 

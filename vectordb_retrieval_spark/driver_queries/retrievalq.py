@@ -28,7 +28,11 @@ from pyspark.sql import functions as F
 from vectordb_retrieval_spark.driver_queries.common import K, QUERY_FILTER, emb
 from vectordb_retrieval_spark.operators.exact import exact_knn
 from vectordb_retrieval_spark.operators.ivf import FixedCentroidIVFIndexer, IVFSearcher
-from vectordb_retrieval_spark.operators.text_retrieval import bm25_rank, rrf_fuse
+from vectordb_retrieval_spark.operators.text_retrieval import (
+    bm25_rank,
+    bm25_search,
+    rrf_fuse,
+)
 
 # fixed keyword query over the synthetic corpus vocabulary
 TERMS = ["spark", "join", "window", "hash", "shuffle"]
@@ -69,6 +73,25 @@ def hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     fused = rrf_fuse([lex, dense], top_n=FUSE_TOP)
     return fused.select(
         "doc_id", F.round("rrf_score", 6).alias("rrf_score"), "rank"
+    )
+
+
+# three fixed keyword queries for the batched search
+MULTI_QUERIES = [
+    (0, ["spark", "join"]),
+    (1, ["window", "hash", "shuffle"]),
+    (2, ["agg", "scan"]),
+]
+MULTI_K = 15
+
+
+def bm25_multiquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qdf = spark.createDataFrame(
+        MULTI_QUERIES, schema="qid long, terms array<string>"
+    )
+    res = bm25_search(_docs(spark, sf_dir), qdf, k=MULTI_K)
+    return res.select(
+        "qid", "doc_id", F.round("score", 6).alias("score"), "rank"
     )
 
 
@@ -190,6 +213,51 @@ SELECT doc_id, round(rrf_score, 6) AS rrf_score, rank
 FROM r WHERE rank <= {FUSE_TOP}
 """
 
+_MQ_VALUES = ", ".join(
+    f"({qid}, '{t}')" for qid, terms in MULTI_QUERIES for t in terms
+)
+
+# batched BM25: same corpus statistics as _BM25_COMMON, but tf/df over
+# the union of all query term bags and a per-(qid, term) join — mirrors
+# operators/text_retrieval.bm25_search
+_BM25_MULTI_ORACLE = f"""
+WITH qterms(qid, term) AS (VALUES {_MQ_VALUES}),
+toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),
+                                    x -> x <> '')) AS term
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN (SELECT DISTINCT term FROM qterms)
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT q.qid, tf.doc_id,
+         sum( ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * (tf.tf * 2.2)
+              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS score
+  FROM tf
+  JOIN qterms q USING (term)
+  JOIN dl USING (doc_id)
+  JOIN dfreq USING (term)
+  CROSS JOIN stats
+  GROUP BY q.qid, tf.doc_id
+),
+r AS (
+  SELECT qid, doc_id, score,
+         row_number() OVER (
+           PARTITION BY qid ORDER BY score DESC, doc_id
+         ) AS rank
+  FROM scored
+)
+SELECT qid, doc_id, round(score, 6) AS score, rank
+FROM r WHERE rank <= {MULTI_K}
+"""
+
 _LABELS_SQL = ", ".join(str(x) for x in ALLOWED_LABELS)
 
 _FILTERED_KNN_ORACLE = f"""
@@ -263,6 +331,7 @@ SELECT qid, id, rank FROM rr WHERE rank <= {K}
 
 QUERIES = {
     "bm25_topk": bm25_topk,
+    "bm25_multiquery": bm25_multiquery,
     "hybrid_rrf": hybrid_rrf,
     "filtered_knn_exact": filtered_knn_exact,
     "filtered_ivf_search": filtered_ivf_search,
@@ -270,6 +339,7 @@ QUERIES = {
 
 ORACLES = {
     "bm25_topk": _BM25_ORACLE,
+    "bm25_multiquery": _BM25_MULTI_ORACLE,
     "hybrid_rrf": _HYBRID_ORACLE,
     "filtered_knn_exact": _FILTERED_KNN_ORACLE,
     "filtered_ivf_search": _FILTERED_IVF_ORACLE,

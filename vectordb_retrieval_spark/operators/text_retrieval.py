@@ -102,6 +102,71 @@ def bm25_rank(
     )
 
 
+def bm25_search(
+    docs: DataFrame,
+    query_df: DataFrame,
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    qid_col: str = "qid",
+    terms_col: str = "terms",
+    k: int = 10,
+) -> DataFrame:
+    """Batched BM25 search: every query row carries its own term bag
+    (``terms_col``: array<string>); returns each query's top-k docs as
+    (qid, doc_id, score, rank), rank by (score desc, doc_id).
+
+    Plan shape at corpus scale: corpus statistics (lengths, df, avgdl)
+    are query-independent aggregates; the query side contributes only a
+    distinct-term broadcast that prunes the exploded token stream before
+    its tf shuffle, and a per-(qid, term) broadcast join onto the tf
+    table.  Per-query top-k is a qid-partitioned window
+    (WindowGroupLimit — partial top-k before the exchange)."""
+    toks = doc_tokens(docs, id_col, text_col)
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    qterms = query_df.select(
+        F.col(qid_col).alias("qid"), F.explode(F.col(terms_col)).alias("term")
+    ).distinct()
+    term_set = qterms.select("term").distinct()
+    tf = (
+        toks.join(F.broadcast(term_set), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(stats))
+        .withColumn(
+            "score_t",
+            F.log(
+                1.0
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            )
+            * (F.col("tf") * (k1 + 1.0))
+            / (
+                F.col("tf")
+                + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("qid", "doc_id")
+        .agg(F.sum("score_t").alias("score"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "doc_id", "score", "rank")
+    )
+
+
 def rrf_fuse(
     rankings: list[DataFrame],
     *,
