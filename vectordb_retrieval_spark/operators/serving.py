@@ -298,6 +298,11 @@ class PackedClusters:
             got = PackedClusters(
                 self.cids, ids2, pays2, self.codec, self.centroids
             )
+            # bounded memo: a workload cycling through many predicates
+            # must not pin one filtered copy (payloads + scan caches)
+            # per filter — evict the oldest beyond 4 entries
+            while len(self._filt) >= 4:
+                self._filt.pop(next(iter(self._filt)))
             self._filt[key] = got
         return got
 
@@ -680,7 +685,13 @@ def _search_batch_fast(
     pv: list[np.ndarray] = []
     pp: list[np.ndarray] = []
     npend = 0
-    merge_cap = max(4 * n_q * m, 1 << 16)
+    # merge cadence: each merge both shrinks pending AND tightens every
+    # query's bound, so later blocks append fewer survivors — A/B on the
+    # 2048q×nprobe24 serving batch: cap 4·n_q·m = 145 ms kernel,
+    # 2·n_q·m = 128 ms (−11%, rows identical), 1·n_q·m = 133 ms (merge
+    # overhead starts winning).  Exactness is cap-independent: merges
+    # only tighten bounds and the fp64 guard re-certifies the selection.
+    merge_cap = max(2 * n_q * m, 1 << 15)
     # largest composite-key quantum seen across merges; added to the
     # guard's error bound so key-collision ties stay rigorous
     key_quantum = 0.0
