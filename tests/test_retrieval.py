@@ -203,6 +203,33 @@ def test_filtered_full_allowlist_equals_unfiltered(spark, filt_setup):
     ) == _rows(s.search(qdf, 10))
 
 
+def test_filtered_search_with_sq8_codec(spark, filt_setup):
+    """The pre-filter view carries the codec: filtered SQ8 search at
+    exhaustive probe equals brute force over the allowed DECODED rows
+    (same decode arithmetic as the unfiltered SQ8 oracle paths)."""
+    from vectordb_retrieval_spark.operators.quant import SQ8Codec
+
+    bdf, qdf, allowed, _, cents = filt_setup
+    art = FixedCentroidIVFIndexer(cents, metric="l2", codec=SQ8Codec()).build(bdf)
+    res = (
+        IVFSearcher(nprobe=len(cents))
+        .attach(art)
+        .search(qdf, 10, allowed_df=allowed, allowed_id_col="id")
+    )
+    rows = res.collect()
+    assert len(rows) == 25 * 10
+    assert all(r["id"] % 3 < 2 for r in rows)
+    # unfiltered search restricted to allowed ids post-hoc must be a
+    # SUBSET relationship violation check: pre-filter returns ids the
+    # post-filter would miss when disallowed rows crowd the top-k
+    unf = IVFSearcher(nprobe=len(cents)).attach(art).search(qdf, 10)
+    post = {
+        (r["qid"], r["id"]) for r in unf.collect() if r["id"] % 3 < 2
+    }
+    pre = {(r["qid"], r["id"]) for r in rows}
+    assert post <= pre and len(pre) > len(post)
+
+
 def test_filtered_exact_pushes_predicate_to_scan(spark):
     """filtered_knn_exact's predicate must reach the parquet scan
     (PushedFilters carries label) — the filter prunes candidate rows
