@@ -138,6 +138,55 @@ def test_rrf_fusion_small(spark):
     assert [r["doc_id"] for r in ranked] == [11, 10]
 
 
+def test_hybrid_search_composition(spark):
+    """hybrid_search == manual bm25_search + exact_knn + per-query RRF."""
+    from vectordb_retrieval_spark.operators.text_retrieval import (
+        bm25_search,
+        hybrid_search,
+        rrf_fuse_by_query,
+    )
+
+    rng = np.random.RandomState(5)
+    n = 40
+    words = ["spark", "join", "scan", "agg", "hash"]
+    ddf = spark.createDataFrame(
+        [
+            (i, " ".join(words[rng.randint(0, 5)] for _ in range(12)))
+            for i in range(n)
+        ],
+        schema="doc_id long, text string",
+    )
+    edf = make_vector_df(
+        spark, rng.randn(n, 6).astype(np.float32), id_name="vec_id",
+        vec_name="embedding",
+    )
+    qdf = spark.createDataFrame(
+        [
+            (0, ["spark", "join"], [float(x) for x in rng.randn(6)]),
+            (1, ["agg"], [float(x) for x in rng.randn(6)]),
+        ],
+        schema="qid long, terms array<string>, qvec array<float>",
+    )
+    got = hybrid_search(ddf, edf, qdf, k=5, cand=8).collect()
+
+    lex = bm25_search(ddf, qdf.select("qid", "terms"), k=8)
+    dense = exact_knn(
+        edf, qdf, 8, "cosine", id_col="vec_id", vec_col="embedding",
+        qid_col="qid", qvec_col="qvec",
+    ).select("qid", F.col("id").alias("doc_id"), "rank")
+    want = rrf_fuse_by_query([lex, dense], top_n=5).collect()
+
+    key = lambda r: (r["qid"], r["rank"])  # noqa: E731
+    assert sorted(
+        (r["qid"], r["rank"], r["doc_id"], round(r["rrf_score"], 12))
+        for r in got
+    ) == sorted(
+        (r["qid"], r["rank"], r["doc_id"], round(r["rrf_score"], 12))
+        for r in want
+    )
+    assert len(got) > 0
+
+
 # ---------- filtered IVF search ----------
 
 

@@ -31,6 +31,7 @@ from vectordb_retrieval_spark.operators.ivf import FixedCentroidIVFIndexer, IVFS
 from vectordb_retrieval_spark.operators.text_retrieval import (
     bm25_rank,
     bm25_search,
+    hybrid_search,
     rrf_fuse,
 )
 
@@ -92,6 +93,31 @@ def bm25_multiquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = bm25_search(_docs(spark, sf_dir), qdf, k=MULTI_K)
     return res.select(
         "qid", "doc_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
+HYBRID_CAND = 50
+
+
+def hybrid_multiquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched hybrid retrieval: the three MULTI_QUERIES term bags
+    paired with the embeddings of vec_id 0/1/2 as dense queries,
+    BM25⊕cosine fused per query by RRF."""
+    docs = _docs(spark, sf_dir)
+    base = emb(spark, sf_dir)
+    qdf = spark.createDataFrame(
+        MULTI_QUERIES, schema="qid long, terms array<string>"
+    ).join(
+        base.select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        ),
+        "qid",
+    )
+    res = hybrid_search(
+        docs, base, qdf, k=MULTI_K, cand=HYBRID_CAND
+    )
+    return res.select(
+        "qid", "doc_id", F.round("rrf_score", 6).alias("rrf_score"), "rank"
     )
 
 
@@ -258,6 +284,75 @@ SELECT qid, doc_id, round(score, 6) AS score, rank
 FROM r WHERE rank <= {MULTI_K}
 """
 
+# batched hybrid: BM25 scored CTE + per-query dense cosine ranking,
+# fused with 1/(60+rank), per-qid re-rank — mirrors hybrid_search
+_HYBRID_MULTI_ORACLE = f"""
+WITH qterms(qid, term) AS (VALUES {_MQ_VALUES}),
+toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),
+                                    x -> x <> '')) AS term
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN (SELECT DISTINCT term FROM qterms)
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT q.qid, tf.doc_id,
+         sum( ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * (tf.tf * 2.2)
+              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS score
+  FROM tf
+  JOIN qterms q USING (term)
+  JOIN dl USING (doc_id)
+  JOIN dfreq USING (term)
+  CROSS JOIN stats
+  GROUP BY q.qid, tf.doc_id
+),
+lex AS (
+  SELECT qid, doc_id,
+         row_number() OVER (
+           PARTITION BY qid ORDER BY score DESC, doc_id
+         ) AS rank
+  FROM scored QUALIFY rank <= {HYBRID_CAND}
+),
+qv AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id IN (0, 1, 2)
+),
+dense AS (
+  SELECT qv.qid, b.vec_id AS doc_id,
+         row_number() OVER (
+           PARTITION BY qv.qid
+           ORDER BY 1.0 - list_cosine_similarity(qv.v, CAST(b.embedding AS DOUBLE[])),
+                    b.vec_id
+         ) AS rank
+  FROM qv CROSS JOIN embeddings b
+  QUALIFY rank <= {HYBRID_CAND}
+),
+contrib AS (
+  SELECT qid, doc_id, 1.0 / (60.0 + rank) AS c FROM lex
+  UNION ALL
+  SELECT qid, doc_id, 1.0 / (60.0 + rank) AS c FROM dense
+),
+fused AS (
+  SELECT qid, doc_id, sum(c) AS rrf_score FROM contrib GROUP BY qid, doc_id
+),
+r AS (
+  SELECT qid, doc_id, rrf_score,
+         row_number() OVER (
+           PARTITION BY qid ORDER BY rrf_score DESC, doc_id
+         ) AS rank
+  FROM fused
+)
+SELECT qid, doc_id, round(rrf_score, 6) AS rrf_score, rank
+FROM r WHERE rank <= {MULTI_K}
+"""
+
 _LABELS_SQL = ", ".join(str(x) for x in ALLOWED_LABELS)
 
 _FILTERED_KNN_ORACLE = f"""
@@ -333,6 +428,7 @@ QUERIES = {
     "bm25_topk": bm25_topk,
     "bm25_multiquery": bm25_multiquery,
     "hybrid_rrf": hybrid_rrf,
+    "hybrid_multiquery": hybrid_multiquery,
     "filtered_knn_exact": filtered_knn_exact,
     "filtered_ivf_search": filtered_ivf_search,
 }
@@ -341,6 +437,7 @@ ORACLES = {
     "bm25_topk": _BM25_ORACLE,
     "bm25_multiquery": _BM25_MULTI_ORACLE,
     "hybrid_rrf": _HYBRID_ORACLE,
+    "hybrid_multiquery": _HYBRID_MULTI_ORACLE,
     "filtered_knn_exact": _FILTERED_KNN_ORACLE,
     "filtered_ivf_search": _FILTERED_IVF_ORACLE,
 }

@@ -167,6 +167,94 @@ def bm25_search(
     )
 
 
+def rrf_fuse_by_query(
+    rankings: list[DataFrame],
+    *,
+    k: int = 60,
+    qid_col: str = "qid",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    top_n: int | None = None,
+) -> DataFrame:
+    """Per-query reciprocal-rank fusion: each input carries
+    (qid, doc_id, rank); score(q, d) = Σ_r 1/(k + rank_r(q, d)).
+    Returns (qid, doc_id, rrf_score, rank ≤ top_n) ranked by
+    (score desc, doc_id) within each query — union + one groupBy +
+    a qid-partitioned window (WindowGroupLimit partial top-k)."""
+    parts = [
+        r.select(
+            F.col(qid_col).alias("qid"),
+            F.col(id_col).alias("doc_id"),
+            (1.0 / (F.lit(float(k)) + F.col(rank_col))).alias("contrib"),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy("qid", "doc_id").agg(
+        F.sum("contrib").alias("rrf_score")
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id")
+    )
+    out = fused.withColumn("rank", F.row_number().over(w))
+    if top_n is not None:
+        out = out.filter(F.col("rank") <= top_n)
+    return out.select("qid", "doc_id", "rrf_score", "rank")
+
+
+def hybrid_search(
+    docs: DataFrame,
+    emb_df: DataFrame,
+    query_df: DataFrame,
+    *,
+    k: int = 10,
+    cand: int = 50,
+    rrf_k: int = 60,
+    metric: str = "cosine",
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    emb_id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    qid_col: str = "qid",
+    terms_col: str = "terms",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """One-call batched hybrid retrieval: every query row carries a term
+    bag AND an embedding; BM25 top-``cand`` and dense exact top-``cand``
+    are fused per query by RRF.  ``docs`` and ``emb_df`` share the doc
+    id space.  Returns (qid, doc_id, rrf_score, rank ≤ k).
+
+    Scale shape: the lexical side is ``bm25_search`` (corpus stats
+    amortized across the batch), the dense side the broadcast-query GEMM
+    kNN; fusion is a union + one (qid, doc_id) groupBy."""
+    lex = bm25_search(
+        docs,
+        query_df.select(qid_col, terms_col),
+        id_col=doc_id_col,
+        text_col=text_col,
+        qid_col=qid_col,
+        terms_col=terms_col,
+        k=cand,
+    )
+    from vectordb_retrieval_spark.operators.exact import exact_knn
+
+    dense = exact_knn(
+        emb_df,
+        query_df,
+        cand,
+        metric,
+        id_col=emb_id_col,
+        vec_col=emb_col,
+        qid_col=qid_col,
+        qvec_col=qvec_col,
+    ).select("qid", F.col("id").alias("doc_id"), "rank")
+    return rrf_fuse_by_query(
+        [lex, dense], k=rrf_k, top_n=k
+    )
+
+
 def rrf_fuse(
     rankings: list[DataFrame],
     *,
