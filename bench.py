@@ -867,7 +867,53 @@ def main() -> int:
             gs_res.join(exact_s, ["qid", "id"]).count() / (1024 * 20), 4
         )
         gs_res.unpersist()
-        for df in (base_s, q_s, exact_s):
+
+        # filtered search at scale: a 25% id slice through the
+        # pre-filter mask on the SAME sq8 artifact.  nprobe is scaled
+        # by 1/selectivity (10 → 40): under a selective filter the
+        # allowed neighbors are sparser, so a fixed probe count loses
+        # recall (measured 0.81 at nprobe=10); selectivity-scaled
+        # probes restore the CANDIDATE volume of the unfiltered row
+        # (40/256 × 25% ≈ 10/256 × 100%), making the two rows the
+        # honest same-work comparison.  Recall is against exact kNN
+        # over the allowed slice (the filtered ground truth).
+        allowed_s = base_s.filter(F.col("id") % 4 == 0).select("id").cache()
+        allowed_s.count()
+        sq8f_searcher = IVFSearcher(nprobe=40).attach(sq8s_art)
+        materialize(
+            sq8f_searcher.search(
+                q_s, 20, qid_col="qid", vec_col="vec", allowed_df=allowed_s
+            )
+        )
+        t_filt = timed_min(
+            lambda: materialize(
+                sq8f_searcher.search(
+                    q_s, 20, qid_col="qid", vec_col="vec",
+                    allowed_df=allowed_s,
+                ).select("qid", "id")
+            )
+        )
+        scale_workload["qps_ivf_sq8_filtered25_1024q"] = round(1024 / t_filt, 2)
+        exact_f = (
+            exact_knn(
+                base_s.filter(F.col("id") % 4 == 0), q_s, 20, "cosine",
+                qid_col="qid", qvec_col="vec",
+            )
+            .select("qid", "id")
+            .cache()
+        )
+        exact_f.count()
+        filt_res = (
+            sq8f_searcher.search(
+                q_s, 20, qid_col="qid", vec_col="vec", allowed_df=allowed_s
+            )
+            .select("qid", "id")
+            .cache()
+        )
+        scale_workload["recall_ivf_sq8_filtered25"] = round(
+            filt_res.join(exact_f, ["qid", "id"]).count() / (1024 * 20), 4
+        )
+        for df in (filt_res, exact_f, allowed_s, base_s, q_s, exact_s):
             df.unpersist()
         return scale_workload
 
@@ -972,6 +1018,27 @@ def main() -> int:
         out["dedup_planted_recall"] = round(planted / max(n_planted, 1), 4)
         pairs.unpersist()
         docs.unpersist()
+
+        # BM25 point: the lexical ranking pipeline at corpus scale —
+        # planted needle docs must own the top ranks
+        from scripts.retrieval_scale_probe import synth_docs as synth_bm25
+
+        from vectordb_retrieval_spark.operators.text_retrieval import bm25_rank
+
+        n_bm = int(os.environ.get("SPARK_GRAFT_CURVE_BM25_N", "250000"))
+        out["bm25_n"] = n_bm
+        bdocs = synth_bm25(spark, n_bm).repartition(int(cpus)).cache()
+        bdocs.count()
+        t0 = time.time()
+        top = bm25_rank(
+            bdocs, ["needle", "w17", "w23", "w99", "w4242"], top_n=100
+        ).collect()
+        wall_bm = time.time() - t0
+        out["bm25_docs_per_sec"] = round(n_bm / wall_bm, 1)
+        out["bm25_planted_top100"] = sum(
+            1 for r in top if r["doc_id"] % 1000 == 13
+        )
+        bdocs.unpersist()
         return out
 
     scale_curve = (
@@ -1057,6 +1124,9 @@ def main() -> int:
         ("curve_dd_n", scale_curve, "dedup_n"),
         ("curve_dd_dps", scale_curve, "dedup_docs_per_sec"),
         ("curve_dd_rec", scale_curve, "dedup_planted_recall"),
+        ("curve_bm_dps", scale_curve, "bm25_docs_per_sec"),
+        ("s150k_sq8f_1k", scale_workload, "qps_ivf_sq8_filtered25_1024q"),
+        ("s150k_r_sq8f", scale_workload, "recall_ivf_sq8_filtered25"),
         # calibration-normalized GEMM-bound rows (see REF_GFLOPS above)
         ("x16k_n", normalized, "x16k_n"),
         ("x2k_n", normalized, "x2k_n"),
