@@ -252,6 +252,35 @@ def test_filtered_full_allowlist_equals_unfiltered(spark, filt_setup):
     ) == _rows(s.search(qdf, 10))
 
 
+def test_post_filtered_adapter_matches_manual_composition(spark, filt_setup):
+    """post_filtered_search over ANY searcher == search k×o, keep
+    allowed, re-rank by (dist, id) — verified against the manual
+    composition on the IVF searcher (exhaustive, so deterministic)."""
+    from vectordb_retrieval_spark.operators.filtered import post_filtered_search
+
+    bdf, qdf, allowed, art, cents = filt_setup
+    s = IVFSearcher(nprobe=len(cents)).attach(art)
+    got = post_filtered_search(s, qdf, 5, allowed, oversample=4)
+    raw = s.search(qdf, 20).join(allowed, "id", "left_semi")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.col("dist"), F.col("id"))
+    want = (
+        raw.withColumn("r2", F.row_number().over(w))
+        .filter(F.col("r2") <= 5)
+        .select("qid", "id", "dist", F.col("r2").alias("rank"))
+    )
+    assert _rows(got) == _rows(want)
+    # underfill semantics: a 3-id allowlist yields ≤ 3 rows per query
+    three = bdf.filter(F.col("id") < 3).select("id")
+    res = post_filtered_search(s, qdf, 5, three, oversample=2).collect()
+    per_q: dict = {}
+    for r in res:
+        per_q.setdefault(r["qid"], []).append(r["id"])
+    for ids in per_q.values():
+        assert len(ids) <= 3 and all(i < 3 for i in ids)
+
+
 def test_filtered_search_with_sq8_codec(spark, filt_setup):
     """The pre-filter view carries the codec: filtered SQ8 search at
     exhaustive probe equals brute force over the allowed DECODED rows

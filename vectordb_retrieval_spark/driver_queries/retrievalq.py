@@ -135,6 +135,38 @@ def filtered_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("qid", "id", "rank")
 
 
+POSTFILTER_OVERSAMPLE = 4
+
+
+def filtered_graph_postfilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-filter adapter over the exhaustive (provably exact) graph
+    searcher: search K×oversample unfiltered, keep allowed labels,
+    re-rank — the filtered-search recipe for index families whose
+    structure can't be masked in-flight (operators/filtered.py).  With
+    the exhaustive searcher the whole pipeline is SQL-reproducible."""
+    from vectordb_retrieval_spark.operators.filtered import post_filtered_search
+    from vectordb_retrieval_spark.operators.graph_ann import (
+        GraphANNIndexer,
+        GraphANNSearcher,
+    )
+
+    base = emb(spark, sf_dir)
+    art = GraphANNIndexer(m=8, ef_construction=32, num_partitions=4).build(
+        base, id_col="vec_id", vec_col="embedding"
+    )
+    qs = base.filter(F.expr(QUERY_FILTER))
+    searcher = GraphANNSearcher(ef_search=100_000, force_beam=True).attach(art)
+    allowed = base.filter(F.col("label").isin(*ALLOWED_LABELS)).select(
+        F.col("vec_id").alias("id")
+    )
+    res = post_filtered_search(
+        searcher, qs, K, allowed,
+        oversample=POSTFILTER_OVERSAMPLE,
+        qid_col="vec_id", vec_col="embedding",
+    )
+    return res.select("qid", "id", "rank")
+
+
 def filtered_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PRUNED + pre-filtered IVF: fixed centroids, nprobe=3, and an
     allowed-id mask applied inside the probed clusters before top-k —
@@ -374,6 +406,35 @@ r AS (
 SELECT qid, id, rank FROM r WHERE rank <= {K}
 """
 
+# post-filter adapter over the exact (exhaustive-graph) ranking:
+# unfiltered rank ≤ K×oversample, keep allowed labels, re-rank
+_FILTERED_POSTFILTER_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id % 10 = 0
+),
+d AS (
+  SELECT q.qid, b.vec_id AS id, b.label,
+         list_distance(q.qv, CAST(b.embedding AS DOUBLE[])) AS dist
+  FROM q CROSS JOIN embeddings b
+),
+r AS (
+  SELECT qid, id, label, dist,
+         row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank
+  FROM d
+),
+kept AS (
+  SELECT qid, id, dist FROM r
+  WHERE rank <= {K * POSTFILTER_OVERSAMPLE} AND label IN ({{labels}})
+),
+rr AS (
+  SELECT qid, id,
+         row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank
+  FROM kept
+)
+SELECT qid, id, rank FROM rr WHERE rank <= {K}
+"""
+
 # ivf_fixed_search's oracle (ann.py _IVF_SEARCH_ORACLE) with the
 # pre-filter: candidates keep probed-cluster membership AND the label
 # predicate — rank among survivors, exactly the kernel's mask-then-topk
@@ -431,6 +492,7 @@ QUERIES = {
     "hybrid_multiquery": hybrid_multiquery,
     "filtered_knn_exact": filtered_knn_exact,
     "filtered_ivf_search": filtered_ivf_search,
+    "filtered_graph_postfilter": filtered_graph_postfilter,
 }
 
 ORACLES = {
@@ -440,4 +502,7 @@ ORACLES = {
     "hybrid_multiquery": _HYBRID_MULTI_ORACLE,
     "filtered_knn_exact": _FILTERED_KNN_ORACLE,
     "filtered_ivf_search": _FILTERED_IVF_ORACLE,
+    "filtered_graph_postfilter": _FILTERED_POSTFILTER_ORACLE.format(
+        labels=_LABELS_SQL
+    ),
 }
