@@ -138,6 +138,45 @@ def test_rrf_fusion_small(spark):
     assert [r["doc_id"] for r in ranked] == [11, 10]
 
 
+def test_bm25_index_artifact_roundtrip(spark, tmp_path):
+    """Indexed search == ad-hoc bm25_search, and the artifact survives
+    a save/load round-trip (persistence.py generic tables+params)."""
+    from vectordb_retrieval_spark.operators.text_retrieval import (
+        BM25Indexer,
+        BM25Searcher,
+        bm25_search,
+    )
+    from vectordb_retrieval_spark.persistence import load_artifact, save_artifact
+
+    docs = {
+        0: "spark join window spark",
+        1: "hash join hash shuffle",
+        2: "window agg scan filter spark",
+        3: "spark shuffle",
+        4: "scan filter agg order",
+    }
+    ddf = spark.createDataFrame(
+        [(d, t) for d, t in docs.items()], schema="doc_id long, text string"
+    )
+    qdf = spark.createDataFrame(
+        [(7, ["spark", "join"]), (8, ["scan", "agg"])],
+        schema="qid long, terms array<string>",
+    )
+    art = BM25Indexer().build(ddf)
+    key = lambda r: (r["qid"], r["rank"], r["doc_id"], round(r["score"], 12))  # noqa: E731
+    want = sorted(map(key, bm25_search(ddf, qdf, k=10).collect()))
+    got = sorted(map(key, BM25Searcher().attach(art).search(qdf, 10).collect()))
+    assert got == want
+
+    path = str(tmp_path / "bm25_art")
+    save_artifact(art, path)
+    art2 = load_artifact(spark, path)
+    got2 = sorted(
+        map(key, BM25Searcher().attach(art2).search(qdf, 10).collect())
+    )
+    assert got2 == want
+
+
 def test_hybrid_search_composition(spark):
     """hybrid_search == manual bm25_search + exact_knn + per-query RRF."""
     from vectordb_retrieval_spark.operators.text_retrieval import (

@@ -29,6 +29,8 @@ from vectordb_retrieval_spark.driver_queries.common import K, QUERY_FILTER, emb
 from vectordb_retrieval_spark.operators.exact import exact_knn
 from vectordb_retrieval_spark.operators.ivf import FixedCentroidIVFIndexer, IVFSearcher
 from vectordb_retrieval_spark.operators.text_retrieval import (
+    BM25Indexer,
+    BM25Searcher,
     bm25_rank,
     bm25_search,
     hybrid_search,
@@ -97,6 +99,21 @@ def bm25_multiquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 HYBRID_CAND = 50
+
+
+def bm25_indexed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batched search served from a BUILT lexical index artifact
+    (postings/doclens/termstats tables) — identical results to the
+    ad-hoc pipeline, so it shares bm25_multiquery's oracle; the index
+    pre-pays tokenization + aggregation once per corpus."""
+    art = BM25Indexer().build(_docs(spark, sf_dir))
+    qdf = spark.createDataFrame(
+        MULTI_QUERIES, schema="qid long, terms array<string>"
+    )
+    res = BM25Searcher().attach(art).search(qdf, k=MULTI_K)
+    return res.select(
+        "qid", "doc_id", F.round("score", 6).alias("score"), "rank"
+    )
 
 
 def hybrid_multiquery(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -488,6 +505,7 @@ SELECT qid, id, rank FROM rr WHERE rank <= {K}
 QUERIES = {
     "bm25_topk": bm25_topk,
     "bm25_multiquery": bm25_multiquery,
+    "bm25_indexed_search": bm25_indexed_search,
     "hybrid_rrf": hybrid_rrf,
     "hybrid_multiquery": hybrid_multiquery,
     "filtered_knn_exact": filtered_knn_exact,
@@ -498,6 +516,7 @@ QUERIES = {
 ORACLES = {
     "bm25_topk": _BM25_ORACLE,
     "bm25_multiquery": _BM25_MULTI_ORACLE,
+    "bm25_indexed_search": _BM25_MULTI_ORACLE,
     "hybrid_rrf": _HYBRID_ORACLE,
     "hybrid_multiquery": _HYBRID_MULTI_ORACLE,
     "filtered_knn_exact": _FILTERED_KNN_ORACLE,

@@ -167,6 +167,125 @@ def bm25_search(
     )
 
 
+class BM25Indexer:
+    """Lexical index artifact: tokenize once, persist the postings.
+
+    Tables (all Parquet-persistable via ``persistence.save_artifact``):
+    - ``postings``  (term, doc_id, tf)   — the inverted index
+    - ``doclens``   (doc_id, dl)         — document lengths
+    - ``termstats`` (term, df)           — document frequencies
+    Params: k1, b, n_docs, avgdl.
+
+    At corpus scale the postings table is the big side; bucket it by
+    ``term`` (sources/bucketed.py) so per-term probes co-locate.  The
+    searcher's math is identical to the ad-hoc ``bm25_search`` — the
+    artifact just pre-pays tokenization + aggregation once per corpus
+    instead of once per query batch."""
+
+    def __init__(
+        self,
+        k1: float = 1.2,
+        b: float = 0.75,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ):
+        self.k1 = k1
+        self.b = b
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def build(self, docs: DataFrame):
+        from vectordb_retrieval_spark.artifacts import IndexArtifact
+
+        toks = doc_tokens(docs, self.id_col, self.text_col)
+        dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+        postings = toks.groupBy("term", "doc_id").agg(
+            F.count("*").alias("tf")
+        )
+        termstats = postings.groupBy("term").agg(F.count("*").alias("df"))
+        n_docs, avgdl = dl.agg(
+            F.count("*"), F.avg("dl")
+        ).first()
+        return IndexArtifact(
+            kind="bm25",
+            tables={
+                "postings": postings,
+                "doclens": dl,
+                "termstats": termstats,
+            },
+            params={
+                "k1": self.k1,
+                "b": self.b,
+                "n_docs": int(n_docs),
+                "avgdl": float(avgdl) if avgdl is not None else 0.0,
+            },
+        )
+
+
+class BM25Searcher:
+    """Batched BM25 over a built/loaded ``BM25Indexer`` artifact.
+    Identical scores and ranking to ``bm25_search`` (pytest-pinned) —
+    the index is precomputation, not an approximation."""
+
+    def __init__(self):
+        self.artifact = None
+
+    def attach(self, artifact) -> "BM25Searcher":
+        self.artifact = artifact
+        return self
+
+    def search(
+        self,
+        query_df: DataFrame,
+        k: int = 10,
+        qid_col: str = "qid",
+        terms_col: str = "terms",
+    ) -> DataFrame:
+        art = self.artifact
+        if art is None:
+            raise RuntimeError("searcher not attached to a BM25 artifact")
+        k1 = float(art.params["k1"])
+        b = float(art.params["b"])
+        n_docs = float(art.params["n_docs"])
+        avgdl = float(art.params["avgdl"])
+        qterms = query_df.select(
+            F.col(qid_col).alias("qid"),
+            F.explode(F.col(terms_col)).alias("term"),
+        ).distinct()
+        # termstats restricted to the query's terms BEFORE broadcast —
+        # the global vocabulary can be corpus-scale, the query's cannot
+        tstats_q = art.tables["termstats"].join(
+            F.broadcast(qterms.select("term").distinct()), "term"
+        )
+        scored = (
+            art.tables["postings"]
+            .join(F.broadcast(qterms), "term")
+            .join(art.tables["doclens"], "doc_id")
+            .join(F.broadcast(tstats_q), "term")
+            .withColumn(
+                "score_t",
+                F.log(
+                    1.0 + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
+                ),
+            )
+            .groupBy("qid", "doc_id")
+            .agg(F.sum("score_t").alias("score"))
+        )
+        w = Window.partitionBy("qid").orderBy(
+            F.col("score").desc(), F.col("doc_id")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "doc_id", "score", "rank")
+        )
+
+
 def rrf_fuse_by_query(
     rankings: list[DataFrame],
     *,
