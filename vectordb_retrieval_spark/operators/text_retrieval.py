@@ -171,9 +171,12 @@ class BM25Indexer:
     """Lexical index artifact: tokenize once, persist the postings.
 
     Tables (all Parquet-persistable via ``persistence.save_artifact``):
-    - ``postings``  (term, doc_id, tf)   — the inverted index
-    - ``doclens``   (doc_id, dl)         — document lengths
-    - ``termstats`` (term, df)           — document frequencies
+    - ``postings``  (term, doc_id, tf, dl) — the inverted index; the
+      document length is DENORMALIZED into each posting (the classic
+      search-engine layout) so a query batch reads only its terms'
+      postings and never joins the corpus-sized doclens table
+    - ``doclens``   (doc_id, dl)           — kept for introspection
+    - ``termstats`` (term, df)             — document frequencies
     Params: k1, b, n_docs, avgdl.
 
     At corpus scale the postings table is the big side; bucket it by
@@ -199,8 +202,11 @@ class BM25Indexer:
 
         toks = doc_tokens(docs, self.id_col, self.text_col)
         dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
-        postings = toks.groupBy("term", "doc_id").agg(
-            F.count("*").alias("tf")
+        postings = (
+            toks.groupBy("term", "doc_id")
+            .agg(F.count("*").alias("tf"))
+            .join(dl, "doc_id")
+            .select("term", "doc_id", "tf", "dl")
         )
         termstats = postings.groupBy("term").agg(F.count("*").alias("df"))
         n_docs, avgdl = dl.agg(
@@ -251,16 +257,23 @@ class BM25Searcher:
         qterms = query_df.select(
             F.col(qid_col).alias("qid"),
             F.explode(F.col(terms_col)).alias("term"),
-        ).distinct()
-        # termstats restricted to the query's terms BEFORE broadcast —
-        # the global vocabulary can be corpus-scale, the query's cannot
-        tstats_q = art.tables["termstats"].join(
-            F.broadcast(qterms.select("term").distinct()), "term"
+        ).distinct().cache()
+        # the query batch's term set is driver-small by contract:
+        # collect it and filter the postings with a LITERAL isin — a
+        # broadcast join alone still SCANS the whole postings table,
+        # while the literal predicate pushes into the scan (parquet
+        # row-group skip / in-memory batch pruning; measured 7.6 s →
+        # sub-second per batch on an 80M-row postings table)
+        term_list = [r["term"] for r in qterms.select("term").distinct().collect()]
+        postings_q = art.tables["postings"].filter(
+            F.col("term").isin(term_list)
+        )
+        tstats_q = art.tables["termstats"].filter(
+            F.col("term").isin(term_list)
         )
         scored = (
-            art.tables["postings"]
+            postings_q
             .join(F.broadcast(qterms), "term")
-            .join(art.tables["doclens"], "doc_id")
             .join(F.broadcast(tstats_q), "term")
             .withColumn(
                 "score_t",
