@@ -254,10 +254,12 @@ class BM25Searcher:
         b = float(art.params["b"])
         n_docs = float(art.params["n_docs"])
         avgdl = float(art.params["avgdl"])
+        # NOT cached: a per-search cache entry would accumulate at
+        # serving rates, and the frame is a trivial explode+distinct
         qterms = query_df.select(
             F.col(qid_col).alias("qid"),
             F.explode(F.col(terms_col)).alias("term"),
-        ).distinct().cache()
+        ).distinct()
         # the query batch's term set is driver-small by contract:
         # collect it and filter the postings with a LITERAL isin — a
         # broadcast join alone still SCANS the whole postings table,
