@@ -380,3 +380,38 @@ def test_filtered_selective_allowlist_underfills_not_crashes(spark, filt_setup):
         assert len(ids) <= 3
         assert all(i < 3 for i in ids)
     assert len(per_q) == 25
+
+
+def test_global_rank_distributed_matches_window(spark):
+    """The top_n=None full-rank path (global_rank: per-partition
+    row_number + cumulative offsets) must equal the single-window rank
+    across a genuinely multi-partition sort."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from vectordb_retrieval_spark.operators.text_retrieval import global_rank
+
+    df = (
+        spark.range(0, 5000)
+        .withColumn("score", (F.col("id") * 2654435761 % 997).cast("double"))
+        .withColumn("doc_id", F.col("id"))
+        .repartition(16)
+        .select("doc_id", "score")
+    )
+    order = [F.col("score").desc(), F.col("doc_id")]
+    got = global_rank(df, order)
+    # the plan must contain NO un-partitioned window: every
+    # windowspecdefinition carries the _pid partition key (AQE may
+    # still coalesce this tiny shuffle, so pin the plan, not the
+    # physical partition count)
+    plan = got._jdf.queryExecution().optimizedPlan().toString()
+    specs = [
+        seg for seg in plan.split("windowspecdefinition(")[1:]
+    ]
+    assert specs and all(s.startswith("_pid") for s in specs), plan
+    w = Window.orderBy(*order)
+    want = df.select(
+        "doc_id", F.row_number().over(w).cast("int").alias("rank")
+    )
+    assert got.select("doc_id", "rank").exceptAll(want).count() == 0
+    assert want.exceptAll(got.select("doc_id", "rank")).count() == 0

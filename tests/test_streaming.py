@@ -9,6 +9,7 @@ import pytest
 from vectordb_retrieval_spark.operators.exact import exact_knn
 from vectordb_retrieval_spark.sources.random_gen import random_vectors
 from vectordb_retrieval_spark.streaming.serving import (
+    await_or_raise,
     serve_knn_stream,
     streaming_running_topk,
     windowed_query_stats,
@@ -44,7 +45,7 @@ def test_serve_knn_stream_matches_batch(spark, tmp_path):
         sink_fn=sink,
         checkpoint_dir=str(tmp_path / "ckpt"),
     )
-    q.awaitTermination(120)
+    await_or_raise(q, 120)
 
     want = {
         (r.qid, r.id, r.rank)
@@ -80,7 +81,7 @@ def test_streaming_running_topk_refines(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_or_raise(q, 120)
 
     # final state for qid=1 must be the best-2 across both batches
     last_q1 = [
@@ -151,7 +152,7 @@ def test_streaming_dedup_drops_cross_batch_duplicates(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_or_raise(q, 300)
     assert len(seen) == 3 == len(set(seen))
 
 
@@ -204,7 +205,7 @@ def test_streaming_ingest_append_equals_rebuild(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_or_raise(q, 300)
 
     def rows(art):
         res = IVFSearcher(nprobe=2).attach(art).search(queries, 5)

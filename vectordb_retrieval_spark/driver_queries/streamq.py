@@ -43,7 +43,10 @@ def _state_partitions(spark: SparkSession, n: int = 2):
 from vectordb_retrieval_spark.driver_queries.common import K, QUERY_FILTER, emb, events
 from vectordb_retrieval_spark.driver_queries.knn import DIST_EXPRS, KNN_ORACLE
 from vectordb_retrieval_spark.functions.distance import distance_col
-from vectordb_retrieval_spark.streaming.serving import streaming_running_topk
+from vectordb_retrieval_spark.streaming.serving import (
+    await_or_raise,
+    streaming_running_topk,
+)
 
 
 def q_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -109,7 +112,7 @@ def q_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
+        await_or_raise(q, 600)
 
     # final state per qid = rows of the LAST epoch that updated it
     rows = []
@@ -162,7 +165,7 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
+        await_or_raise(q, 600)
     return spark.createDataFrame(
         [(f,) for f in sorted(kept)], "fingerprint string"
     )
@@ -261,7 +264,7 @@ def q_streaming_ingest_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
+        await_or_raise(q, 600)
 
     qs = base.filter(F.expr(QUERY_FILTER))
     res = (

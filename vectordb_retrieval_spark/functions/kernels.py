@@ -108,7 +108,14 @@ def allowed_ids_broadcast_cached(df: DataFrame, id_col: str):
 def num_partitions_cached(df: DataFrame) -> int:
     """``df.rdd.getNumPartitions()`` with a WeakKey memo on the
     DataFrame object; falls back to the plain call for unweakrefable
-    frames."""
+    frames.
+
+    Contract: the caller passes a CACHED / physically stable frame
+    (the serving paths memoize the same query frame across searches).
+    For an uncached frame whose physical partitioning can change under
+    it (shuffle-partition conf edits, AQE re-plans) the memo can go
+    stale — the consequence is perf-only (a skipped repartition →
+    reduced search parallelism), never wrong results."""
     try:
         n = _nparts_memo.get(df)
     except TypeError:

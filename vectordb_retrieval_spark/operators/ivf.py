@@ -282,13 +282,20 @@ def ivf_append(
         codec=artifact.params["codec"],
     )
     add = idx.build(new_df, id_col=id_col, vec_col=vec_col).tables["assignment"]
-    merged = (
-        artifact.tables["assignment"]
-        .unionByName(add)
-        .repartition("cluster_id")
-        .cache()
-    )
+    prev = artifact.tables["assignment"]
+    merged = prev.unionByName(add).repartition("cluster_id").cache()
     merged.count()
+    # Continuous-ingestion memory bound: once the merged table is
+    # materialized, the PREDECESSOR's cached copy is dead weight — a
+    # foreachBatch ivf_append chain would otherwise pin one full cached
+    # assignment per micro-batch.  Only intermediate (appended)
+    # artifacts are evicted; the caller's original build keeps its
+    # cache (they may still be serving it).
+    if artifact.metadata.get("appended"):
+        try:
+            prev.unpersist()
+        except Exception:
+            pass
     return IndexArtifact(
         kind="ivf",
         tables={"assignment": merged},

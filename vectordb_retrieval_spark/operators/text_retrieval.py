@@ -22,6 +22,38 @@ from pyspark.sql import functions as F
 TOKEN_PATTERN = r"\s+"
 
 
+def global_rank(df: DataFrame, order_cols: list) -> DataFrame:
+    """Append a contiguous global ``rank`` (1..N) by ``order_cols``
+    WITHOUT an un-partitioned window: range-partitioned sort, then a
+    per-partition ``row_number`` offset by the cumulative counts of the
+    preceding partitions (one driver collect of #partitions rows).
+
+    This is the full-corpus ranking path — every stage is distributed;
+    the only single-point work is the tiny offsets table.  The sorted
+    frame is cached so the count pass and the output read the same
+    physical partitioning (range-partitioner boundaries are sampled,
+    so an uncached recompute could re-draw them)."""
+    sorted_df = df.orderBy(*order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    ).cache()
+    counts = sorted_df.groupBy("_pid").count().collect()
+    offsets, acc = [], 0
+    for row in sorted(counts, key=lambda r: r["_pid"]):
+        offsets.append((row["_pid"], acc))
+        acc += row["count"]
+    off = F.broadcast(
+        df.sparkSession.createDataFrame(offsets, "_pid int, _off long")
+    )
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    return (
+        sorted_df.join(off, "_pid")
+        .withColumn(
+            "rank", (F.col("_off") + F.row_number().over(w)).cast("int")
+        )
+        .drop("_pid", "_off")
+    )
+
+
 def doc_tokens(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -91,15 +123,16 @@ def bm25_rank(
         .groupBy("doc_id")
         .agg(F.sum("score_t").alias("score"))
     )
-    ranked = scored.orderBy(F.col("score").desc(), F.col("doc_id"))
+    order = [F.col("score").desc(), F.col("doc_id")]
     if top_n is not None:
-        ranked = ranked.limit(top_n)
-    # rank over the (small) retained set; after the limit this window
-    # runs on ≤ top_n rows
-    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
-    return ranked.select(
-        "doc_id", "score", F.row_number().over(w).alias("rank")
-    )
+        # distributed TakeOrdered, then a window over ≤ top_n rows
+        ranked = scored.orderBy(*order).limit(top_n)
+        w = Window.orderBy(*order)
+        return ranked.select(
+            "doc_id", "score", F.row_number().over(w).alias("rank")
+        )
+    # full-corpus ranking: no single-partition window (see global_rank)
+    return global_rank(scored, order).select("doc_id", "score", "rank")
 
 
 def bm25_search(
@@ -413,10 +446,12 @@ def rrf_fuse(
     for p in parts[1:]:
         u = u.unionByName(p)
     fused = u.groupBy("doc_id").agg(F.sum("contrib").alias("rrf_score"))
-    ranked = fused.orderBy(F.col("rrf_score").desc(), F.col("doc_id"))
+    order = [F.col("rrf_score").desc(), F.col("doc_id")]
     if top_n is not None:
-        ranked = ranked.limit(top_n)
-    w = Window.orderBy(F.col("rrf_score").desc(), F.col("doc_id"))
-    return ranked.select(
-        "doc_id", "rrf_score", F.row_number().over(w).alias("rank")
-    )
+        ranked = fused.orderBy(*order).limit(top_n)
+        w = Window.orderBy(*order)
+        return ranked.select(
+            "doc_id", "rrf_score", F.row_number().over(w).alias("rank")
+        )
+    # full-set ranking without the single-partition window
+    return global_rank(fused, order).select("doc_id", "rrf_score", "rank")

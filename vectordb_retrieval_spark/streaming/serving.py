@@ -40,6 +40,24 @@ from pyspark.sql.types import (
 )
 
 
+def await_or_raise(query, timeout_s: float) -> None:
+    """``query.awaitTermination(timeout_s)`` that FAILS LOUDLY on
+    timeout: stops the query and raises instead of letting the caller
+    proceed against a half-ingested index while ``foreachBatch`` may
+    still be mutating shared state (a silent wrong-result mode).  Use
+    this for every bounded (``availableNow``) stream wait."""
+    if not query.awaitTermination(timeout_s):
+        try:
+            query.stop()
+        except Exception:
+            pass  # stop() racing a concurrent failure must not mask the timeout
+        raise TimeoutError(
+            f"streaming query {query.id} did not finish within "
+            f"{timeout_s}s; stopped to avoid serving a partially "
+            "ingested result"
+        )
+
+
 def serve_knn_stream(
     query_stream: DataFrame,
     search_fn: Callable[[DataFrame, int], DataFrame],
