@@ -1,0 +1,199 @@
+"""Training-pipeline operators: sequence packing, PII scrub, sampling,
+quantile gating, shuffled export shards."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from vectordb_retrieval_spark.operators.packing import (
+    pack_greedy,
+    pack_spans,
+    shuffle_shards,
+)
+from vectordb_retrieval_spark.operators.sampling import (
+    hash_sample,
+    quantile_gate,
+    stratified_sample,
+    take_per_stratum,
+)
+from vectordb_retrieval_spark.operators.scrub import pii_scrub, pii_stats
+
+BUDGET = 32
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    # deterministic doc lengths: 1..40 tokens, 4 langs
+    rows = [
+        (i, " ".join(f"w{j}" for j in range(1 + i % 40)), ["en", "es", "de", "zh"][i % 4])
+        for i in range(200)
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).cache()
+
+
+def test_pack_greedy_invariants(spark, corpus):
+    out = pack_greedy(corpus, BUDGET, n_shards=4).collect()
+    assert len(out) == 200
+    by_doc = {r["doc_id"]: r for r in out}
+    # token counts match the text
+    for i in range(200):
+        assert by_doc[i]["n_tokens"] == 1 + i % 40
+        assert by_doc[i]["shard"] == i % 4
+    # within a (shard, seq): offsets are contiguous in doc order and
+    # every seq STARTS under budget (overflow < one doc is allowed)
+    for r in out:
+        assert 0 <= r["seq_off"] < BUDGET
+    # exclusive-cumsum consistency: start offsets per shard are the
+    # running sum in doc_id order
+    from collections import defaultdict
+
+    run = defaultdict(int)
+    for r in sorted(out, key=lambda r: (r["shard"], r["doc_id"])):
+        assert r["seq_id"] == run[r["shard"]] // BUDGET
+        assert r["seq_off"] == run[r["shard"]] % BUDGET
+        run[r["shard"]] += r["n_tokens"]
+
+
+def test_pack_spans_covers_every_token_exactly_once(spark, corpus):
+    spans = pack_spans(corpus, BUDGET, n_shards=4).collect()
+    got = {}
+    for r in spans:
+        assert 0 <= r["tok_start"] < r["tok_end"]
+        got.setdefault(r["doc_id"], []).append(
+            (r["seq_id"], r["tok_start"], r["tok_end"])
+        )
+    for i in range(200):
+        parts = sorted(got[i])
+        # spans tile [0, n_tokens) with consecutive seq ids
+        assert parts[0][1] == 0
+        assert parts[-1][2] == 1 + i % 40
+        for (s1, _, e1), (s2, b2, _) in zip(parts, parts[1:]):
+            assert s2 == s1 + 1 and b2 == e1
+    # every sequence holds exactly `budget` tokens except each shard's last
+    seq_tokens = {}
+    shard_of = {}
+    for r in spans:
+        key = (r["shard"], r["seq_id"])
+        seq_tokens[key] = seq_tokens.get(key, 0) + r["tok_end"] - r["tok_start"]
+        shard_of[key] = r["shard"]
+    last = {}
+    for sh, sq in seq_tokens:
+        last[sh] = max(last.get(sh, -1), sq)
+    for (sh, sq), tot in seq_tokens.items():
+        if sq != last[sh]:
+            assert tot == BUDGET
+        else:
+            assert 0 < tot <= BUDGET
+
+
+def test_pack_windows_are_shard_partitioned(spark, corpus):
+    plan = (
+        pack_greedy(corpus, BUDGET, n_shards=4)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    specs = plan.split("windowspecdefinition(")[1:]
+    assert specs and all(s.startswith("shard") for s in specs), plan
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "mail a@b.co and c.d+x@e.org, ip 10.1.2.3"),
+            (1, "ssn 123-45-6789 phone +1 (415) 555-0134"),
+            (2, "clean text only"),
+            (3, "call 415-555-0134 or 212.555.0199"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert (out[0]["n_email"], out[0]["n_ip"]) == (2, 1)
+    assert "<EMAIL>" in out[0]["text_clean"]
+    assert "@" not in out[0]["text_clean"]
+    assert (out[1]["n_ssn"], out[1]["n_phone"]) == (1, 1)
+    assert "123-45-6789" not in out[1]["text_clean"]
+    assert out[2]["text_clean"] == "clean text only"
+    assert sum(out[2][c] for c in ("n_email", "n_ssn", "n_ip", "n_phone")) == 0
+    assert out[3]["n_phone"] == 2
+    stats = pii_stats(df).collect()[0]
+    assert stats["n_docs"] == 4 and stats["docs_with_pii"] == 3
+    assert stats["n_email"] == 2 and stats["n_phone"] == 3
+
+
+def test_hash_sample_deterministic_and_rate(spark, corpus):
+    a = sorted(r["doc_id"] for r in hash_sample(corpus, 0.5, seed=1).collect())
+    b = sorted(r["doc_id"] for r in hash_sample(corpus, 0.5, seed=1).collect())
+    assert a == b  # retry-stable
+    c = sorted(r["doc_id"] for r in hash_sample(corpus, 0.5, seed=2).collect())
+    assert a != c  # seed matters
+    assert 0.3 * 200 < len(a) < 0.7 * 200  # loose Bernoulli band
+    # nesting property: a rate-0.2 sample is a subset of rate-0.5
+    sub = set(r["doc_id"] for r in hash_sample(corpus, 0.2, seed=1).collect())
+    assert sub <= set(a)
+
+
+def test_stratified_sample_respects_rates(spark, corpus):
+    out = stratified_sample(
+        corpus, "lang", {"en": 1.0, "es": 0.0}, default_rate=0.5, seed=3
+    ).collect()
+    langs = {}
+    for r in out:
+        langs.setdefault(r["lang"], 0)
+        langs[r["lang"]] += 1
+    assert langs["en"] == 50  # rate 1.0 keeps everything
+    assert "es" not in langs  # rate 0.0 drops everything
+    for lg in ("de", "zh"):
+        assert 0 < langs.get(lg, 0) < 50
+
+
+def test_take_per_stratum_exact_and_plan(spark, corpus):
+    out = take_per_stratum(corpus, "lang", 7, seed=5)
+    counts = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {"en": 7, "es": 7, "de": 7, "zh": 7}
+    # the limit must sit below the exchange (partial per-partition top-n)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+    # min(n, |stratum|) when the stratum is small
+    tiny = corpus.filter(F.col("doc_id") < 6)  # ≤2 docs per lang
+    got = take_per_stratum(tiny, "lang", 7, seed=5).count()
+    assert got == 6
+
+
+def test_quantile_gate_exact_and_approx(spark, corpus):
+    scored = corpus.withColumn("score", F.length("text").cast("double"))
+    kept = quantile_gate(scored, "score", 0.75).collect()
+    scores = sorted(r["score"] for r in scored.collect())
+    i = 0.75 * (len(scores) - 1)
+    lo, hi = scores[int(i)], scores[min(int(i) + 1, len(scores) - 1)]
+    thresh = lo + (i - int(i)) * (hi - lo)
+    assert {r["doc_id"] for r in kept} == {
+        r["doc_id"] for r in scored.collect() if r["score"] >= thresh
+    }
+    below = quantile_gate(scored, "score", 0.75, keep="below").count()
+    assert below + len(kept) == 200
+    # the sketch path returns a sane (quartile-ish) subset
+    approx = quantile_gate(scored, "score", 0.75, exact=False).count()
+    assert 0.15 * 200 <= approx <= 0.4 * 200
+
+
+def test_shuffle_shards_dense_positions(spark, corpus):
+    out = shuffle_shards(corpus, 4, seed=9).collect()
+    assert len(out) == 200
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) <= set(range(4))
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(len(poss)))  # dense 0..n-1
+    # seed-reproducible
+    again = shuffle_shards(corpus, 4, seed=9).collect()
+    assert {(r["doc_id"], r["shard"], r["pos"]) for r in again} == {
+        (r["doc_id"], r["shard"], r["pos"]) for r in out
+    }

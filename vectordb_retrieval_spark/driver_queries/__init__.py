@@ -25,6 +25,7 @@ def collect_catalogue() -> tuple[
         filesq,
         knn,
         metricsq,
+        pipelineq,
         retrievalq,
         sourcesq,
         streamq,
@@ -41,7 +42,7 @@ def collect_catalogue() -> tuple[
     oracles: dict = {}
     for mod in (
         knn, metricsq, ann, dedupq, textq, streamq, temporalq,
-        retrievalq, sourcesq, filesq,
+        retrievalq, sourcesq, filesq, pipelineq,
     ):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)

@@ -1,0 +1,262 @@
+"""Training-data pipeline driver queries: sequence packing, PII
+scrubbing, deterministic sampling, quantile gating, shuffled export
+shards.  All registered AFTER the driver's 50-slot boundary (catalogue
+ordering contract in driver_queries.__init__)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vectordb_retrieval_spark.driver_queries.common import docs
+from vectordb_retrieval_spark.operators.packing import (
+    pack_greedy,
+    pack_spans,
+    shuffle_shards,
+)
+from vectordb_retrieval_spark.operators.sampling import (
+    _KNUTH,
+    _MOD,
+    _PREMOD,
+    quantile_gate,
+    stratified_sample,
+    take_per_stratum,
+)
+from vectordb_retrieval_spark.operators.scrub import pii_scrub
+
+BUDGET = 256
+N_SHARDS = 8
+RATES = {"en": 0.8, "es": 0.5, "de": 0.25, "zh": 0.6}
+DEFAULT_RATE = 0.1
+STRAT_SEED = 7
+TAKE_N = 20
+TAKE_SEED = 3
+SHUF_SHARDS = 4
+SHUF_SEED = 11
+GATE_Q = 0.75
+
+_TOKS = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+
+# shared oracle CTE: per-doc shard + exclusive running token offset
+_OFFS_CTE = f"""
+WITH toks AS (
+  SELECT doc_id, CAST(doc_id % {N_SHARDS} AS INT) AS shard,
+         CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents
+), offs AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tokens AS BIGINT) AS start_off
+  FROM toks WHERE n_tokens > 0
+)
+"""
+
+
+def q_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pack_greedy(docs(spark, sf_dir), BUDGET, N_SHARDS).orderBy(
+        "doc_id"
+    )
+
+
+_PACK_GREEDY_ORACLE = f"""{_OFFS_CTE}
+SELECT doc_id, shard,
+       CAST(floor(start_off / {BUDGET}) AS INT) AS seq_id,
+       CAST(start_off % {BUDGET} AS INT) AS seq_off,
+       n_tokens
+FROM offs ORDER BY doc_id
+"""
+
+
+def q_pack_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pack_spans(docs(spark, sf_dir), BUDGET, N_SHARDS).orderBy(
+        "doc_id", "seq_id"
+    )
+
+
+_PACK_SPANS_ORACLE = f"""{_OFFS_CTE},
+spans AS (
+  SELECT doc_id, shard, n_tokens, start_off,
+         unnest(generate_series(
+           CAST(floor(start_off / {BUDGET}) AS BIGINT),
+           CAST(floor((start_off + n_tokens - 1) / {BUDGET}) AS BIGINT)
+         )) AS seq_id
+  FROM offs
+)
+SELECT doc_id, shard, CAST(seq_id AS INT) AS seq_id,
+       CAST(greatest(seq_id * {BUDGET} - start_off, 0) AS INT) AS tok_start,
+       CAST(least(seq_id * {BUDGET} + {BUDGET} - start_off, n_tokens) AS INT)
+         AS tok_end
+FROM spans ORDER BY doc_id, seq_id
+"""
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus text carries no PII (driver-generated word soup), so
+    the query INJECTS a deterministic per-doc footer — an email, an IP,
+    and (every third doc) an SSN + phone — then scrubs it back out.
+    Counts + cleaned length are the checked surface."""
+    d = docs(spark, sf_dir).select("doc_id", "text")
+    footer = F.concat(
+        F.lit(" contact u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@ex.com ip 10.0."),
+        F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+        F.lit(".1"),
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(3)) == 0,
+            F.lit(" ssn 123-45-6789 call +1 (415) 555-0134"),
+        ).otherwise(F.lit("")),
+    )
+    injected = d.withColumn("text", F.concat(F.col("text"), footer))
+    out = pii_scrub(injected)
+    return out.select(
+        "doc_id",
+        "n_email",
+        "n_ssn",
+        "n_ip",
+        "n_phone",
+        F.length("text_clean").alias("clean_len"),
+    ).orderBy("doc_id")
+
+
+_PII_ORACLE = r"""
+WITH injected AS (
+  SELECT doc_id,
+         text || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex.com ip 10.0.'
+              || CAST(doc_id % 256 AS VARCHAR) || '.1'
+              || CASE WHEN doc_id % 3 = 0
+                      THEN ' ssn 123-45-6789 call +1 (415) 555-0134'
+                      ELSE '' END AS text
+  FROM documents
+), s1 AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+         regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+  FROM injected
+), s2 AS (
+  SELECT doc_id, n_email,
+         CAST(len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')) AS INT) AS n_ssn,
+         regexp_replace(t, '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g') AS t
+  FROM s1
+), s3 AS (
+  SELECT doc_id, n_email, n_ssn,
+         CAST(len(regexp_extract_all(t,
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ip,
+         regexp_replace(t,
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t
+  FROM s2
+), s4 AS (
+  SELECT doc_id, n_email, n_ssn, n_ip,
+         CAST(len(regexp_extract_all(t,
+           '(\+?\d{1,3}[-. ]?)?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}')) AS INT) AS n_phone,
+         regexp_replace(t,
+           '(\+?\d{1,3}[-. ]?)?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}', '<PHONE>', 'g') AS t
+  FROM s3
+)
+SELECT doc_id, n_email, n_ssn, n_ip, n_phone, CAST(length(t) AS INT) AS clean_len
+FROM s4 ORDER BY doc_id
+"""
+
+
+def _hash_sql(seed: int) -> str:
+    return (
+        f"((doc_id % {_PREMOD} + {seed}) * {_KNUTH}) % {_MOD}"
+    )
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        stratified_sample(
+            docs(spark, sf_dir), "lang", RATES, DEFAULT_RATE, STRAT_SEED
+        )
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+def _stratified_oracle() -> str:
+    cases = " ".join(
+        f"WHEN '{k}' THEN {int(r * _MOD)}" for k, r in sorted(RATES.items())
+    )
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE {_hash_sql(STRAT_SEED)} <
+      CASE lang {cases} ELSE {int(DEFAULT_RATE * _MOD)} END
+ORDER BY doc_id
+"""
+
+
+def q_sample_top_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        take_per_stratum(docs(spark, sf_dir), "lang", TAKE_N, TAKE_SEED)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+_TAKE_ORACLE = f"""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+           ORDER BY {_hash_sql(TAKE_SEED)}, doc_id) AS rn
+  FROM documents
+) WHERE rn <= {TAKE_N} ORDER BY doc_id
+"""
+
+
+def q_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        quantile_gate(docs(spark, sf_dir), "n_chars", GATE_Q, keep="above")
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+_GATE_ORACLE = f"""
+SELECT doc_id, n_chars FROM documents
+WHERE n_chars >= (SELECT quantile_cont(n_chars, {GATE_Q}) FROM documents)
+ORDER BY doc_id
+"""
+
+
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        shuffle_shards(docs(spark, sf_dir), SHUF_SHARDS, SHUF_SEED)
+        .select("doc_id", "shard", "pos")
+        .orderBy("doc_id")
+    )
+
+
+_SHUFFLE_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, {_hash_sql(SHUF_SEED)} AS hv FROM documents
+)
+SELECT doc_id, CAST(hv % {SHUF_SHARDS} AS INT) AS shard,
+       CAST(row_number() OVER (PARTITION BY hv % {SHUF_SHARDS}
+         ORDER BY hv, doc_id) - 1 AS INT) AS pos
+FROM h ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "pack_greedy_sequences": q_pack_greedy,
+    "pack_token_spans": q_pack_spans,
+    "pii_scrub_counts": q_pii_scrub,
+    "sample_stratified_hash": q_sample_stratified,
+    "sample_top_per_stratum": q_sample_top_per_stratum,
+    "quality_quantile_gate": q_quantile_gate,
+    "shuffle_export_shards": q_shuffle_shards,
+}
+
+ORACLES = {
+    "pack_greedy_sequences": _PACK_GREEDY_ORACLE,
+    "pack_token_spans": _PACK_SPANS_ORACLE,
+    "pii_scrub_counts": _PII_ORACLE,
+    "sample_stratified_hash": _stratified_oracle(),
+    "sample_top_per_stratum": _TAKE_ORACLE,
+    "quality_quantile_gate": _GATE_ORACLE,
+    "shuffle_export_shards": _SHUFFLE_ORACLE,
+}

@@ -99,8 +99,8 @@ def pack_spans(
     first_seq = F.floor(F.col("start_off") / budget)
     last_seq = F.floor((F.col("start_off") + F.col("n_tokens") - 1) / budget)
     spans = offs.withColumn(
-        "seq_id", F.explode(F.sequence(first_seq, last_seq)).cast("int")
-    )
+        "_seq", F.explode(F.sequence(first_seq, last_seq))
+    ).withColumn("seq_id", F.col("_seq").cast("int"))
     seq_start = F.col("seq_id").cast("long") * budget
     return spans.select(
         "doc_id",

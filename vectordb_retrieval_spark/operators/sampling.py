@@ -1,0 +1,111 @@
+"""Deterministic sampling and quantile gating for training-data curation.
+
+The reference's only sampling surface is the seeded MS MARCO subsampler
+(``src/dataprep/embed_msmarco.py``'s numpy RNG choice); a corpus
+pipeline needs reproducible DISTRIBUTED sampling: the keep/drop decision
+for a row must depend only on (row id, seed) so that re-runs, retries
+and incremental reprocessing agree without any coordination.  Every
+operator below is a pure column expression or a shard-partitioned
+window — nothing funnels through one task.
+
+Hash: Knuth multiplicative on the id pre-reduced mod 1e6+3, so the
+product stays far inside int64 for ANSI engines (the DuckDB oracle
+errors on bigint overflow rather than wrapping)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_KNUTH = 2_654_435_761
+_MOD = 1_000_000_007
+_PREMOD = 1_000_003
+
+
+def sample_hash(col: Column, seed: int = 0) -> Column:
+    """Deterministic per-id hash in [0, 1e9+7) — the shared coin for
+    every sampler here (and their DuckDB oracle twins)."""
+    return (
+        (F.pmod(col, F.lit(_PREMOD)) + F.lit(seed)) * F.lit(_KNUTH)
+    ) % F.lit(_MOD)
+
+
+def hash_sample(
+    df: DataFrame, rate: float, seed: int = 0, id_col: str = "doc_id"
+) -> DataFrame:
+    """Bernoulli-style sample at ``rate`` keyed on the id hash: a row is
+    kept iff hash < rate·MOD.  Unlike ``df.sample`` the decision is a
+    pure function of (id, seed) — stable across retries, partitionings
+    and engines."""
+    return df.filter(sample_hash(F.col(id_col), seed) < int(rate * _MOD))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-stratum Bernoulli rates (e.g. upsample low-resource
+    languages): keep iff id-hash < rate(stratum)·MOD.  One scan, no
+    shuffle — the rate table is a CASE expression, not a join."""
+    rate = F.lit(int(default_rate * _MOD))
+    for key, r in sorted(rates.items()):
+        rate = F.when(
+            F.col(strata_col) == key, F.lit(int(r * _MOD))
+        ).otherwise(rate)
+    return df.filter(sample_hash(F.col(id_col), seed) < rate)
+
+
+def take_per_stratum(
+    df: DataFrame,
+    strata_col: str,
+    n: int,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exactly ``min(n, |stratum|)`` rows per stratum, chosen by hash
+    order — the deterministic equivalent of per-group reservoir
+    sampling.  The window is PARTITIONED BY the stratum, so each
+    stratum's top-n is an independent partial sort (WindowGroupLimit
+    pushes the limit below the exchange)."""
+    h = sample_hash(F.col(id_col), seed)
+    w = Window.partitionBy(strata_col).orderBy(h, F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
+    )
+
+
+def quantile_gate(
+    df: DataFrame,
+    score_col: str,
+    q: float,
+    keep: str = "above",
+    exact: bool = True,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Keep rows above (or below) the corpus ``q``-quantile of
+    ``score_col`` — the relative quality gate ("drop the worst decile")
+    that complements textops.quality_filter's absolute thresholds.
+
+    ``exact=True`` computes the interpolated percentile (one full-column
+    aggregate — fine to ~1e9 rows, and what the DuckDB quantile_cont
+    oracle matches bit-for-bit).  At 100 TB set ``exact=False``:
+    ``approx_percentile`` (t-digest-style sketch, partial-aggregable,
+    one scalar out) with ``accuracy`` as the error knob."""
+    fn = (
+        F.expr(f"percentile({score_col}, {q!r})")
+        if exact
+        else F.expr(f"approx_percentile({score_col}, {q!r}, {accuracy})")
+    )
+    thresh = df.agg(fn.alias("_thresh"))
+    cond = (
+        F.col(score_col) >= F.col("_thresh")
+        if keep == "above"
+        else F.col(score_col) < F.col("_thresh")
+    )
+    return df.join(F.broadcast(thresh)).filter(cond).drop("_thresh")
