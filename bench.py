@@ -37,6 +37,9 @@ HEADLINE = [
     "multimodal_frame_sample",
     "bm25_topk",
     "filtered_ivf_search",
+    "pack_token_spans",
+    "pii_scrub_counts",
+    "shuffle_export_shards",
 ]
 
 

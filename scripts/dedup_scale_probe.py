@@ -121,6 +121,49 @@ def main() -> int:
             )
             dec.unpersist()
         print("DECONTAM_SCALE_PROBE " + json.dumps(out, sort_keys=True))
+
+    if "--pipeline" in sys.argv:
+        # The round-8 training-pipeline surface at the same corpus
+        # size: concat-and-chunk sequence packing (budget 2048 tokens,
+        # 256 shards), PII scrub (pattern counts over the full text),
+        # and the seed-reproducible shuffle into export shards.  Each
+        # is a narrow projection or a shard-partitioned window, so the
+        # probe checks the claim that throughput holds (or rises) with
+        # corpus size.
+        from vectordb_retrieval_spark.operators.packing import (
+            pack_spans,
+            shuffle_shards,
+        )
+        from vectordb_retrieval_spark.operators.scrub import pii_stats
+
+        out = {"n_docs": n_docs}
+        t0 = time.time()
+        spans = pack_spans(docs, budget=2048, n_shards=256)
+        n_spans = spans.count()
+        w = time.time() - t0
+        out["pack_wall_s"] = round(w, 2)
+        out["pack_docs_per_sec"] = round(n_docs / w, 1)
+        out["pack_spans"] = n_spans
+
+        t0 = time.time()
+        stats = pii_stats(docs).collect()[0]
+        w = time.time() - t0
+        out["scrub_wall_s"] = round(w, 2)
+        out["scrub_docs_per_sec"] = round(n_docs / w, 1)
+        # synthetic corpus carries no PII: the counts double as a
+        # false-positive check on the patterns at scale
+        out["scrub_docs_with_pii"] = stats["docs_with_pii"]
+
+        t0 = time.time()
+        shards = shuffle_shards(docs, 512, seed=11).select(
+            "doc_id", "shard", "pos"
+        )
+        n_rows = shards.count()
+        w = time.time() - t0
+        out["shuffle_wall_s"] = round(w, 2)
+        out["shuffle_docs_per_sec"] = round(n_docs / w, 1)
+        assert n_rows == n_docs
+        print("PIPELINE_SCALE_PROBE " + json.dumps(out, sort_keys=True))
     return 0
 
 
