@@ -1019,6 +1019,22 @@ def main() -> int:
         out["dedup_docs_per_sec"] = round(n_dd / wall, 1)
         out["dedup_verified_pairs"] = n_pairs
         out["dedup_planted_recall"] = round(planted / max(n_planted, 1), 4)
+
+        # round-8 pipeline point over the SAME cached corpus: sequence
+        # packing + PII scrub rates, plus the scrub's false-positive
+        # count (the synthetic corpus carries no PII, so any hit is a
+        # pattern bug).  Nearly free: two narrow scans of a hot cache.
+        from vectordb_retrieval_spark.operators.packing import pack_spans
+        from vectordb_retrieval_spark.operators.scrub import pii_stats
+
+        t0 = time.time()
+        pack_spans(docs, budget=2048, n_shards=256).count()
+        out["pipe_pack_docs_per_sec"] = round(n_dd / (time.time() - t0), 1)
+        t0 = time.time()
+        scrub_row = pii_stats(docs).collect()[0]
+        out["pipe_scrub_docs_per_sec"] = round(n_dd / (time.time() - t0), 1)
+        out["pipe_scrub_false_pos"] = int(scrub_row["docs_with_pii"])
+
         pairs.unpersist()
         docs.unpersist()
 
@@ -1128,6 +1144,9 @@ def main() -> int:
         ("curve_dd_dps", scale_curve, "dedup_docs_per_sec"),
         ("curve_dd_rec", scale_curve, "dedup_planted_recall"),
         ("curve_bm_dps", scale_curve, "bm25_docs_per_sec"),
+        ("curve_pk_dps", scale_curve, "pipe_pack_docs_per_sec"),
+        ("curve_sc_dps", scale_curve, "pipe_scrub_docs_per_sec"),
+        ("curve_sc_fp", scale_curve, "pipe_scrub_false_pos"),
         ("s150k_sq8f_1k", scale_workload, "qps_ivf_sq8_filtered25_1024q"),
         ("s150k_r_sq8f", scale_workload, "recall_ivf_sq8_filtered25"),
         # calibration-normalized GEMM-bound rows (see REF_GFLOPS above)

@@ -502,8 +502,28 @@ rr AS (
 SELECT qid, id, rank FROM rr WHERE rank <= {K}
 """
 
+def bm25_fullrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-corpus BM25 ranking (top_n=None) — exercises the
+    DISTRIBUTED global-rank path (text_retrieval.global_rank: range
+    sort + per-partition row_number + cumulative offsets), the
+    round-8 advisor fix for the former single-partition window."""
+    res = bm25_rank(
+        _docs(spark, sf_dir), TERMS, top_n=None, round_scores=6
+    )
+    return res.select("doc_id", "score", "rank").orderBy("doc_id")
+
+
+_BM25_FULLRANK_ORACLE = f"""
+WITH {_BM25_COMMON},
+r AS (SELECT doc_id, round(score, 6) AS score FROM bm25)
+SELECT doc_id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+FROM r ORDER BY doc_id
+"""
+
 QUERIES = {
     "bm25_topk": bm25_topk,
+    "bm25_fullrank": bm25_fullrank,
     "bm25_multiquery": bm25_multiquery,
     "bm25_indexed_search": bm25_indexed_search,
     "hybrid_rrf": hybrid_rrf,
@@ -515,6 +535,7 @@ QUERIES = {
 
 ORACLES = {
     "bm25_topk": _BM25_ORACLE,
+    "bm25_fullrank": _BM25_FULLRANK_ORACLE,
     "bm25_multiquery": _BM25_MULTI_ORACLE,
     "bm25_indexed_search": _BM25_MULTI_ORACLE,
     "hybrid_rrf": _HYBRID_ORACLE,

@@ -77,8 +77,15 @@ def bm25_rank(
     id_col: str = "doc_id",
     text_col: str = "text",
     top_n: int | None = None,
+    round_scores: int | None = None,
 ) -> DataFrame:
     """BM25 document ranking for a bag of query terms.
+
+    ``round_scores`` rounds the score to that many decimals BEFORE
+    ranking: summation order across partitions is engine-specific, so
+    raw float scores can differ at the last ulp between runs/engines
+    and flip near-tied ranks — rounding makes the rank reproducible
+    (the driver-oracle convention).
 
     Returns (doc_id, score, rank), rank 1.. by (score desc, doc_id asc),
     only documents matching ≥1 term.  ``top_n`` limits via a
@@ -123,6 +130,10 @@ def bm25_rank(
         .groupBy("doc_id")
         .agg(F.sum("score_t").alias("score"))
     )
+    if round_scores is not None:
+        scored = scored.withColumn(
+            "score", F.round(F.col("score"), round_scores)
+        )
     order = [F.col("score").desc(), F.col("doc_id")]
     if top_n is not None:
         # distributed TakeOrdered, then a window over ≤ top_n rows
