@@ -415,3 +415,61 @@ def test_global_rank_distributed_matches_window(spark):
     )
     assert got.select("doc_id", "rank").exceptAll(want).count() == 0
     assert want.exceptAll(got.select("doc_id", "rank")).count() == 0
+
+
+def test_bm25_append_equals_rebuild(spark):
+    """Incremental postings ingestion must be BIT-identical to a full
+    rebuild: same postings row set, same integer corpus totals, same
+    scores and ranks from the searcher."""
+    import pyspark.sql.functions as F
+
+    from vectordb_retrieval_spark.operators.text_retrieval import (
+        BM25Indexer,
+        BM25Searcher,
+        bm25_append,
+    )
+
+    rows = [(i, f"w{i % 7} w{i % 3} common w{i % 11}") for i in range(90)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    full = BM25Indexer().build(docs)
+    part = BM25Indexer().build(docs.filter(F.col("doc_id") % 3 == 0))
+    for b in (1, 2):
+        part = bm25_append(part, docs.filter(F.col("doc_id") % 3 == b))
+    assert part.params["n_docs"] == full.params["n_docs"]
+    assert part.params["sum_dl"] == full.params["sum_dl"]
+    assert part.params["avgdl"] == full.params["avgdl"]  # bit-equal
+    assert (
+        part.tables["postings"].exceptAll(full.tables["postings"]).count()
+        == 0
+    )
+    assert (
+        full.tables["postings"].exceptAll(part.tables["postings"]).count()
+        == 0
+    )
+    qdf = spark.createDataFrame(
+        [(0, ["common", "w1"]), (1, ["w2", "w10"])],
+        "qid long, terms array<string>",
+    )
+    got = BM25Searcher().attach(part).search(qdf, k=8).collect()
+    want = BM25Searcher().attach(full).search(qdf, k=8).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_split_dataset_disjoint_complete_deterministic(spark):
+    import pyspark.sql.functions as F
+
+    from vectordb_retrieval_spark.operators.sampling import split_dataset
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    out = split_dataset(df, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=4)
+    counts = {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert sum(counts.values()) == 1000  # complete (and disjoint: 1 row each)
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    assert 700 < counts["train"] < 900  # loose Bernoulli band
+    again = split_dataset(df, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=4)
+    assert out.exceptAll(again).count() == 0  # retry-stable
+    moved = split_dataset(df, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=5)
+    assert out.exceptAll(moved).count() > 0  # seed matters

@@ -19,6 +19,7 @@ from vectordb_retrieval_spark.operators.sampling import (
     _MOD,
     _PREMOD,
     quantile_gate,
+    split_dataset,
     stratified_sample,
     take_per_stratum,
 )
@@ -241,8 +242,35 @@ FROM h ORDER BY doc_id
 """
 
 
+SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+SPLIT_SEED = 21
+
+
+def q_split_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        split_dataset(docs(spark, sf_dir), SPLIT_WEIGHTS, SPLIT_SEED)
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    )
+
+
+def _split_oracle() -> str:
+    total = sum(SPLIT_WEIGHTS.values())
+    labels = sorted(SPLIT_WEIGHTS)
+    acc, whens = 0.0, []
+    for name in labels[:-1]:
+        acc += SPLIT_WEIGHTS[name] / total
+        whens.append(f"WHEN {_hash_sql(SPLIT_SEED)} < {int(acc * _MOD)} "
+                     f"THEN '{name}'")
+    return f"""
+SELECT doc_id, CASE {' '.join(whens)} ELSE '{labels[-1]}' END AS split
+FROM documents ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "pack_greedy_sequences": q_pack_greedy,
+    "dataset_split_hash": q_split_dataset,
     "pack_token_spans": q_pack_spans,
     "pii_scrub_counts": q_pii_scrub,
     "sample_stratified_hash": q_sample_stratified,
@@ -253,6 +281,7 @@ QUERIES = {
 
 ORACLES = {
     "pack_greedy_sequences": _PACK_GREEDY_ORACLE,
+    "dataset_split_hash": _split_oracle(),
     "pack_token_spans": _PACK_SPANS_ORACLE,
     "pii_scrub_counts": _PII_ORACLE,
     "sample_stratified_hash": _stratified_oracle(),

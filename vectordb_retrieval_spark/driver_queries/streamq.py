@@ -274,6 +274,63 @@ def q_streaming_ingest_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return res.select("qid", "id", "rank")
 
+def q_streaming_bm25_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous LEXICAL index ingestion: build the BM25 postings
+    artifact on a third of the corpus, stream the rest through
+    foreachBatch → ``bm25_append``, then run the batched search.
+    append ≡ rebuild bit-exactly (integer corpus totals), so the
+    streamed index answers bm25_multiquery's oracle unchanged."""
+    from vectordb_retrieval_spark.driver_queries.retrievalq import (
+        MULTI_K,
+        MULTI_QUERIES,
+    )
+    from vectordb_retrieval_spark.operators.text_retrieval import (
+        BM25Indexer,
+        BM25Searcher,
+        bm25_append,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    art_holder = [BM25Indexer().build(d.filter(F.col("doc_id") % 3 == 0))]
+
+    workdir = tempfile.mkdtemp(prefix="streambm25-")
+    ddir = os.path.join(workdir, "docs")
+    (
+        d.filter(F.col("doc_id") % 3 != 0)
+        .withColumn("batch", (F.col("doc_id") % 3).cast("int"))
+        .repartition(2, "batch")  # exactly one file per micro-batch dir
+        .write.partitionBy("batch")
+        .parquet(ddir)
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(ddir, "batch=*"))
+    )
+
+    def sink(df: DataFrame, epoch_id: int) -> None:
+        art_holder[0] = bm25_append(art_holder[0], df)
+
+    with _state_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_or_raise(q, 600)
+
+    qdf = spark.createDataFrame(
+        MULTI_QUERIES, schema="qid long, terms array<string>"
+    )
+    res = BM25Searcher().attach(art_holder[0]).search(qdf, k=MULTI_K)
+    return res.select(
+        "qid", "doc_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
 # windowed_stats first: it is cheap and purely batch-shaped, so if the
 # driver budget runs out mid-module the expensive stateful-stream queries
 # are the ones at risk, not this one (it had no CORRECTNESS row in r1).
@@ -284,7 +341,16 @@ QUERIES = {
     # LAST in this module: lands after the driver's 50-slot boundary,
     # keeping the checked parity rows in place
     "streaming_ingest_search": q_streaming_ingest_search,
+    "streaming_bm25_ingest": q_streaming_bm25_ingest,
 }
+
+def _bm25_ingest_oracle() -> str:
+    from vectordb_retrieval_spark.driver_queries.retrievalq import (
+        _BM25_MULTI_ORACLE,
+    )
+
+    return _BM25_MULTI_ORACLE
+
 
 def _ingest_oracle() -> str:
     # append ≡ rebuild, so the streamed index answers ivf_fixed_search's
@@ -299,4 +365,7 @@ ORACLES = {
     "streaming_dedup": _STREAM_DEDUP_ORACLE,
     "streaming_windowed_stats": _WINDOW_ORACLE,
     "streaming_ingest_search": _ingest_oracle(),
+    # append ≡ rebuild bit-exactly, so the streamed postings answer the
+    # batched-search oracle unchanged
+    "streaming_bm25_ingest": _bm25_ingest_oracle(),
 }

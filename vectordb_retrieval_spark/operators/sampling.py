@@ -80,6 +80,41 @@ def take_per_stratum(
     )
 
 
+def split_dataset(
+    df: DataFrame,
+    weights: dict[str, float],
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic disjoint-and-complete dataset split (train/val/
+    test...): the id hash falls into consecutive ranges sized by
+    ``weights`` (normalized), and the row gets that range's label in a
+    new ``split`` column.  A pure column expression — no shuffle, no
+    sampling state, stable under retries and incremental reprocessing;
+    rows route identically whether the corpus is processed whole or in
+    batches.  Ranges follow the sorted label order so the split is a
+    function of (weights, seed) alone."""
+    total = sum(weights.values())
+    if total <= 0:
+        raise ValueError("split weights must sum to a positive value")
+    h = sample_hash(F.col(id_col), seed)
+    acc = 0.0
+    expr = None
+    labels = sorted(weights)
+    for name in labels[:-1]:
+        acc += weights[name] / total
+        bound = int(acc * _MOD)
+        cond = h < bound
+        expr = (
+            F.when(cond, name)
+            if expr is None
+            else expr.when(cond, name)
+        )
+    last = F.lit(labels[-1])
+    expr = last if expr is None else expr.otherwise(labels[-1])
+    return df.withColumn("split", expr)
+
+
 def quantile_gate(
     df: DataFrame,
     score_col: str,

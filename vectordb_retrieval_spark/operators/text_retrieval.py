@@ -253,9 +253,13 @@ class BM25Indexer:
             .select("term", "doc_id", "tf", "dl")
         )
         termstats = postings.groupBy("term").agg(F.count("*").alias("df"))
-        n_docs, avgdl = dl.agg(
-            F.count("*"), F.avg("dl")
-        ).first()
+        # corpus totals as EXACT integers (avgdl = one double division at
+        # the end): float-accumulated avg is order-dependent at corpus
+        # scale, and integer totals make incremental ingestion
+        # (bm25_append) bit-identical to a rebuild
+        n_docs, sum_dl = dl.agg(F.count("*"), F.sum("dl")).first()
+        n_docs = int(n_docs)
+        sum_dl = int(sum_dl) if sum_dl is not None else 0
         return IndexArtifact(
             kind="bm25",
             tables={
@@ -266,10 +270,71 @@ class BM25Indexer:
             params={
                 "k1": self.k1,
                 "b": self.b,
-                "n_docs": int(n_docs),
-                "avgdl": float(avgdl) if avgdl is not None else 0.0,
+                "n_docs": n_docs,
+                "sum_dl": sum_dl,
+                "avgdl": (sum_dl / n_docs) if n_docs else 0.0,
             },
         )
+
+
+def bm25_append(
+    artifact,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Incremental lexical ingestion: tokenize ONLY the new documents
+    and append — the streaming sibling of ``ivf_append`` (FAISS
+    ``index.add`` semantics; cite src/benchmark in the reference for
+    the batch-rebuild loop this replaces).
+
+    append ≡ rebuild EXACTLY: the postings row set is the union (each
+    doc lives in one batch), per-term df and the corpus totals are
+    integer sums, and avgdl is the same single double division — so a
+    searcher over the appended artifact is bit-identical to one over a
+    full rebuild (pytest-pinned).
+
+    Scale shape: the new batch's tokenize/aggregate touches new rows
+    only; on a persisted term-bucketed postings table the union is a
+    file append into existing buckets.  Lineage grows one union per
+    batch — rebuild cadence is the caller's policy knob, same as IVF."""
+    from vectordb_retrieval_spark.artifacts import IndexArtifact
+
+    toks = doc_tokens(new_docs, id_col, text_col)
+    dl_new = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    postings_new = (
+        toks.groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+        .join(dl_new, "doc_id")
+        .select("term", "doc_id", "tf", "dl")
+    )
+    df_new = postings_new.groupBy("term").agg(F.count("*").alias("df"))
+    termstats = (
+        artifact.tables["termstats"]
+        .unionByName(df_new)
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+    )
+    n_new, sum_new = dl_new.agg(F.count("*"), F.sum("dl")).first()
+    n_docs = int(artifact.params["n_docs"]) + int(n_new)
+    sum_dl = int(artifact.params.get("sum_dl", 0)) + (
+        int(sum_new) if sum_new is not None else 0
+    )
+    return IndexArtifact(
+        kind="bm25",
+        tables={
+            "postings": artifact.tables["postings"].unionByName(postings_new),
+            "doclens": artifact.tables["doclens"].unionByName(dl_new),
+            "termstats": termstats,
+        },
+        params={
+            **{k: v for k, v in artifact.params.items()},
+            "n_docs": n_docs,
+            "sum_dl": sum_dl,
+            "avgdl": (sum_dl / n_docs) if n_docs else 0.0,
+        },
+        metadata={**getattr(artifact, "metadata", {}), "appended": True},
+    )
 
 
 class BM25Searcher:
