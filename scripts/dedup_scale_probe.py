@@ -164,6 +164,71 @@ def main() -> int:
         out["shuffle_docs_per_sec"] = round(n_docs / w, 1)
         assert n_rows == n_docs
         print("PIPELINE_SCALE_PROBE " + json.dumps(out, sort_keys=True))
+
+        # Embedding near-dup at scale: sign-LSH bucket join + exact
+        # cosine verify (the sub-quadratic scale path of
+        # dedup.embedding_lsh_near_dup_pairs).  Synthetic vectors are a
+        # distributed projection (components from xxhash64(source, i));
+        # docs with id % 20 == 7 carry a lightly-perturbed copy of
+        # id−7's vector (cosine ≈ 0.999), everything else is ~orthogonal
+        # at d=64 — planted recall is the correctness-at-scale signal.
+        from vectordb_retrieval_spark.operators.dedup import (
+            embedding_lsh_near_dup_pairs,
+        )
+
+        n_vec = min(max(n_docs // 5, 50_000), 200_000)
+        d = 64
+        base_v = spark.range(n_vec).withColumnRenamed("id", "vec_id")
+        is_dup = (F.col("vec_id") % 20 == 7) & (F.col("vec_id") >= 7)
+        src_v = F.when(is_dup, F.col("vec_id") - 7).otherwise(F.col("vec_id"))
+        comp = lambda i: (  # noqa: E731
+            F.pmod(F.xxhash64(src_v, F.lit(i)), F.lit(100_000)) / 50_000.0
+            - 1.0
+        )
+        noise = lambda i: F.when(  # noqa: E731
+            is_dup,
+            (
+                F.pmod(F.xxhash64(F.col("vec_id"), F.lit(i + 500)), F.lit(1000))
+                / 500.0
+                - 1.0
+            )
+            * 0.02,
+        ).otherwise(F.lit(0.0))
+        vecs = base_v.select(
+            "vec_id",
+            F.array(
+                *[(comp(i) + noise(i)).cast("float") for i in range(d)]
+            ).alias("embedding"),
+        ).repartition(32).cache()
+        vecs.count()
+        t0 = time.time()
+        ep = embedding_lsh_near_dup_pairs(
+            vecs, threshold=0.8, num_tables=4, hash_size=16, dimension=d
+        ).cache()
+        n_ep = ep.count()
+        w = time.time() - t0
+        found = ep.where(
+            (F.col("b") - F.col("a") == 7) & (F.col("b") % 20 == 7)
+        ).count()
+        n_pl = vecs.where(is_dup).count()
+        print(
+            "EMB_NEARDUP_SCALE_PROBE "
+            + json.dumps(
+                {
+                    "n_vecs": n_vec,
+                    "dim": d,
+                    "wall_s": round(w, 2),
+                    "vecs_per_sec": round(n_vec / w, 1),
+                    "pairs": n_ep,
+                    "planted": n_pl,
+                    "planted_found": found,
+                    "planted_recall": round(found / max(n_pl, 1), 4),
+                },
+                sort_keys=True,
+            )
+        )
+        ep.unpersist()
+        vecs.unpersist()
     return 0
 
 
