@@ -197,3 +197,24 @@ def test_shuffle_shards_dense_positions(spark, corpus):
     assert {(r["doc_id"], r["shard"], r["pos"]) for r in again} == {
         (r["doc_id"], r["shard"], r["pos"]) for r in out
     }
+
+
+def test_quantile_buckets_monotone_and_balanced(spark, corpus):
+    from vectordb_retrieval_spark.operators.sampling import quantile_buckets
+
+    scored = corpus.withColumn("score", F.length("text").cast("double"))
+    out = quantile_buckets(scored, "score", n_buckets=4).collect()
+    assert len(out) == 200
+    # bucket is monotone in score
+    pairs = sorted((r["score"], r["bucket"]) for r in out)
+    for (s1, b1), (s2, b2) in zip(pairs, pairs[1:]):
+        assert b1 <= b2
+    # every band is populated and roughly quartile-sized
+    from collections import Counter
+
+    c = Counter(r["bucket"] for r in out)
+    assert set(c) == {0, 1, 2, 3}
+    assert all(20 <= n <= 80 for n in c.values()), c
+    # sketch path: same schema, sane bands
+    approx = quantile_buckets(scored, "score", n_buckets=4, exact=False)
+    assert {r["bucket"] for r in approx.collect()} <= {0, 1, 2, 3}

@@ -18,6 +18,7 @@ from vectordb_retrieval_spark.operators.sampling import (
     _KNUTH,
     _MOD,
     _PREMOD,
+    quantile_buckets,
     quantile_gate,
     split_dataset,
     stratified_sample,
@@ -268,8 +269,30 @@ FROM documents ORDER BY doc_id
 """
 
 
+N_BUCKETS = 10
+
+
+def q_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        quantile_buckets(docs(spark, sf_dir), "n_chars", N_BUCKETS)
+        .select("doc_id", "n_chars", "bucket")
+        .orderBy("doc_id")
+    )
+
+
+def _buckets_oracle() -> str:
+    qs = ", ".join(repr(i / N_BUCKETS) for i in range(1, N_BUCKETS))
+    return f"""
+WITH thr AS (SELECT quantile_cont(n_chars, [{qs}]) AS t FROM documents)
+SELECT doc_id, n_chars,
+       CAST(len(list_filter(thr.t, x -> n_chars >= x)) AS INT) AS bucket
+FROM documents, thr ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "pack_greedy_sequences": q_pack_greedy,
+    "curriculum_quantile_buckets": q_quantile_buckets,
     "dataset_split_hash": q_split_dataset,
     "pack_token_spans": q_pack_spans,
     "pii_scrub_counts": q_pii_scrub,
@@ -281,6 +304,7 @@ QUERIES = {
 
 ORACLES = {
     "pack_greedy_sequences": _PACK_GREEDY_ORACLE,
+    "curriculum_quantile_buckets": _buckets_oracle(),
     "dataset_split_hash": _split_oracle(),
     "pack_token_spans": _PACK_SPANS_ORACLE,
     "pii_scrub_counts": _PII_ORACLE,

@@ -80,6 +80,43 @@ def take_per_stratum(
     )
 
 
+def quantile_buckets(
+    df: DataFrame,
+    score_col: str,
+    n_buckets: int = 10,
+    exact: bool = True,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Curriculum bucketing: a ``bucket`` column (0..n_buckets−1) holding
+    the row's corpus-quantile band of ``score_col`` — the standard
+    length/quality curriculum layout for LLM training (feed bucket 0
+    first, bucket n−1 last).
+
+    bucket = how many of the (n_buckets−1) interior quantile thresholds
+    the score meets (score == threshold rounds UP into the higher
+    band).  One threshold aggregate broadcast back, then a per-row
+    array count — no shuffle of the corpus.  Unlike an ``ntile``
+    window this never funnels rows through a global sort: at 100 TB
+    set ``exact=False`` for the sketch-based thresholds."""
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    arr = ", ".join(repr(q) for q in qs)
+    fn = "percentile" if exact else "approx_percentile"
+    acc = "" if exact else f", {accuracy}"
+    thr = df.agg(
+        F.expr(f"{fn}({score_col}, array({arr}){acc})").alias("_thr")
+    )
+    return (
+        df.join(F.broadcast(thr))
+        .withColumn(
+            "bucket",
+            F.size(
+                F.filter(F.col("_thr"), lambda t: F.col(score_col) >= t)
+            ).cast("int"),
+        )
+        .drop("_thr")
+    )
+
+
 def split_dataset(
     df: DataFrame,
     weights: dict[str, float],
