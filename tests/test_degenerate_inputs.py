@@ -93,3 +93,81 @@ def test_all_searchers_handle_empty_query_batch(spark):
     ]
     for s in searchers:
         assert s.search(q0, 5).count() == 0, type(s).__name__
+
+
+def test_pipeline_ops_empty_corpus(spark):
+    """Every round-8 curation operator must pass an EMPTY corpus
+    through with its output schema intact (a filtered-to-nothing
+    upstream stage is routine in a long pipeline)."""
+    import pyspark.sql.functions as F
+
+    from vectordb_retrieval_spark.operators.packing import (
+        pack_greedy,
+        pack_spans,
+        shuffle_shards,
+    )
+    from vectordb_retrieval_spark.operators.sampling import (
+        hash_sample,
+        quantile_buckets,
+        quantile_gate,
+        split_dataset,
+        take_per_stratum,
+    )
+    from vectordb_retrieval_spark.operators.scrub import pii_scrub, pii_stats
+
+    empty = spark.createDataFrame(
+        [], "doc_id long, text string, lang string"
+    )
+    assert pack_greedy(empty, 32).count() == 0
+    assert pack_spans(empty, 32).count() == 0
+    assert shuffle_shards(empty, 4).count() == 0
+    assert pii_scrub(empty).count() == 0
+    stats = pii_stats(empty).collect()[0]
+    assert stats["n_docs"] == 0
+    assert hash_sample(empty, 0.5).count() == 0
+    assert take_per_stratum(empty, "lang", 3).count() == 0
+    assert split_dataset(empty, {"train": 0.9, "val": 0.1}).count() == 0
+    scored = empty.withColumn("score", F.length("text").cast("double"))
+    # percentile of an empty column is NULL: the gate keeps nothing and
+    # bucketing labels nothing, but neither may crash
+    assert quantile_gate(scored, "score", 0.5).count() == 0
+    assert quantile_buckets(scored, "score", 4).count() == 0
+
+
+def test_global_rank_empty_and_single_row(spark):
+    import pyspark.sql.functions as F
+
+    from vectordb_retrieval_spark.operators.text_retrieval import global_rank
+
+    order = [F.col("score").desc(), F.col("doc_id")]
+    empty = spark.createDataFrame([], "doc_id long, score double")
+    assert global_rank(empty, order).count() == 0
+    one = spark.createDataFrame([(5, 1.5)], "doc_id long, score double")
+    row = global_rank(one, order).collect()[0]
+    assert (row["doc_id"], row["rank"]) == (5, 1)
+
+
+def test_bm25_append_to_empty_build(spark):
+    """Build on an empty corpus, then append everything — still equals
+    the full rebuild (cold-start streaming ingestion)."""
+    from vectordb_retrieval_spark.operators.text_retrieval import (
+        BM25Indexer,
+        BM25Searcher,
+        bm25_append,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 3} common") for i in range(12)],
+        "doc_id long, text string",
+    )
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    art = bm25_append(BM25Indexer().build(empty), docs)
+    full = BM25Indexer().build(docs)
+    assert art.params["n_docs"] == full.params["n_docs"]
+    assert art.params["avgdl"] == full.params["avgdl"]
+    qdf = spark.createDataFrame(
+        [(0, ["common"])], "qid long, terms array<string>"
+    )
+    got = BM25Searcher().attach(art).search(qdf, k=5).collect()
+    want = BM25Searcher().attach(full).search(qdf, k=5).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
