@@ -290,8 +290,100 @@ FROM documents, thr ORDER BY doc_id
 """
 
 
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation path in ONE call — exact-dedup keepers ∧
+    quality-rule keeps → PII scrub → train/val/test split → greedy
+    sequence packing — emitting one row per surviving doc:
+    (doc_id, split, clean_len, shard, seq_id, seq_off, n_tokens).
+    Pure composition of the individually-oracle-checked operators; the
+    composed result is hash-checked end to end, so stage wiring (join
+    keys, column renames, filter order) is covered too."""
+    from vectordb_retrieval_spark.operators.dedup import exact_dedup
+    from vectordb_retrieval_spark.operators.textops import quality_filter
+
+    d = docs(spark, sf_dir).select("doc_id", "text")
+    keepers = exact_dedup(d).select(F.col("keeper_id").alias("doc_id"))
+    kept = (
+        quality_filter(d)
+        .where(F.col("keep") == 1)
+        .select(F.col("id").alias("doc_id"))
+    )
+    surv = d.join(keepers, "doc_id").join(kept, "doc_id")
+    scrubbed = pii_scrub(surv).select("doc_id", "text_clean")
+    sp = split_dataset(scrubbed, SPLIT_WEIGHTS, SPLIT_SEED)
+    packed = pack_greedy(sp, BUDGET, N_SHARDS, text_col="text_clean")
+    return (
+        sp.select(
+            "doc_id", "split", F.length("text_clean").alias("clean_len")
+        )
+        .join(packed, "doc_id")
+        .select(
+            "doc_id", "split", "clean_len",
+            "shard", "seq_id", "seq_off", "n_tokens",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _curate_oracle() -> str:
+    from vectordb_retrieval_spark.driver_queries.textq import (
+        _CANON,
+        _sql_str_list,
+    )
+    from vectordb_retrieval_spark.operators.textops import STOPWORDS
+
+    total = sum(SPLIT_WEIGHTS.values())
+    labels = sorted(SPLIT_WEIGHTS)
+    acc, whens = 0.0, []
+    for name in labels[:-1]:
+        acc += SPLIT_WEIGHTS[name] / total
+        whens.append(
+            f"WHEN {_hash_sql(SPLIT_SEED)} < {int(acc * _MOD)} THEN '{name}'"
+        )
+    split_case = f"CASE {' '.join(whens)} ELSE '{labels[-1]}' END"
+    stop = _sql_str_list(STOPWORDS["en"])
+    return f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+keepers AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY {_CANON}),
+f AS (
+  SELECT doc_id, len(toks) AS n,
+         list_sum(list_transform(toks, x -> length(x))) AS chars,
+         len(list_filter(toks, x -> list_contains({stop}, x))) AS n_stop,
+         list_max(list_transform(list_distinct(toks),
+             w -> len(list_filter(toks, x -> x = w)))) AS top
+  FROM t
+),
+surv AS (
+  SELECT t.doc_id, t.text, t.toks FROM t
+  JOIN keepers USING (doc_id)
+  JOIN f ON f.doc_id = t.doc_id
+  WHERE f.n >= 20 AND f.n <= 400 AND f.chars >= 2 * f.n AND f.chars <= 12 * f.n
+    AND f.n_stop > 0 AND f.top * 5 <= f.n
+),
+sp AS (
+  SELECT doc_id, {split_case} AS split,
+         CAST(length(text) AS INT) AS clean_len,
+         CAST(doc_id % {N_SHARDS} AS INT) AS shard,
+         CAST(len(toks) AS BIGINT) AS n_tokens
+  FROM surv
+),
+offs AS (
+  SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      - n_tokens AS BIGINT) AS start_off
+  FROM sp WHERE n_tokens > 0
+)
+SELECT doc_id, split, clean_len, shard,
+       CAST(floor(start_off / {BUDGET}) AS INT) AS seq_id,
+       CAST(start_off % {BUDGET} AS INT) AS seq_off,
+       n_tokens
+FROM offs ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "pack_greedy_sequences": q_pack_greedy,
+    "pipeline_curate_corpus": q_curate_corpus,
     "curriculum_quantile_buckets": q_quantile_buckets,
     "dataset_split_hash": q_split_dataset,
     "pack_token_spans": q_pack_spans,
@@ -304,6 +396,7 @@ QUERIES = {
 
 ORACLES = {
     "pack_greedy_sequences": _PACK_GREEDY_ORACLE,
+    "pipeline_curate_corpus": _curate_oracle(),
     "curriculum_quantile_buckets": _buckets_oracle(),
     "dataset_split_hash": _split_oracle(),
     "pack_token_spans": _PACK_SPANS_ORACLE,
