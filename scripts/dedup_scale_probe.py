@@ -58,6 +58,11 @@ def main() -> int:
     docs = synth_docs(spark, n_docs).repartition(32).cache()
     docs.count()  # materialize generation outside the timed window
 
+    if "--pipeline-only" in sys.argv:
+        sys.argv.append("--pipeline")
+        _run_pipeline_block(spark, docs, n_docs)
+        return 0
+
     t0 = time.time()
     pairs = minhash_verified_pairs(
         docs, threshold=0.7, n_perm=64, bands=16, shingle_n=3
@@ -123,113 +128,156 @@ def main() -> int:
         print("DECONTAM_SCALE_PROBE " + json.dumps(out, sort_keys=True))
 
     if "--pipeline" in sys.argv:
-        # The round-8 training-pipeline surface at the same corpus
-        # size: concat-and-chunk sequence packing (budget 2048 tokens,
-        # 256 shards), PII scrub (pattern counts over the full text),
-        # and the seed-reproducible shuffle into export shards.  Each
-        # is a narrow projection or a shard-partitioned window, so the
-        # probe checks the claim that throughput holds (or rises) with
-        # corpus size.
-        from vectordb_retrieval_spark.operators.packing import (
-            pack_spans,
-            shuffle_shards,
-        )
-        from vectordb_retrieval_spark.operators.scrub import pii_stats
+        _run_pipeline_block(spark, docs, n_docs)
+    return 0
 
-        out = {"n_docs": n_docs}
-        t0 = time.time()
-        spans = pack_spans(docs, budget=2048, n_shards=256)
-        n_spans = spans.count()
-        w = time.time() - t0
-        out["pack_wall_s"] = round(w, 2)
-        out["pack_docs_per_sec"] = round(n_docs / w, 1)
-        out["pack_spans"] = n_spans
 
-        t0 = time.time()
-        stats = pii_stats(docs).collect()[0]
-        w = time.time() - t0
-        out["scrub_wall_s"] = round(w, 2)
-        out["scrub_docs_per_sec"] = round(n_docs / w, 1)
-        # synthetic corpus carries no PII: the counts double as a
-        # false-positive check on the patterns at scale
-        out["scrub_docs_with_pii"] = stats["docs_with_pii"]
+def _run_pipeline_block(spark, docs, n_docs: int) -> None:
+    # The round-8 training-pipeline surface at the same corpus
+    # size: concat-and-chunk sequence packing (budget 2048 tokens,
+    # 256 shards), PII scrub (pattern counts over the full text),
+    # and the seed-reproducible shuffle into export shards.  Each
+    # is a narrow projection or a shard-partitioned window, so the
+    # probe checks the claim that throughput holds (or rises) with
+    # corpus size.
+    from vectordb_retrieval_spark.operators.packing import (
+        pack_spans,
+        shuffle_shards,
+    )
+    from vectordb_retrieval_spark.operators.scrub import pii_stats
 
-        t0 = time.time()
-        shards = shuffle_shards(docs, 512, seed=11).select(
-            "doc_id", "shard", "pos"
-        )
-        n_rows = shards.count()
-        w = time.time() - t0
-        out["shuffle_wall_s"] = round(w, 2)
-        out["shuffle_docs_per_sec"] = round(n_docs / w, 1)
-        assert n_rows == n_docs
-        print("PIPELINE_SCALE_PROBE " + json.dumps(out, sort_keys=True))
+    out = {"n_docs": n_docs}
+    t0 = time.time()
+    spans = pack_spans(docs, budget=2048, n_shards=256)
+    n_spans = spans.count()
+    w = time.time() - t0
+    out["pack_wall_s"] = round(w, 2)
+    out["pack_docs_per_sec"] = round(n_docs / w, 1)
+    out["pack_spans"] = n_spans
 
-        # Embedding near-dup at scale: sign-LSH bucket join + exact
-        # cosine verify (the sub-quadratic scale path of
-        # dedup.embedding_lsh_near_dup_pairs).  Synthetic vectors are a
-        # distributed projection (components from xxhash64(source, i));
-        # docs with id % 20 == 7 carry a lightly-perturbed copy of
-        # id−7's vector (cosine ≈ 0.999), everything else is ~orthogonal
-        # at d=64 — planted recall is the correctness-at-scale signal.
-        from vectordb_retrieval_spark.operators.dedup import (
-            embedding_lsh_near_dup_pairs,
-        )
+    t0 = time.time()
+    stats = pii_stats(docs).collect()[0]
+    w = time.time() - t0
+    out["scrub_wall_s"] = round(w, 2)
+    out["scrub_docs_per_sec"] = round(n_docs / w, 1)
+    # synthetic corpus carries no PII: the counts double as a
+    # false-positive check on the patterns at scale
+    out["scrub_docs_with_pii"] = stats["docs_with_pii"]
 
-        n_vec = min(max(n_docs // 5, 50_000), 200_000)
-        d = 64
-        base_v = spark.range(n_vec).withColumnRenamed("id", "vec_id")
-        is_dup = (F.col("vec_id") % 20 == 7) & (F.col("vec_id") >= 7)
-        src_v = F.when(is_dup, F.col("vec_id") - 7).otherwise(F.col("vec_id"))
-        comp = lambda i: (  # noqa: E731
-            F.pmod(F.xxhash64(src_v, F.lit(i)), F.lit(100_000)) / 50_000.0
+    t0 = time.time()
+    shards = shuffle_shards(docs, 512, seed=11).select(
+        "doc_id", "shard", "pos"
+    )
+    n_rows = shards.count()
+    w = time.time() - t0
+    out["shuffle_wall_s"] = round(w, 2)
+    out["shuffle_docs_per_sec"] = round(n_docs / w, 1)
+    assert n_rows == n_docs
+    print("PIPELINE_SCALE_PROBE " + json.dumps(out, sort_keys=True))
+
+    # The COMPOSED curation pipeline at the same corpus size:
+    # dedup keepers ∧ quality keeps → PII scrub → split → greedy
+    # packing (the pipeline_curate_corpus shape).  Throughput of
+    # the composition, not the stages — join wiring included.
+    from vectordb_retrieval_spark.operators.dedup import exact_dedup
+    from vectordb_retrieval_spark.operators.packing import pack_greedy
+    from vectordb_retrieval_spark.operators.sampling import split_dataset
+    from vectordb_retrieval_spark.operators.scrub import pii_scrub
+    from vectordb_retrieval_spark.operators.textops import quality_filter
+
+    # the synthetic vocabulary has no English stopwords, which the
+    # quality rule requires — append three so documents are eligible
+    # (uniform suffix: dedup keeper structure is unchanged)
+    cdocs = docs.withColumn(
+        "text", F.concat(F.col("text"), F.lit(" the of and"))
+    )
+    t0 = time.time()
+    keepers = exact_dedup(cdocs).select(
+        F.col("keeper_id").alias("doc_id")
+    )
+    kept = (
+        quality_filter(cdocs)
+        .where(F.col("keep") == 1)
+        .select(F.col("id").alias("doc_id"))
+    )
+    surv = cdocs.join(keepers, "doc_id").join(kept, "doc_id")
+    scrubbed = pii_scrub(surv).select("doc_id", "text_clean")
+    sp = split_dataset(scrubbed, {"train": 0.9, "val": 0.1}, seed=21)
+    packed = pack_greedy(sp, 2048, 256, text_col="text_clean")
+    n_packed = packed.count()
+    w = time.time() - t0
+    out2 = {
+        "n_docs": n_docs,
+        "curate_wall_s": round(w, 2),
+        "curate_docs_per_sec": round(n_docs / w, 1),
+        "curate_survivors": n_packed,
+    }
+    print("CURATE_SCALE_PROBE " + json.dumps(out2, sort_keys=True))
+
+    # Embedding near-dup at scale: sign-LSH bucket join + exact
+    # cosine verify (the sub-quadratic scale path of
+    # dedup.embedding_lsh_near_dup_pairs).  Synthetic vectors are a
+    # distributed projection (components from xxhash64(source, i));
+    # docs with id % 20 == 7 carry a lightly-perturbed copy of
+    # id−7's vector (cosine ≈ 0.999), everything else is ~orthogonal
+    # at d=64 — planted recall is the correctness-at-scale signal.
+    from vectordb_retrieval_spark.operators.dedup import (
+        embedding_lsh_near_dup_pairs,
+    )
+
+    n_vec = min(max(n_docs // 5, 50_000), 200_000)
+    d = 64
+    base_v = spark.range(n_vec).withColumnRenamed("id", "vec_id")
+    is_dup = (F.col("vec_id") % 20 == 7) & (F.col("vec_id") >= 7)
+    src_v = F.when(is_dup, F.col("vec_id") - 7).otherwise(F.col("vec_id"))
+    comp = lambda i: (  # noqa: E731
+        F.pmod(F.xxhash64(src_v, F.lit(i)), F.lit(100_000)) / 50_000.0
+        - 1.0
+    )
+    noise = lambda i: F.when(  # noqa: E731
+        is_dup,
+        (
+            F.pmod(F.xxhash64(F.col("vec_id"), F.lit(i + 500)), F.lit(1000))
+            / 500.0
             - 1.0
         )
-        noise = lambda i: F.when(  # noqa: E731
-            is_dup,
-            (
-                F.pmod(F.xxhash64(F.col("vec_id"), F.lit(i + 500)), F.lit(1000))
-                / 500.0
-                - 1.0
-            )
-            * 0.02,
-        ).otherwise(F.lit(0.0))
-        vecs = base_v.select(
-            "vec_id",
-            F.array(
-                *[(comp(i) + noise(i)).cast("float") for i in range(d)]
-            ).alias("embedding"),
-        ).repartition(32).cache()
-        vecs.count()
-        t0 = time.time()
-        ep = embedding_lsh_near_dup_pairs(
-            vecs, threshold=0.8, num_tables=4, hash_size=16, dimension=d
-        ).cache()
-        n_ep = ep.count()
-        w = time.time() - t0
-        found = ep.where(
-            (F.col("b") - F.col("a") == 7) & (F.col("b") % 20 == 7)
-        ).count()
-        n_pl = vecs.where(is_dup).count()
-        print(
-            "EMB_NEARDUP_SCALE_PROBE "
-            + json.dumps(
-                {
-                    "n_vecs": n_vec,
-                    "dim": d,
-                    "wall_s": round(w, 2),
-                    "vecs_per_sec": round(n_vec / w, 1),
-                    "pairs": n_ep,
-                    "planted": n_pl,
-                    "planted_found": found,
-                    "planted_recall": round(found / max(n_pl, 1), 4),
-                },
-                sort_keys=True,
-            )
+        * 0.02,
+    ).otherwise(F.lit(0.0))
+    vecs = base_v.select(
+        "vec_id",
+        F.array(
+            *[(comp(i) + noise(i)).cast("float") for i in range(d)]
+        ).alias("embedding"),
+    ).repartition(32).cache()
+    vecs.count()
+    t0 = time.time()
+    ep = embedding_lsh_near_dup_pairs(
+        vecs, threshold=0.8, num_tables=4, hash_size=16, dimension=d
+    ).cache()
+    n_ep = ep.count()
+    w = time.time() - t0
+    found = ep.where(
+        (F.col("b") - F.col("a") == 7) & (F.col("b") % 20 == 7)
+    ).count()
+    n_pl = vecs.where(is_dup).count()
+    print(
+        "EMB_NEARDUP_SCALE_PROBE "
+        + json.dumps(
+            {
+                "n_vecs": n_vec,
+                "dim": d,
+                "wall_s": round(w, 2),
+                "vecs_per_sec": round(n_vec / w, 1),
+                "pairs": n_ep,
+                "planted": n_pl,
+                "planted_found": found,
+                "planted_recall": round(found / max(n_pl, 1), 4),
+            },
+            sort_keys=True,
         )
-        ep.unpersist()
-        vecs.unpersist()
-    return 0
+    )
+    ep.unpersist()
+    vecs.unpersist()
 
 
 if __name__ == "__main__":
