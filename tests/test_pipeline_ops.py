@@ -218,3 +218,44 @@ def test_quantile_buckets_monotone_and_balanced(spark, corpus):
     # sketch path: same schema, sane bands
     approx = quantile_buckets(scored, "score", n_buckets=4, exact=False)
     assert {r["bucket"] for r in approx.collect()} <= {0, 1, 2, 3}
+
+
+def test_mixture_rates_plan_and_realization(spark):
+    """The planned rates must (a) saturate the binding source at 1.0,
+    (b) realize the target proportions in expectation, (c) respect a
+    budget cap, and (d) compose with stratified_sample."""
+    from vectordb_retrieval_spark.operators.sampling import (
+        mixture_rates,
+        stratified_sample,
+    )
+
+    # en: 6000 docs, code: 3000, math: 1000
+    rows = [
+        (i, ["en"] * 6 + ["code"] * 3 + ["math"])
+        for i in range(10_000)
+    ]
+    df = spark.createDataFrame(
+        [(i, srcs[i % 10]) for i, srcs in rows], "doc_id long, src string"
+    )
+    targets = {"en": 0.5, "code": 0.2, "math": 0.3}
+    rates = mixture_rates(df, "src", targets)
+    # math is binding: avail share 10% < target 30% -> rate 1.0
+    assert rates["math"] == 1.0
+    # scale = 1000/0.3; want_en = 0.5*scale = 1666.7 of 6000
+    assert rates["en"] == pytest.approx(1000 / 0.3 * 0.5 / 6000)
+    assert rates["code"] == pytest.approx(1000 / 0.3 * 0.2 / 3000)
+    # budget cap: halve the total
+    capped = mixture_rates(df, "src", targets, budget=1000 / 0.3 / 2)
+    for k in targets:
+        assert capped[k] == pytest.approx(rates[k] / 2)
+    # composition: realized counts near the plan
+    got = stratified_sample(df, "src", rates, id_col="doc_id").groupBy(
+        "src"
+    ).count().collect()
+    counts = {r["src"]: r["count"] for r in got}
+    assert counts["math"] == 1000  # rate 1.0 keeps everything
+    assert abs(counts["en"] - 1666) < 150
+    assert abs(counts["code"] - 666) < 100
+    # zero-target source is dropped
+    r2 = mixture_rates(df, "src", {"en": 1.0, "code": 0.0, "math": 0.0})
+    assert r2 == {"en": 1.0, "code": 0.0, "math": 0.0}

@@ -80,6 +80,45 @@ def take_per_stratum(
     )
 
 
+def mixture_rates(
+    df: DataFrame,
+    source_col: str,
+    targets: dict[str, float],
+    weight_col: str | None = None,
+    budget: float | None = None,
+) -> dict[str, float]:
+    """Plan a data mixture: per-source Bernoulli rates that realize the
+    ``targets`` proportions (by ``weight_col`` mass — e.g. token counts
+    — or by document count when None), scaled as large as the AVAILABLE
+    data allows: the binding source samples at rate 1.0 and everything
+    else downsamples around it.  ``budget`` caps the total sampled mass.
+
+    One groupBy aggregate (sources are few); the returned dict feeds
+    ``stratified_sample`` — so the plan is driver-side arithmetic and
+    the sampling itself stays a pure column expression."""
+    total_t = sum(targets.values())
+    if total_t <= 0:
+        raise ValueError("mixture targets must sum to a positive value")
+    shares = {k: v / total_t for k, v in targets.items()}
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    avail = {
+        r["src"]: float(r["mass"])
+        for r in df.groupBy(F.col(source_col).alias("src"))
+        .agg(F.sum(w).alias("mass"))
+        .collect()
+    }
+    missing = [k for k, s in shares.items() if s > 0 and not avail.get(k)]
+    if missing:
+        raise ValueError(f"no rows for mixture sources: {missing}")
+    scale = min(avail[k] / s for k, s in shares.items() if s > 0)
+    if budget is not None:
+        scale = min(scale, budget)
+    return {
+        k: min(1.0, (shares[k] * scale) / avail[k]) if shares[k] > 0 else 0.0
+        for k in shares
+    }
+
+
 def quantile_buckets(
     df: DataFrame,
     score_col: str,
