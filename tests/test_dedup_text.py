@@ -413,3 +413,36 @@ def test_corpus_stats(corpus_df):
     for _, text in CORPUS:
         vocab.update(t for t in text.split() if t)
     assert r.vocab_size == len(vocab)
+
+
+def test_unigram_logprob_orders_rare_garbage_low(spark):
+    """A doc of corpus-unique junk tokens must score strictly below docs
+    made of common tokens; smoothing keeps everything finite."""
+    import math
+
+    from vectordb_retrieval_spark.operators.textops import unigram_logprob
+
+    rows = [(i, "the cat sat on the mat") for i in range(9)]
+    rows.append((9, "zxqv9 qq7xk v0pmm zzz11 k3j9w aa0aa"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in unigram_logprob(df).collect()}
+    assert len(out) == 10
+    common = [out[i]["logprob"] for i in range(9)]
+    junk = out[9]["logprob"]
+    assert all(junk < c for c in common)
+    assert all(math.isfinite(out[i]["logprob"]) for i in range(10))
+    # hand-check one common token's contribution: 'the' appears 18 of 60
+    # total body tokens... verify via the exact formula on doc 0
+    toks = "the cat sat on the mat".split()
+    freq = {}
+    for i in range(9):
+        for t in toks:
+            freq[t] = freq.get(t, 0) + 1
+    for t in "zxqv9 qq7xk v0pmm zzz11 k3j9w aa0aa".split():
+        freq[t] = 1
+    n = sum(freq.values())
+    v = len(freq)
+    want = sum(
+        math.log10((freq[t] + 0.5) / (n + 0.5 * v)) for t in toks
+    ) / len(toks)
+    assert out[0]["logprob"] == round(want, 6)

@@ -381,8 +381,33 @@ FROM offs ORDER BY doc_id
 """
 
 
+ALPHA = 0.5
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vectordb_retrieval_spark.operators.textops import unigram_logprob
+
+    return unigram_logprob(docs(spark, sf_dir), alpha=ALPHA).orderBy(
+        "doc_id"
+    )
+
+
+_LOGPROB_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+freq AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS v FROM freq)
+SELECT doc_id, count(*) AS n_tokens,
+       round(avg(log10((c + {ALPHA}) / (n + {ALPHA} * v))), 6) AS logprob
+FROM toks JOIN freq USING (term) CROSS JOIN tot
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "pack_greedy_sequences": q_pack_greedy,
+    "text_unigram_logprob": q_unigram_logprob,
     "pipeline_curate_corpus": q_curate_corpus,
     "curriculum_quantile_buckets": q_quantile_buckets,
     "dataset_split_hash": q_split_dataset,
@@ -396,6 +421,7 @@ QUERIES = {
 
 ORACLES = {
     "pack_greedy_sequences": _PACK_GREEDY_ORACLE,
+    "text_unigram_logprob": _LOGPROB_ORACLE,
     "pipeline_curate_corpus": _curate_oracle(),
     "curriculum_quantile_buckets": _buckets_oracle(),
     "dataset_split_hash": _split_oracle(),

@@ -233,6 +233,50 @@ def decontam_overlap(
     )
 
 
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Language-model quality score in the CCNet spirit: each doc's
+    mean log10 token probability under the CORPUS's own Laplace-smoothed
+    unigram distribution — documents full of rare/garbage tokens score
+    low, fluent in-distribution text scores high.  Output
+    (doc_id, n_tokens, logprob) with logprob rounded to 6.
+
+    Plan shape: one explode feeds both the frequency table (groupBy
+    term — vocab-sized) and the scoring join (tokens ⋈ freq on term,
+    one shuffle each side), then a per-doc mean.  At 100 TB the freq
+    table is still ≪ corpus (vocabulary scaling is sub-linear); broadcast
+    it when it fits, bucket both sides by term when it doesn't.  A real
+    CCNet filter swaps the self-estimated table for a reference LM's —
+    same join, different freq source."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens_expr(F.col(text_col))).alias("term"),
+    )
+    freq = toks.groupBy("term").agg(F.count("*").alias("c"))
+    tot = freq.agg(
+        F.sum("c").alias("n"), F.count("*").alias("v")
+    )
+    scored = (
+        toks.join(freq, "term")
+        .join(F.broadcast(tot))
+        .withColumn(
+            "lp",
+            F.log10(
+                (F.col("c") + F.lit(alpha))
+                / (F.col("n") + F.lit(alpha) * F.col("v"))
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.avg("lp"), 6).alias("logprob"),
+    )
+
+
 def corpus_stats(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
