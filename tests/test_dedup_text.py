@@ -446,3 +446,31 @@ def test_unigram_logprob_orders_rare_garbage_low(spark):
         math.log10((freq[t] + 0.5) / (n + 0.5 * v)) for t in toks
     ) / len(toks)
     assert out[0]["logprob"] == round(want, 6)
+
+
+def test_keyword_extract_top_terms(spark):
+    """The rarest distinguishing term must rank first; exactly top_k
+    rows per doc; the ranking window is doc-partitioned (plan pin)."""
+    from vectordb_retrieval_spark.operators.textops import keyword_extract
+
+    rows = [
+        (0, "common common common unique0 shared"),
+        (1, "common common shared shared unique1"),
+        (2, "common shared other other other"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = keyword_extract(df, top_k=2)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    specs = plan.split("windowspecdefinition(")[1:]
+    assert specs and all(s.startswith("doc_id") for s in specs), plan
+    rowsb = out.collect()
+    per_doc = {}
+    for r in rowsb:
+        per_doc.setdefault(r["doc_id"], []).append((r["rank"], r["term"]))
+    assert all(len(v) == 2 for v in per_doc.values())
+    # doc 0: common tf3·ln2 = 2.079 beats unique0 1·ln4 = 1.386
+    assert [t for _, t in sorted(per_doc[0])] == ["common", "unique0"]
+    # doc 1: common 2·ln2 TIES shared 2·ln2 → term-asc tie-break
+    assert [t for _, t in sorted(per_doc[1])] == ["common", "shared"]
+    # doc 2: other tf3, df1 → 3·ln4 dominates
+    assert sorted(per_doc[2])[0][1] == "other"

@@ -405,8 +405,40 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+KW_TOP = 3
+
+
+def q_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vectordb_retrieval_spark.operators.textops import keyword_extract
+
+    return keyword_extract(docs(spark, sf_dir), KW_TOP).orderBy(
+        "doc_id", "rank"
+    )
+
+
+_KEYWORD_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+r AS (
+  SELECT tf.doc_id, tf.term, tf.tf * ln(1.0 + nd.n / dfreq.df) AS tfidf,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf * ln(1.0 + nd.n / dfreq.df) DESC, tf.term
+         ) AS rank
+  FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+)
+SELECT doc_id, term, round(tfidf, 6) AS tfidf, rank
+FROM r WHERE rank <= {KW_TOP} ORDER BY doc_id, rank
+"""
+
+
 QUERIES = {
     "pack_greedy_sequences": q_pack_greedy,
+    "text_keyword_extract": q_keyword_extract,
     "text_unigram_logprob": q_unigram_logprob,
     "pipeline_curate_corpus": q_curate_corpus,
     "curriculum_quantile_buckets": q_quantile_buckets,
@@ -421,6 +453,7 @@ QUERIES = {
 
 ORACLES = {
     "pack_greedy_sequences": _PACK_GREEDY_ORACLE,
+    "text_keyword_extract": _KEYWORD_ORACLE,
     "text_unigram_logprob": _LOGPROB_ORACLE,
     "pipeline_curate_corpus": _curate_oracle(),
     "curriculum_quantile_buckets": _buckets_oracle(),

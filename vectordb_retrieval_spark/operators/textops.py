@@ -8,7 +8,7 @@ parallel per-row transforms; the only shuffle is an optional final agg.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from vectordb_retrieval_spark.operators.dedup import (
@@ -274,6 +274,47 @@ def unigram_logprob(
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_tokens"),
         F.round(F.avg("lp"), 6).alias("logprob"),
+    )
+
+
+def keyword_extract(
+    df: DataFrame,
+    top_k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document keywords: the ``top_k`` terms by smoothed TF-IDF
+    (tf × ln(1 + N/df), ties by term asc) — (doc_id, term, tfidf, rank).
+    The per-doc ranking window is PARTITIONED BY doc_id
+    (WindowGroupLimit partial top-k), never a global sort; df counts are
+    a vocab-sized aggregate joined back on term.  Complements the
+    corpus-level TF-IDF embedding pipeline (sources/tfidf.py, reference
+    src/dataprep) with a per-doc analysis surface."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens_expr(F.col(text_col))).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    # corpus size as a broadcast one-row frame, not a driver action —
+    # the whole operator stays one lazy plan
+    nd = df.select(F.col(id_col)).distinct().agg(F.count("*").alias("_n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(nd))
+        .withColumn(
+            "tfidf", F.col("tf") * F.log(1.0 + F.col("_n") / F.col("df"))
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            "doc_id", "term", F.round("tfidf", 6).alias("tfidf"), "rank"
+        )
     )
 
 
