@@ -850,3 +850,66 @@ def test_packed_shm_republish_after_sweep(dfs, tmp_path):
     shm2 = art.params.get("_packed_shm")
     assert shm2 is not None and shm2[0] != shm[0]  # republished fresh
     assert sorted(map(tuple, first)) == sorted(map(tuple, second))
+
+
+def test_compact_partitions_selective_rewrite(spark, tmp_path):
+    """Persisted-index compaction: applying a delete set rewrites ONLY
+    the cluster partitions holding deleted ids (untouched partitions
+    keep their files byte-for-byte), removes fully-deleted partitions,
+    and the reloaded index searches exactly like a rebuild over the
+    survivors."""
+    import os
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from tests.conftest import make_vector_df
+    from vectordb_retrieval_spark.operators.ivf import (
+        FixedCentroidIVFIndexer,
+        IVFSearcher,
+    )
+    from vectordb_retrieval_spark.persistence import (
+        compact_partitions,
+        load_artifact,
+        save_artifact,
+    )
+
+    # 4 well-separated clusters of 10 points each
+    rng = np.random.RandomState(3)
+    cents = np.array(
+        [[0.0, 0.0], [100.0, 0.0], [0.0, 100.0], [100.0, 100.0]],
+        dtype=np.float64,
+    )
+    pts = np.vstack([c + 0.5 * rng.randn(10, 2) for c in cents])
+    base = make_vector_df(spark, pts)
+    art = FixedCentroidIVFIndexer(cents, metric="l2").build(base)
+    art.metadata["partition_by"] = {"assignment": ["cluster_id"]}
+    path = str(tmp_path / "ivf_art")
+    save_artifact(art, path)
+
+    adir = os.path.join(path, "tables", "assignment")
+    untouched = sorted(os.listdir(os.path.join(adir, "cluster_id=3")))
+
+    # delete 3 ids from cluster 0 and ALL of cluster 1 (ids 10..19)
+    del_ids = [0, 1, 2] + list(range(10, 20))
+    dels = spark.createDataFrame([(i,) for i in del_ids], "id long")
+    n = compact_partitions(spark, path, "assignment", dels)
+    assert n == 2  # clusters 0 and 1 touched, 2 and 3 not
+
+    assert sorted(os.listdir(os.path.join(adir, "cluster_id=3"))) == untouched
+    assert not os.path.exists(os.path.join(adir, "cluster_id=1"))
+
+    art2 = load_artifact(spark, path)
+    surv = base.filter(~F.col("id").isin(del_ids))
+    want = FixedCentroidIVFIndexer(cents, metric="l2").build(surv)
+    qs = make_vector_df(spark, pts[::7], id_name="qid", vec_name="vec")
+    got = (
+        IVFSearcher(nprobe=4).attach(art2)
+        .search(qs, 5, qid_col="qid", vec_col="vec").collect()
+    )
+    exp = (
+        IVFSearcher(nprobe=4).attach(want)
+        .search(qs, 5, qid_col="qid", vec_col="vec").collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, exp))
+    assert not any(r["id"] in del_ids for r in got)

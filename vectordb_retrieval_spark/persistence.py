@@ -148,6 +148,78 @@ def artifact_size_bytes(path: str) -> int:
     return total
 
 
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    table: str,
+    ids_df,
+    id_col: str = "id",
+    part_col: str = "cluster_id",
+) -> int:
+    """Apply a delete set to a PERSISTED partitioned table by rewriting
+    only the partitions that contain deleted ids — the compaction half
+    of the tombstone/compact trade ``ivf_delete`` documents.  Returns
+    the number of partitions rewritten (0 = nothing touched).
+
+    Mechanics: one broadcast semi-join finds the affected partition
+    values; the survivors of those partitions are rewritten with
+    dynamic partition overwrite (untouched partitions keep their
+    files byte-for-byte); a partition whose every row is deleted is
+    removed outright.  At cluster scale a table format (Iceberg/Delta)
+    gives the same selective rewrite transactionally — this is the
+    plain-Parquet form with the artifact's sentinel as the guard."""
+    from pyspark.sql import functions as F
+
+    tdir = os.path.join(path, "tables", table)
+    if not os.path.exists(os.path.join(path, SENTINEL)):
+        raise FileNotFoundError(f"{path}: not a complete artifact")
+    df = spark.read.parquet(tdir)
+    if part_col not in df.columns:
+        raise ValueError(
+            f"{table} is not partitioned by {part_col!r}; "
+            "compaction needs the partitioned layout"
+        )
+    dels = ids_df.select(F.col(id_col).alias(id_col)).distinct()
+    affected = [
+        r[part_col]
+        for r in df.join(F.broadcast(dels), id_col)
+        .select(part_col)
+        .distinct()
+        .collect()
+    ]
+    if not affected:
+        return 0
+    survivors = (
+        df.filter(F.col(part_col).isin(affected))
+        .join(F.broadcast(dels), id_col, "left_anti")
+        .cache()
+    )
+    nonempty = {
+        r[part_col]
+        for r in survivors.select(part_col).distinct().collect()
+    }
+    mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        if nonempty:
+            (
+                survivors.filter(F.col(part_col).isin(list(nonempty)))
+                .write.mode("overwrite")
+                .partitionBy(part_col)
+                .parquet(tdir)
+            )
+    finally:
+        survivors.unpersist()
+        if mode is not None:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", mode)
+    for p in affected:
+        if p not in nonempty:
+            shutil.rmtree(
+                os.path.join(tdir, f"{part_col}={p}"), ignore_errors=True
+            )
+    return len(affected)
+
+
 def load_artifact(
     spark: SparkSession, path: str, expect_fingerprint: str | None = None
 ) -> IndexArtifact:
