@@ -259,3 +259,41 @@ def test_mixture_rates_plan_and_realization(spark):
     # zero-target source is dropped
     r2 = mixture_rates(df, "src", {"en": 1.0, "code": 0.0, "math": 0.0})
     assert r2 == {"en": 1.0, "code": 0.0, "math": 0.0}
+
+
+def test_write_training_shards_prunes_split_partitions(spark, tmp_path, corpus):
+    """The exported layout must read back identically and a split
+    filter must prune partitions at the scan (PartitionFilters, not a
+    post-scan filter)."""
+    from vectordb_retrieval_spark.operators.packing import (
+        pack_greedy,
+        write_training_shards,
+    )
+    from vectordb_retrieval_spark.operators.sampling import split_dataset
+
+    sp = split_dataset(corpus, {"train": 0.8, "val": 0.2}, seed=13)
+    packed = pack_greedy(sp, BUDGET, n_shards=4).join(
+        sp.select("doc_id", "split"), "doc_id"
+    )
+    path = str(tmp_path / "shards")
+    write_training_shards(packed, path)
+
+    back = spark.read.parquet(path)
+    assert back.count() == 200
+    assert set(r["split"] for r in back.select("split").distinct().collect()) == {
+        "train", "val"
+    }
+    # round-trip equality on the payload columns
+    a = {(r["doc_id"], r["seq_id"], r["seq_off"]) for r in packed.collect()}
+    b = {(r["doc_id"], r["seq_id"], r["seq_off"]) for r in back.collect()}
+    assert a == b
+    # split filter reaches the scan as a partition filter
+    plan = (
+        back.filter(F.col("split") == "train")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [" in plan and "split" in plan.split(
+        "PartitionFilters:"
+    )[1].split("]")[0], plan

@@ -117,6 +117,19 @@ def pack_spans(
     )
 
 
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    partition_cols: tuple[str, ...] = ("split", "shard"),
+) -> None:
+    """Land a curated/packed corpus as the training-ready layout:
+    Parquet partitioned by (split, shard) — a trainer reads exactly its
+    split's directories and streams shard files in order, and a split
+    filter prunes partitions at the scan (no data read for the other
+    splits).  One write job; partition count = |splits| × n_shards."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
 def shuffle_shards(
     df: DataFrame,
     n_shards: int,
