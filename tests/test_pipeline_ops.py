@@ -297,3 +297,73 @@ def test_write_training_shards_prunes_split_partitions(spark, tmp_path, corpus):
     assert "PartitionFilters: [" in plan and "split" in plan.split(
         "PartitionFilters:"
     )[1].split("]")[0], plan
+
+
+def test_sample_hash_coin_space_beyond_premod(spark):
+    """Round-8 advisor finding: the old hash pre-reduced ids mod 1e6+3,
+    perfectly correlating keep/drop across id residue classes at >=1e6
+    rows.  The affine-mod-2^31-1 hash must decorrelate (a) ids in the
+    same residue class mod 1e6+3 and (b) ids >= 2^31 apart (identical
+    low-31-bit pattern) — distinct coins, and a 0.5-rate sample keeps
+    roughly half of each class instead of all-or-none."""
+    from vectordb_retrieval_spark.operators.sampling import sample_hash
+
+    n = 1000
+    classes = [
+        [(7 + k * 1_000_003,) for k in range(n)],   # old premod class
+        [(5 + k * (1 << 31),) for k in range(n)],   # ids 2^31 apart
+    ]
+    for rows in classes:
+        df = spark.createDataFrame(rows, "doc_id long")
+        hashes = [
+            r["h"]
+            for r in df.select(
+                sample_hash(F.col("doc_id"), 1).alias("h")
+            ).collect()
+        ]
+        assert len(set(hashes)) == n  # affine in each term -> injective here
+        kept = hash_sample(df, 0.5, seed=1).count()
+        assert 400 <= kept <= 600, kept
+
+
+def test_shuffle_shards_disperse_arithmetic_ids(spark):
+    """An arithmetic id progression (the common auto-increment layout)
+    must spread near-uniformly across export shards — no residue-class
+    clumping (round-8 advisor finding on the premod hash)."""
+    n, n_shards = 8000, 16
+    df = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    counts = {
+        r["shard"]: r["count"]
+        for r in shuffle_shards(df, n_shards, seed=2)
+        .groupBy("shard")
+        .count()
+        .collect()
+    }
+    assert len(counts) == n_shards
+    lo, hi = 0.8 * n / n_shards, 1.2 * n / n_shards
+    assert all(lo <= c <= hi for c in counts.values()), counts
+
+
+def test_phone_scrub_skips_digit_runs(spark):
+    """Boundary-anchored phone shape (round-8 advisor finding): bare
+    runs of 11+ digits — numeric ids, card numbers, hash tails — must
+    NOT be redacted, while real phone layouts still are."""
+    df = spark.createDataFrame(
+        [
+            (0, "order id 12345678901234567890 done"),
+            (1, "card 4111111111111111 on file"),
+            (2, "sha tail a3f12345678901234 ok"),
+            (3, "call 415-555-0134 now"),
+            (4, "intl +14155550134 ok"),
+            (5, "desk +1 (415) 555-0134"),
+            (6, "dots 212.555.0199"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    for i in (0, 1, 2):
+        assert out[i]["n_phone"] == 0, out[i]
+        assert "<PHONE>" not in out[i]["text_clean"], out[i]
+    for i in (3, 4, 5, 6):
+        assert out[i]["n_phone"] == 1, out[i]
+        assert "<PHONE>" in out[i]["text_clean"], out[i]

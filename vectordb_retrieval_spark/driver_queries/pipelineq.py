@@ -15,10 +15,9 @@ from vectordb_retrieval_spark.operators.packing import (
     shuffle_shards,
 )
 from vectordb_retrieval_spark.operators.sampling import (
-    _KNUTH,
     _MOD,
-    _PREMOD,
     quantile_buckets,
+    sample_hash_sql,
     quantile_gate,
     split_dataset,
     stratified_sample,
@@ -153,9 +152,9 @@ WITH injected AS (
 ), s4 AS (
   SELECT doc_id, n_email, n_ssn, n_ip,
          CAST(len(regexp_extract_all(t,
-           '(\+?\d{1,3}[-. ]?)?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}')) AS INT) AS n_phone,
+           '(?:\+\d{7,14}\b|(?:\+?\d{1,3}[-. ])?\(?\b\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}\b)')) AS INT) AS n_phone,
          regexp_replace(t,
-           '(\+?\d{1,3}[-. ]?)?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}', '<PHONE>', 'g') AS t
+           '(?:\+\d{7,14}\b|(?:\+?\d{1,3}[-. ])?\(?\b\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}\b)', '<PHONE>', 'g') AS t
   FROM s3
 )
 SELECT doc_id, n_email, n_ssn, n_ip, n_phone, CAST(length(t) AS INT) AS clean_len
@@ -164,9 +163,7 @@ FROM s4 ORDER BY doc_id
 
 
 def _hash_sql(seed: int) -> str:
-    return (
-        f"((doc_id % {_PREMOD} + {seed}) * {_KNUTH}) % {_MOD}"
-    )
+    return sample_hash_sql("doc_id", seed)
 
 
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:

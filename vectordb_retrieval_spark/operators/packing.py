@@ -140,14 +140,14 @@ def shuffle_shards(
     pseudo-random (but seed-reproducible) shard and a dense position
     within it — the write layout for shuffled training-data shards.
 
-    shard/position derive from a Knuth multiplicative hash of the id
-    (id is pre-reduced mod 1e6+3 so the product never overflows int64 in
-    ANSI engines); the position window is PARTITIONED BY shard, so the
-    sort is n_shards independent in-partition sorts, not a global one."""
-    h = (
-        (F.pmod(F.col(id_col), F.lit(1_000_003)) + F.lit(seed))
-        * F.lit(2_654_435_761)
-    ) % F.lit(1_000_000_007)
+    shard/position derive from sampling.sample_hash — an affine hash
+    mod 2^31−1 over the id's low AND high bits, so arithmetic id
+    progressions disperse and 64-bit ids never share a residue-class
+    coin; the position window is PARTITIONED BY shard, so the sort is
+    n_shards independent in-partition sorts, not a global one."""
+    from vectordb_retrieval_spark.operators.sampling import sample_hash
+
+    h = sample_hash(F.col(id_col), seed)
     shuf = df.withColumn("_h", h).withColumn(
         "shard", F.pmod(F.col("_h"), F.lit(n_shards)).cast("int")
     )

@@ -21,13 +21,21 @@ from pyspark.sql import functions as F
 # Order matters: SSN before phone (a bare 123-45-6789 must not be
 # half-eaten by the phone shape), email before IP (user@10.0.0.1 is
 # redacted as an email).
+#
+# The phone shape is boundary-anchored (round-8 advisor finding): a
+# country code without "+" must end in a separator, the 3-3-4 core is
+# \b-anchored on both sides, and compact international numbers need a
+# literal "+".  A bare run of 11+ digits (numeric id, card number,
+# hash) therefore never matches — only 10-digit runs, which genuinely
+# are phone-shaped.  \b is ASCII word boundary in both Java and RE2.
 PII_PATTERNS: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
     ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
     (
         "phone",
-        r"(\+?\d{1,3}[-. ]?)?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}",
+        r"(?:\+\d{7,14}\b"
+        r"|(?:\+?\d{1,3}[-. ])?\(?\b\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}\b)",
         "<PHONE>",
     ),
 ]

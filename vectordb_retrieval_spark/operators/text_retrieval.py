@@ -30,12 +30,18 @@ def global_rank(df: DataFrame, order_cols: list) -> DataFrame:
 
     This is the full-corpus ranking path — every stage is distributed;
     the only single-point work is the tiny offsets table.  The sorted
-    frame is cached so the count pass and the output read the same
-    physical partitioning (range-partitioner boundaries are sampled,
-    so an uncached recompute could re-draw them)."""
-    sorted_df = df.orderBy(*order_cols).withColumn(
-        "_pid", F.spark_partition_id()
-    ).cache()
+    frame is pinned with an eager ``localCheckpoint`` so the count pass
+    and the output read the same physical partitioning
+    (range-partitioner boundaries are sampled, so a recompute could
+    re-draw them).  Unlike ``.cache()`` this does not register in the
+    CacheManager: blocks are reclaimed by the ContextCleaner when the
+    ranked frame is dropped (no per-call leak), and a lost block fails
+    the job loudly instead of silently recomputing different ranks."""
+    sorted_df = (
+        df.orderBy(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
     counts = sorted_df.groupBy("_pid").count().collect()
     offsets, acc = [], 0
     for row in sorted(counts, key=lambda r: r["_pid"]):
