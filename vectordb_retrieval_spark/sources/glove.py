@@ -14,7 +14,7 @@ operator.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from vectordb_retrieval_spark.operators.exact import ground_truth
@@ -35,8 +35,14 @@ def read_glove(
             vec_col
         ),
     )
-    w = F.row_number().over(Window.orderBy(F.xxhash64("word"), "word"))
-    return parsed.select((w - 1).cast("long").alias(id_col), "word", vec_col)
+    from vectordb_retrieval_spark.operators.text_retrieval import global_rank
+
+    # distributed rank assignment (range sort + per-partition offsets),
+    # not an unpartitioned row_number window
+    ranked = global_rank(parsed, [F.xxhash64("word"), F.col("word")])
+    return ranked.select(
+        (F.col("rank") - 1).cast("long").alias(id_col), "word", vec_col
+    )
 
 
 def glove_dataset(

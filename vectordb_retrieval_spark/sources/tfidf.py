@@ -53,10 +53,15 @@ def select_passages(
         .filter(F.col("text").isNotNull())
         .dropDuplicates(["text"])
     )
-    from pyspark.sql import Window
+    from vectordb_retrieval_spark.operators.text_retrieval import global_rank
 
-    w = F.row_number().over(Window.orderBy(F.xxhash64("text"), "text"))
-    return canon.select((w - 1).cast("long").alias("doc_id"), "text")
+    # hash-ordered ids WITHOUT an unpartitioned row_number window —
+    # global_rank is range-sorted + per-partition offsets, so id
+    # assignment never funnels the corpus through one task.
+    ranked = global_rank(canon, [F.xxhash64("text"), F.col("text")])
+    return ranked.select(
+        (F.col("rank") - 1).cast("long").alias("doc_id"), "text"
+    )
 
 
 class TfidfVectorizer:

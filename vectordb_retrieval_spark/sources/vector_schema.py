@@ -88,9 +88,13 @@ def load_vector_table(
     src_id = find_id_column(df)
     if src_id is not None:
         return df.select(F.col(src_id).cast("long").alias(id_col), vec_expr)
-    from pyspark.sql import Window
+    from vectordb_retrieval_spark.operators.text_retrieval import global_rank
 
-    w = F.row_number().over(
-        Window.orderBy(F.xxhash64(F.concat_ws(",", vec_expr)))
+    # distributed rank assignment over the vector-bytes hash — no
+    # unpartitioned row_number window (the hash string doubles as the
+    # tie-break so the order is total).
+    key = F.xxhash64(F.concat_ws(",", F.col(vec_col)))
+    ranked = global_rank(df.select(vec_expr), [key])
+    return ranked.select(
+        (F.col("rank") - 1).cast("long").alias(id_col), vec_col
     )
-    return df.select((w - 1).cast("long").alias(id_col), vec_expr)
