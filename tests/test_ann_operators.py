@@ -913,3 +913,64 @@ def test_compact_partitions_selective_rewrite(spark, tmp_path):
     )
     assert sorted(map(tuple, got)) == sorted(map(tuple, exp))
     assert not any(r["id"] in del_ids for r in got)
+
+
+def test_compact_partitions_failed_write_leaves_artifact_intact(
+    spark, tmp_path, monkeypatch
+):
+    """Round-8 advisor finding: compaction used to overwrite the
+    directory it was reading from (guarded only by a cache).  The
+    rewrite now lands in a temp dir first — a write-job failure must
+    leave every partition of the persisted artifact byte-identical and
+    loadable, with the temp dir cleaned up."""
+    import os
+
+    import numpy as np
+    import pyspark.sql.readwriter as rw
+
+    from tests.conftest import make_vector_df
+    from vectordb_retrieval_spark.operators.ivf import FixedCentroidIVFIndexer
+    from vectordb_retrieval_spark.persistence import (
+        compact_partitions,
+        load_artifact,
+        save_artifact,
+    )
+
+    rng = np.random.RandomState(5)
+    cents = np.array([[0.0, 0.0], [50.0, 0.0]], dtype=np.float64)
+    pts = np.vstack([c + 0.5 * rng.randn(8, 2) for c in cents])
+    base = make_vector_df(spark, pts)
+    art = FixedCentroidIVFIndexer(cents, metric="l2").build(base)
+    art.metadata["partition_by"] = {"assignment": ["cluster_id"]}
+    path = str(tmp_path / "ivf_art")
+    save_artifact(art, path)
+
+    adir = os.path.join(path, "tables", "assignment")
+    before = {
+        p: sorted(os.listdir(os.path.join(adir, p)))
+        for p in os.listdir(adir)
+        if p.startswith("cluster_id=")
+    }
+
+    orig = rw.DataFrameWriter.parquet
+
+    def boom(self, p, **kw):
+        if p.endswith(".compact-tmp"):
+            raise RuntimeError("injected write failure")
+        return orig(self, p, **kw)
+
+    monkeypatch.setattr(rw.DataFrameWriter, "parquet", boom)
+    dels = spark.createDataFrame([(0,), (8,)], "id long")
+    with pytest.raises(RuntimeError, match="injected"):
+        compact_partitions(spark, path, "assignment", dels)
+    monkeypatch.undo()
+
+    after = {
+        p: sorted(os.listdir(os.path.join(adir, p)))
+        for p in os.listdir(adir)
+        if p.startswith("cluster_id=")
+    }
+    assert after == before
+    assert not os.path.exists(adir + ".compact-tmp")
+    art2 = load_artifact(spark, path)
+    assert art2.tables["assignment"].count() == 16

@@ -162,12 +162,18 @@ def compact_partitions(
     the number of partitions rewritten (0 = nothing touched).
 
     Mechanics: one broadcast semi-join finds the affected partition
-    values; the survivors of those partitions are rewritten with
-    dynamic partition overwrite (untouched partitions keep their
-    files byte-for-byte); a partition whose every row is deleted is
-    removed outright.  At cluster scale a table format (Iceberg/Delta)
-    gives the same selective rewrite transactionally — this is the
-    plain-Parquet form with the artifact's sentinel as the guard."""
+    values; the survivors of those partitions are written to a sibling
+    temp directory, then each affected partition dir is swapped in with
+    an os.rename (untouched partitions keep their files byte-for-byte);
+    a partition whose every row is deleted is removed outright.  The
+    source directory is never read and written in the same job — a
+    failed write leaves the artifact untouched (round-8 advisor
+    finding: the previous in-place dynamic overwrite could recompute
+    from partially overwritten files on cache eviction).  Renames are
+    atomic on a single filesystem; at cluster scale a table format
+    (Iceberg/Delta) gives the same selective rewrite transactionally —
+    this is the plain-Parquet form with the artifact's sentinel as the
+    guard."""
     from pyspark.sql import functions as F
 
     tdir = os.path.join(path, "tables", table)
@@ -189,34 +195,28 @@ def compact_partitions(
     ]
     if not affected:
         return 0
-    survivors = (
-        df.filter(F.col(part_col).isin(affected))
-        .join(F.broadcast(dels), id_col, "left_anti")
-        .cache()
+    survivors = df.filter(F.col(part_col).isin(affected)).join(
+        F.broadcast(dels), id_col, "left_anti"
     )
-    nonempty = {
-        r[part_col]
-        for r in survivors.select(part_col).distinct().collect()
-    }
-    mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    tmp = tdir + ".compact-tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
     try:
-        if nonempty:
-            (
-                survivors.filter(F.col(part_col).isin(list(nonempty)))
-                .write.mode("overwrite")
-                .partitionBy(part_col)
-                .parquet(tdir)
-            )
+        # write job completes against the UNTOUCHED source first ...
+        survivors.write.mode("overwrite").partitionBy(part_col).parquet(tmp)
+        # ... then swap each affected partition dir in atomically; a
+        # fully-deleted partition has no tmp dir and is removed.
+        for p in affected:
+            src = os.path.join(tmp, f"{part_col}={p}")
+            dst = os.path.join(tdir, f"{part_col}={p}")
+            old = dst + ".old"
+            shutil.rmtree(old, ignore_errors=True)
+            if os.path.exists(dst):
+                os.rename(dst, old)
+            if os.path.exists(src):
+                os.rename(src, dst)
+            shutil.rmtree(old, ignore_errors=True)
     finally:
-        survivors.unpersist()
-        if mode is not None:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", mode)
-    for p in affected:
-        if p not in nonempty:
-            shutil.rmtree(
-                os.path.join(tdir, f"{part_col}={p}"), ignore_errors=True
-            )
+        shutil.rmtree(tmp, ignore_errors=True)
     return len(affected)
 
 
