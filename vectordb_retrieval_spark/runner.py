@@ -224,6 +224,26 @@ class ExperimentRunner:
         _materialize(pred)
         search_time = time.time() - t0
 
+        # repeat-aware timing (reference config.py:26 declares repeat;
+        # its statistics live in scripts/compare_algorithms.py:164-236):
+        # each extra rep executes a FRESH search plan end to end, and the
+        # reported wall/QPS become the mean over reps with the spread
+        # kept alongside (mean±std feeds summary_markdown/one-pager).
+        walls = [search_time]
+        for _ in range(max(int(getattr(cfg, "repeat", 1)), 1) - 1):
+            t0 = time.time()
+            _materialize(
+                algo.batch_search(test, cfg.topk, qid_col="qid", vec_col="vec")
+            )
+            walls.append(time.time() - t0)
+        search_time = sum(walls) / len(walls)
+        wall_std = (
+            (sum((w - search_time) ** 2 for w in walls) / (len(walls) - 1))
+            ** 0.5
+            if len(walls) > 1
+            else None
+        )
+
         ks = sorted(set([*cfg.evaluation_ks, cfg.topk]))
         mrows = retrieval_metrics_multi(pred, gt, ks).collect()
         pred.unpersist()
@@ -243,6 +263,15 @@ class ExperimentRunner:
             "loaded_from_cache": loaded,
             "index_size_mb": index_size_mb,
         }
+        if wall_std is not None:
+            metrics["n_repeats"] = len(walls)
+            metrics["search_wall_std_s"] = round(wall_std, 3)
+            metrics["search_wall_runs_s"] = [round(w, 3) for w in walls]
+            if search_time:
+                # delta-method spread of qps = n/wall around the mean wall
+                metrics["qps_std"] = round(
+                    n_queries * wall_std / (search_time**2), 2
+                )
         ndis = getattr(algo.searcher, "ndis_accum", None)
         if ndis is not None:
             metrics["ndis"] = int(ndis.value)
@@ -290,9 +319,15 @@ def summary_markdown(all_results: dict[str, dict[str, Any]]) -> str:
                     f"| {ds_name} | {algo} | — | — | — | {m['build_time_s']} |"
                 )
                 continue
+            qps = m.get("qps", "—")
+            if m.get("qps_std") is not None:
+                qps = f"{qps} ± {m['qps_std']}"
+            wall = m.get("search_wall_s", "—")
+            if m.get("search_wall_std_s") is not None:
+                wall = f"{wall} ± {m['search_wall_std_s']}"
             lines.append(
                 f"| {ds_name} | {algo} | {m.get('recall', '—')} |"
-                f" {m.get('qps', '—')} | {m.get('search_wall_s', '—')} |"
+                f" {qps} | {wall} |"
                 f" {m.get('build_time_s', '—')} |"
             )
     return "\n".join(lines) + "\n"
@@ -419,6 +454,7 @@ def one_page_summary(all_results: dict[str, dict[str, Any]]) -> str:
                     m.get("mean_query_ms"),
                     m.get("build_time_s"),
                     "build_only" if m.get("built_only") else "ok",
+                    m.get("qps_std"),
                 )
             )
         plot_pts = [
@@ -436,7 +472,7 @@ def one_page_summary(all_results: dict[str, dict[str, Any]]) -> str:
             "| Algorithm | Recall | QPS | Mean Query Time (ms) | Build Time (s) | Status |",
             "|---|---:|---:|---:|---:|---|",
         ]
-        for algo, rec, qps, mq, bt, status in sorted(
+        for algo, rec, qps, mq, bt, status, qps_std in sorted(
             rows,
             key=lambda x: (
                 -(x[1] if x[1] is not None else -1.0),
@@ -445,8 +481,11 @@ def one_page_summary(all_results: dict[str, dict[str, Any]]) -> str:
             ),
         ):
             fmt = lambda v, p: (f"{v:.{p}f}" if v is not None else "N/A")
+            qps_cell = fmt(qps, 2)
+            if qps_std is not None and qps is not None:
+                qps_cell = f"{qps_cell} ± {qps_std:.2f}"
             lines.append(
-                f"| {algo} | {fmt(rec, 4)} | {fmt(qps, 2)} | {fmt(mq, 3)} |"
+                f"| {algo} | {fmt(rec, 4)} | {qps_cell} | {fmt(mq, 3)} |"
                 f" {fmt(bt, 2)} | {status} |"
             )
         lines.append("")
