@@ -176,14 +176,11 @@ def _run_pipeline_block(spark, docs, n_docs: int) -> None:
     print("PIPELINE_SCALE_PROBE " + json.dumps(out, sort_keys=True))
 
     # The COMPOSED curation pipeline at the same corpus size:
-    # dedup keepers ∧ quality keeps → PII scrub → split → greedy
-    # packing (the pipeline_curate_corpus shape).  Throughput of
-    # the composition, not the stages — join wiring included.
-    from vectordb_retrieval_spark.operators.dedup import exact_dedup
-    from vectordb_retrieval_spark.operators.packing import pack_greedy
-    from vectordb_retrieval_spark.operators.sampling import split_dataset
-    from vectordb_retrieval_spark.operators.scrub import pii_scrub
-    from vectordb_retrieval_spark.operators.textops import quality_filter
+    # scrub → quality gate → dedup keepers → split → greedy packing
+    # (the pipeline_curate_corpus shape: one scan + two shuffles,
+    # operators/curate.py).  Throughput of the composition, not the
+    # stages — window keys and carried columns included.
+    from vectordb_retrieval_spark.operators.curate import curate_corpus
 
     # the synthetic vocabulary has no English stopwords, which the
     # quality rule requires — append three so documents are eligible
@@ -192,18 +189,9 @@ def _run_pipeline_block(spark, docs, n_docs: int) -> None:
         "text", F.concat(F.col("text"), F.lit(" the of and"))
     )
     t0 = time.time()
-    keepers = exact_dedup(cdocs).select(
-        F.col("keeper_id").alias("doc_id")
+    packed = curate_corpus(
+        cdocs, {"train": 0.9, "val": 0.1}, 2048, 256, seed=21
     )
-    kept = (
-        quality_filter(cdocs)
-        .where(F.col("keep") == 1)
-        .select(F.col("id").alias("doc_id"))
-    )
-    surv = cdocs.join(keepers, "doc_id").join(kept, "doc_id")
-    scrubbed = pii_scrub(surv).select("doc_id", "text_clean")
-    sp = split_dataset(scrubbed, {"train": 0.9, "val": 0.1}, seed=21)
-    packed = pack_greedy(sp, 2048, 256, text_col="text_clean")
     n_packed = packed.count()
     w = time.time() - t0
     out2 = {

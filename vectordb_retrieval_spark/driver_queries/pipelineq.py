@@ -288,38 +288,23 @@ FROM documents, thr ORDER BY doc_id
 
 
 def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The whole curation path in ONE call — exact-dedup keepers ∧
-    quality-rule keeps → PII scrub → train/val/test split → greedy
-    sequence packing — emitting one row per surviving doc:
+    """The whole curation path in ONE call — PII scrub → quality gate
+    (shared tokenization) → exact-dedup keepers over the survivors →
+    train/val/test split → greedy sequence packing — emitting one row
+    per surviving doc:
     (doc_id, split, clean_len, shard, seq_id, seq_off, n_tokens).
-    Pure composition of the individually-oracle-checked operators; the
-    composed result is hash-checked end to end, so stage wiring (join
-    keys, column renames, filter order) is covered too."""
-    from vectordb_retrieval_spark.operators.dedup import exact_dedup
-    from vectordb_retrieval_spark.operators.textops import quality_filter
+    One scan + two shuffles (operators/curate.py); the composed result
+    is hash-checked end to end, so stage wiring (window keys, carried
+    columns, filter order) is covered too."""
+    from vectordb_retrieval_spark.operators.curate import curate_corpus
 
-    d = docs(spark, sf_dir).select("doc_id", "text")
-    keepers = exact_dedup(d).select(F.col("keeper_id").alias("doc_id"))
-    kept = (
-        quality_filter(d)
-        .where(F.col("keep") == 1)
-        .select(F.col("id").alias("doc_id"))
-    )
-    surv = d.join(keepers, "doc_id").join(kept, "doc_id")
-    scrubbed = pii_scrub(surv).select("doc_id", "text_clean")
-    sp = split_dataset(scrubbed, SPLIT_WEIGHTS, SPLIT_SEED)
-    packed = pack_greedy(sp, BUDGET, N_SHARDS, text_col="text_clean")
-    return (
-        sp.select(
-            "doc_id", "split", F.length("text_clean").alias("clean_len")
-        )
-        .join(packed, "doc_id")
-        .select(
-            "doc_id", "split", "clean_len",
-            "shard", "seq_id", "seq_off", "n_tokens",
-        )
-        .orderBy("doc_id")
-    )
+    return curate_corpus(
+        docs(spark, sf_dir).select("doc_id", "text"),
+        SPLIT_WEIGHTS,
+        BUDGET,
+        N_SHARDS,
+        SPLIT_SEED,
+    ).orderBy("doc_id")
 
 
 def _curate_oracle() -> str:
@@ -339,30 +324,37 @@ def _curate_oracle() -> str:
         )
     split_case = f"CASE {' '.join(whens)} ELSE '{labels[-1]}' END"
     stop = _sql_str_list(STOPWORDS["en"])
+    # text_clean == text on this corpus (driver word soup carries no
+    # PII — same invariant the r8 oracle used); quality gate BEFORE
+    # dedup, keeper = first quality-passing id per canonical text
+    # (row_number window, mirroring the curate_corpus plan).
     return f"""
 WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
-keepers AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY {_CANON}),
 f AS (
-  SELECT doc_id, len(toks) AS n,
+  SELECT doc_id, text, len(toks) AS n,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
          list_sum(list_transform(toks, x -> length(x))) AS chars,
          len(list_filter(toks, x -> list_contains({stop}, x))) AS n_stop,
          list_max(list_transform(list_distinct(toks),
              w -> len(list_filter(toks, x -> x = w)))) AS top
   FROM t
 ),
-surv AS (
-  SELECT t.doc_id, t.text, t.toks FROM t
-  JOIN keepers USING (doc_id)
-  JOIN f ON f.doc_id = t.doc_id
-  WHERE f.n >= 20 AND f.n <= 400 AND f.chars >= 2 * f.n AND f.chars <= 12 * f.n
-    AND f.n_stop > 0 AND f.top * 5 <= f.n
+q AS (
+  SELECT doc_id, text, n_tokens FROM f
+  WHERE n >= 20 AND n <= 400 AND chars >= 2 * n AND chars <= 12 * n
+    AND n_stop > 0 AND top * 5 <= n
+),
+k AS (
+  SELECT doc_id, text, n_tokens,
+         row_number() OVER (PARTITION BY {_CANON} ORDER BY doc_id) AS rn
+  FROM q
 ),
 sp AS (
   SELECT doc_id, {split_case} AS split,
          CAST(length(text) AS INT) AS clean_len,
          CAST(doc_id % {N_SHARDS} AS INT) AS shard,
-         CAST(len(toks) AS BIGINT) AS n_tokens
-  FROM surv
+         n_tokens
+  FROM k WHERE rn = 1
 ),
 offs AS (
   SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id

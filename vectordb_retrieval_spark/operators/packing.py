@@ -33,10 +33,18 @@ from vectordb_retrieval_spark.operators.dedup import tokens_expr
 
 
 def _with_shard_offsets(
-    df: DataFrame, n_shards: int, id_col: str, text_col: str, tokens_col: str | None
+    df: DataFrame,
+    n_shards: int,
+    id_col: str,
+    text_col: str,
+    tokens_col: str | None,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(doc_id, shard, n_tokens, start_off): exclusive running token sum
-    within the doc's shard, ordered by doc_id."""
+    """(doc_id, shard, n_tokens, start_off, *carry_cols): exclusive
+    running token sum within the doc's shard, ordered by doc_id.
+    ``carry_cols`` ride through the window so callers composing packing
+    with upstream stages (split labels, lengths) don't need a
+    join-back against the packed output."""
     n_tok = (
         F.col(tokens_col)
         if tokens_col
@@ -46,6 +54,7 @@ def _with_shard_offsets(
         F.col(id_col).alias("doc_id"),
         F.pmod(F.col(id_col), F.lit(n_shards)).cast("int").alias("shard"),
         n_tok.cast("long").alias("n_tokens"),
+        *[F.col(c) for c in carry_cols],
     ).filter(F.col("n_tokens") > 0)
     w = (
         Window.partitionBy("shard")
@@ -64,20 +73,25 @@ def pack_greedy(
     id_col: str = "doc_id",
     text_col: str = "text",
     tokens_col: str | None = None,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Whole-document packing: (doc_id, shard, seq_id, seq_off, n_tokens).
+    """Whole-document packing: (doc_id, shard, seq_id, seq_off,
+    n_tokens, *carry_cols).
 
     ``seq_id`` = the sequence whose window contains the doc's START
     offset; ``seq_off`` = the doc's position inside that sequence's
     token stream.  Sequences may overflow ``budget`` by < one doc (the
     overflow-tolerant variant used when documents must stay whole)."""
-    offs = _with_shard_offsets(df, n_shards, id_col, text_col, tokens_col)
+    offs = _with_shard_offsets(
+        df, n_shards, id_col, text_col, tokens_col, carry_cols
+    )
     return offs.select(
         "doc_id",
         "shard",
         F.floor(F.col("start_off") / budget).cast("int").alias("seq_id"),
         (F.col("start_off") % budget).cast("int").alias("seq_off"),
         "n_tokens",
+        *carry_cols,
     )
 
 

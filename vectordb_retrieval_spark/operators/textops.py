@@ -155,7 +155,38 @@ def quality_filter(
     oracle comparison is exact — no float rounding at the decision
     boundary.  Returns one 0/1 column per rule plus the conjunction.
     """
-    toks = tokens_expr(F.col(text_col))
+    r = quality_rules(
+        tokens_expr(F.col(text_col)),
+        min_tokens=min_tokens,
+        max_tokens=max_tokens,
+        min_mean_len=min_mean_len,
+        max_mean_len=max_mean_len,
+        top_word_den=top_word_den,
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        r["r_len"].cast("int").alias("r_len"),
+        r["r_mean"].cast("int").alias("r_mean_len"),
+        r["r_stop"].cast("int").alias("r_stopword"),
+        r["r_rep"].cast("int").alias("r_repetition"),
+        (r["r_len"] & r["r_mean"] & r["r_stop"] & r["r_rep"])
+        .cast("int")
+        .alias("keep"),
+    )
+
+
+def quality_rules(
+    toks,
+    min_tokens: int = 20,
+    max_tokens: int = 400,
+    min_mean_len: int = 2,
+    max_mean_len: int = 12,
+    top_word_den: int = 5,
+) -> dict:
+    """The rule columns from ONE token-array expression — shared by
+    quality_filter and the composed curation pipeline so the
+    tokenization is evaluated once per row regardless of how many
+    consumers need it.  Keys: n_tokens, r_len, r_mean, r_stop, r_rep."""
     n = F.size(toks)
     tok_chars = F.aggregate(
         F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
@@ -167,18 +198,15 @@ def quality_filter(
             lambda w: F.size(F.filter(toks, lambda x: x == w)),
         )
     )
-    r_len = (n >= min_tokens) & (n <= max_tokens)
-    r_mean = (tok_chars >= min_mean_len * n) & (tok_chars <= max_mean_len * n)
-    r_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t))) > 0
-    r_rep = top * top_word_den <= n
-    return df.select(
-        F.col(id_col).alias("id"),
-        r_len.cast("int").alias("r_len"),
-        r_mean.cast("int").alias("r_mean_len"),
-        r_stop.cast("int").alias("r_stopword"),
-        r_rep.cast("int").alias("r_repetition"),
-        (r_len & r_mean & r_stop & r_rep).cast("int").alias("keep"),
-    )
+    return {
+        "n_tokens": n,
+        "r_len": (n >= min_tokens) & (n <= max_tokens),
+        "r_mean": (tok_chars >= min_mean_len * n)
+        & (tok_chars <= max_mean_len * n),
+        "r_stop": F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+        > 0,
+        "r_rep": top * top_word_den <= n,
+    }
 
 
 def decontam_overlap(
