@@ -1110,7 +1110,7 @@ def main() -> int:
 
         from vectordb_retrieval_spark.operators.text_retrieval import bm25_rank
 
-        n_bm = int(os.environ.get("SPARK_GRAFT_CURVE_BM25_N", "250000"))
+        n_bm = int(os.environ.get("SPARK_GRAFT_CURVE_BM25_N", "1000000"))
         out["bm25_n"] = n_bm
         bdocs = synth_bm25(spark, n_bm).repartition(int(cpus)).cache()
         bdocs.count()
@@ -1122,6 +1122,95 @@ def main() -> int:
         out["bm25_docs_per_sec"] = round(n_bm / wall_bm, 1)
         out["bm25_planted_top100"] = sum(
             1 for r in top if r["doc_id"] % 1000 == 13
+        )
+
+        # round-9: INDEXED serving at the same corpus — build the
+        # postings artifact once (docs/s is the indexing rate), then
+        # serve a 3-query batch off the hot postings; planted needle
+        # docs must own query 0's hits
+        from vectordb_retrieval_spark.operators.text_retrieval import (
+            BM25Indexer,
+            BM25Searcher,
+        )
+
+        t0 = time.time()
+        art_bm = BM25Indexer().build(bdocs)
+        for t_ in art_bm.tables.values():
+            t_.cache().count()
+        t_build = time.time() - t0
+        out["bm25_index_build_s"] = round(t_build, 2)
+        out["bm25_index_docs_per_sec"] = round(n_bm / t_build, 1)
+        qdf = spark.createDataFrame(
+            [(0, ["needle", "w17"]), (1, ["w23", "w99"]), (2, ["w4242"])],
+            schema="qid long, terms array<string>",
+        )
+        bm_s = BM25Searcher().attach(art_bm)
+        res_idx = bm_s.search(qdf, 100).collect()  # warm + planted check
+        out["bm25_indexed_planted_q0"] = sum(
+            1 for r in res_idx if r["qid"] == 0 and r["doc_id"] % 1000 == 13
+        )
+        t_batch = timed_min(lambda: bm_s.search(qdf, 100).collect())
+        out["bm25_indexed_batch_s"] = round(t_batch, 3)
+        out["bm25_indexed_batch_ms"] = round(t_batch * 1000.0, 1)
+        for t_ in art_bm.tables.values():
+            t_.unpersist()
+
+        # round-9: HYBRID (BM25 ∪ dense, RRF-fused) at the same corpus.
+        # Synthetic 16-d embeddings are a distributed projection;
+        # planted docs share one vector that query 0 carries exactly, so
+        # both legs and the fusion must put planted docs on top.
+        from vectordb_retrieval_spark.operators.text_retrieval import (
+            hybrid_search,
+        )
+
+        dim_h = 16
+        src_h = FF.when(
+            FF.col("doc_id") % 1000 == 13, FF.lit(-1).cast("long")
+        ).otherwise(FF.col("doc_id"))
+        comp_h = lambda i: (  # noqa: E731
+            FF.pmod(FF.xxhash64(src_h, FF.lit(i)), FF.lit(2001)) / 1000.0
+            - 1.0
+        )
+        emb_df = bdocs.select(
+            FF.col("doc_id").alias("vec_id"),
+            FF.array(*[comp_h(i) for i in range(dim_h)])
+            .cast("array<float>")
+            .alias("embedding"),
+        )
+        qrow = (
+            spark.range(1)
+            .select(
+                *[
+                    (
+                        FF.pmod(
+                            FF.xxhash64(FF.lit(-1).cast("long"), FF.lit(i)),
+                            FF.lit(2001)
+                        )
+                        / 1000.0
+                        - 1.0
+                    ).alias(f"c{i}")
+                    for i in range(dim_h)
+                ]
+            )
+            .collect()[0]
+        )
+        qvec = [float(qrow[f"c{i}"]) for i in range(dim_h)]
+        hq = spark.createDataFrame(
+            [
+                (0, ["needle", "w17"], qvec),
+                (1, ["w23", "w99"], qvec),
+                (2, ["w4242"], qvec),
+            ],
+            schema="qid long, terms array<string>, qvec array<float>",
+        )
+        t0 = time.time()
+        hres = hybrid_search(
+            bdocs, emb_df, hq, k=20, cand=50, metric="cosine"
+        ).collect()
+        wall_h = time.time() - t0
+        out["hybrid_docs_per_sec"] = round(n_bm / wall_h, 1)
+        out["hybrid_planted_top20_q0"] = sum(
+            1 for r in hres if r["qid"] == 0 and r["doc_id"] % 1000 == 13
         )
         bdocs.unpersist()
         return out
@@ -1232,6 +1321,12 @@ def main() -> int:
         ("curve_dd_dps", scale_curve, "dedup_docs_per_sec"),
         ("curve_dd_rec", scale_curve, "dedup_planted_recall"),
         ("curve_bm_dps", scale_curve, "bm25_docs_per_sec"),
+        ("curve_bm_n", scale_curve, "bm25_n"),
+        ("curve_bmix_bld", scale_curve, "bm25_index_docs_per_sec"),
+        ("curve_bmix_ms", scale_curve, "bm25_indexed_batch_ms"),
+        ("curve_bmix_hit", scale_curve, "bm25_indexed_planted_q0"),
+        ("curve_hy_dps", scale_curve, "hybrid_docs_per_sec"),
+        ("curve_hy_hit", scale_curve, "hybrid_planted_top20_q0"),
         ("curve_pk_dps", scale_curve, "pipe_pack_docs_per_sec"),
         ("curve_sc_dps", scale_curve, "pipe_scrub_docs_per_sec"),
         ("curve_sc_fp", scale_curve, "pipe_scrub_false_pos"),

@@ -82,6 +82,59 @@ def bm25_probe(spark, n_docs: int) -> dict:
     )
     for t in art.tables.values():
         t.unpersist()
+
+    # hybrid (BM25 ∪ dense RRF) at the same corpus: synthetic 16-d
+    # embeddings as a distributed projection; planted docs share one
+    # vector that query 0 carries exactly, so both legs and the fusion
+    # must put planted docs on top
+    from vectordb_retrieval_spark.operators.text_retrieval import (
+        hybrid_search,
+    )
+
+    dim_h = 16
+    src_h = F.when(
+        F.col("doc_id") % 1000 == 13, F.lit(-1).cast("long")
+    ).otherwise(F.col("doc_id"))
+    comp_h = lambda i: (  # noqa: E731
+        F.pmod(F.xxhash64(src_h, F.lit(i)), F.lit(2001)) / 1000.0 - 1.0
+    )
+    emb_df = docs.select(
+        F.col("doc_id").alias("vec_id"),
+        F.array(*[comp_h(i) for i in range(dim_h)])
+        .cast("array<float>")
+        .alias("embedding"),
+    )
+    qrow = (
+        spark.range(1)
+        .select(
+            *[
+                (
+                    F.pmod(
+                        F.xxhash64(F.lit(-1).cast("long"), F.lit(i)),
+                        F.lit(2001),
+                    )
+                    / 1000.0
+                    - 1.0
+                ).alias(f"c{i}")
+                for i in range(dim_h)
+            ]
+        )
+        .collect()[0]
+    )
+    qvec = [float(qrow[f"c{i}"]) for i in range(dim_h)]
+    hq = spark.createDataFrame(
+        [
+            (0, ["needle", "w17"], qvec),
+            (1, ["w23", "w99"], qvec),
+            (2, ["w4242"], qvec),
+        ],
+        schema="qid long, terms array<string>, qvec array<float>",
+    )
+    t0 = time.time()
+    hres = hybrid_search(
+        docs, emb_df, hq, k=20, cand=50, metric="cosine"
+    ).collect()
+    wall_h = time.time() - t0
     docs.unpersist()
     return {
         "bm25_n_docs": n_docs,
@@ -89,8 +142,16 @@ def bm25_probe(spark, n_docs: int) -> dict:
         "bm25_docs_per_s": round(n_docs / wall),
         "bm25_planted_in_top100": planted_in_top,
         "bm25_index_build_s": round(t_build, 1),
+        "bm25_index_docs_per_s": round(n_docs / t_build),
         "bm25_indexed_batch_s": round(t_query, 3),
         "bm25_indexed_planted_q0": planted_idx,
+        "hybrid_wall_s": round(wall_h, 1),
+        "hybrid_docs_per_s": round(n_docs / wall_h),
+        "hybrid_planted_top20_q0": sum(
+            1
+            for r in hres
+            if r["qid"] == 0 and r["doc_id"] % 1000 == 13
+        ),
     }
 
 
