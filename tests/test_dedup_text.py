@@ -270,9 +270,55 @@ def test_multimodal_decode_matches_fake_decoder(corpus_df):
     assert out[0].mean_intensity == pytest.approx(want["mean_intensity"])
 
 
-def test_multimodal_decode_stub_raises_without_codec(corpus_df):
-    with pytest.raises(NotImplementedError):
-        decode_media(attach_binary_payload(corpus_df), decode_fn=None)
+def _pil_available() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def test_multimodal_decode_real_codec_gate(corpus_df):
+    """decode_fn=None selects the Pillow path (lazy executor-side
+    import, embedder-style gate): where the library is absent the
+    action raises NotImplementedError; it never silently falls back to
+    the stand-in."""
+    if _pil_available():
+        pytest.skip("Pillow installed — gate covered by the real-branch test")
+    with pytest.raises(Exception) as exc:
+        decode_media(attach_binary_payload(corpus_df), decode_fn=None).collect()
+    assert "NotImplementedError" in str(exc.value) or isinstance(
+        exc.value, NotImplementedError
+    )
+
+
+@pytest.mark.skipif(
+    not _pil_available(), reason="Pillow not installed in this environment"
+)
+def test_multimodal_decode_real_codec_branch(spark):
+    """With Pillow present the same mapInPandas plumbing must decode a
+    real image: exact dimensions and mean intensity of a synthetic
+    2-tone PNG, and codec='pil' resize checksums the real bitmap."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from vectordb_retrieval_spark.operators.multimodal import resize_media
+
+    arr = np.zeros((20, 40), dtype=np.uint8)
+    arr[:10, :] = 200  # top half bright
+    buf = io.BytesIO()
+    Image.fromarray(arr, mode="L").save(buf, format="PNG")
+    payload = buf.getvalue()
+    df = spark.createDataFrame([(0, bytearray(payload))], "doc_id long, payload binary")
+    row = decode_media(df).collect()[0]
+    assert (row.width, row.height) == (40, 20)
+    assert row.mean_intensity == pytest.approx(100.0 / 255.0)
+    rz = resize_media(df, 4, 4, codec="pil").collect()[0]
+    # rows 0..1 of the 4x4 sample land in the bright half: 8 px * 200
+    assert rz.checksum == 8 * 200
 
 
 def test_frame_sample_offsets_and_fingerprints(corpus_df):

@@ -2,12 +2,14 @@
 decode / feature-extract / resize / frame-sample as Arrow-batched
 kernels over ``mapInPandas``.
 
-The image/audio codec libraries are not available in this environment,
-so the *decode step itself* is stubbed: ``decode_fn=None`` raises
-``NotImplementedError`` (the real integration point), while
-``fake_decode`` provides a deterministic byte-derived stand-in so the
-Spark-side plumbing — binary schema, Arrow batch shape, partitioned
-execution, metadata struct — is real and tested end-to-end.
+The decode step has two branches (mirroring sources/embedder.py's
+model gate): ``decode_fn=None`` / ``codec="pil"`` lazily imports
+Pillow executor-side and decodes real bitmaps — raising
+``NotImplementedError`` where the library is absent (this sandbox) —
+while ``fake_decode`` / ``codec="bytes"`` is the deterministic
+byte-derived stand-in the oracle queries pin, so the Spark-side
+plumbing — binary schema, Arrow batch shape, partitioned execution,
+metadata struct — is real and tested end-to-end either way.
 
 Scale design: payloads stay as Parquet ``binary`` columns; kernels
 stream per Arrow batch (bounded memory per task), and feature outputs
@@ -51,6 +53,30 @@ def fake_decode(payload: bytes) -> dict:
     return {"width": width, "height": height, "mean_intensity": mean_intensity}
 
 
+def pil_decode(payload: bytes) -> dict:
+    """Real image decode via Pillow (lazy import — mirrors
+    sources/embedder.py's sentence-transformers gate): dimensions +
+    grayscale mean intensity of the decoded bitmap.  Raises
+    NotImplementedError when Pillow is absent, marking the integration
+    point without faking a result."""
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError as e:  # pragma: no cover - env-dependent
+        raise NotImplementedError(
+            "Pillow is not installed in this environment; pass "
+            "decode_fn=fake_decode for the deterministic stand-in"
+        ) from e
+    img = Image.open(io.BytesIO(payload))
+    gray = np.asarray(img.convert("L"), dtype=np.float64)
+    return {
+        "width": int(img.width),
+        "height": int(img.height),
+        "mean_intensity": float(gray.mean() / 255.0),
+    }
+
+
 def decode_media(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -59,19 +85,17 @@ def decode_media(
 ) -> DataFrame:
     """(id, width, height, mean_intensity): per-payload decoded metadata.
 
-    ``decode_fn=None`` marks the unavailable real codec path."""
-    if decode_fn is None:
-        raise NotImplementedError(
-            "real media decoding requires an image/audio codec library "
-            "not present in this environment; pass decode_fn=fake_decode "
-            "for the deterministic test stand-in"
-        )
+    ``decode_fn=None`` selects the real Pillow codec path (lazy import
+    executor-side; raises NotImplementedError where the library is
+    absent).  Pass ``fake_decode`` for the deterministic no-dependency
+    stand-in the oracle queries use."""
+    fn = decode_fn or pil_decode
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            feats = [decode_fn(bytes(p)) for p in pdf[payload_col]]
+            feats = [fn(bytes(p)) for p in pdf[payload_col]]
             yield pd.DataFrame(
                 {
                     "id": pdf[id_col].to_numpy(dtype=np.int64),
@@ -92,15 +116,21 @@ def resize_media(
     out_h: int = 8,
     id_col: str = "doc_id",
     payload_col: str = "payload",
+    codec: str = "bytes",
 ) -> DataFrame:
-    """Nearest-neighbor resize plumbing: the payload is viewed as a
-    (h × w) grayscale grid (dims from the stub decoder, pixels = payload
-    bytes wrapped mod length) and resampled to (out_h × out_w) with
-    integer index arithmetic; output is the resampled-pixel checksum.
+    """Nearest-neighbor resize: (id, out_w, out_h, checksum of the
+    resampled pixels).
 
-    The grid view is the stand-in for a real decoded bitmap — swap the
-    byte-wrap for a real decoder's array and the kernel is a production
-    resize (index math, batch shape, and schema unchanged)."""
+    ``codec="bytes"`` (default, no dependencies): the payload is viewed
+    as a (h × w) grayscale grid (dims from the stub decoder, pixels =
+    payload bytes wrapped mod length) — the stand-in the oracle queries
+    pin.  ``codec="pil"``: the payload is decoded with Pillow (lazy
+    executor-side import, NotImplementedError when absent — the
+    embedder-style gate) and the SAME integer index arithmetic
+    resamples the real grayscale bitmap; batch shape and schema are
+    identical across codecs."""
+    if codec not in ("bytes", "pil"):
+        raise ValueError(f"unknown codec {codec!r}")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rr = np.arange(out_h)
@@ -111,16 +141,34 @@ def resize_media(
             ids, sums = [], []
             for did, p in zip(pdf[id_col], pdf[payload_col]):
                 raw = bytes(p)
-                n = max(len(raw), 1)
-                dg = hashlib.md5(raw).digest()
-                w = 16 + dg[0] % 64
-                h = 16 + dg[1] % 64
-                src_r = rr * h // out_h
-                src_c = cc * w // out_w
-                idx = (src_r[:, None] * w + src_c[None, :]) % n
-                arr = np.frombuffer(raw.ljust(1, b"\0"), dtype=np.uint8)
+                if codec == "pil":
+                    try:
+                        import io
+
+                        from PIL import Image
+                    except ImportError as e:  # pragma: no cover
+                        raise NotImplementedError(
+                            "Pillow is not installed; use codec='bytes' "
+                            "for the deterministic stand-in"
+                        ) from e
+                    img = Image.open(io.BytesIO(raw))
+                    arr2d = np.asarray(img.convert("L"), dtype=np.uint8)
+                    h, w = arr2d.shape
+                    src_r = rr * h // out_h
+                    src_c = cc * w // out_w
+                    sample = arr2d[src_r[:, None], src_c[None, :]]
+                else:
+                    n = max(len(raw), 1)
+                    dg = hashlib.md5(raw).digest()
+                    w = 16 + dg[0] % 64
+                    h = 16 + dg[1] % 64
+                    src_r = rr * h // out_h
+                    src_c = cc * w // out_w
+                    idx = (src_r[:, None] * w + src_c[None, :]) % n
+                    arr = np.frombuffer(raw.ljust(1, b"\0"), dtype=np.uint8)
+                    sample = arr[idx]
                 ids.append(did)
-                sums.append(int(arr[idx].sum()))
+                sums.append(int(sample.sum()))
             yield pd.DataFrame(
                 {
                     "id": ids,
