@@ -512,3 +512,45 @@ def test_experiment_runner_repeat_mean_std(spark, tmp_path):
     assert "±" in md
     onep = one_page_summary({"ds": combined})
     assert "±" in onep
+
+
+def test_index_factory_spec_parsing_and_end_to_end(spark):
+    """FAISS-style factory strings (reference
+    src/algorithms/approximate_search.py:6-87) map onto the native
+    operators; an exhaustive IVF spec must be exact end to end."""
+    from vectordb_retrieval_spark.registry import (
+        algorithm_from_spec,
+        parse_index_spec,
+    )
+
+    icfg, scfg = parse_index_spec("IVF256,SQ8", metric="cosine", nprobe=10)
+    assert icfg["type"] == "ivf_sq8" and icfg["nlist"] == 256
+    assert scfg == {"type": "ivf", "nprobe": 10}
+    icfg, _ = parse_index_spec("IVF128,PQ16x6")
+    assert (icfg["m"], icfg["ksub"]) == (16, 64)
+    assert parse_index_spec("HNSW32", ef_search=48)[0]["type"] == "graph_ann"
+    assert parse_index_spec("Flat")[0]["type"] == "brute_force"
+    assert parse_index_spec("LSH", dimension=8)[0]["type"] == "lsh"
+    assert parse_index_spec("PQ8")[1]["type"] == "pq_adc"
+    with pytest.raises(ValueError):
+        parse_index_spec("IVF10,HNSW2")
+    with pytest.raises(ValueError):
+        parse_index_spec("PQx")
+
+    from tests.conftest import make_vector_df
+    import numpy as np
+
+    rng = np.random.RandomState(2)
+    base = make_vector_df(spark, rng.randn(300, 8))
+    queries = make_vector_df(
+        spark, rng.randn(12, 8), id_name="qid", vec_name="vec"
+    )
+    algo = algorithm_from_spec("IVF4,Flat", nprobe=4, seed=7)
+    algo.build_index(base)
+    got = algo.batch_search(queries, 5).select("qid", "id", "rank")
+    from vectordb_retrieval_spark.operators.exact import exact_knn
+
+    want = exact_knn(base, queries, 5, "l2").select("qid", "id", "rank")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )

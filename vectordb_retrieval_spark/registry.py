@@ -146,3 +146,94 @@ def get_algorithm_instance(
     icls = INDEXER_REGISTRY[icfg.pop("type")]
     scls = SEARCHER_REGISTRY[scfg.pop("type")]
     return CompositeAlgorithm(icls(**icfg), scls(**scfg))
+
+
+def parse_index_spec(
+    spec: str, metric: str = "l2", **params
+) -> tuple[dict[str, Any], dict[str, Any]]:
+    """FAISS-style index-factory string → (indexer_cfg, searcher_cfg).
+
+    Parity: the reference's generic factory surface
+    (``src/algorithms/approximate_search.py:6-87`` accepts any
+    ``faiss.index_factory(dimension, index_type)`` string).  Supported
+    specs map onto this engine's native operators:
+
+    - ``"Flat"``                 → brute_force + linear
+    - ``"IVF{n},Flat"``          → ivf_flat(nlist=n) + ivf
+    - ``"IVF{n},SQ8"``           → ivf_sq8(nlist=n) + ivf
+    - ``"IVF{n},PQ{m}[x{b}]"``   → ivf_pq(nlist=n, m=m, ksub=2^b) + ivf
+    - ``"PQ{m}[x{b}]"``          → pq(m=m, ksub=2^b) + pq_adc
+    - ``"HNSW{m}"``              → graph_ann(m=m) + graph_ann (the
+      survey-sanctioned partitioned-graph HNSW replacement, SURVEY §7.1#8)
+    - ``"LSH"``                  → lsh + lsh
+
+    Extra ``params`` spread into the indexer config except the
+    searcher-time knobs (``nprobe``, ``ef_search``,
+    ``candidate_multiplier``, ``probe_partitions``), which route to the
+    searcher — the same split the reference makes when it pushes
+    ``kwargs['nprobe']`` onto the built index
+    (approximate_search.py:49-50)."""
+    import re
+
+    search_keys = {
+        "nprobe", "ef_search", "candidate_multiplier", "probe_partitions",
+    }
+    icfg: dict[str, Any] = {"metric": metric}
+    scfg: dict[str, Any] = {}
+    for key, val in params.items():
+        (scfg if key in search_keys else icfg)[key] = val
+
+    s = spec.strip()
+    parts = [p.strip() for p in s.split(",")]
+
+    def _pq_args(token: str) -> dict[str, int]:
+        m = re.fullmatch(r"PQ(\d+)(?:x(\d+))?", token)
+        if not m:
+            raise ValueError(f"bad PQ clause in index spec {spec!r}")
+        out = {"m": int(m.group(1))}
+        if m.group(2):
+            out["ksub"] = 2 ** int(m.group(2))
+        return out
+
+    if len(parts) == 1:
+        p = parts[0]
+        if p == "Flat":
+            return {"type": "brute_force", **icfg}, {"type": "linear", **scfg}
+        if p == "LSH":
+            return {"type": "lsh", **icfg}, {"type": "lsh", **scfg}
+        m = re.fullmatch(r"HNSW(\d+)", p)
+        if m:
+            return (
+                {"type": "graph_ann", "m": int(m.group(1)), **icfg},
+                {"type": "graph_ann", **scfg},
+            )
+        if p.startswith("PQ"):
+            return (
+                {"type": "pq", **_pq_args(p), **icfg},
+                {"type": "pq_adc", **scfg},
+            )
+    elif len(parts) == 2:
+        m = re.fullmatch(r"IVF(\d+)", parts[0])
+        if m:
+            icfg["nlist"] = int(m.group(1))
+            quant = parts[1]
+            if quant == "Flat":
+                return {"type": "ivf_flat", **icfg}, {"type": "ivf", **scfg}
+            if quant == "SQ8":
+                return {"type": "ivf_sq8", **icfg}, {"type": "ivf", **scfg}
+            if quant.startswith("PQ"):
+                return (
+                    {"type": "ivf_pq", **_pq_args(quant), **icfg},
+                    {"type": "ivf", **scfg},
+                )
+    raise ValueError(f"unsupported index spec {spec!r}")
+
+
+def algorithm_from_spec(
+    spec: str, metric: str = "l2", **params
+) -> CompositeAlgorithm:
+    """One-call factory: ``algorithm_from_spec("IVF256,SQ8", nprobe=10)``
+    — the ergonomic equivalent of the reference's
+    ``ApproximateSearch(..., index_type="IVF256,SQ8", nprobe=10)``."""
+    icfg, scfg = parse_index_spec(spec, metric, **params)
+    return get_algorithm_instance(icfg, scfg)
