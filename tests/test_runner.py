@@ -554,3 +554,24 @@ def test_index_factory_spec_parsing_and_end_to_end(spark):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+def test_config_resolves_index_spec_strings():
+    """YAML algorithms can use the reference's factory-string ergonomics
+    (index_spec/index_params) — resolved through parse_index_spec with
+    the dataset-level metric still applied."""
+    raw = {
+        "topk": 5,
+        "algorithms": {
+            "sq8": {"index_spec": "IVF64,SQ8", "index_params": {"nprobe": 8}},
+            "flat": {"index_spec": "Flat"},
+        },
+        "datasets": [{"name": "d", "type": "random", "metric": "cosine"}],
+    }
+    (cfg,) = resolve_benchmark_config(raw)
+    sq8 = cfg.algorithms["sq8"]
+    assert sq8["indexer"]["type"] == "ivf_sq8"
+    assert sq8["indexer"]["nlist"] == 64
+    assert sq8["indexer"]["metric"] == "cosine"  # dataset metric forced
+    assert sq8["searcher"] == {"type": "ivf", "nprobe": 8}
+    assert cfg.algorithms["flat"]["indexer"]["type"] == "brute_force"

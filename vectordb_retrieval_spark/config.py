@@ -76,8 +76,25 @@ def _resolve_refs(
     searchers: dict[str, dict],
 ) -> dict[str, Any]:
     """Resolve ``indexer_ref``/``searcher_ref`` against the reusable
-    registries into inline configs (reference: runner.py:274-299)."""
+    registries into inline configs (reference: runner.py:274-299), and
+    ``index_spec`` FAISS-style factory strings (reference
+    approximate_search.py ``index_type``) into indexer/searcher pairs —
+    explicit ``indexer``/``searcher`` keys deep-merge on top."""
     cfg = copy.deepcopy(algo_cfg)
+    if "index_spec" in cfg:
+        from vectordb_retrieval_spark.registry import parse_index_spec
+
+        spec = cfg.pop("index_spec")
+        spec_params = cfg.pop("index_params", {})
+        icfg, scfg = parse_index_spec(
+            spec, cfg.get("metric", "l2"), **spec_params
+        )
+        if "metric" not in cfg and "metric" not in spec_params:
+            # leave the slot open for the dataset-level metric
+            # (setdefault in resolve_benchmark_config)
+            icfg.pop("metric", None)
+        cfg["indexer"] = deep_merge_dict(icfg, cfg.get("indexer", {}))
+        cfg["searcher"] = deep_merge_dict(scfg, cfg.get("searcher", {}))
     if "indexer_ref" in cfg:
         ref = cfg.pop("indexer_ref")
         if ref not in indexers:

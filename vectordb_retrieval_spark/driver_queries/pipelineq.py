@@ -166,6 +166,31 @@ def _hash_sql(seed: int) -> str:
     return sample_hash_sql("doc_id", seed)
 
 
+BERN_RATE = 0.35
+BERN_SEED = 5
+
+
+def q_sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain deterministic Bernoulli sample — the direct oracle check on
+    the widened 2^31−1 hash coin (round-9; the stratified/split queries
+    exercise it only through CASE thresholds)."""
+    from vectordb_retrieval_spark.operators.sampling import hash_sample
+
+    return (
+        hash_sample(docs(spark, sf_dir), BERN_RATE, BERN_SEED)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+def _bernoulli_oracle() -> str:
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE {_hash_sql(BERN_SEED)} < {int(BERN_RATE * _MOD)}
+ORDER BY doc_id
+"""
+
+
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         stratified_sample(
@@ -438,6 +463,7 @@ QUERIES = {
     "sample_top_per_stratum": q_sample_top_per_stratum,
     "quality_quantile_gate": q_quantile_gate,
     "shuffle_export_shards": q_shuffle_shards,
+    "sample_bernoulli_hash": q_sample_bernoulli,
 }
 
 ORACLES = {
@@ -453,4 +479,5 @@ ORACLES = {
     "sample_top_per_stratum": _TAKE_ORACLE,
     "quality_quantile_gate": _GATE_ORACLE,
     "shuffle_export_shards": _SHUFFLE_ORACLE,
+    "sample_bernoulli_hash": _bernoulli_oracle(),
 }
