@@ -407,3 +407,86 @@ def test_decontam_join_broadcasts_bench_side(spark):
     )
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def _py_sample_hash(i: int, seed: int = 0) -> int:
+    """Pure-python twin of sampling.sample_hash for property checks."""
+    from vectordb_retrieval_spark.operators.sampling import _A1, _A2, _B, _P
+
+    lo = ((i & _P) + seed) % _P
+    hi = ((i >> 31) + seed) % _P
+    return ((_A1 * lo) % _P + (_A2 * hi) % _P + _B) % _P
+
+
+@given(
+    ids=st.lists(
+        st.integers(min_value=0, max_value=(1 << 62)),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    ),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_sample_hash_matches_python_and_range(spark, ids, seed):
+    """Spark sample_hash == the pure-python twin for arbitrary 62-bit
+    ids, and every coin lands in [0, 2^31−1) — the int64-safety and
+    engine-reproducibility contract the DuckDB oracles rely on."""
+    import pyspark.sql.functions as F
+
+    from vectordb_retrieval_spark.operators.sampling import _P, sample_hash
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r["doc_id"]: r["h"]
+        for r in df.select(
+            "doc_id", sample_hash(F.col("doc_id"), seed).alias("h")
+        ).collect()
+    }
+    for i in ids:
+        assert got[i] == _py_sample_hash(i, seed)
+        assert 0 <= got[i] < _P
+
+
+@given(
+    n=st.integers(min_value=1, max_value=200),
+    chunk=st.integers(min_value=2, max_value=50),
+    overlap_frac=st.floats(min_value=0.0, max_value=0.9),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_chunk_documents_covers_every_token_once(
+    spark, n, chunk, overlap_frac
+):
+    """Sliding-window chunking invariants for arbitrary (n, chunk,
+    overlap): chunks cover [0, n) exactly, consecutive chunks overlap
+    by exactly `overlap` (except a shorter tail), and no chunk is
+    contained in its predecessor."""
+    from vectordb_retrieval_spark.operators.textops import chunk_documents
+
+    overlap = min(int(chunk * overlap_frac), chunk - 1)
+    text = " ".join(f"w{i}" for i in range(n))
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    rows = sorted(
+        (r["tok_start"], r["tok_end"], r["chunk_text"])
+        for r in chunk_documents(df, chunk, overlap).collect()
+    )
+    assert rows[0][0] == 0 and rows[-1][1] == n
+    covered = set()
+    prev_end = None
+    for s, e, txt in rows:
+        assert e - s <= chunk
+        assert txt.split(" ") == [f"w{i}" for i in range(s, e)]
+        if prev_end is not None:
+            assert s == prev_end - overlap  # exact stride
+            assert e > prev_end  # never contained in predecessor
+        covered.update(range(s, e))
+        prev_end = e
+    assert covered == set(range(n))

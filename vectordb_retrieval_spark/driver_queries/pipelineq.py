@@ -450,6 +450,44 @@ FROM r WHERE rank <= {KW_TOP} ORDER BY doc_id, rank
 """
 
 
+CHUNK_T = 40
+CHUNK_OVR = 10
+_CHUNK_STRIDE = CHUNK_T - CHUNK_OVR
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vectordb_retrieval_spark.operators.textops import chunk_documents
+
+    return chunk_documents(docs(spark, sf_dir), CHUNK_T, CHUNK_OVR).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
+_CHUNK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+),
+s AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+st AS (
+  SELECT doc_id, toks, n,
+         unnest(generate_series(0,
+           CAST(greatest(n - {CHUNK_OVR} - 1, 0) AS BIGINT),
+           {_CHUNK_STRIDE})) AS s0
+  FROM s
+)
+SELECT doc_id,
+       CAST(s0 // {_CHUNK_STRIDE} AS INT) AS chunk_id,
+       CAST(s0 AS INT) AS tok_start,
+       CAST(least(s0 + {CHUNK_T}, n) AS INT) AS tok_end,
+       CAST(least(s0 + {CHUNK_T}, n) - s0 AS INT) AS n_tokens,
+       array_to_string(
+         list_slice(toks, CAST(s0 + 1 AS BIGINT),
+                    CAST(least(s0 + {CHUNK_T}, n) AS BIGINT)), ' ')
+         AS chunk_text
+FROM st ORDER BY doc_id, chunk_id
+"""
+
+
 QUERIES = {
     "pack_greedy_sequences": q_pack_greedy,
     "text_keyword_extract": q_keyword_extract,
@@ -464,6 +502,7 @@ QUERIES = {
     "quality_quantile_gate": q_quantile_gate,
     "shuffle_export_shards": q_shuffle_shards,
     "sample_bernoulli_hash": q_sample_bernoulli,
+    "chunk_documents_sliding": q_chunk_documents,
 }
 
 ORACLES = {
@@ -480,4 +519,5 @@ ORACLES = {
     "quality_quantile_gate": _GATE_ORACLE,
     "shuffle_export_shards": _SHUFFLE_ORACLE,
     "sample_bernoulli_hash": _bernoulli_oracle(),
+    "chunk_documents_sliding": _CHUNK_ORACLE,
 }

@@ -385,3 +385,61 @@ def doc_fingerprint(
         F.md5(canonical_text(F.col(text_col))).alias("fingerprint"),
         winnow.alias("winnow60"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 256,
+    overlap: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    with_text: bool = True,
+) -> DataFrame:
+    """Sliding-window document chunking — the RAG/embedding-prep layout
+    (one row per chunk with in-doc token offsets and the chunk text):
+    (doc_id, chunk_id, tok_start, tok_end, n_tokens, chunk_text?).
+
+    Window starts are multiples of ``stride = chunk_tokens − overlap``
+    while ``start ≤ max(n − overlap − 1, 0)`` — every token is covered
+    and no chunk is fully contained in its predecessor; the tail chunk
+    may be shorter.  Pure column expressions (one tokenization behind a
+    Generate barrier, a bounded explode of ceil(n/stride) starts per
+    doc) — no UDFs, no shuffle; chunk_text is rebuilt from the token
+    array, so it is whitespace-normalized."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toked = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array(tokens_expr(F.col(text_col)))).alias("_toks"),
+    ).withColumn("_n", F.size("_toks")).filter(F.col("_n") > 0)
+    starts = toked.withColumn(
+        "_st",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.col("_n") - overlap - 1, F.lit(0)),
+                F.lit(stride),
+            )
+        ),
+    )
+    end = F.least(F.col("_st") + chunk_tokens, F.col("_n"))
+    cols = [
+        "doc_id",
+        (F.col("_st") / stride).cast("int").alias("chunk_id"),
+        F.col("_st").cast("int").alias("tok_start"),
+        end.cast("int").alias("tok_end"),
+        (end - F.col("_st")).cast("int").alias("n_tokens"),
+    ]
+    if with_text:
+        cols.append(
+            F.array_join(
+                F.slice(
+                    F.col("_toks"),
+                    F.col("_st") + 1,
+                    end - F.col("_st"),
+                ),
+                " ",
+            ).alias("chunk_text")
+        )
+    return starts.select(*cols)
