@@ -1,0 +1,151 @@
+"""Unit tests for exact substring (span-level) dedup and SemDeDup.
+
+Hand-built corpora with planted duplicated spans / semantic clusters;
+the sf0.01 oracle gate (tools/check_oracle.py: substring_dup_spans,
+substring_dedup_cut, semantic_dedup_fixed) covers full-scale parity.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from vectordb_retrieval_spark.operators.dedup import semantic_dedup
+from vectordb_retrieval_spark.operators.substring import (
+    duplicated_spans,
+    gram_positions,
+    substring_dedup,
+)
+
+# Two docs share the 8-token run "a b c d e f g h"; doc 2 repeats an
+# internal 6-token run of itself; doc 3 is short and unique.
+_SHARED = "a b c d e f g h"
+_CORPUS = [
+    (0, f"zero intro {_SHARED} zero outro words here"),
+    (1, f"one opening words {_SHARED} and a unique one tail"),
+    (2, "p q r s t u filler filler2 p q r s t u trailer"),
+    (3, "tiny unique doc"),
+    (4, ""),
+]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(_CORPUS, schema="doc_id long, text string")
+
+
+def test_gram_positions_count_and_base(spark, corpus):
+    k = 6
+    g = gram_positions(corpus, k).toPandas()
+    # each doc with n >= k tokens contributes n - k + 1 windows, 1-based
+    lens = {i: len(t.split()) for i, t in _CORPUS if t.split()}
+    want = sum(max(0, n - k + 1) for n in lens.values())
+    assert len(g) == want
+    assert g["pos"].min() == 1
+    by_doc = g.groupby("id")["pos"].max().to_dict()
+    for i, n in lens.items():
+        if n >= k:
+            assert by_doc[i] == n - k + 1
+
+
+def test_duplicated_spans_planted(spark, corpus):
+    spans = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in duplicated_spans(corpus, k=6, min_count=2).collect()
+    }
+    # docs 0/1 share an 8-token run -> one maximal span each, exactly
+    # covering the run (tokens are 1-based):
+    # doc 0: "zero intro" -> run at 3..10; doc 1: 3 lead tokens -> 4..11
+    assert (0, 3, 10) in spans
+    assert (1, 4, 11) in spans
+    # doc 2's internal repeat "p q r s t u" at 1..6 and 9..14: the two
+    # window starts (1 and 9) differ by 8 > k=6, so two separate spans
+    assert (2, 1, 6) in spans
+    assert (2, 9, 14) in spans
+    # nothing from the short/empty docs
+    assert all(d in (0, 1, 2) for d, _, _ in spans)
+
+
+def test_duplicated_spans_merge_adjacent(spark):
+    # one long duplicated run -> consecutive window starts merge into
+    # ONE maximal span, not one span per window
+    run = " ".join(f"w{i}" for i in range(12))
+    df = spark.createDataFrame(
+        [(0, f"x {run} y"), (1, f"{run} z tail")],
+        schema="doc_id long, text string",
+    )
+    spans = duplicated_spans(df, k=6, min_count=2).collect()
+    got = {(r.doc_id, r.span_start, r.span_end, r.n_grams) for r in spans}
+    assert got == {(0, 2, 13, 7), (1, 1, 12, 7)}
+
+
+def test_substring_dedup_cut_rebuilds_text(spark, corpus):
+    out = {r.doc_id: r for r in substring_dedup(corpus, k=6, min_count=2).collect()}
+    assert set(out) == {0, 1, 2, 3, 4}
+    # doc 3: untouched; hash of its own canonical join
+    assert out[3].n_removed == 0
+    assert out[3].text_hash == hashlib.md5(b"tiny unique doc").hexdigest()
+    # doc 4: empty text -> empty rebuild
+    assert out[4].n_tokens == 0
+    assert out[4].text_hash == hashlib.md5(b"").hexdigest()
+    # doc 0: the shared 8-token run is cut (tokens 3..10)
+    kept0 = "zero intro zero outro words here"
+    assert out[0].n_removed == 8
+    assert out[0].text_hash == hashlib.md5(kept0.encode()).hexdigest()
+    # doc 2: both copies of the repeated run are cut
+    kept2 = "filler filler2 trailer"
+    assert out[2].n_removed == 12
+    assert out[2].text_hash == hashlib.md5(kept2.encode()).hexdigest()
+    # n_tokens preserved from the input
+    assert out[0].n_tokens == len(_CORPUS[0][1].split())
+
+
+def test_substring_dedup_no_dups_identity(spark):
+    df = spark.createDataFrame(
+        [(0, "all words here differ"), (1, "completely other content now")],
+        schema="doc_id long, text string",
+    )
+    out = substring_dedup(df, k=3, min_count=2).collect()
+    assert all(r.n_removed == 0 for r in out)
+
+
+def _cluster_fixture(spark):
+    """3 tight clusters of 4 vectors each + 2 far-out singletons; the
+    first 3 vectors double as centroids."""
+    rng = np.random.RandomState(7)
+    centers = np.eye(3, 8, dtype=np.float64) * 10.0
+    rows = []
+    vid = 0
+    for c in range(3):
+        for _ in range(4):
+            v = centers[c] + rng.randn(8) * 0.01
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    for v in (-np.ones(8) * 5.0, np.array([0, 0, 0, 0, 9, -9, 9, -9.0])):
+        rows.append((vid, [float(x) for x in v]))
+        vid += 1
+    df = spark.createDataFrame(rows, schema="vec_id long, embedding array<float>")
+    cents = np.stack([np.array(rows[i][1]) for i in (0, 4, 8)]).astype(np.float32)
+    return df, cents
+
+
+def test_semantic_dedup_keeps_lowest_id_per_cluster(spark):
+    df, cents = _cluster_fixture(spark)
+    out = semantic_dedup(df, cents, threshold=0.9).toPandas()
+    keep = set(out["vec_id"])
+    # within each tight cluster only the lowest id survives; the two
+    # far-out vectors are not similar to any lower-id cluster-mate
+    assert keep == {0, 4, 8, 12, 13}
+    # survivors carry their cluster assignment
+    assert set(out.columns) == {"vec_id", "cluster_id"}
+
+
+def test_semantic_dedup_threshold_monotone(spark):
+    df, cents = _cluster_fixture(spark)
+    hi = set(semantic_dedup(df, cents, threshold=0.999999).toPandas()["vec_id"])
+    lo = set(semantic_dedup(df, cents, threshold=0.5).toPandas()["vec_id"])
+    # lower threshold drops at least as many
+    assert lo <= hi
+    assert 0 in lo and 4 in lo and 8 in lo  # keepers never dropped

@@ -21,6 +21,7 @@ def collect_catalogue() -> tuple[
 ]:
     from vectordb_retrieval_spark.driver_queries import (
         ann,
+        curationq,
         dedupq,
         filesq,
         knn,
@@ -42,7 +43,7 @@ def collect_catalogue() -> tuple[
     oracles: dict = {}
     for mod in (
         knn, metricsq, ann, dedupq, textq, streamq, temporalq,
-        retrievalq, sourcesq, filesq, pipelineq,
+        retrievalq, sourcesq, filesq, pipelineq, curationq,
     ):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)

@@ -582,3 +582,69 @@ def embedding_near_dup_pairs(
                 yield pd.DataFrame({"a": out_a, "b": out_b})
 
     return df.select(id_col).mapInPandas(kernel, schema="a long, b long")
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style cluster-scoped semantic deduplication.
+
+    Re-expresses the recipe of Abbas et al. 2023 ("SemDeDup: Data-
+    efficient learning at web-scale through semantic deduplication",
+    arXiv:2303.09540) as DataFrame algebra: assign every vector to its
+    nearest centroid (L2, ties to the lower centroid id), compare only
+    within-cluster pairs, and drop any vector that has a lower-id
+    cluster-mate with cosine similarity >= ``threshold``.  Returns the
+    survivors as (vec_id, cluster_id).
+
+    Scale: the pairwise stage is quadratic only *within* a cluster —
+    the SemDeDup shape (cluster count grows with corpus size so cluster
+    population stays bounded; the paper uses k ~ sqrt(n)).  Assignment
+    reuses the IVF fixed-centroid kernel (broadcast centroids, one
+    mapInArrow pass); the pair stage is a single self-join shuffled on
+    cluster_id; cosine is a float64 column-expression fold — no
+    per-pair Python.  Keeper choice is the deterministic lower-id rule
+    rather than the paper's farthest-from-centroid rule so an external
+    SQL engine reproduces the survivor set exactly.
+    """
+    from vectordb_retrieval_spark.operators.ivf import FixedCentroidIVFIndexer
+
+    art = FixedCentroidIVFIndexer(centroids, metric="l2").build(
+        df, id_col=id_col, vec_col=vec_col
+    )
+    assign = art.tables["assignment"].select(
+        "id", F.col("cluster_id").cast("int").alias("cluster_id")
+    )
+    vecs = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    sub = assign.join(vecs, on="id")
+
+    def _fold(arr: Column) -> Column:
+        return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+    a = sub.select(
+        F.col("id").alias("a"), "cluster_id", F.col("v").alias("va")
+    )
+    b = sub.select(
+        F.col("id").alias("b"), "cluster_id", F.col("v").alias("vb")
+    )
+    dot = _fold(F.zip_with("va", "vb", lambda x, y: x * y))
+    na = _fold(F.transform("va", lambda x: x * x))
+    nb = _fold(F.transform("vb", lambda x: x * x))
+    cos = dot / (F.sqrt(na) * F.sqrt(nb))
+    dropped = (
+        a.join(b, on="cluster_id")
+        .filter(F.col("a") < F.col("b"))
+        .filter(cos >= threshold)
+        .select(F.col("b").alias("id"))
+        .distinct()
+    )
+    return assign.join(dropped, on="id", how="left_anti").select(
+        F.col("id").alias("vec_id"), "cluster_id"
+    )

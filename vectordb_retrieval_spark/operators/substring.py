@@ -1,0 +1,176 @@
+"""Exact substring (span-level) deduplication.
+
+Spark-native re-expression of the k-token-gram duplicate-span removal
+popularized by Lee et al. 2021, "Deduplicating Training Data Makes
+Language Models Better" (arXiv:2107.06499).  The paper builds one giant
+suffix array; a 100 TB corpus wants the shuffle-friendly equivalent:
+every length-k token window is hashed, windows whose hash occurs >=
+``min_count`` times corpus-wide are duplicated, and per document the
+overlapping duplicated windows merge into maximal duplicated spans
+(gaps-and-islands).  A fixed k trades the paper's "any length >= L"
+guarantee for pure DataFrame algebra: any duplicated substring of
+>= k tokens is found exactly (its windows all collide), shorter ones are
+ignored by construction.
+
+No analogue exists in the reference repo (its dedup is a whole-document
+dict pass, src/benchmark/dataset.py:732-741); this module is part of the
+beyond-reference training-data layer the task brief asks for.
+
+Scale shape (100 TB notes):
+- gram hashing is one projection + posexplode — n_tokens rows per doc,
+  the same cardinality the MinHash shingle explode already pays;
+- duplicated-window detection is a single count window partitioned by
+  the 60-bit gram hash (one map-side-combinable shuffle, no join-back);
+- span merge and text rebuild are windows/aggregations partitioned by
+  doc id — never a global window;
+- the cut explodes at most k covered positions per duplicated window
+  (bounded) and rebuilds text with one per-doc aggregation.
+Everything is built-in column expressions — no Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from vectordb_retrieval_spark.operators.dedup import hash60, tokens_expr
+
+
+def gram_positions(
+    df: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, pos, gh): 60-bit hash of each length-k token window.
+
+    ``pos`` is the 1-based index of the window's first token.  Documents
+    shorter than k tokens contribute no rows.  The hash is the md5-based
+    :func:`~vectordb_retrieval_spark.operators.dedup.hash60`, so an
+    external SQL engine reproduces it exactly.
+    """
+    if k < 1:
+        raise ValueError(f"gram_positions: k must be >= 1, got {k}")
+    base = df.select(
+        F.col(id_col).alias("id"), tokens_expr(F.col(text_col)).alias("toks")
+    ).filter(F.size("toks") >= k)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - F.lit(k - 1)),
+        lambda i: hash60(F.concat_ws(" ", F.slice(F.col("toks"), i, k))),
+    )
+    return base.select("id", F.posexplode(grams).alias("p0", "gh")).select(
+        "id", (F.col("p0") + 1).cast("long").alias("pos"), "gh"
+    )
+
+
+def _dup_positions(
+    df: DataFrame, k: int, min_count: int, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, pos) of every window whose gram hash repeats >= min_count
+    times corpus-wide.  One shuffle (count window on the gram hash)."""
+    g = gram_positions(df, k, id_col, text_col)
+    cnt = F.count("*").over(Window.partitionBy("gh"))
+    return g.withColumn("cnt", cnt).filter(F.col("cnt") >= min_count).select("id", "pos")
+
+
+def duplicated_spans(
+    df: DataFrame,
+    k: int = 6,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Maximal duplicated spans per document.
+
+    Returns (doc_id, span_start, span_end, n_grams): 1-based inclusive
+    token extents of each maximal run of overlapping duplicated k-token
+    windows, plus how many duplicated windows the span merged.  Two
+    windows at positions p < q merge iff q - p <= k (their coverage
+    [p, p+k-1] and [q, q+k-1] touches or overlaps).
+    """
+    d = _dup_positions(df, k, min_count, id_col, text_col)
+    w = Window.partitionBy("id").orderBy("pos")
+    lag_pos = F.lag("pos", 1).over(w)
+    brk = F.when(
+        lag_pos.isNull() | (F.col("pos") - lag_pos <= k), F.lit(0)
+    ).otherwise(F.lit(1))
+    isl = d.withColumn(
+        "island",
+        F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        isl.groupBy("id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+            F.count("*").alias("n_grams"),
+        )
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("span_start").cast("long").alias("span_start"),
+            F.col("span_end").cast("long").alias("span_end"),
+            F.col("n_grams").cast("long").alias("n_grams"),
+        )
+    )
+
+
+def substring_dedup(
+    df: DataFrame,
+    k: int = 6,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cut every duplicated span out of every document.
+
+    Returns one row per input document:
+    (doc_id, n_tokens, n_removed, text_hash) where ``n_removed`` counts
+    tokens covered by at least one duplicated window and ``text_hash``
+    is md5 of the rebuilt text (kept tokens joined by single spaces;
+    empty string when everything was cut or the document was empty).
+
+    This is the "remove all copies" policy of the Lee et al. tool; to
+    keep one canonical copy per duplicate cluster, filter the
+    :func:`duplicated_spans` side with a first-occurrence rule before
+    feeding it here — the cut itself is policy-free.
+    """
+    cov = (
+        _dup_positions(df, k, min_count, id_col, text_col)
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+            ).alias("cpos"),
+        )
+        .distinct()
+    )
+    base = df.select(
+        F.col(id_col).alias("id"), tokens_expr(F.col(text_col)).alias("toks")
+    )
+    tokd = base.select("id", F.posexplode("toks").alias("p0", "tok")).select(
+        "id", (F.col("p0") + 1).cast("long").alias("pos"), "tok"
+    )
+    kept = tokd.join(
+        cov.withColumnRenamed("cpos", "pos"), on=["id", "pos"], how="left_anti"
+    )
+    rebuilt = kept.groupBy("id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("txt")
+    )
+    n_cov = cov.groupBy("id").agg(F.count("*").alias("n_removed"))
+    stats = base.select("id", F.size("toks").cast("long").alias("n_tokens"))
+    return (
+        stats.join(n_cov, on="id", how="left")
+        .join(rebuilt, on="id", how="left")
+        .select(
+            F.col("id").alias("doc_id"),
+            "n_tokens",
+            F.coalesce(F.col("n_removed"), F.lit(0)).cast("long").alias("n_removed"),
+            F.md5(F.coalesce(F.col("txt"), F.lit(""))).alias("text_hash"),
+        )
+    )
