@@ -86,6 +86,43 @@ def test_sq8_roundtrip_error_bounded(vecs):
     assert err.max() <= scale.max() * 0.5 + 1e-6
 
 
+def test_ivf_sqfp16_full_probe_near_exact(dfs, exact_ids):
+    from vectordb_retrieval_spark.operators.ivf import IVFIndexer, IVFSearcher
+    from vectordb_retrieval_spark.operators.quant import SQfp16Codec
+
+    base_df, query_df = dfs
+    art = IVFIndexer(nlist=8, seed=1, codec=SQfp16Codec()).build(base_df)
+    res = IVFSearcher(nprobe=8).attach(art).search(query_df, K).collect()
+    # fp16 keeps ~11 bits of mantissa — full-probe recall should be
+    # essentially exact on gaussian data (far above SQ8's 0.9 bar)
+    assert recall_of(res, exact_ids) >= 0.99
+
+
+def test_sqfp16_roundtrip_is_fp16_rounding(vecs):
+    from vectordb_retrieval_spark.operators.quant import SQfp16Codec
+
+    base, _ = vecs
+    codec = SQfp16Codec()
+    codes = codec.encode(base)
+    assert codes.dtype == np.int16
+    dec = codec.decode(codes)
+    assert np.array_equal(dec, base.astype(np.float16).astype(np.float64))
+    # uint8-narrowed codes (pack_clusters fast path when every int16
+    # value of a cluster fits [0, 256)) decode to the same floats
+    small = np.full((4, DIM), 1e-7, dtype=np.float32)  # tiny -> low bit patterns
+    c = codec.encode(small)
+    if c.min() >= 0 and c.max() < 256:
+        assert np.array_equal(codec.decode(c.astype(np.uint8)), codec.decode(c))
+
+
+def test_index_spec_sqfp16():
+    from vectordb_retrieval_spark.registry import parse_index_spec
+
+    icfg, scfg = parse_index_spec("IVF64,SQfp16", metric="cosine", nprobe=4)
+    assert icfg == {"type": "ivf_sqfp16", "metric": "cosine", "nlist": 64}
+    assert scfg == {"type": "ivf", "nprobe": 4}
+
+
 def test_pq_adc_recall(dfs, exact_ids):
     from vectordb_retrieval_spark.operators.pq import PQADCSearcher, PQIndexer
 

@@ -110,6 +110,51 @@ class SQ8Codec:
         return df.mapInPandas(kernel, schema=f"{schema}, codes array<smallint>")
 
 
+class SQfp16Codec:
+    """Per-value IEEE-754 half-precision scalar quantizer (FAISS
+    ``SQfp16``): codes are the fp16 bit patterns stored as int16 —
+    2 bytes/dim, half the float32 footprint, no calibration pass and
+    no data-dependent state (unlike SQ8's per-dimension [min,max]).
+    Plugs into the same duck-typed codec slot as SQ8Codec/PQCodec
+    (fit / is_fitted / encode / decode / encode_df)."""
+
+    def is_fitted(self) -> bool:
+        return True
+
+    def fit(self, df: DataFrame, vec_col: str = "vec") -> "SQfp16Codec":
+        return self
+
+    def encode(self, mat: np.ndarray) -> np.ndarray:
+        return np.ascontiguousarray(mat, dtype=np.float16).view(np.int16)
+
+    def decode(self, codes: np.ndarray) -> np.ndarray:
+        # serving may hand back uint8 when a cluster's int16 codes all
+        # happened to fit [0, 256) (pack_clusters' SQ8/PQ fast path);
+        # the astype restores the original int16 values either way
+        raw = np.ascontiguousarray(np.asarray(codes).astype(np.int16))
+        return raw.view(np.float16).astype(np.float64)
+
+    def encode_df(self, df: DataFrame, vec_col: str = "vec") -> DataFrame:
+        other = [c for c in df.columns if c != vec_col]
+
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            codec = SQfp16Codec()
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                codes = codec.encode(_stack(pdf[vec_col]))
+                out = pdf[other].copy()
+                out["codes"] = list(codes)
+                yield out
+
+        schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in df.schema.fields
+            if f.name != vec_col
+        )
+        return df.mapInPandas(kernel, schema=f"{schema}, codes array<smallint>")
+
+
 def lloyd_kmeans(
     data: np.ndarray, k: int, seed: int, iters: int = 25
 ) -> np.ndarray:

@@ -112,6 +112,12 @@ def _ivf_sq8(**kw):
     return IVFIndexer(codec=SQ8Codec(), **kw)
 
 
+def _ivf_sqfp16(**kw):
+    from vectordb_retrieval_spark.operators.quant import SQfp16Codec
+
+    return IVFIndexer(codec=SQfp16Codec(), **kw)
+
+
 def _ivf_pq(m: int = 8, ksub: int = 256, **kw):
     metric = kw.get("metric", "l2")
     return IVFIndexer(
@@ -123,6 +129,7 @@ register_indexer("brute_force", BruteForceIndexer)
 register_indexer("ivf_flat", IVFIndexer)
 register_indexer("ivf_fixed", FixedCentroidIVFIndexer)
 register_indexer("ivf_sq8", _ivf_sq8)
+register_indexer("ivf_sqfp16", _ivf_sqfp16)
 register_indexer("ivf_pq", _ivf_pq)
 register_indexer("pq", PQIndexer)
 register_indexer("lsh", LSHIndexer)
@@ -161,6 +168,7 @@ def parse_index_spec(
     - ``"Flat"``                 → brute_force + linear
     - ``"IVF{n},Flat"``          → ivf_flat(nlist=n) + ivf
     - ``"IVF{n},SQ8"``           → ivf_sq8(nlist=n) + ivf
+    - ``"IVF{n},SQfp16"``        → ivf_sqfp16(nlist=n) + ivf
     - ``"IVF{n},PQ{m}[x{b}]"``   → ivf_pq(nlist=n, m=m, ksub=2^b) + ivf
     - ``"PQ{m}[x{b}]"``          → pq(m=m, ksub=2^b) + pq_adc
     - ``"HNSW{m}"``              → graph_ann(m=m) + graph_ann (the
@@ -221,6 +229,8 @@ def parse_index_spec(
                 return {"type": "ivf_flat", **icfg}, {"type": "ivf", **scfg}
             if quant == "SQ8":
                 return {"type": "ivf_sq8", **icfg}, {"type": "ivf", **scfg}
+            if quant == "SQfp16":
+                return {"type": "ivf_sqfp16", **icfg}, {"type": "ivf", **scfg}
             if quant.startswith("PQ"):
                 return (
                     {"type": "ivf_pq", **_pq_args(quant), **icfg},
