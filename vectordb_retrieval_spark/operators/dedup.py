@@ -623,21 +623,25 @@ def semantic_dedup(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
-    sub = assign.join(vecs, on="id")
-
     def _fold(arr: Column) -> Column:
         return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
 
+    # self-norms once per ROW, not once per pair (the pair count is
+    # ~cluster_size x the row count); same float64 fold order as the
+    # per-pair form, so boundary decisions are unchanged
+    sub = assign.join(vecs, on="id").withColumn(
+        "n2", _fold(F.transform("v", lambda x: x * x))
+    )
     a = sub.select(
-        F.col("id").alias("a"), "cluster_id", F.col("v").alias("va")
+        F.col("id").alias("a"), "cluster_id",
+        F.col("v").alias("va"), F.col("n2").alias("na"),
     )
     b = sub.select(
-        F.col("id").alias("b"), "cluster_id", F.col("v").alias("vb")
+        F.col("id").alias("b"), "cluster_id",
+        F.col("v").alias("vb"), F.col("n2").alias("nb"),
     )
     dot = _fold(F.zip_with("va", "vb", lambda x, y: x * y))
-    na = _fold(F.transform("va", lambda x: x * x))
-    nb = _fold(F.transform("vb", lambda x: x * x))
-    cos = dot / (F.sqrt(na) * F.sqrt(nb))
+    cos = dot / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb")))
     dropped = (
         a.join(b, on="cluster_id")
         .filter(F.col("a") < F.col("b"))
