@@ -40,6 +40,8 @@ HEADLINE = [
     "pack_token_spans",
     "pii_scrub_counts",
     "shuffle_export_shards",
+    "substring_dup_spans",
+    "semantic_dedup_fixed",
 ]
 
 

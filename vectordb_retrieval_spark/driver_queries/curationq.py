@@ -21,6 +21,7 @@ from vectordb_retrieval_spark.operators.substring import (
     duplicated_spans,
     substring_dedup,
 )
+from vectordb_retrieval_spark.operators.urlops import domain_stats, url_dedup
 
 SPAN_K = 6  # 6-token windows: catches every duplicated run of >= 6 tokens
 SPAN_MIN_COUNT = 2
@@ -137,14 +138,112 @@ FROM assign a LEFT JOIN dropped d ON d.id = a.id
 WHERE d.id IS NULL ORDER BY vec_id
 """
 
+def _synth_url_col():
+    """Deterministic messy URL per document — uppercase scheme/host,
+    www + default port, trailing-slash variation, tracking params and a
+    fragment — so normalization does real work and collisions occur
+    within (source, doc_id % 15) groups.  Byte-identical to
+    ``_SYNTH_URL_SQL``."""
+    from pyspark.sql import functions as F
+
+    tld = F.when(F.col("doc_id") % 3 == 0, F.lit("co.uk")).otherwise(F.lit("com"))
+    return F.concat_ws(
+        "",
+        F.lit("HTTPS://WWW."),
+        F.col("source"),
+        F.lit("-Example."),
+        tld,
+        F.lit(":443/Page/"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=t"),
+        F.col("doc_id").cast("string"),
+        F.lit("&b=2&a=1#frag"),
+    )
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = docs(spark, sf_dir).withColumn("url", _synth_url_col())
+    return url_dedup(d).orderBy("norm_url")
+
+
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = docs(spark, sf_dir).withColumn("url", _synth_url_col())
+    return domain_stats(d).orderBy("domain")
+
+
+_SYNTH_URL_SQL = (
+    "'HTTPS://WWW.' || source || '-Example.' || "
+    "CASE WHEN doc_id % 3 = 0 THEN 'co.uk' ELSE 'com' END || "
+    "':443/Page/' || CAST(doc_id % 5 AS VARCHAR) || "
+    "CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END || "
+    "'?utm_source=t' || CAST(doc_id AS VARCHAR) || '&b=2&a=1#frag'"
+)
+
+_URL_PARTS_CTES = f"""
+u0 AS (SELECT doc_id, {_SYNTH_URL_SQL} AS u FROM documents),
+parts AS (
+  SELECT doc_id,
+    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    regexp_replace(regexp_replace(
+      lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+      '^www\\.', ''), ':(80|443)$', '') AS host,
+    regexp_replace(
+      regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1),
+      '/+$', '') AS path,
+    regexp_extract(u, '\\?([^#]*)', 1) AS q
+  FROM u0
+)
+"""
+
+_URL_DEDUP_ORACLE = f"""
+WITH {_URL_PARTS_CTES},
+norm AS (
+  SELECT doc_id,
+         scheme || '://' || host || path ||
+         CASE WHEN qn <> '' THEN '?' || qn ELSE '' END AS norm_url
+  FROM (
+    SELECT *, array_to_string(list_sort(list_filter(string_split(q, '&'),
+      p -> NOT (starts_with(p, 'utm_') OR starts_with(p, 'fbclid=')
+                OR starts_with(p, 'gclid=') OR starts_with(p, 'ref=')
+                OR p = ''))), '&') AS qn
+    FROM parts)
+)
+SELECT norm_url, min(doc_id) AS keeper_id, count(*) AS n_copies
+FROM norm GROUP BY norm_url ORDER BY norm_url
+"""
+
+_DOMAIN_STATS_ORACLE = f"""
+WITH {_URL_PARTS_CTES},
+lab AS (SELECT doc_id, string_split(host, '.') AS labels FROM parts),
+dom AS (
+  SELECT doc_id,
+    CASE
+      WHEN len(labels) >= 3 AND length(labels[len(labels)]) = 2
+           AND labels[len(labels) - 1]
+               IN ('co','com','net','org','gov','ac','edu')
+        THEN array_to_string(labels[len(labels) - 2 : len(labels)], '.')
+      WHEN len(labels) >= 2
+        THEN array_to_string(labels[len(labels) - 1 : len(labels)], '.')
+      ELSE array_to_string(labels, '.')
+    END AS domain
+  FROM lab
+)
+SELECT domain, count(*) AS n_docs FROM dom GROUP BY domain ORDER BY domain
+"""
+
 QUERIES = {
     "substring_dup_spans": q_substring_spans,
     "substring_dedup_cut": q_substring_dedup,
     "semantic_dedup_fixed": q_semantic_dedup,
+    "url_normalize_dedup": q_url_dedup,
+    "url_domain_stats": q_domain_stats,
 }
 
 ORACLES = {
     "substring_dup_spans": _SPANS_ORACLE,
     "substring_dedup_cut": _CUT_ORACLE,
     "semantic_dedup_fixed": _SEMDEDUP_ORACLE,
+    "url_normalize_dedup": _URL_DEDUP_ORACLE,
+    "url_domain_stats": _DOMAIN_STATS_ORACLE,
 }
