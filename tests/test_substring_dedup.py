@@ -111,6 +111,20 @@ def test_substring_dedup_no_dups_identity(spark):
     assert all(r.n_removed == 0 for r in out)
 
 
+def test_substring_plans_have_no_unpartitioned_window(spark, corpus):
+    """Every window in the substring pipeline must carry a partition
+    key (gh for the dup-count, id for the span merge) — a bare window
+    would funnel the corpus through one task at scale."""
+    for df in (
+        duplicated_spans(corpus, k=6, min_count=2),
+        substring_dedup(corpus, k=6, min_count=2),
+    ):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        specs = plan.split("windowspecdefinition(")[1:]
+        assert specs, plan
+        assert all(s.startswith(("gh", "id")) for s in specs), plan
+
+
 def _cluster_fixture(spark):
     """3 tight clusters of 4 vectors each + 2 far-out singletons; the
     first 3 vectors double as centroids."""
