@@ -67,7 +67,14 @@ def _dup_positions(
     df: DataFrame, k: int, min_count: int, id_col: str, text_col: str
 ) -> DataFrame:
     """(id, pos) of every window whose gram hash repeats >= min_count
-    times corpus-wide.  One shuffle (count window on the gram hash)."""
+    times corpus-wide.  One shuffle (count window on the gram hash).
+
+    Plan choice measured, not assumed (scripts/ab_dup_positions.py,
+    300k docs x 75 grams): this count-window form 13.2s; groupBy +
+    join-back 24.4s (the join side recomputes the md5 gram pass, which
+    dominates); groupBy + collect_list + slice-explode 13.5s (same
+    shuffle, heavier aggregate).  The window's sort is NOT the
+    bottleneck at this row width."""
     g = gram_positions(df, k, id_col, text_col)
     cnt = F.count("*").over(Window.partitionBy("gh"))
     return g.withColumn("cnt", cnt).filter(F.col("cnt") >= min_count).select("id", "pos")
