@@ -1011,3 +1011,88 @@ def test_compact_partitions_failed_write_leaves_artifact_intact(
     assert not os.path.exists(adir + ".compact-tmp")
     art2 = load_artifact(spark, path)
     assert art2.tables["assignment"].count() == 16
+
+
+def _anisotropic_df(spark, n=3000, d=16, seed=11):
+    """Cross-subspace-correlated data: random gaussian mixed through a
+    fixed dense matrix.  PQ's axis-aligned subspace split is maximally
+    hurt by this; OPQ's learned rotation should undo most of it."""
+    rng = np.random.RandomState(seed)
+    mix = rng.randn(d, d)
+    mix[0] *= 6.0  # one dominant direction shared across subspaces
+    base = rng.randn(n, d) @ mix
+    return make_vector_df(spark, base.astype(np.float32)), base
+
+
+def test_opq_beats_pq_reconstruction_on_anisotropic_data(spark):
+    from vectordb_retrieval_spark.operators.quant import OPQCodec, PQCodec
+
+    df, base = _anisotropic_df(spark)
+    pq = PQCodec(m=4, ksub=32, seed=5).fit(df, "vec")
+    opq = OPQCodec(m=4, ksub=32, seed=5, opq_iters=6).fit(df, "vec")
+    # rotation is orthogonal
+    r = opq.rotation
+    assert np.allclose(r @ r.T, np.eye(r.shape[0]), atol=1e-8)
+    x = base.astype(np.float64)
+    err_pq = np.linalg.norm(pq.decode(pq.encode(x)) - x)
+    err_opq = np.linalg.norm(opq.decode(opq.encode(x)) - x)
+    assert err_opq < err_pq * 0.9, (err_opq, err_pq)
+
+
+def test_opq_adc_luts_match_decoded_l2(spark):
+    from vectordb_retrieval_spark.operators.quant import OPQCodec, PQCodec
+
+    df, base = _anisotropic_df(spark, n=500)
+    opq = OPQCodec(m=4, ksub=16, seed=5, opq_iters=3).fit(df, "vec")
+    codes = opq.encode(base)
+    q = base[:7]
+    luts = opq.adc_luts(q)
+    # adc_distance is an aligned API: row i of codes scored against
+    # query qrows[i] — tile to compare all 7x50 pairs
+    qrows = np.repeat(np.arange(7), 50)
+    crows = np.tile(codes[:50], (7, 1))
+    adc = PQCodec.adc_distance(luts, qrows, crows)
+    dec = opq.decode(codes[:50])
+    exact = ((q[:, None, :] - dec[None, :, :]) ** 2).sum(axis=2).reshape(-1)
+    assert np.allclose(adc**2, exact, atol=1e-6) or np.allclose(
+        adc, exact, atol=1e-6
+    )
+
+
+def test_ivf_opq_recall_at_least_ivf_pq(spark):
+    from vectordb_retrieval_spark.operators.exact import exact_knn
+    from vectordb_retrieval_spark.operators.ivf import IVFIndexer, IVFSearcher
+    from vectordb_retrieval_spark.operators.quant import OPQCodec, PQCodec
+
+    df, base = _anisotropic_df(spark, n=2000)
+    qdf = make_vector_df(spark, base[:32].astype(np.float32), id_name="qid")
+    gt = {}
+    for r in exact_knn(df, qdf, K, "l2").collect():
+        gt.setdefault(r["qid"], set()).add(r["id"])
+
+    def run(codec):
+        art = IVFIndexer(nlist=4, seed=1, codec=codec).build(df)
+        res = IVFSearcher(nprobe=4).attach(art).search(qdf, K).collect()
+        return recall_of(res, gt)
+
+    r_pq = run(PQCodec(m=4, ksub=16, seed=5))
+    r_opq = run(OPQCodec(m=4, ksub=16, seed=5, opq_iters=6))
+    assert r_opq >= r_pq - 0.02, (r_opq, r_pq)
+    # m=4/ksub=16 on heavily mixed 16-d data is a coarse code by
+    # design; the point is the OPQ-vs-PQ comparison, not absolute recall
+    assert r_opq >= 0.4
+
+
+def test_index_spec_opq():
+    from vectordb_retrieval_spark.registry import parse_index_spec
+
+    icfg, scfg = parse_index_spec("OPQ8,PQ8x5")
+    assert icfg == {"type": "opq", "metric": "l2", "m": 8, "ksub": 32}
+    assert scfg == {"type": "pq_adc"}
+    icfg, scfg = parse_index_spec("OPQ16,IVF256,PQ16", nprobe=12)
+    assert icfg == {"type": "ivf_opq", "metric": "l2", "nlist": 256, "m": 16}
+    assert scfg == {"type": "ivf", "nprobe": 12}
+    with pytest.raises(ValueError):
+        parse_index_spec("OPQ8,PQ16")
+    with pytest.raises(ValueError):
+        parse_index_spec("OPQ8,IVF16,Flat")

@@ -32,8 +32,20 @@ class PQIndexer:
         metric: str = "l2",
         seed: int = 42,
         codebooks: np.ndarray | None = None,
+        opq: bool = False,
+        opq_iters: int = 8,
     ):
-        self.codec = PQCodec(m=m, ksub=ksub, seed=seed, normalize=(metric == "cosine"))
+        if opq:
+            from vectordb_retrieval_spark.operators.quant import OPQCodec
+
+            self.codec = OPQCodec(
+                m=m, ksub=ksub, seed=seed,
+                normalize=(metric == "cosine"), opq_iters=opq_iters,
+            )
+        else:
+            self.codec = PQCodec(
+                m=m, ksub=ksub, seed=seed, normalize=(metric == "cosine")
+            )
         if codebooks is not None:
             # pre-set (m, ksub, dsub) codebooks skip k-means training —
             # used by the SQL-reproducible fixed-codebook driver query

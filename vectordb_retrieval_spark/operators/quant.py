@@ -228,22 +228,39 @@ class PQCodec:
         dsub = d // self.m
         return [mat[:, j * dsub : (j + 1) * dsub] for j in range(self.m)]
 
-    def fit(self, df: DataFrame, vec_col: str = "vec") -> "PQCodec":
-        sample = df.select(vec_col).limit(self.train_sample).toPandas()
-        mat = _stack(sample[vec_col]).astype(np.float64)
+    def _prep(self, mat: np.ndarray) -> np.ndarray:
+        """Pre-quantization transform (float64 + optional cosine
+        normalization here; OPQCodec adds its learned rotation)."""
+        mat = mat.astype(np.float64)
         if self.normalize:
             mat = normalize_rows(mat)
+        return mat
+
+    def _post(self, recon: np.ndarray) -> np.ndarray:
+        """Inverse of the geometric part of ``_prep`` (identity here;
+        OPQCodec rotates back so decode() returns ORIGINAL-space
+        reconstructions and every decoded-distance consumer is
+        transform-agnostic)."""
+        return recon
+
+    def _fit_mat(self, mat: np.ndarray) -> None:
+        """Train sub-codebooks on an already-_prep'd sample matrix."""
         books = [
             lloyd_kmeans(sub, self.ksub, self.seed + j, self.iters)
             for j, sub in enumerate(self._split(mat))
         ]
         self.codebooks = np.stack(books)
+
+    def _sample(self, df: DataFrame, vec_col: str) -> np.ndarray:
+        sample = df.select(vec_col).limit(self.train_sample).toPandas()
+        return _stack(sample[vec_col]).astype(np.float64)
+
+    def fit(self, df: DataFrame, vec_col: str = "vec") -> "PQCodec":
+        self._fit_mat(self._prep(self._sample(df, vec_col)))
         return self
 
     def encode(self, mat: np.ndarray) -> np.ndarray:
-        mat = mat.astype(np.float64)
-        if self.normalize:
-            mat = normalize_rows(mat)
+        mat = self._prep(mat)
         codes = np.empty((mat.shape[0], self.m), dtype=np.int16)
         for j, sub in enumerate(self._split(mat)):
             cb = self.codebooks[j]
@@ -255,7 +272,7 @@ class PQCodec:
 
     def decode(self, codes: np.ndarray) -> np.ndarray:
         parts = [self.codebooks[j][codes[:, j]] for j in range(self.m)]
-        return np.concatenate(parts, axis=1)
+        return self._post(np.concatenate(parts, axis=1))
 
     def encode_df(self, df: DataFrame, vec_col: str = "vec") -> DataFrame:
         spark = df.sparkSession
@@ -280,10 +297,11 @@ class PQCodec:
         return df.mapInPandas(kernel, schema=f"{schema}, codes array<smallint>")
 
     def adc_luts(self, qmat: np.ndarray) -> np.ndarray:
-        """(n_q, m, ksub) partial squared-L2 tables for ADC scoring."""
-        q = qmat.astype(np.float64)
-        if self.normalize:
-            q = normalize_rows(q)
+        """(n_q, m, ksub) partial squared-L2 tables for ADC scoring.
+        Queries go through ``_prep`` (normalize, and for OPQ rotate),
+        so LUT distances live in the same space as the codes; for an
+        orthogonal transform they equal original-space L2."""
+        q = self._prep(qmat)
         luts = np.empty((q.shape[0], self.m, self.codebooks.shape[1]))
         for j, sub in enumerate(self._split(q)):
             cb = self.codebooks[j]
@@ -350,3 +368,76 @@ def pq_refine(
             new[r["j"], r["code"], r["pos"]] = r["v"]
         cb = np.round(new, round_dp) if round_dp is not None else new
     return cb
+
+
+class OPQCodec(PQCodec):
+    """Optimized Product Quantization (Ge et al., CVPR 2013; FAISS
+    ``OPQ{m}`` transform): learn an orthogonal rotation R that
+    minimizes PQ reconstruction error, then product-quantize in the
+    rotated space.
+
+    Training alternates on the driver-side sample (the same regime as
+    PQCodec.fit): (1) with R fixed, train the sub-codebooks on X @ R;
+    (2) with codebooks fixed, solve the orthogonal Procrustes problem
+    min_R ||X R - X_hat||_F via one SVD of X^T X_hat.  ``decode``
+    rotates reconstructions BACK to the original space and
+    ``adc_luts``/``encode`` rotate their inputs forward, so every
+    consumer (IVF decoded-distance serving, the exhaustive ADC scan,
+    PackedClusters) works unchanged — orthogonality makes rotated-space
+    L2 equal original-space L2.
+
+    On isotropic data R buys nothing (rotation-invariant); the win
+    appears exactly when dimensions are correlated or unequally scaled,
+    which is what real embedding matrices look like.
+    """
+
+    def __init__(
+        self,
+        m: int = 8,
+        ksub: int = 256,
+        seed: int = 42,
+        train_sample: int = 20000,
+        iters: int = 25,
+        normalize: bool = False,
+        opq_iters: int = 8,
+    ):
+        super().__init__(
+            m=m, ksub=ksub, seed=seed, train_sample=train_sample,
+            iters=iters, normalize=normalize,
+        )
+        self.opq_iters = opq_iters
+        self.rotation: np.ndarray | None = None  # (d, d) orthogonal
+
+    def is_fitted(self) -> bool:
+        return self.codebooks is not None and self.rotation is not None
+
+    def _prep(self, mat: np.ndarray) -> np.ndarray:
+        return super()._prep(mat) @ self.rotation
+
+    def _post(self, recon: np.ndarray) -> np.ndarray:
+        return recon @ self.rotation.T
+
+    def fit(self, df: DataFrame, vec_col: str = "vec") -> "OPQCodec":
+        x = PQCodec._prep(self, self._sample(df, vec_col))
+        d = x.shape[1]
+        self.rotation = np.eye(d)
+        for _ in range(max(1, self.opq_iters)):
+            self._fit_mat(x @ self.rotation)
+            # reconstruction in ROTATED space (skip _post on purpose)
+            codes = self._encode_prepped(x @ self.rotation)
+            xhat = np.concatenate(
+                [self.codebooks[j][codes[:, j]] for j in range(self.m)], axis=1
+            )
+            u, _, vt = np.linalg.svd(x.T @ xhat)
+            self.rotation = u @ vt
+        # final codebooks consistent with the final rotation
+        self._fit_mat(x @ self.rotation)
+        return self
+
+    def _encode_prepped(self, mat: np.ndarray) -> np.ndarray:
+        codes = np.empty((mat.shape[0], self.m), dtype=np.int16)
+        for j, sub in enumerate(self._split(mat)):
+            cb = self.codebooks[j]
+            d2 = (cb * cb).sum(axis=1)[None, :] - 2.0 * (sub @ cb.T)
+            codes[:, j] = d2.argmin(axis=1)
+        return codes

@@ -125,13 +125,31 @@ def _ivf_pq(m: int = 8, ksub: int = 256, **kw):
     )
 
 
+def _ivf_opq(m: int = 8, ksub: int = 256, opq_iters: int = 8, **kw):
+    from vectordb_retrieval_spark.operators.quant import OPQCodec
+
+    metric = kw.get("metric", "l2")
+    return IVFIndexer(
+        codec=OPQCodec(
+            m=m, ksub=ksub, normalize=(metric == "cosine"), opq_iters=opq_iters
+        ),
+        **kw,
+    )
+
+
+def _opq(m: int = 8, ksub: int = 256, **kw):
+    return PQIndexer(m=m, ksub=ksub, opq=True, **kw)
+
+
 register_indexer("brute_force", BruteForceIndexer)
 register_indexer("ivf_flat", IVFIndexer)
 register_indexer("ivf_fixed", FixedCentroidIVFIndexer)
 register_indexer("ivf_sq8", _ivf_sq8)
 register_indexer("ivf_sqfp16", _ivf_sqfp16)
 register_indexer("ivf_pq", _ivf_pq)
+register_indexer("ivf_opq", _ivf_opq)
 register_indexer("pq", PQIndexer)
+register_indexer("opq", _opq)
 register_indexer("lsh", LSHIndexer)
 register_indexer("cluster_pruned_exact", ClusterPrunedExactIndexer)
 register_indexer("graph_ann", GraphANNIndexer)
@@ -171,6 +189,8 @@ def parse_index_spec(
     - ``"IVF{n},SQfp16"``        → ivf_sqfp16(nlist=n) + ivf
     - ``"IVF{n},PQ{m}[x{b}]"``   → ivf_pq(nlist=n, m=m, ksub=2^b) + ivf
     - ``"PQ{m}[x{b}]"``          → pq(m=m, ksub=2^b) + pq_adc
+    - ``"OPQ{m},PQ{m}[x{b}]"``   → opq (learned rotation + PQ) + pq_adc
+    - ``"OPQ{m},IVF{n},PQ{m}"``  → ivf_opq(nlist=n, m=m) + ivf
     - ``"HNSW{m}"``              → graph_ann(m=m) + graph_ann (the
       survey-sanctioned partitioned-graph HNSW replacement, SURVEY §7.1#8)
     - ``"LSH"``                  → lsh + lsh
@@ -202,6 +222,30 @@ def parse_index_spec(
         if m.group(2):
             out["ksub"] = 2 ** int(m.group(2))
         return out
+
+    # FAISS "OPQ{m}" prefix: an orthogonal pre-rotation paired with the
+    # PQ clause that follows ("OPQ16,PQ16", "OPQ16,IVF256,PQ16").  The
+    # trailing PQ clause supplies m/ksub; the prefix's m must agree.
+    mopq = re.fullmatch(r"OPQ(\d+)", parts[0]) if len(parts) >= 2 else None
+    if mopq:
+        opq_m = int(mopq.group(1))
+        rest = parts[1:]
+        if len(rest) == 1 and rest[0].startswith("PQ"):
+            args = _pq_args(rest[0])
+            if args["m"] != opq_m:
+                raise ValueError(f"OPQ{opq_m} paired with PQ{args['m']} in {spec!r}")
+            return {"type": "opq", **args, **icfg}, {"type": "pq_adc", **scfg}
+        if len(rest) == 2 and rest[1].startswith("PQ"):
+            mivf = re.fullmatch(r"IVF(\d+)", rest[0])
+            if mivf:
+                args = _pq_args(rest[1])
+                if args["m"] != opq_m:
+                    raise ValueError(
+                        f"OPQ{opq_m} paired with PQ{args['m']} in {spec!r}"
+                    )
+                icfg["nlist"] = int(mivf.group(1))
+                return {"type": "ivf_opq", **args, **icfg}, {"type": "ivf", **scfg}
+        raise ValueError(f"unsupported index spec {spec!r}")
 
     if len(parts) == 1:
         p = parts[0]
