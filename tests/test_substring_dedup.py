@@ -156,6 +156,17 @@ def test_semantic_dedup_keeps_lowest_id_per_cluster(spark):
     assert set(out.columns) == {"vec_id", "cluster_id"}
 
 
+def test_semantic_dedup_cluster_size_guard(spark):
+    df, cents = _cluster_fixture(spark)
+    with pytest.raises(ValueError, match="max_cluster_rows"):
+        semantic_dedup(df, cents, threshold=0.9, max_cluster_rows=3)
+    # the override runs and matches the unguarded result
+    out = semantic_dedup(
+        df, cents, threshold=0.9, max_cluster_rows=3, allow_quadratic=True
+    ).toPandas()
+    assert set(out["vec_id"]) == {0, 4, 8, 12, 13}
+
+
 def test_semantic_dedup_threshold_monotone(spark):
     df, cents = _cluster_fixture(spark)
     hi = set(semantic_dedup(df, cents, threshold=0.999999).toPandas()["vec_id"])

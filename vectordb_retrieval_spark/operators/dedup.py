@@ -590,6 +590,8 @@ def semantic_dedup(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cluster_rows: int = 100_000,
+    allow_quadratic: bool = False,
 ) -> DataFrame:
     """SemDeDup-style cluster-scoped semantic deduplication.
 
@@ -619,6 +621,22 @@ def semantic_dedup(
     assign = art.tables["assignment"].select(
         "id", F.col("cluster_id").cast("int").alias("cluster_id")
     )
+    if not allow_quadratic:
+        # the pair stage is quadratic PER CLUSTER; a runaway cluster
+        # (too few centroids for the corpus) silently turns it into an
+        # all-pairs join.  One cheap agg over the already-built
+        # assignment catches that before the join does the damage —
+        # same guard convention as embedding_near_dup_pairs.
+        biggest = (
+            assign.groupBy("cluster_id").count().agg(F.max("count")).first()[0]
+        )
+        if biggest is not None and biggest > max_cluster_rows:
+            raise ValueError(
+                f"semantic_dedup: largest cluster has {biggest} rows > "
+                f"max_cluster_rows={max_cluster_rows}; grow the centroid "
+                "count (SemDeDup scales clusters with corpus size) or "
+                "pass allow_quadratic=True to force the join"
+            )
     vecs = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
