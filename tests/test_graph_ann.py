@@ -326,3 +326,99 @@ def test_graph_shm_republish_after_sweep(spark):
     shm2 = art.params.get("_shm_shards")
     assert shm2 is not None and shm2[0] != shm[0]
     assert sorted(map(tuple, first)) == sorted(map(tuple, second))
+
+
+def test_graph_append_hash_equals_full_rebuild(spark):
+    """Hash routing is data-independent and shard NSW construction
+    sorts by id — append(first ∪ rest) must be BYTE-identical to one
+    build of the union, blob for blob."""
+    import pyspark.sql.functions as F
+
+    from vectordb_retrieval_spark.operators.graph_ann import graph_append
+
+    base = random_vectors(spark, 600, 8, seed=41).cache()
+    first = base.filter(F.col("id") < 400)
+    rest = base.filter(F.col("id") >= 400)
+    idx = GraphANNIndexer(m=6, ef_construction=24, num_partitions=4, seed=9)
+    art0 = idx.build(first, id_col="id", vec_col="vec")
+    appended = graph_append(art0, rest)
+    full = GraphANNIndexer(
+        m=6, ef_construction=24, num_partitions=4, seed=9
+    ).build(base, id_col="id", vec_col="vec")
+
+    def sig(art):
+        return sorted(
+            (r["pid"], r["n"], bytes(r["blob"]))
+            for r in art.tables["graph"].collect()
+        )
+
+    assert sig(appended) == sig(full)
+    assert appended.metadata["appended"] is True
+
+
+def test_graph_append_kmeans_frozen_routing_self_retrieval(spark):
+    from vectordb_retrieval_spark.operators.graph_ann import graph_append
+
+    base = random_vectors(spark, 500, 8, seed=43).cache()
+    import pyspark.sql.functions as F
+
+    first = base.filter(F.col("id") < 440)
+    rest = base.filter(F.col("id") >= 440).cache()
+    art0 = GraphANNIndexer(
+        m=6, ef_construction=24, num_partitions=4, partition_by="kmeans", seed=3
+    ).build(first, id_col="id", vec_col="vec")
+    appended = graph_append(art0, rest)
+    n_total = appended.tables["graph"].agg(F.sum("n")).first()[0]
+    assert n_total == 500
+    # every appended vector is its own nearest neighbor through the
+    # centroid-routed searcher (it was routed to a probed shard)
+    qs = rest.withColumnRenamed("id", "qid")
+    res = (
+        GraphANNSearcher(ef_search=48, probe_partitions=2)
+        .attach(appended)
+        .search(qs, 1, qid_col="qid", vec_col="vec")
+        .collect()
+    )
+    assert len(res) == 60
+    assert all(r["id"] == r["qid"] and r["dist"] < 1e-6 for r in res)
+
+
+def test_graph_delete_rebuilds_only_affected_shards(spark):
+    import pyspark.sql.functions as F
+
+    from vectordb_retrieval_spark.operators.graph_ann import graph_delete
+
+    base = random_vectors(spark, 400, 8, seed=47).cache()
+    art = GraphANNIndexer(
+        m=6, ef_construction=24, num_partitions=4, seed=5
+    ).build(base, id_col="id", vec_col="vec")
+    before = {
+        r["pid"]: bytes(r["blob"]) for r in art.tables["graph"].collect()
+    }
+    # delete ids that hash-route to a known shard: pick 10 actual ids
+    # and compute their pids from the same rule the indexer used
+    victims = [r["id"] for r in base.select("id").limit(10).collect()]
+    vic_pids = {
+        r["p"]
+        for r in spark.createDataFrame([(v,) for v in victims], "id long")
+        .select(F.pmod(F.xxhash64("id"), F.lit(4)).alias("p"))
+        .collect()
+    }
+    deleted = graph_delete(
+        art, spark.createDataFrame([(v,) for v in victims], "id long")
+    )
+    after = {
+        r["pid"]: bytes(r["blob"]) for r in deleted.tables["graph"].collect()
+    }
+    assert deleted.tables["graph"].agg(F.sum("n")).first()[0] == 390
+    for pid, blob in after.items():
+        if pid in vic_pids:
+            assert blob != before[pid]
+        else:
+            assert blob == before[pid]  # untouched shard: byte-identical
+    # survivors only: deleted ids are gone from every shard
+    from vectordb_retrieval_spark.operators.graph_ann import _unpack_shard
+
+    for blob in after.values():
+        ids0, _, _ = _unpack_shard(blob)
+        assert not set(ids0) & set(victims)

@@ -45,6 +45,71 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(emb(spark, sf_dir), cents, SEM_COSINE_T).orderBy("vec_id")
 
 
+def q_graph_append_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-index incremental-ingestion parity (the graph analogue of
+    ivf_append_search): build hash-sharded on even vec_ids, graph_append
+    the odd half (hash routing ⇒ byte-identical to a full rebuild), and
+    search with the saturating forced beam ⇒ exact — so the whole
+    append+search pipeline hash-checks against the plain exact-kNN
+    oracle over ALL vectors."""
+    from pyspark.sql import functions as F
+
+    from vectordb_retrieval_spark.driver_queries.common import K, QUERY_FILTER
+    from vectordb_retrieval_spark.operators.graph_ann import (
+        GraphANNIndexer,
+        GraphANNSearcher,
+        graph_append,
+    )
+
+    base = emb(spark, sf_dir)
+    art = GraphANNIndexer(m=8, ef_construction=32, num_partitions=4).build(
+        base.filter(F.col("vec_id") % 2 == 0), id_col="vec_id", vec_col="embedding"
+    )
+    art2 = graph_append(
+        art,
+        base.filter(F.col("vec_id") % 2 == 1),
+        id_col="vec_id",
+        vec_col="embedding",
+    )
+    qs = base.filter(F.expr(QUERY_FILTER))
+    res = (
+        GraphANNSearcher(ef_search=100_000, force_beam=True)
+        .attach(art2)
+        .search(qs, K, qid_col="vec_id", vec_col="embedding")
+    )
+    return res.select("qid", "id", "rank")
+
+
+def q_graph_delete_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-index deletion parity (the graph analogue of
+    ivf_delete_search): delete every odd vec_id, then the exhaustive
+    forced beam over the survivors must equal exact kNN restricted to
+    even vec_ids."""
+    from pyspark.sql import functions as F
+
+    from vectordb_retrieval_spark.driver_queries.common import K, QUERY_FILTER
+    from vectordb_retrieval_spark.operators.graph_ann import (
+        GraphANNIndexer,
+        GraphANNSearcher,
+        graph_delete,
+    )
+
+    base = emb(spark, sf_dir)
+    art = GraphANNIndexer(m=8, ef_construction=32, num_partitions=4).build(
+        base, id_col="vec_id", vec_col="embedding"
+    )
+    art2 = graph_delete(
+        art, base.filter(F.col("vec_id") % 2 == 1), id_col="vec_id"
+    )
+    qs = base.filter(F.expr(QUERY_FILTER))
+    res = (
+        GraphANNSearcher(ef_search=100_000, force_beam=True)
+        .attach(art2)
+        .search(qs, K, qid_col="vec_id", vec_col="embedding")
+    )
+    return res.select("qid", "id", "rank")
+
+
 # -------------------------------------------------------------- oracles
 
 _GRAM_CTES = f"""
@@ -232,12 +297,27 @@ dom AS (
 SELECT domain, count(*) AS n_docs FROM dom GROUP BY domain ORDER BY domain
 """
 
+def _knn_oracles():
+    from vectordb_retrieval_spark.driver_queries.knn import DIST_EXPRS, KNN_ORACLE
+
+    full = KNN_ORACLE.format(dist_expr=DIST_EXPRS["l2"])
+    survivors = full.replace(
+        "CROSS JOIN embeddings b",
+        "CROSS JOIN embeddings b WHERE b.vec_id % 2 = 0",
+    )
+    return full, survivors
+
+
+_GRAPH_APPEND_ORACLE, _GRAPH_DELETE_ORACLE = _knn_oracles()
+
 QUERIES = {
     "substring_dup_spans": q_substring_spans,
     "substring_dedup_cut": q_substring_dedup,
     "semantic_dedup_fixed": q_semantic_dedup,
     "url_normalize_dedup": q_url_dedup,
     "url_domain_stats": q_domain_stats,
+    "graph_append_search": q_graph_append_search,
+    "graph_delete_search": q_graph_delete_search,
 }
 
 ORACLES = {
@@ -246,4 +326,6 @@ ORACLES = {
     "semantic_dedup_fixed": _SEMDEDUP_ORACLE,
     "url_normalize_dedup": _URL_DEDUP_ORACLE,
     "url_domain_stats": _DOMAIN_STATS_ORACLE,
+    "graph_append_search": _GRAPH_APPEND_ORACLE,
+    "graph_delete_search": _GRAPH_DELETE_ORACLE,
 }

@@ -723,7 +723,9 @@ class GraphANNIndexer:
         graph.count()
 
         params = {"metric": metric, "m": m, "num_partitions": n_parts,
-                  "partition_by": self.partition_by}
+                  "partition_by": self.partition_by,
+                  "ef_construction": efc, "long_links": long_links,
+                  "seed": self.seed}
         if self.partition_by == "kmeans":
             # routing by the quantizer's ball centroids (several per
             # bin-packed shard); k_sub × dim values — driver-small
@@ -754,6 +756,223 @@ class GraphANNIndexer:
             params=params,
             metadata={"metric": metric, "m": m, "ef_construction": efc},
         )
+
+
+def _route_new_rows(base: DataFrame, params: dict) -> DataFrame:
+    """Assign (id, vec) rows to shard pids under the artifact's FROZEN
+    routing (FAISS ``index.add`` semantics — no refit):
+
+    - hash artifacts reuse the data-independent hash rule, so appended
+      rows land exactly where a full rebuild would put them;
+    - kmeans/lsh artifacts route to the shard of the nearest stored
+      routing centroid — the same rule the searcher uses to pick probe
+      shards, so an appended vector is found by the queries that route
+      to it.  Routing geometry drifts as the corpus grows; rebuild
+      cadence is the caller's policy knob (same trade as ivf_append).
+    """
+    n_parts = params["num_partitions"]
+    pby = params["partition_by"]
+    if pby == "hash":
+        return base.withColumn("pid", F.pmod(F.xxhash64("id"), F.lit(n_parts)))
+    cents = params.get("centroids")
+    if cents is None:
+        raise ValueError(
+            f"graph_append: artifact partitioned by {pby!r} carries no "
+            "routing centroids"
+        )
+    cpids = np.asarray(params["centroid_pids"], dtype=np.int64)
+    metric = params["metric"]
+    bc = base.sparkSession.sparkContext.broadcast(
+        (np.asarray(cents, dtype=np.float64), cpids, metric)
+    )
+
+    @F.pandas_udf("long")
+    def route(v: pd.Series) -> pd.Series:
+        c, cp, met = bc.value
+        vm = np.vstack(v.to_numpy()).astype(np.float64)
+        if met == "cosine":
+            vm = normalize_rows(vm)
+        d2 = (vm * vm).sum(axis=1)[:, None] - 2.0 * (vm @ c.T) + (
+            c * c
+        ).sum(axis=1)[None, :]
+        return pd.Series(cp[d2.argmin(axis=1)])
+
+    return base.withColumn("pid", route("vec"))
+
+
+def _rebuild_shard_pdf(
+    pid: int,
+    olds: "pd.DataFrame",
+    new_ids: np.ndarray,
+    new_mat: np.ndarray,
+    drop_ids: set,
+    params: dict,
+) -> "pd.DataFrame":
+    """Recompute one shard blob from (old blob rows) ∪ (new rows) −
+    (dropped ids).  Rows sort by id before NSW construction, so the
+    result is bit-identical to a fresh build fed the same membership."""
+    metric, m = params["metric"], params["m"]
+    efc, long_links = params["ef_construction"], params["long_links"]
+    mats, idss = [], []
+    if len(olds):
+        ids0, mat0, _ = _unpack_shard(olds["blob"].iloc[0])
+        idss.append(ids0)
+        mats.append(mat0)  # already normalized at original build time
+    if len(new_ids):
+        m32 = new_mat.astype(np.float32)
+        if metric == "cosine":
+            m32 = normalize_rows(m32.astype(np.float64)).astype(np.float32)
+        idss.append(new_ids)
+        mats.append(m32)
+    ids = np.concatenate(idss) if idss else np.empty(0, dtype=np.int64)
+    mat = np.vstack(mats) if mats else np.empty((0, 0), dtype=np.float32)
+    if drop_ids:
+        keep = ~np.isin(ids, np.fromiter(drop_ids, dtype=np.int64))
+        ids, mat = ids[keep], mat[keep]
+    if len(ids) == 0:
+        return pd.DataFrame(
+            {"pid": [], "n": [], "centroid": [], "blob": []}
+        ).astype({"pid": "int64", "n": "int64"})
+    order = np.argsort(ids, kind="stable")
+    ids, mat = ids[order], np.ascontiguousarray(mat[order])
+    adj = _build_nsw(mat, m, efc, params["metric"], long_links=long_links)
+    cent = mat.astype(np.float64).mean(axis=0)
+    return pd.DataFrame(
+        {
+            "pid": [pid],
+            "n": [len(ids)],
+            "centroid": [cent],
+            "blob": [_pack_shard(ids, mat, _pad_adjacency(adj))],
+        }
+    )
+
+
+def _refresh_artifact(artifact: IndexArtifact, merged, flag: str) -> IndexArtifact:
+    merged = merged.cache()
+    merged.count()
+    if artifact.metadata.get("appended") or artifact.metadata.get("deleted"):
+        # ingestion-chain memory bound: evict the predecessor's cache
+        # once the merged table is materialized (intermediate artifacts
+        # only — the caller's original build keeps its cache)
+        try:
+            artifact.tables["graph"].unpersist()
+        except Exception:
+            pass
+    params = {k: v for k, v in artifact.params.items() if not k.startswith("_")}
+    if params["partition_by"] == "lsh":
+        # per-shard routing centroids moved with the membership
+        rows = sorted(
+            merged.select("pid", "centroid").collect(), key=lambda r: r["pid"]
+        )
+        cent = np.asarray([r["centroid"] for r in rows], dtype=np.float64)
+        if params["metric"] == "cosine":
+            cent = normalize_rows(cent)
+        params["centroids"] = cent
+        params["centroid_pids"] = np.asarray(
+            [r["pid"] for r in rows], dtype=np.int64
+        )
+    return IndexArtifact(
+        kind="graph_ann",
+        tables={"graph": merged},
+        params=params,
+        metadata={**artifact.metadata, flag: True},
+    )
+
+
+def graph_append(
+    artifact: IndexArtifact,
+    new_df: DataFrame,
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> IndexArtifact:
+    """Incremental ingestion for the partitioned graph index: route new
+    vectors under the artifact's frozen shard routing and rebuild ONLY
+    the affected shard graphs (each shard's NSW is local, so untouched
+    shards pass through byte-identical).
+
+    With hash routing the result is bit-identical to a full rebuild of
+    the union (the rule is data-independent and shard construction
+    sorts by id); with kmeans/lsh routing it is the frozen-quantizer
+    append — the graph analogue of ``ivf_append``.
+    """
+    params = artifact.params
+    base = new_df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    assigned = _route_new_rows(base, params)
+    affected = [int(r["pid"]) for r in assigned.select("pid").distinct().collect()]
+    graph = artifact.tables["graph"]
+    untouched = graph.filter(~F.col("pid").isin(affected))
+    old_aff = graph.filter(F.col("pid").isin(affected))
+    pb = dict(
+        metric=params["metric"], m=params["m"],
+        ef_construction=params.get(
+            "ef_construction", artifact.metadata.get("ef_construction", 32)
+        ),
+        long_links=params.get("long_links", 0),
+        partition_by=params["partition_by"],
+    )
+
+    def rebuild(key, olds: pd.DataFrame, news: pd.DataFrame) -> pd.DataFrame:
+        new_ids = news["id"].to_numpy(dtype=np.int64)
+        new_mat = (
+            np.vstack(news["vec"].to_numpy()) if len(news) else np.empty((0, 0))
+        )
+        return _rebuild_shard_pdf(int(key[0]), olds, new_ids, new_mat, set(), pb)
+
+    rebuilt = (
+        old_aff.groupBy("pid")
+        .cogroup(assigned.groupBy("pid"))
+        .applyInPandas(
+            rebuild, schema="pid long, n long, centroid array<double>, blob binary"
+        )
+    )
+    return _refresh_artifact(artifact, untouched.unionByName(rebuilt), "appended")
+
+
+def graph_delete(
+    artifact: IndexArtifact,
+    ids_df: DataFrame,
+    id_col: str = "id",
+) -> IndexArtifact:
+    """Remove vectors by id: shards containing a deleted id rebuild
+    their local NSW over the survivors; every other shard passes
+    through byte-identical (delete sets are broadcast-small)."""
+    dels = {
+        int(r["id"])
+        for r in ids_df.select(F.col(id_col).alias("id")).distinct().collect()
+    }
+    params = artifact.params
+    pb = dict(
+        metric=params["metric"], m=params["m"],
+        ef_construction=params.get(
+            "ef_construction", artifact.metadata.get("ef_construction", 32)
+        ),
+        long_links=params.get("long_links", 0),
+        partition_by=params["partition_by"],
+    )
+    spark = artifact.tables["graph"].sparkSession
+    bc = spark.sparkContext.broadcast((dels, pb))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        drop, pbb = bc.value
+        darr = np.fromiter(drop, dtype=np.int64)
+        for pdf in batches:
+            for i in range(len(pdf)):
+                row = pdf.iloc[i : i + 1]
+                ids0, _, _ = _unpack_shard(row["blob"].iloc[0])
+                if not np.isin(ids0, darr).any():
+                    yield row  # untouched shard: byte-identical
+                    continue
+                out = _rebuild_shard_pdf(
+                    int(row["pid"].iloc[0]), row,
+                    np.empty(0, dtype=np.int64), np.empty((0, 0)), drop, pbb,
+                )
+                if len(out):
+                    yield out
+
+    merged = artifact.tables["graph"].mapInPandas(
+        kernel, schema="pid long, n long, centroid array<double>, blob binary"
+    )
+    return _refresh_artifact(artifact, merged, "deleted")
 
 
 class GraphANNSearcher:
