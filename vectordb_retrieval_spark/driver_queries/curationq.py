@@ -297,6 +297,75 @@ dom AS (
 SELECT domain, count(*) AS n_docs FROM dom GROUP BY domain ORDER BY domain
 """
 
+def q_streaming_graph_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous GRAPH ingestion (§2.9 extension, the graph analogue of
+    streaming_ingest_search): build the hash-sharded graph on a quarter
+    of the corpus, stream the remaining three quarters in micro-batches
+    through foreachBatch → ``graph_append``, then search with the
+    saturating forced beam.  Hash routing makes every append
+    bit-identical to a rebuild, so the streamed index answers the plain
+    exact-kNN oracle."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from vectordb_retrieval_spark.driver_queries.common import K, QUERY_FILTER
+    from vectordb_retrieval_spark.driver_queries.streamq import _state_partitions
+    from vectordb_retrieval_spark.operators.graph_ann import (
+        GraphANNIndexer,
+        GraphANNSearcher,
+        graph_append,
+    )
+    from vectordb_retrieval_spark.streaming.serving import await_or_raise
+
+    base = emb(spark, sf_dir)
+    art_holder = [
+        GraphANNIndexer(m=8, ef_construction=32, num_partitions=4).build(
+            base.filter(F.col("vec_id") % 4 == 0),
+            id_col="vec_id",
+            vec_col="embedding",
+        )
+    ]
+    workdir = tempfile.mkdtemp(prefix="streamgraph-")
+    vdir = os.path.join(workdir, "vecs")
+    (
+        base.filter(F.col("vec_id") % 4 != 0)
+        .withColumn("batch", (F.col("vec_id") % 4).cast("int"))
+        .select("batch", "vec_id", "embedding")
+        .repartition(3, "batch")
+        .write.partitionBy("batch")
+        .parquet(vdir)
+    )
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(vdir, "batch=*"))
+    )
+
+    def sink(df: DataFrame, epoch_id: int) -> None:
+        art_holder[0] = graph_append(
+            art_holder[0], df, id_col="vec_id", vec_col="embedding"
+        )
+
+    with _state_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_or_raise(q, 600)
+
+    qs = base.filter(F.expr(QUERY_FILTER))
+    res = (
+        GraphANNSearcher(ef_search=100_000, force_beam=True)
+        .attach(art_holder[0])
+        .search(qs, K, qid_col="vec_id", vec_col="embedding")
+    )
+    return res.select("qid", "id", "rank")
+
+
 def _knn_oracles():
     from vectordb_retrieval_spark.driver_queries.knn import DIST_EXPRS, KNN_ORACLE
 
@@ -318,6 +387,7 @@ QUERIES = {
     "url_domain_stats": q_domain_stats,
     "graph_append_search": q_graph_append_search,
     "graph_delete_search": q_graph_delete_search,
+    "streaming_graph_ingest": q_streaming_graph_ingest,
 }
 
 ORACLES = {
@@ -328,4 +398,5 @@ ORACLES = {
     "url_domain_stats": _DOMAIN_STATS_ORACLE,
     "graph_append_search": _GRAPH_APPEND_ORACLE,
     "graph_delete_search": _GRAPH_DELETE_ORACLE,
+    "streaming_graph_ingest": _GRAPH_APPEND_ORACLE,
 }
