@@ -366,6 +366,88 @@ def q_streaming_graph_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("qid", "id", "rank")
 
 
+MINE_POS, MINE_NEG, ANCHOR_MOD = 3, 5, 25
+
+
+def q_mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-pair mining (DPR/ANCE prep): BM25 positives + dense
+    hard negatives per anchor doc; doc_id and vec_id share a key space
+    in the synthetic corpus."""
+    from pyspark.sql import functions as F
+
+    from vectordb_retrieval_spark.operators.mining import mine_hard_negatives
+
+    d = docs(spark, sf_dir)
+    e = emb(spark, sf_dir)
+    anchors = d.select(F.col("doc_id").alias("qid")).filter(
+        F.col("qid") % ANCHOR_MOD == 0
+    )
+    return mine_hard_negatives(d, e, anchors, MINE_POS, MINE_NEG).orderBy(
+        "qid", "role", "rank"
+    )
+
+
+_MINING_ORACLE = f"""
+WITH anchors AS (SELECT doc_id AS qid FROM documents WHERE doc_id % {ANCHOR_MOD} = 0),
+qterms AS (
+  SELECT a.qid, unnest(list_distinct(list_filter(
+           string_split_regex(d.text, '\\s+'), x -> x <> ''))) AS term
+  FROM anchors a JOIN documents d ON d.doc_id = a.qid
+),
+toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),
+                                    x -> x <> '')) AS term
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN (SELECT DISTINCT term FROM qterms)
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT q.qid, tf.doc_id,
+         sum( ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * (tf.tf * 2.2)
+              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS score
+  FROM tf
+  JOIN qterms q USING (term)
+  JOIN dl USING (doc_id)
+  JOIN dfreq USING (term)
+  CROSS JOIN stats
+  GROUP BY q.qid, tf.doc_id
+),
+pos AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+  FROM scored WHERE doc_id <> qid
+),
+qv AS (
+  SELECT a.qid, CAST(e.embedding AS DOUBLE[]) AS qvec
+  FROM anchors a JOIN embeddings e ON e.vec_id = a.qid
+),
+dense AS (
+  SELECT q.qid, b.vec_id AS id,
+         1.0 - list_cosine_similarity(q.qvec, CAST(b.embedding AS DOUBLE[])) AS dist
+  FROM qv q CROSS JOIN embeddings b
+),
+neg AS (
+  SELECT d.qid, d.id,
+         row_number() OVER (PARTITION BY d.qid ORDER BY d.dist, d.id) AS rank
+  FROM dense d
+  LEFT JOIN (SELECT qid, doc_id FROM pos WHERE rank <= {MINE_POS}) p
+    ON p.qid = d.qid AND p.doc_id = d.id
+  WHERE d.id <> d.qid AND p.qid IS NULL
+)
+SELECT qid, doc_id, 'pos' AS role, rank FROM pos WHERE rank <= {MINE_POS}
+UNION ALL
+SELECT qid, id AS doc_id, 'neg' AS role, rank FROM neg WHERE rank <= {MINE_NEG}
+ORDER BY qid, role, rank
+"""
+
+
 def _knn_oracles():
     from vectordb_retrieval_spark.driver_queries.knn import DIST_EXPRS, KNN_ORACLE
 
@@ -388,6 +470,7 @@ QUERIES = {
     "graph_append_search": q_graph_append_search,
     "graph_delete_search": q_graph_delete_search,
     "streaming_graph_ingest": q_streaming_graph_ingest,
+    "mine_hard_negatives": q_mine_hard_negatives,
 }
 
 ORACLES = {
@@ -399,4 +482,5 @@ ORACLES = {
     "graph_append_search": _GRAPH_APPEND_ORACLE,
     "graph_delete_search": _GRAPH_DELETE_ORACLE,
     "streaming_graph_ingest": _GRAPH_APPEND_ORACLE,
+    "mine_hard_negatives": _MINING_ORACLE,
 }
