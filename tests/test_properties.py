@@ -490,3 +490,86 @@ def test_chunk_documents_covers_every_token_once(
         covered.update(range(s, e))
         prev_end = e
     assert covered == set(range(n))
+
+
+def _py_substring_model(texts: dict, k: int, min_count: int):
+    """Pure-python reference for operators/substring.py semantics:
+    returns (spans, cut) where spans = {(id, start, end, n_grams)} and
+    cut = {id: (n_tokens, n_removed, kept_text)}."""
+    gram_count: dict = {}
+    positions: dict = {}
+    toks_of: dict = {}
+    for i, t in texts.items():
+        toks = [x for x in t.split() if x]
+        toks_of[i] = toks
+        positions[i] = []
+        for p in range(1, len(toks) - k + 2):
+            g = " ".join(toks[p - 1 : p - 1 + k])
+            gram_count[g] = gram_count.get(g, 0) + 1
+            positions[i].append((p, g))
+    spans = set()
+    covered: dict = {i: set() for i in texts}
+    for i, lst in positions.items():
+        dups = sorted(p for p, g in lst if gram_count[g] >= min_count)
+        for p in dups:
+            covered[i].update(range(p, p + k))
+        run: list = []
+        for p in dups:
+            if run and p - run[-1] > k:
+                spans.add((i, run[0], run[-1] + k - 1, len(run)))
+                run = []
+            run.append(p)
+        if run:
+            spans.add((i, run[0], run[-1] + k - 1, len(run)))
+    cut = {}
+    for i, toks in toks_of.items():
+        kept = [t for j, t in enumerate(toks, start=1) if j not in covered[i]]
+        cut[i] = (len(toks), len(covered[i]), " ".join(kept))
+    return spans, cut
+
+
+@given(
+    n_docs=st.integers(min_value=2, max_value=6),
+    doc_len=st.integers(min_value=0, max_value=40),
+    vocab=st.integers(min_value=2, max_value=5),
+    k=st.integers(min_value=2, max_value=5),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_substring_ops_match_python_model(spark, n_docs, doc_len, vocab, k, seed):
+    """Tiny vocab ⇒ dense random gram collisions, stressing the island
+    merge and the covered-token cut against a direct python model."""
+    import hashlib
+
+    from vectordb_retrieval_spark.operators.substring import (
+        duplicated_spans,
+        substring_dedup,
+    )
+
+    rng = np.random.RandomState(seed)
+    texts = {
+        i: " ".join(f"t{rng.randint(vocab)}" for _ in range(doc_len))
+        for i in range(n_docs)
+    }
+    df = spark.createDataFrame(
+        list(texts.items()), schema="doc_id long, text string"
+    )
+    want_spans, want_cut = _py_substring_model(texts, k, 2)
+    got_spans = {
+        (r.doc_id, r.span_start, r.span_end, r.n_grams)
+        for r in duplicated_spans(df, k=k, min_count=2).collect()
+    }
+    assert got_spans == want_spans
+    got_cut = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.text_hash)
+        for r in substring_dedup(df, k=k, min_count=2).collect()
+    }
+    want_hashed = {
+        i: (nt, nr, hashlib.md5(kept.encode()).hexdigest())
+        for i, (nt, nr, kept) in want_cut.items()
+    }
+    assert got_cut == want_hashed
