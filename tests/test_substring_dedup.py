@@ -174,3 +174,33 @@ def test_semantic_dedup_threshold_monotone(spark):
     # lower threshold drops at least as many
     assert lo <= hi
     assert 0 in lo and 4 in lo and 8 in lo  # keepers never dropped
+
+
+def test_curate_web_pipeline_stages(spark):
+    from vectordb_retrieval_spark.operators.curate import curate_web
+
+    run = " ".join(f"s{i}" for i in range(8))
+    rows = [
+        # 0 and 1 share a normalized URL -> 1 dropped at the URL stage
+        (
+            0,
+            "alpha beta " + " ".join(f"x{i}" for i in range(12)),
+            "http://A.com/p?utm_source=z",
+        ),
+        (1, "totally different words here now", "http://www.a.com/p/"),
+        # 2 and 3 share an 8-token run -> cut from both
+        (2, f"lead {run} tail0 t1 t2 t3 t4 t5 t6 t7 t8 t9", "http://b.com/1"),
+        (3, f"{run} other2 u1 u2 u3 u4 u5 u6 u7 u8 u9 u10", "http://b.com/2"),
+        # 4 is too short after nothing is cut -> gated out
+        (4, "tiny doc", "http://c.com/1"),
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string, url string")
+    out = {r.doc_id: r for r in curate_web(df, k=6, min_count=2, min_tokens=5).collect()}
+    # URL stage: doc 1 gone (0 is the keeper); gate: doc 4 gone
+    assert set(out) == {0, 2, 3}
+    # cut accounting: docs 2/3 lost the 8-token run
+    assert out[2].clean_len == len(rows[2][1].split()) - 8
+    assert out[3].clean_len == len(rows[3][1].split()) - 8
+    assert out[0].clean_len == len(rows[0][1].split())
+    # split labels come from the declared weights
+    assert {r.split for r in out.values()} <= {"train", "val", "test"}

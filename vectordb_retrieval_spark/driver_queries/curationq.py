@@ -112,8 +112,9 @@ def q_graph_delete_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -------------------------------------------------------------- oracles
 
-_GRAM_CTES = f"""
-toks AS (SELECT doc_id AS id, {_TOKS} AS toks FROM documents),
+def _gram_ctes(src: str = "documents") -> str:
+    return f"""
+toks AS (SELECT doc_id AS id, {_TOKS} AS toks FROM {src}),
 gpos AS (
   SELECT id, toks, unnest(generate_series(1, len(toks) - {SPAN_K - 1})) AS pos
   FROM toks WHERE len(toks) >= {SPAN_K}
@@ -129,6 +130,9 @@ d AS (
   ) WHERE cnt >= {SPAN_MIN_COUNT}
 )
 """
+
+
+_GRAM_CTES = _gram_ctes("documents")
 
 _SPANS_ORACLE = f"""
 WITH {_GRAM_CTES},
@@ -366,6 +370,94 @@ def q_streaming_graph_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("qid", "id", "rank")
 
 
+WEB_MIN_TOKENS = 10
+WEB_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+WEB_SPLIT_SEED = 21
+
+
+def q_curate_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end web curation: URL dedup → substring cut → length
+    gate → split, composed from this round's operators so the stage
+    WIRING sits under one hash check (the web-side companion of
+    pipeline_curate_corpus)."""
+    from vectordb_retrieval_spark.operators.curate import curate_web
+
+    d = docs(spark, sf_dir).withColumn("url", _synth_url_col())
+    return curate_web(
+        d,
+        k=SPAN_K,
+        min_count=SPAN_MIN_COUNT,
+        min_tokens=WEB_MIN_TOKENS,
+        split_weights=WEB_SPLIT_WEIGHTS,
+        seed=WEB_SPLIT_SEED,
+    ).orderBy("doc_id")
+
+
+def _web_split_case() -> str:
+    from vectordb_retrieval_spark.operators.sampling import _P, sample_hash_sql
+
+    total = sum(WEB_SPLIT_WEIGHTS.values())
+    labels = sorted(WEB_SPLIT_WEIGHTS)
+    acc, whens = 0.0, []
+    h = sample_hash_sql("doc_id", WEB_SPLIT_SEED)
+    for name in labels[:-1]:
+        acc += WEB_SPLIT_WEIGHTS[name] / total
+        whens.append(f"WHEN {h} < {int(acc * _P)} THEN '{name}'")
+    return f"CASE {' '.join(whens)} ELSE '{labels[-1]}' END"
+
+
+def _curate_web_oracle() -> str:
+    return f"""
+WITH {_URL_PARTS_CTES},
+norm AS (
+  SELECT doc_id,
+         scheme || '://' || host || path ||
+         CASE WHEN qn <> '' THEN '?' || qn ELSE '' END AS norm_url
+  FROM (
+    SELECT *, array_to_string(list_sort(list_filter(string_split(q, '&'),
+      p -> NOT (starts_with(p, 'utm_') OR starts_with(p, 'fbclid=')
+                OR starts_with(p, 'gclid=') OR starts_with(p, 'ref=')
+                OR p = ''))), '&') AS qn
+    FROM parts)
+),
+keepers AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           row_number() OVER (PARTITION BY norm_url ORDER BY doc_id) AS r
+    FROM norm
+  ) WHERE r = 1
+),
+surv AS (SELECT d0.* FROM documents d0 JOIN keepers USING (doc_id)),
+{_gram_ctes("surv")},
+cov AS (
+  SELECT DISTINCT id, unnest(generate_series(pos, pos + {SPAN_K - 1})) AS cpos
+  FROM d
+),
+tokp AS (
+  SELECT id, toks, unnest(generate_series(1, len(toks))) AS pos
+  FROM toks WHERE len(toks) > 0
+),
+tok AS (SELECT id, pos, toks[pos] AS tok FROM tokp),
+kept AS (
+  SELECT t.id, t.pos, t.tok
+  FROM tok t LEFT JOIN cov c ON c.id = t.id AND c.cpos = t.pos
+  WHERE c.id IS NULL
+),
+reb AS (SELECT id, string_agg(tok, ' ' ORDER BY pos) AS txt FROM kept GROUP BY id),
+ncov AS (SELECT id, count(*) AS n_removed FROM cov GROUP BY id),
+cut AS (
+  SELECT t.id AS doc_id,
+         len(t.toks) - coalesce(n.n_removed, 0) AS clean_len,
+         md5(coalesce(r.txt, '')) AS text_hash
+  FROM toks t
+  LEFT JOIN ncov n ON n.id = t.id
+  LEFT JOIN reb r ON r.id = t.id
+)
+SELECT doc_id, {_web_split_case()} AS split, clean_len, text_hash
+FROM cut WHERE clean_len >= {WEB_MIN_TOKENS} ORDER BY doc_id
+"""
+
+
 MINE_POS, MINE_NEG, ANCHOR_MOD = 3, 5, 25
 
 
@@ -471,6 +563,7 @@ QUERIES = {
     "graph_delete_search": q_graph_delete_search,
     "streaming_graph_ingest": q_streaming_graph_ingest,
     "mine_hard_negatives": q_mine_hard_negatives,
+    "pipeline_curate_web": q_curate_web,
 }
 
 ORACLES = {
@@ -483,4 +576,5 @@ ORACLES = {
     "graph_delete_search": _GRAPH_DELETE_ORACLE,
     "streaming_graph_ingest": _GRAPH_APPEND_ORACLE,
     "mine_hard_negatives": _MINING_ORACLE,
+    "pipeline_curate_web": _curate_web_oracle(),
 }

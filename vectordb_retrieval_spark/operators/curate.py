@@ -114,3 +114,55 @@ def curate_corpus(
         "doc_id", "split", "clean_len", "shard", "seq_id", "seq_off",
         "n_tokens",
     )
+
+
+def curate_web(
+    df: DataFrame,
+    k: int = 6,
+    min_count: int = 2,
+    min_tokens: int = 1,
+    split_weights: dict[str, float] | None = None,
+    seed: int = 21,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    url_col: str = "url",
+) -> DataFrame:
+    """Web-corpus curation: URL dedup → substring-span cut → length
+    gate → split.  The CCNet/RefinedWeb front half, composed from the
+    round's url/substring operators so the stage WIRING (not just each
+    stage) sits under one hash check.
+
+    Stages and their scale shape:
+    1. URL dedup — window keeper (row_number 1 over the normalized URL
+       ordered by id): one shuffle, no join-back, exactly the dedup
+       shape curate_corpus uses for canonical text.
+    2. Substring cut over the URL survivors only (the URL stage is the
+       cheap one — run it first so the gram explode pays for fewer
+       docs).
+    3. Length gate on kept-token count — pure arithmetic on the cut's
+       own accounting (n_tokens − n_removed), no re-tokenization.
+    4. Hash-range split — pure column expression.
+
+    Returns (doc_id, split, clean_len, text_hash) for every surviving
+    document, ordered nowhere (caller sorts).
+    """
+    from vectordb_retrieval_spark.operators.substring import substring_dedup
+    from vectordb_retrieval_spark.operators.urlops import normalize_url
+
+    split_weights = split_weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    w = Window.partitionBy("_nu").orderBy(id_col)
+    survivors = (
+        df.withColumn("_nu", normalize_url(F.col(url_col)))
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .drop("_nu", "_r")
+    )
+    cut = substring_dedup(
+        survivors, k=k, min_count=min_count, id_col=id_col, text_col=text_col
+    )
+    gated = cut.withColumn(
+        "clean_len", (F.col("n_tokens") - F.col("n_removed")).cast("long")
+    ).filter(F.col("clean_len") >= min_tokens)
+    return split_dataset(gated, split_weights, seed=seed, id_col="doc_id").select(
+        "doc_id", "split", "clean_len", "text_hash"
+    )

@@ -127,6 +127,7 @@ def substring_dedup(
     min_count: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    with_text: bool = False,
 ) -> DataFrame:
     """Cut every duplicated span out of every document.
 
@@ -135,6 +136,8 @@ def substring_dedup(
     tokens covered by at least one duplicated window and ``text_hash``
     is md5 of the rebuilt text (kept tokens joined by single spaces;
     empty string when everything was cut or the document was empty).
+    ``with_text=True`` adds the rebuilt text itself as ``text_clean``
+    (for pipeline composition — e.g. a downstream quality gate).
 
     This is the "remove all copies" policy of the Lee et al. tool; to
     keep one canonical copy per duplicate cluster, filter the
@@ -171,13 +174,16 @@ def substring_dedup(
     )
     n_cov = cov.groupBy("id").agg(F.count("*").alias("n_removed"))
     stats = base.select("id", F.size("toks").cast("long").alias("n_tokens"))
+    cols = [
+        F.col("id").alias("doc_id"),
+        "n_tokens",
+        F.coalesce(F.col("n_removed"), F.lit(0)).cast("long").alias("n_removed"),
+        F.md5(F.coalesce(F.col("txt"), F.lit(""))).alias("text_hash"),
+    ]
+    if with_text:
+        cols.append(F.coalesce(F.col("txt"), F.lit("")).alias("text_clean"))
     return (
         stats.join(n_cov, on="id", how="left")
         .join(rebuilt, on="id", how="left")
-        .select(
-            F.col("id").alias("doc_id"),
-            "n_tokens",
-            F.coalesce(F.col("n_removed"), F.lit(0)).cast("long").alias("n_removed"),
-            F.md5(F.coalesce(F.col("txt"), F.lit(""))).alias("text_hash"),
-        )
+        .select(*cols)
     )
