@@ -1215,6 +1215,69 @@ def main() -> int:
             1 for r in hres if r["qid"] == 0 and r["doc_id"] % 1000 == 13
         )
         bdocs.unpersist()
+
+        # round-9: substring-span dedup + SemDeDup points (planted
+        # 10-token shared runs / cloned vectors; generators shared with
+        # scripts/substring_scale_probe.py, which also carries the
+        # 1M-row points)
+        import numpy as np
+
+        from scripts.substring_scale_probe import (
+            synth_docs as synth_ss,
+            synth_vectors,
+        )
+
+        from vectordb_retrieval_spark.operators.dedup import semantic_dedup
+        from vectordb_retrieval_spark.operators.substring import duplicated_spans
+
+        n_ss = int(os.environ.get("SPARK_GRAFT_CURVE_SUBSTR_N", "100000"))
+        out["substr_n"] = n_ss
+        sdocs = synth_ss(spark, n_ss).repartition(int(cpus)).cache()
+        sdocs.count()
+        t0 = time.time()
+        spans = duplicated_spans(sdocs, k=6, min_count=2).cache()
+        spans.count()
+        out["substr_docs_per_sec"] = round(n_ss / (time.time() - t0), 1)
+        hits = (
+            spans.where((FF.col("span_start") <= 31) & (FF.col("span_end") >= 40))
+            .select("doc_id")
+            .distinct()
+            .count()
+        )
+        n_pl = sdocs.where(
+            (FF.col("doc_id") % 20 == 7)
+            | ((FF.col("doc_id") % 20 == 0) & (FF.col("doc_id") + 7 < n_ss))
+        ).count()
+        out["substr_planted_recall"] = round(hits / max(1, n_pl), 4)
+        spans.unpersist()
+        sdocs.unpersist()
+
+        n_sd = int(os.environ.get("SPARK_GRAFT_CURVE_SEMDEDUP_N", "100000"))
+        out["semdedup_n"] = n_sd
+        vecs = synth_vectors(spark, n_sd).repartition(int(cpus)).cache()
+        vecs.count()
+        n_cents = max(8, n_sd // 200)
+        cents = np.vstack(
+            [
+                r["embedding"]
+                for r in vecs.where(FF.col("vec_id") < n_cents)
+                .orderBy("vec_id")
+                .collect()
+            ]
+        ).astype("float32")
+        t0 = time.time()
+        surv = semantic_dedup(vecs, cents, threshold=0.999).cache()
+        surv.count()
+        out["semdedup_vecs_per_sec"] = round(n_sd / (time.time() - t0), 1)
+        planted_v = vecs.where(
+            (FF.col("vec_id") % 10 == 3) & (FF.col("vec_id") >= 3)
+        ).select("vec_id")
+        missed = surv.join(planted_v, "vec_id", "left_semi").count()
+        out["semdedup_drop_recall"] = round(
+            1.0 - missed / max(1, planted_v.count()), 4
+        )
+        surv.unpersist()
+        vecs.unpersist()
         return out
 
     scale_curve = (
@@ -1340,6 +1403,10 @@ def main() -> int:
         ("curve_pk_dps", scale_curve, "pipe_pack_docs_per_sec"),
         ("curve_sc_dps", scale_curve, "pipe_scrub_docs_per_sec"),
         ("curve_sc_fp", scale_curve, "pipe_scrub_false_pos"),
+        ("curve_ss_dps", scale_curve, "substr_docs_per_sec"),
+        ("curve_ss_rec", scale_curve, "substr_planted_recall"),
+        ("curve_sd_vps", scale_curve, "semdedup_vecs_per_sec"),
+        ("curve_sd_rec", scale_curve, "semdedup_drop_recall"),
         ("s150k_sq8f_1k", scale_workload, "qps_ivf_sq8_filtered25_1024q"),
         ("s150k_r_sq8f", scale_workload, "recall_ivf_sq8_filtered25"),
         # calibration-normalized GEMM-bound rows (see REF_GFLOPS above)
