@@ -370,6 +370,95 @@ def q_streaming_graph_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("qid", "id", "rank")
 
 
+RERANK_K, RERANK_CAND = 10, 30
+
+
+def q_rerank_bm25_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval: BM25 recall (top-{RERANK_CAND}) re-scored
+    by exact token-set Jaccard (top-{RERANK_K}) — the retrieve-then-
+    rerank serving stack with the whole cascade under one hash check.
+    The cross-encoder model branch shares this plumbing (env-gated,
+    operators/rerank.py)."""
+    from pyspark.sql import functions as F
+
+    from vectordb_retrieval_spark.driver_queries.retrievalq import MULTI_QUERIES
+    from vectordb_retrieval_spark.operators.rerank import jaccard_rerank
+    from vectordb_retrieval_spark.operators.text_retrieval import bm25_search
+
+    d = docs(spark, sf_dir)
+    qdf = spark.createDataFrame(
+        MULTI_QUERIES, schema="qid long, terms array<string>"
+    )
+    cands = bm25_search(d, qdf, k=RERANK_CAND)
+    res = jaccard_rerank(cands, d, qdf, top_k=RERANK_K)
+    return res.select(
+        "qid", "doc_id", F.round("score", 6).alias("score"), "rank"
+    ).orderBy("qid", "rank")
+
+
+def _rerank_oracle() -> str:
+    from vectordb_retrieval_spark.driver_queries.retrievalq import _MQ_VALUES
+
+    return f"""
+WITH qterms(qid, term) AS (VALUES {_MQ_VALUES}),
+toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),
+                                    x -> x <> '')) AS term
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN (SELECT DISTINCT term FROM qterms)
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT q.qid, tf.doc_id,
+         sum( ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * (tf.tf * 2.2)
+              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS score
+  FROM tf
+  JOIN qterms q USING (term)
+  JOIN dl USING (doc_id)
+  JOIN dfreq USING (term)
+  CROSS JOIN stats
+  GROUP BY q.qid, tf.doc_id
+),
+cand AS (
+  SELECT qid, doc_id FROM (
+    SELECT qid, doc_id,
+           row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)
+             AS rank
+    FROM scored
+  ) WHERE rank <= {RERANK_CAND}
+),
+qsets AS (SELECT qid, list_distinct(list(term)) AS qset FROM qterms GROUP BY qid),
+dsets AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split_regex(text, '\\s+'),
+                                   x -> x <> '')) AS dset
+  FROM documents
+),
+sc AS (
+  SELECT c.qid, c.doc_id,
+         len(list_intersect(q.qset, d.dset))
+           / greatest(len(list_distinct(list_concat(q.qset, d.dset))), 1)
+           AS score
+  FROM cand c JOIN qsets q USING (qid) JOIN dsets d USING (doc_id)
+),
+rr AS (
+  SELECT qid, doc_id, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)
+           AS rank
+  FROM sc
+)
+SELECT qid, doc_id, round(score, 6) AS score, rank
+FROM rr WHERE rank <= {RERANK_K} ORDER BY qid, rank
+"""
+
+
 WEB_MIN_TOKENS = 10
 WEB_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
 WEB_SPLIT_SEED = 21
@@ -564,6 +653,7 @@ QUERIES = {
     "streaming_graph_ingest": q_streaming_graph_ingest,
     "mine_hard_negatives": q_mine_hard_negatives,
     "pipeline_curate_web": q_curate_web,
+    "rerank_bm25_jaccard": q_rerank_bm25_jaccard,
 }
 
 ORACLES = {
@@ -577,4 +667,5 @@ ORACLES = {
     "streaming_graph_ingest": _GRAPH_APPEND_ORACLE,
     "mine_hard_negatives": _MINING_ORACLE,
     "pipeline_curate_web": _curate_web_oracle(),
+    "rerank_bm25_jaccard": _rerank_oracle(),
 }

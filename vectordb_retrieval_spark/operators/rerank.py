@@ -1,0 +1,164 @@
+"""Retrieve-then-rerank: second-stage scoring of a candidate list.
+
+The standard two-stage serving stack (BM25/ANN recall → precise
+re-scoring of the short list).  Two scorers:
+
+- ``jaccard_rerank`` — exact token-set Jaccard between query terms and
+  the candidate document, pure column expressions (one broadcast-sized
+  join of candidates onto the doc table, no scan of non-candidates),
+  fully reproducible by a SQL oracle.  This is both a usable lexical
+  reranker and the deterministic stand-in for the model path.
+- ``cross_encoder_rerank`` — batched (query, doc) pair scoring through
+  a sentence-transformers CrossEncoder inside ``mapInPandas``
+  (model-per-task, Arrow batches).  Raises NotImplementedError when
+  the library is absent (same env-gate convention as
+  sources/embedder.py); the Spark-side plumbing — pair join, batch
+  shape, output contract — is identical for any scorer.
+
+Scale shape: candidates are k·n_queries rows (tiny next to the
+corpus); the doc-text join is a broadcast of the candidate ids onto
+the documents scan, so the corpus is read once and filtered down to
+candidates before any scoring.  Rerank windows partition by qid.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from vectordb_retrieval_spark.operators.dedup import tokens_expr
+
+
+def _candidate_texts(
+    candidates: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """(qid, doc_id, text): candidate rows with their document text —
+    a left-semi-shaped broadcast join that never widens the corpus."""
+    cand = candidates.select("qid", "doc_id")
+    return cand.join(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
+        "doc_id",
+    )
+
+
+def jaccard_rerank(
+    candidates: DataFrame,
+    docs: DataFrame,
+    queries: DataFrame,
+    top_k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    qid_col: str = "qid",
+    terms_col: str = "terms",
+) -> DataFrame:
+    """Re-rank (qid, doc_id) candidates by token-set Jaccard between
+    the query's term set and the document's token set.
+
+    Returns (qid, doc_id, score, rank) with rank 1..top_k per query by
+    (score desc, doc_id) — same tie-break contract as bm25_search.
+    """
+    withtext = _candidate_texts(candidates, docs, id_col, text_col)
+    q = queries.select(
+        F.col(qid_col).alias("qid"),
+        F.array_distinct(F.col(terms_col)).alias("qset"),
+    )
+    scored = (
+        withtext.join(q, "qid")
+        .withColumn("dset", F.array_distinct(tokens_expr(F.col("text"))))
+        .withColumn(
+            "score",
+            F.size(F.array_intersect("qset", "dset"))
+            / F.greatest(F.size(F.array_union("qset", "dset")), F.lit(1)),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("qid", "doc_id", "score", "rank")
+    )
+
+
+def cross_encoder_rerank(
+    candidates: DataFrame,
+    docs: DataFrame,
+    queries: DataFrame,
+    top_k: int = 10,
+    model_name: str = "overlap-stub",
+    batch_size: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    qid_col: str = "qid",
+    qtext_col: str = "qtext",
+) -> DataFrame:
+    """Model-scored rerank of (query_text, doc_text) pairs.
+
+    ``model_name="overlap-stub"`` → a deterministic no-dependency
+    scorer (token-overlap count — NOT the Jaccard of
+    :func:`jaccard_rerank`, so the two paths are distinguishable in
+    tests); any other name → sentence-transformers CrossEncoder,
+    NotImplementedError when absent.
+    """
+    import numpy as np
+    import pandas as pd
+
+    pairs = _candidate_texts(candidates, docs, id_col, text_col).join(
+        queries.select(
+            F.col(qid_col).alias("qid"), F.col(qtext_col).alias("qtext")
+        ),
+        "qid",
+    )
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        scorer: Callable[[list], "np.ndarray"]
+        if model_name == "overlap-stub":
+
+            def scorer(pair_list):
+                return np.asarray(
+                    [
+                        float(len(set(q.lower().split()) & set(d.lower().split())))
+                        for q, d in pair_list
+                    ]
+                )
+
+        else:
+            try:
+                from sentence_transformers import CrossEncoder
+            except ImportError as e:  # pragma: no cover - env-dependent
+                raise NotImplementedError(
+                    "sentence-transformers is not installed in this "
+                    "environment; use model_name='overlap-stub' for the "
+                    "deterministic fallback"
+                ) from e
+            model = CrossEncoder(model_name)
+            scorer = lambda pair_list: np.asarray(  # noqa: E731
+                model.predict(pair_list, batch_size=batch_size)
+            )
+
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[start : start + batch_size]
+                s = scorer(
+                    list(zip([str(t) for t in chunk["qtext"]],
+                             [str(t) for t in chunk["text"]]))
+                )
+                yield pd.DataFrame(
+                    {
+                        "qid": chunk["qid"].to_numpy(dtype=np.int64),
+                        "doc_id": chunk["doc_id"].to_numpy(dtype=np.int64),
+                        "score": s.astype(np.float64),
+                    }
+                )
+
+    scored = pairs.mapInPandas(kernel, schema="qid long, doc_id long, score double")
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("qid", "doc_id", "score", "rank")
+    )
