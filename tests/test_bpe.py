@@ -1,0 +1,97 @@
+"""Distributed BPE induction pinned against a pure-python reference."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+
+from vectordb_retrieval_spark.operators.bpe import (
+    _EOW,
+    bpe_segment,
+    bpe_train,
+    word_counts,
+)
+
+
+def _py_bpe(texts: list[str], n_merges: int) -> list[tuple[str, str]]:
+    """Reference BPE (Sennrich et al. 2016 fig. 1 semantics, ties by
+    lexicographic (a, b))."""
+    vocab = Counter()
+    for t in texts:
+        for w in t.split():
+            vocab[tuple(list(w) + [_EOW])] += 1
+    merges = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        if not pairs:
+            break
+        # deterministic pick: max count, then lexicographically smallest
+        top = max(pairs.values())
+        if top < 2:
+            break
+        a, b = sorted(p for p, c in pairs.items() if c == top)[0]
+        merges.append((a, b))
+        new_vocab: Counter = Counter()
+        for syms, c in vocab.items():
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            new_vocab[tuple(res)] += c
+        vocab = new_vocab
+    return merges
+
+
+_TEXTS = [
+    "low lower lowest low low",
+    "new newer newest new newer",
+    "wide wider widest low newer",
+]
+
+
+@pytest.fixture(scope="module")
+def corpus_bpe(spark):
+    return spark.createDataFrame(
+        list(enumerate(_TEXTS)), schema="doc_id long, text string"
+    )
+
+
+def test_bpe_train_matches_python_reference(spark, corpus_bpe):
+    got = bpe_train(corpus_bpe, n_merges=12)
+    want = _py_bpe(_TEXTS, 12)
+    assert got == want
+    assert len(got) >= 5  # the corpus supports a real merge sequence
+
+
+def test_word_counts(spark, corpus_bpe):
+    wc = {r.word: r["count"] for r in word_counts(corpus_bpe).collect()}
+    assert wc["low"] == 4 and wc["newer"] == 3 and wc["widest"] == 1
+
+
+def test_bpe_segment_accounting(spark, corpus_bpe):
+    merges = bpe_train(corpus_bpe, n_merges=12)
+    seg = {r.id: r for r in bpe_segment(corpus_bpe, merges).collect()}
+    for i, t in enumerate(_TEXTS):
+        assert seg[i].n_words == len(t.split())
+        # BPE token count per word lies in [1, len(word)+1]
+        lo = seg[i].n_words
+        hi = sum(len(w) + 1 for w in t.split())
+        assert lo <= seg[i].n_bpe_tokens <= hi
+    # with zero merges, every word costs len(word)+1 symbols
+    seg0 = {r.id: r for r in bpe_segment(corpus_bpe, []).collect()}
+    for i, t in enumerate(_TEXTS):
+        assert seg0[i].n_bpe_tokens == sum(len(w) + 1 for w in t.split())
+    # more merges never increase the token count
+    seg_half = {
+        r.id: r for r in bpe_segment(corpus_bpe, merges[:3]).collect()
+    }
+    for i in seg:
+        assert seg[i].n_bpe_tokens <= seg_half[i].n_bpe_tokens

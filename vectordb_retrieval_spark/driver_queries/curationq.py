@@ -370,6 +370,23 @@ def q_streaming_graph_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("qid", "id", "rank")
 
 
+BPE_MERGES = 10
+
+
+def q_bpe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary induction + token accounting: learn BPE_MERGES
+    merges from the corpus word-frequency table, then report each
+    document's word and BPE-token counts.  Inherently iterative (each
+    merge depends on the last), so this entry carries NO SQL oracle —
+    the driver records a rows-only check; exactness is pinned by
+    tests/test_bpe.py against a pure-python reference implementation."""
+    from vectordb_retrieval_spark.operators.bpe import bpe_segment, bpe_train
+
+    d = docs(spark, sf_dir)
+    merges = bpe_train(d, n_merges=BPE_MERGES)
+    return bpe_segment(d, merges).orderBy("id")
+
+
 RERANK_K, RERANK_CAND = 10, 30
 
 
@@ -654,6 +671,7 @@ QUERIES = {
     "mine_hard_negatives": q_mine_hard_negatives,
     "pipeline_curate_web": q_curate_web,
     "rerank_bm25_jaccard": q_rerank_bm25_jaccard,
+    "bpe_token_budget": q_bpe_token_budget,
 }
 
 ORACLES = {
