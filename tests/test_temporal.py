@@ -101,3 +101,49 @@ def test_sessionize_gap_semantics(spark):
     df2 = _df(spark, [(1, 7, 0.0), (2, 7, 30.0), (3, 7, 60.1)])
     got2 = {r.event_id: r.session_idx for r in sessionize(df2, gap_s=30).collect()}
     assert got2 == {1: 0, 2: 0, 3: 1}
+
+
+def test_resample_gap_fill_modes(spark):
+    from datetime import datetime
+
+    from vectordb_retrieval_spark.operators.temporal import resample
+
+    rows = [
+        # user 1: events in hours 0 and 2 (hour 1 is a gap)
+        (0, datetime(2024, 1, 1, 0, 10), 1, 1.25),
+        (1, datetime(2024, 1, 1, 0, 50), 1, 2.00),
+        (2, datetime(2024, 1, 1, 2, 5), 1, 0.75),
+        # user 2: a single event
+        (3, datetime(2024, 1, 1, 5, 0), 2, 4.10),
+    ]
+    df = spark.createDataFrame(
+        rows, schema="event_id long, ts timestamp, user_id long, value double"
+    )
+    base_bucket = int(datetime(2024, 1, 1).timestamp()) // 3600
+
+    out = {
+        (r.user_id, r.bucket): r
+        for r in resample(df, 3600, fill="ffill").collect()
+    }
+    # full grid per user: 3 buckets for user 1, 1 for user 2
+    assert len(out) == 4
+    b0, b1, b2 = base_bucket, base_bucket + 1, base_bucket + 2
+    assert out[(1, b0)].n_events == 2 and out[(1, b0)].sum_cents == 325
+    assert out[(1, b1)].n_events == 0 and out[(1, b1)].sum_cents is None
+    assert out[(1, b1)].fill_cents == 325  # carried forward
+    assert out[(1, b2)].sum_cents == 75 and out[(1, b2)].fill_cents == 75
+    assert out[(2, base_bucket + 5)].sum_cents == 410
+
+    zero = {
+        (r.user_id, r.bucket): r for r in resample(df, 3600, fill="zero").collect()
+    }
+    assert zero[(1, b1)].fill_cents == 0
+    none = {
+        (r.user_id, r.bucket): r for r in resample(df, 3600, fill="none").collect()
+    }
+    assert none[(1, b1)].fill_cents is None
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        resample(df, 3600, fill="bogus")

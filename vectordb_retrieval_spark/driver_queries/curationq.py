@@ -370,6 +370,49 @@ def q_streaming_graph_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("qid", "id", "rank")
 
 
+RESAMPLE_S = 3600
+
+
+def q_events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly resample of the events stream with forward-fill
+    over empty buckets (pandas resample/asfreq semantics, distributed;
+    integer-cents sums so the values hash exactly)."""
+    from pyspark.sql import functions as F
+
+    from vectordb_retrieval_spark.operators.temporal import resample
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    return resample(ev, interval_s=RESAMPLE_S, fill="ffill").orderBy(
+        "user_id", "bucket"
+    )
+
+
+_RESAMPLE_ORACLE = f"""
+WITH e AS (
+  SELECT user_id AS key, epoch_us(ts) // {RESAMPLE_S * 1_000_000} AS bucket,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+agg AS (
+  SELECT key, bucket, count(*) AS n_events, sum(cents) AS sum_cents
+  FROM e GROUP BY key, bucket
+),
+spans AS (SELECT key, min(bucket) AS b0, max(bucket) AS b1 FROM agg GROUP BY key),
+grid AS (SELECT key, unnest(generate_series(b0, b1)) AS bucket FROM spans),
+j AS (
+  SELECT g.key, g.bucket, coalesce(a.n_events, 0) AS n_events, a.sum_cents
+  FROM grid g LEFT JOIN agg a ON a.key = g.key AND a.bucket = g.bucket
+)
+SELECT key AS user_id, bucket, n_events, sum_cents,
+       last_value(sum_cents IGNORE NULLS) OVER (
+         PARTITION BY key ORDER BY bucket ROWS UNBOUNDED PRECEDING
+       ) AS fill_cents
+FROM j ORDER BY user_id, bucket
+"""
+
+
 BPE_MERGES = 10
 
 
@@ -672,6 +715,7 @@ QUERIES = {
     "pipeline_curate_web": q_curate_web,
     "rerank_bm25_jaccard": q_rerank_bm25_jaccard,
     "bpe_token_budget": q_bpe_token_budget,
+    "events_resample_ffill": q_events_resample,
 }
 
 ORACLES = {
@@ -686,4 +730,5 @@ ORACLES = {
     "mine_hard_negatives": _MINING_ORACLE,
     "pipeline_curate_web": _curate_web_oracle(),
     "rerank_bm25_jaccard": _rerank_oracle(),
+    "events_resample_ffill": _RESAMPLE_ORACLE,
 }

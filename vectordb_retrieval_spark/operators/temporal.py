@@ -140,3 +140,74 @@ def range_join(
         .where(F.abs(F.col("b_us") - F.col("a_us")) <= window_s * 1_000_000)
         .select("a", "b", (F.col("b_us") - F.col("a_us")).alias("dt_us"))
     )
+
+
+def resample(
+    df: DataFrame,
+    interval_s: int = 3600,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    fill: str = "ffill",
+) -> DataFrame:
+    """Per-key fixed-interval downsampling with gap fill — the
+    time-series resample every metrics/feature pipeline runs before
+    modeling (pandas ``resample``/``asfreq`` semantics, distributed).
+
+    Returns one row per (key, bucket) over each key's FULL bucket range
+    [min, max] — empty buckets materialize with ``n_events = 0`` — with
+    ``sum_cents`` (the bucket's value sum in integer cents: exact,
+    order-independent, reproducible by any SQL engine — float sums are
+    not) and ``fill_cents``:
+
+    - ``fill="ffill"``: last non-empty bucket's sum carried forward;
+    - ``fill="zero"``: empty buckets read 0;
+    - ``fill="none"``: empty buckets stay null.
+
+    Scale shape: one groupBy (key, bucket) with map-side combine, a
+    per-key span aggregate, a bounded ``sequence`` explode (span /
+    interval rows per key), and one per-key window for the fill —
+    never a global window, never per-row Python.
+    """
+    if fill not in ("ffill", "zero", "none"):
+        raise ValueError(f"fill must be ffill|zero|none, got {fill!r}")
+    ivl_us = int(interval_s) * 1_000_000
+    cents = F.round(F.col(value_col) * 100, 0).cast("long")
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.expr(f"unix_micros({ts_col}) div {ivl_us}").alias("bucket"),
+        cents.alias("cents"),
+    )
+    agg = base.groupBy("key", "bucket").agg(
+        F.count("*").alias("n_events"), F.sum("cents").alias("sum_cents")
+    )
+    spans = agg.groupBy("key").agg(
+        F.min("bucket").alias("b0"), F.max("bucket").alias("b1")
+    )
+    grid = spans.select(
+        "key", F.explode(F.sequence("b0", "b1")).alias("bucket")
+    )
+    joined = grid.join(agg, ["key", "bucket"], "left").select(
+        "key",
+        "bucket",
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
+        F.col("sum_cents").cast("long").alias("sum_cents"),
+    )
+    if fill == "ffill":
+        w = (
+            Window.partitionBy("key")
+            .orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        filled = F.last("sum_cents", ignorenulls=True).over(w)
+    elif fill == "zero":
+        filled = F.coalesce(F.col("sum_cents"), F.lit(0))
+    else:
+        filled = F.col("sum_cents")
+    return joined.select(
+        F.col("key").alias(key_col),
+        "bucket",
+        "n_events",
+        "sum_cents",
+        filled.cast("long").alias("fill_cents"),
+    )
