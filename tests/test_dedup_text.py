@@ -520,3 +520,71 @@ def test_keyword_extract_top_terms(spark):
     assert [t for _, t in sorted(per_doc[1])] == ["common", "shared"]
     # doc 2: other tf3, df1 → 3·ln4 dominates
     assert sorted(per_doc[2])[0][1] == "other"
+
+
+def test_dhash_locality_and_band_join(spark):
+    """One-byte payload edits move the dhash by a few bits; unrelated
+    payloads sit near the random-hamming mean — and the pigeonhole band
+    join finds exactly the brute-force pair set."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from vectordb_retrieval_spark.operators.multimodal import (
+        attach_binary_payload,
+        dhash,
+        hamming_near_dup_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    rows = [
+        (0, base),
+        (1, base[:-1] + "x"),          # near-identical payload
+        (2, base.replace("quick", "quack")),  # small edit
+        (3, "zzz completely different content with other bytes yyy " * 2),
+    ]
+    df = attach_binary_payload(
+        spark.createDataFrame(rows, "doc_id long, text string")
+    )
+    h = {r.id: r.dhash for r in dhash(df).collect()}
+    ham = lambda a, b: bin(h[a] ^ h[b]).count("1")  # noqa: E731
+    assert ham(0, 1) <= 4 and ham(0, 2) <= 8
+    assert ham(0, 3) > 10
+    # band join == brute force at every threshold
+    hdf = dhash(df)
+    for d in (2, 4, 8):
+        got = {
+            (r.a, r.b, r.hamming)
+            for r in hamming_near_dup_pairs(hdf, max_hamming=d).collect()
+        }
+        want = {
+            (a, b, ham(a, b))
+            for a, b in itertools.combinations(sorted(h), 2)
+            if ham(a, b) <= d
+        }
+        assert got == want, d
+
+
+def test_dhash_real_codec_gate(spark):
+    from pyspark.sql import functions as F
+
+    from vectordb_retrieval_spark.operators.multimodal import (
+        _pil_pixels,
+        attach_binary_payload,
+        dhash,
+    )
+
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("Pillow present; gate not exercised")
+    except ImportError:
+        pass
+    df = attach_binary_payload(
+        spark.createDataFrame([(0, "not an image")], "doc_id long, text string")
+    )
+    with pytest.raises(Exception) as ei:
+        dhash(df, pixels_fn=_pil_pixels).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )

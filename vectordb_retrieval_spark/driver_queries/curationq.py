@@ -370,6 +370,46 @@ def q_streaming_graph_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("qid", "id", "rank")
 
 
+DHASH_HAMMING = 4
+
+
+def q_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup: 63-bit difference hash over the
+    deterministic byte stand-in bitmap, then the generic pigeonhole
+    Hamming band join.  The stand-in pixels are payload bytes tiled
+    onto the grid, so the WHOLE pipeline (tiling → dhash bits → band
+    candidates → popcount verify) is reproduced by the SQL oracle;
+    the real-codec branch swaps pixels_fn for the Pillow decoder."""
+    from vectordb_retrieval_spark.operators.multimodal import (
+        attach_binary_payload,
+        dhash,
+        hamming_near_dup_pairs,
+    )
+
+    d = attach_binary_payload(docs(spark, sf_dir))
+    h = dhash(d)
+    return hamming_near_dup_pairs(h, max_hamming=DHASH_HAMMING).orderBy("a", "b")
+
+
+def _dhash_oracle() -> str:
+    terms = []
+    for j in range(63):
+        r, c = divmod(j, 9)
+        p0, p1 = r * 10 + c, r * 10 + c + 1
+        u0 = f"unicode(substr(text, ({p0} % length(text)) + 1, 1))"
+        u1 = f"unicode(substr(text, ({p1} % length(text)) + 1, 1))"
+        terms.append(f"CASE WHEN {u0} > {u1} THEN {1 << (62 - j)} ELSE 0 END")
+    dh = " + ".join(terms)
+    return f"""
+WITH h AS (SELECT doc_id, CAST({dh} AS BIGINT) AS dh FROM documents)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       CAST(bit_count(xor(a.dh, b.dh)) AS BIGINT) AS hamming
+FROM h a JOIN h b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.dh, b.dh)) <= {DHASH_HAMMING}
+ORDER BY a, b
+"""
+
+
 RESAMPLE_S = 3600
 
 
@@ -716,6 +756,7 @@ QUERIES = {
     "rerank_bm25_jaccard": q_rerank_bm25_jaccard,
     "bpe_token_budget": q_bpe_token_budget,
     "events_resample_ffill": q_events_resample,
+    "multimodal_dhash_pairs": q_dhash_pairs,
 }
 
 ORACLES = {
@@ -731,4 +772,5 @@ ORACLES = {
     "pipeline_curate_web": _curate_web_oracle(),
     "rerank_bm25_jaccard": _rerank_oracle(),
     "events_resample_ffill": _RESAMPLE_ORACLE,
+    "multimodal_dhash_pairs": _dhash_oracle(),
 }

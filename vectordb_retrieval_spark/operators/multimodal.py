@@ -247,3 +247,128 @@ def frame_sample(
     return df.select(id_col, payload_col).mapInPandas(
         kernel, schema="id long, frame_offset int, frame_fp long"
     )
+
+
+def _stub_pixels(payload: bytes, side: int = 9) -> np.ndarray:
+    """Deterministic locality-preserving stand-in for a decoded
+    grayscale bitmap: payload bytes tiled row-major into a (side x
+    side+1) array — near-identical payloads give near-identical
+    "pixels", so perceptual-hash semantics are exercised for real even
+    without a codec library."""
+    need = side * (side + 1)
+    buf = (payload * (need // max(len(payload), 1) + 1))[:need]
+    return np.frombuffer(bytes(buf), dtype=np.uint8).reshape(side, side + 1).astype(
+        np.float64
+    )
+
+
+def _pil_pixels(payload: bytes, side: int = 9) -> np.ndarray:
+    """Real decode branch: Pillow -> grayscale -> (side x side+1)
+    resize.  NotImplementedError without Pillow (same gate as
+    pil_decode)."""
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError as e:  # pragma: no cover - env-dependent
+        raise NotImplementedError(
+            "Pillow is not installed in this environment; use the "
+            "deterministic byte stand-in (pixels_fn=None default)"
+        ) from e
+    img = Image.open(io.BytesIO(payload)).convert("L").resize((side + 1, side))
+    return np.asarray(img, dtype=np.float64)
+
+
+def dhash(
+    df: DataFrame,
+    pixels_fn: Callable[[bytes], np.ndarray] | None = None,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """(id, dhash): 72-bit difference hash of each payload's bitmap —
+    the classic perceptual image fingerprint (bit j = pixel brighter
+    than its right neighbor on a 9x10 grid; robust to rescaling and
+    small edits, unlike byte-level hashes).
+
+    ``pixels_fn=None`` uses the deterministic byte stand-in;
+    ``pixels_fn=_pil_pixels`` decodes real bitmaps (env-gated).  One
+    Arrow pass; the hash lands in a plain long column so the generic
+    Hamming band join (``hamming_near_dup_pairs``) composes directly.
+    """
+    fn = pixels_fn or _stub_pixels
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for payload in pdf[payload_col]:
+                px = fn(bytes(payload))
+                bits = (px[:, :-1] > px[:, 1:]).reshape(-1)
+                h = 0
+                for bit in bits[:63]:  # long-safe 63-bit fingerprint
+                    h = (h << 1) | int(bit)
+                out.append(h)
+            yield pd.DataFrame(
+                {"id": pdf[id_col].astype("int64"), "dhash": out}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        kernel, schema="id long, dhash long"
+    )
+
+
+def hamming_near_dup_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 4,
+    bits: int = 63,
+    id_col: str = "id",
+    hash_col: str = "dhash",
+) -> DataFrame:
+    """Pairs (a < b) of rows whose integer fingerprints differ in at
+    most ``max_hamming`` bits — the generic form of the simhash band
+    trick (operators/dedup.py): pigeonhole the fingerprint into
+    ``max_hamming + 1`` chunks, equi-join on (chunk_idx, chunk_value),
+    verify survivors with ``bit_count(a XOR b)``.  Sub-quadratic; one
+    band shuffle + candidate verify, never an all-pairs join."""
+    sh = hashes.select(F.col(id_col).alias("id"), F.col(hash_col).alias("h"))
+    n_bands = max_hamming + 1
+    widths = [
+        bits // n_bands + (1 if i < bits % n_bands else 0) for i in range(n_bands)
+    ]
+    offs = [sum(widths[:i]) for i in range(n_bands)]
+    bands = sh.select(
+        "id",
+        "h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("h"), offs[i])
+                        .bitwiseAND(F.lit((1 << widths[i]) - 1))
+                        .alias("chunk"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("bc"),
+    ).select("id", "h", F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"))
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "chunk"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("a"),
+            F.col("y.id").alias("b"),
+            F.col("x.h").alias("_ha"),
+            F.col("y.h").alias("_hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).cast("long"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
