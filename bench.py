@@ -1462,7 +1462,10 @@ def main() -> int:
             continue
         base_probe[ck] = (
             round(v, 4)
-            if ck.startswith(("r_", "c384_r", "s150k_r", "curve_r", "curve_dd_rec"))
+            if ck.startswith(
+                ("r_", "c384_r", "s150k_r", "curve_r", "curve_dd_rec",
+                 "curve_ss_rec", "curve_sd_rec")
+            )
             else round(v)
         )
         trial = dict(compact)
