@@ -297,16 +297,22 @@ def dhash(
     """
     fn = pixels_fn or _stub_pixels
 
+    powers = (np.int64(1) << np.arange(62, -1, -1, dtype=np.int64))
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for payload in pdf[payload_col]:
-                px = fn(bytes(payload))
-                bits = (px[:, :-1] > px[:, 1:]).reshape(-1)
-                h = 0
-                for bit in bits[:63]:  # long-safe 63-bit fingerprint
-                    h = (h << 1) | int(bit)
-                out.append(h)
+            if not len(pdf):
+                continue
+            bits = np.stack(
+                [
+                    (lambda px: (px[:, :-1] > px[:, 1:]).reshape(-1)[:63])(
+                        fn(bytes(payload))
+                    )
+                    for payload in pdf[payload_col]
+                ]
+            )
+            # one batch matmul packs the 63-bit fingerprints (long-safe)
+            out = bits.astype(np.int64) @ powers
             yield pd.DataFrame(
                 {"id": pdf[id_col].astype("int64"), "dhash": out}
             )
