@@ -370,6 +370,65 @@ def q_streaming_graph_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("qid", "id", "rank")
 
 
+def q_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style weak-label quality classifier: multinomial NB with
+    Laplace smoothing trained on the heuristic quality rules, then
+    scoring the whole corpus — closed-form counts, so train AND score
+    sit under one hash check."""
+    from vectordb_retrieval_spark.operators.classifier import (
+        nb_quality_classifier,
+    )
+
+    return nb_quality_classifier(docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def _nb_quality_oracle() -> str:
+    from vectordb_retrieval_spark.driver_queries.textq import (
+        STOPWORDS,
+        _sql_str_list,
+    )
+
+    sw = _sql_str_list(STOPWORDS["en"])
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+f AS (
+  SELECT doc_id, len(toks) AS n,
+         list_sum(list_transform(toks, x -> length(x))) AS chars,
+         len(list_filter(toks, x -> list_contains({sw}, x))) AS n_stop,
+         list_max(list_transform(list_distinct(toks),
+             w -> len(list_filter(toks, x -> x = w)))) AS top
+  FROM t
+),
+lab AS (
+  SELECT doc_id,
+         CAST(n >= 20 AND n <= 400 AND chars >= 2 * n AND chars <= 12 * n
+              AND n_stop > 0 AND top * 5 <= n AS INT) AS label
+  FROM f
+),
+tok AS (SELECT t.doc_id, unnest(t.toks) AS term FROM t),
+tk AS (SELECT tok.doc_id, term, label FROM tok JOIN lab USING (doc_id)),
+tc AS (SELECT term, sum(label) AS c1, sum(1 - label) AS c0 FROM tk GROUP BY term),
+tot AS (SELECT sum(c1) AS n1, sum(c0) AS n0, count(*) AS v FROM tc),
+cls AS (SELECT sum(label) AS d1, sum(1 - label) AS d0 FROM lab),
+w AS (
+  SELECT term,
+         ln((c1 + 1.0) / (n1 + v)) - ln((c0 + 1.0) / (n0 + v)) AS w
+  FROM tc CROSS JOIN tot
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+sc AS (
+  SELECT tf.doc_id, sum(tf.tf * w.w) AS s FROM tf JOIN w USING (term)
+  GROUP BY tf.doc_id
+),
+pri AS (SELECT ln(CAST(d1 AS DOUBLE) / d0) AS prior FROM cls)
+SELECT l.doc_id, CAST(l.label AS BIGINT) AS label,
+       round(coalesce(s.s, 0) + p.prior, 6) AS score,
+       CAST(coalesce(s.s, 0) + p.prior > 0 AS BIGINT) AS pred
+FROM lab l CROSS JOIN pri p LEFT JOIN sc s ON s.doc_id = l.doc_id
+ORDER BY l.doc_id
+"""
+
+
 DHASH_HAMMING = 4
 
 
@@ -757,6 +816,7 @@ QUERIES = {
     "bpe_token_budget": q_bpe_token_budget,
     "events_resample_ffill": q_events_resample,
     "multimodal_dhash_pairs": q_dhash_pairs,
+    "quality_nb_classifier": q_nb_quality,
 }
 
 ORACLES = {
@@ -773,4 +833,5 @@ ORACLES = {
     "rerank_bm25_jaccard": _rerank_oracle(),
     "events_resample_ffill": _RESAMPLE_ORACLE,
     "multimodal_dhash_pairs": _dhash_oracle(),
+    "quality_nb_classifier": _nb_quality_oracle(),
 }
