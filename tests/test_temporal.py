@@ -147,3 +147,22 @@ def test_resample_gap_fill_modes(spark):
 
     with _pytest.raises(ValueError):
         resample(df, 3600, fill="bogus")
+
+
+def test_resample_plan_windows_partitioned(spark):
+    from datetime import datetime
+
+    from vectordb_retrieval_spark.operators.temporal import resample
+
+    df = spark.createDataFrame(
+        [(0, datetime(2024, 1, 1), 1, 1.0)],
+        schema="event_id long, ts timestamp, user_id long, value double",
+    )
+    plan = (
+        resample(df, 3600, fill="ffill")
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    specs = plan.split("windowspecdefinition(")[1:]
+    assert specs and all(s.startswith("key") for s in specs), plan
