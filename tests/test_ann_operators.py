@@ -1096,3 +1096,28 @@ def test_index_spec_opq():
         parse_index_spec("OPQ8,PQ16")
     with pytest.raises(ValueError):
         parse_index_spec("OPQ8,IVF16,Flat")
+
+
+def test_pq_indexer_opq_with_preset_codebooks(spark):
+    """opq=True + preset codebooks must not leave rotation untrained:
+    build() skips fit(), so the indexer pins an identity rotation and
+    encode/search run (advisor r9 fix)."""
+    import numpy as np
+
+    from vectordb_retrieval_spark.operators.pq import PQADCSearcher, PQIndexer
+
+    rng = np.random.default_rng(7)
+    m, ksub, dsub = 4, 8, 2
+    cbs = rng.normal(size=(m, ksub, dsub))
+    base = spark.createDataFrame(
+        [(i, rng.normal(size=m * dsub).tolist()) for i in range(40)],
+        "id long, vec array<double>",
+    )
+    art = PQIndexer(m=m, ksub=ksub, codebooks=cbs, opq=True).build(base)
+    q = spark.createDataFrame(
+        [(0, rng.normal(size=m * dsub).tolist())], "qid long, vec array<double>"
+    )
+    got = PQADCSearcher().attach(art).search(q, k=5).collect()
+    assert len(got) == 5
+    rot = art.params["codec"].rotation
+    assert rot is not None and np.allclose(rot, np.eye(m * dsub))

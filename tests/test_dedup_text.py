@@ -588,3 +588,18 @@ def test_dhash_real_codec_gate(spark):
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, NotImplementedError
     )
+
+
+def test_dhash_empty_payload(spark):
+    """Empty payloads map to the zero grid -> dhash 0 instead of a
+    reshape crash (advisor r9 fix)."""
+    from vectordb_retrieval_spark.operators.multimodal import (
+        attach_binary_payload,
+        dhash,
+    )
+
+    df = attach_binary_payload(
+        spark.createDataFrame([(0, ""), (1, "some text")], "doc_id long, text string")
+    )
+    got = {r.id: r.dhash for r in dhash(df).collect()}
+    assert got[0] == 0 and got[1] != 0

@@ -103,3 +103,29 @@ def test_domain_stats_and_filter(spark):
     kept = domain_filter(df, ["spam.com"]).collect()
     assert [r.doc_id for r in kept] == [2]
     assert domain_filter(df, []).count() == 3
+
+
+def test_normalize_url_unparseable_fallback(spark):
+    """Scheme-less / malformed URLs keep their own identity (trimmed raw
+    form) instead of collapsing toward '://' and cross-deduping."""
+    df = spark.createDataFrame(
+        [
+            (0, "example.com/no-scheme"),
+            (1, "not a url at all"),
+            (2, "  ftp-ish//broken  "),
+            (3, "http://real.com/x"),
+        ],
+        schema="doc_id long, url string",
+    )
+    got = {
+        r.doc_id: r.n
+        for r in df.select(
+            "doc_id", normalize_url(F.col("url")).alias("n")
+        ).collect()
+    }
+    assert got[0] == "example.com/no-scheme"
+    assert got[1] == "not a url at all"
+    assert got[2] == "ftp-ish//broken"
+    assert got[3] == "http://real.com/x"
+    # the three unparseable rows survive url_dedup as three rows
+    assert url_dedup(df).count() == 4

@@ -455,12 +455,17 @@ def _dhash_oracle() -> str:
     for j in range(63):
         r, c = divmod(j, 9)
         p0, p1 = r * 10 + c, r * 10 + c + 1
-        u0 = f"unicode(substr(text, ({p0} % length(text)) + 1, 1))"
-        u1 = f"unicode(substr(text, ({p1} % length(text)) + 1, 1))"
+        # greatest(..., 1) guards the modulo against empty text (the
+        # engine side maps an empty payload to a zero grid -> dhash 0,
+        # matched by the outer CASE)
+        u0 = f"unicode(substr(text, ({p0} % greatest(length(text), 1)) + 1, 1))"
+        u1 = f"unicode(substr(text, ({p1} % greatest(length(text), 1)) + 1, 1))"
         terms.append(f"CASE WHEN {u0} > {u1} THEN {1 << (62 - j)} ELSE 0 END")
     dh = " + ".join(terms)
     return f"""
-WITH h AS (SELECT doc_id, CAST({dh} AS BIGINT) AS dh FROM documents)
+WITH h AS (SELECT doc_id,
+           CASE WHEN length(text) = 0 THEN 0
+                ELSE CAST({dh} AS BIGINT) END AS dh FROM documents)
 SELECT a.doc_id AS a, b.doc_id AS b,
        CAST(bit_count(xor(a.dh, b.dh)) AS BIGINT) AS hamming
 FROM h a JOIN h b ON a.doc_id < b.doc_id

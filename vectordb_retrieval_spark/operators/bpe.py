@@ -40,9 +40,7 @@ from vectordb_retrieval_spark.operators.dedup import tokens_expr
 _EOW = "</w>"
 
 
-def word_counts(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
-) -> DataFrame:
+def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, count): the corpus word-frequency table BPE trains on."""
     return (
         df.select(F.explode(tokens_expr(F.col(text_col))).alias("word"))
@@ -89,12 +87,11 @@ def _apply_merge_kernel(a: str, b: str):
 def bpe_train(
     df: DataFrame,
     n_merges: int = 50,
-    id_col: str = "doc_id",
     text_col: str = "text",
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merges from the corpus; returns the merge
     list in order.  Stops early when no adjacent pair occurs twice."""
-    syms = _initial_symbols(word_counts(df, id_col, text_col)).cache()
+    syms = _initial_symbols(word_counts(df, text_col)).cache()
     syms.count()
     merges: list[tuple[str, str]] = []
     try:

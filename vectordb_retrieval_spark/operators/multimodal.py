@@ -256,7 +256,11 @@ def _stub_pixels(payload: bytes, side: int = 9) -> np.ndarray:
     "pixels", so perceptual-hash semantics are exercised for real even
     without a codec library."""
     need = side * (side + 1)
-    buf = (payload * (need // max(len(payload), 1) + 1))[:need]
+    if not payload:
+        # empty payloads (the corpus schema allows empty text) map to a
+        # flat zero grid -> dhash 0, instead of a reshape crash
+        return np.zeros((side, side + 1), dtype=np.float64)
+    buf = (payload * (need // len(payload) + 1))[:need]
     return np.frombuffer(bytes(buf), dtype=np.uint8).reshape(side, side + 1).astype(
         np.float64
     )
@@ -285,7 +289,7 @@ def dhash(
     id_col: str = "doc_id",
     payload_col: str = "payload",
 ) -> DataFrame:
-    """(id, dhash): 72-bit difference hash of each payload's bitmap —
+    """(id, dhash): 63-bit difference hash of each payload's bitmap —
     the classic perceptual image fingerprint (bit j = pixel brighter
     than its right neighbor on a 9x10 grid; robust to rescaling and
     small edits, unlike byte-level hashes).

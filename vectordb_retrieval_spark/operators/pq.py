@@ -50,6 +50,13 @@ class PQIndexer:
             # pre-set (m, ksub, dsub) codebooks skip k-means training —
             # used by the SQL-reproducible fixed-codebook driver query
             self.codec.codebooks = np.asarray(codebooks, dtype=np.float64)
+            if opq:
+                # build() skips fit() for preset codebooks, which would
+                # leave the OPQ rotation untrained (None) and crash the
+                # encode kernel — identity rotation is the only
+                # consistent interpretation of "these exact codebooks"
+                mm, _, dsub = self.codec.codebooks.shape
+                self.codec.rotation = np.eye(mm * dsub)
         self.metric = metric
 
     def build(

@@ -64,13 +64,17 @@ def normalize_url(url: Column) -> Column:
         F.filter(F.split(q, "&"), lambda p: ~_is_tracking(p))
     )
     qnorm = F.concat_ws("&", kept)
-    return F.concat(
+    norm = F.concat(
         scheme,
         F.lit("://"),
         host,
         path,
         F.when(qnorm != "", F.concat(F.lit("?"), qnorm)).otherwise(F.lit("")),
     )
+    # scheme-less / malformed URLs would all collapse toward '://' and
+    # silently dedup unrelated rows — fall back to the trimmed raw URL
+    # so each unparseable row keeps its own identity
+    return F.when(host == "", u).otherwise(norm)
 
 
 def host_of(url: Column) -> Column:
