@@ -95,3 +95,39 @@ def test_bpe_segment_accounting(spark, corpus_bpe):
     }
     for i in seg:
         assert seg[i].n_bpe_tokens <= seg_half[i].n_bpe_tokens
+
+
+def test_bpe_driver_and_distributed_loops_identical(spark, corpus_bpe):
+    """The default driver-side incremental merge loop and the
+    distributed per-merge loop are merge-for-merge identical."""
+    fast = bpe_train(corpus_bpe, n_merges=12)
+    slow = bpe_train(corpus_bpe, n_merges=12, driver_vocab_limit=0)
+    assert fast == slow == _py_bpe(_TEXTS, 12)
+
+
+def test_driver_merge_loop_incremental_stats():
+    """The incremental pair-statistics loop matches the naive recount
+    reference on a larger synthetic vocabulary, at speed (1k merges in
+    seconds, not minutes)."""
+    import random
+    import time
+
+    from vectordb_retrieval_spark.operators.bpe import _driver_merge_loop
+
+    rng = random.Random(11)
+    alphabet = "abcdefgh"
+    texts = [
+        " ".join(
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(2, 9)))
+            for _ in range(30)
+        )
+        for _ in range(300)
+    ]
+    vocab = Counter(w for t in texts for w in t.split())
+    words = [(list(w) + [_EOW], c) for w, c in vocab.items()]
+    t0 = time.time()
+    got = _driver_merge_loop([(list(s), c) for s, c in words], 200)
+    dt = time.time() - t0
+    want = _py_bpe(texts, 200)
+    assert got == want
+    assert dt < 30, dt

@@ -204,3 +204,31 @@ def test_curate_web_pipeline_stages(spark):
     assert out[0].clean_len == len(rows[0][1].split())
     # split labels come from the declared weights
     assert {r.split for r in out.values()} <= {"train", "val", "test"}
+
+
+def test_semantic_dedup_gemm_and_fold_plans_identical(spark):
+    """The GEMM pair kernel (scale route) and the column-expression fold
+    (oracle twin) produce the identical survivor set — including at a
+    boundary-straddling threshold, where the 1e-6 sequential recheck is
+    what keeps the plans bit-identical."""
+    df, cents = _cluster_fixture(spark)
+    for th in (0.9, 0.5, 0.999999):
+        gemm = semantic_dedup(df, cents, threshold=th, pair_plan="gemm").toPandas()
+        fold = semantic_dedup(df, cents, threshold=th, pair_plan="fold").toPandas()
+        assert sorted(map(tuple, gemm.values.tolist())) == sorted(
+            map(tuple, fold.values.tolist())
+        ), th
+    # exact-boundary case: identical unit vectors, threshold exactly 1.0
+    # lands inside the recheck band on both plans
+    dup = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        schema="vec_id long, embedding array<float>",
+    )
+    import numpy as np
+
+    c1 = np.array([[1.0, 0.0]], dtype=np.float32)
+    g = set(semantic_dedup(dup, c1, threshold=1.0, pair_plan="gemm").toPandas()["vec_id"])
+    f = set(semantic_dedup(dup, c1, threshold=1.0, pair_plan="fold").toPandas()["vec_id"])
+    assert g == f == {0, 2}
+    with pytest.raises(ValueError, match="pair_plan"):
+        semantic_dedup(df, cents, pair_plan="nope")

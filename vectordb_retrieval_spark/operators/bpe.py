@@ -2,33 +2,34 @@
 
 Classic byte-pair-encoding merges are learned from the WORD FREQUENCY
 table, not the raw corpus — so the expensive distributed work is one
-corpus tokenization + one groupBy(word) count, and the merge loop runs
-over the (cached, much smaller) distinct-word table:
+corpus tokenization + one groupBy(word) count; the merge loop then runs
+over the (much smaller) distinct-word table.  Two loop strategies:
 
-  per merge step:
-    1. explode each word's current symbol sequence into adjacent
-       symbol pairs weighted by the word's corpus count — a projection;
-    2. one map-side-combined groupBy(pair) + max to pick the winner
-       (ties broken lexicographically so the result is deterministic
-       and engine-independent);
-    3. apply the merge to every word's symbol sequence (an Arrow
-       mapInPandas kernel — the sequences are tiny; the table is the
-       distinct vocabulary, not the corpus).
+- **driver loop (default)**: after the single distributed aggregate the
+  distinct-word table is collected once and the merges run driver-side
+  with incrementally-maintained pair statistics (the subword-nmt
+  update scheme: only words containing the merged pair are touched per
+  step).  This turns "2 Spark jobs per merge" (~64k jobs for a 32k
+  vocab — hours of pure scheduling floor) into one job + an in-memory
+  loop; a 32k-merge vocab over any corpus whose distinct-word table
+  fits the driver (~1e8 rows is tens of GB — beyond that see below)
+  runs in minutes.
+- **distributed loop** (``driver_vocab_limit=0`` or a vocabulary above
+  the limit): per merge, explode each word's current symbol sequence
+  into adjacent pairs weighted by corpus count, one map-side-combined
+  groupBy picks the winner (ties lexicographic so the result is
+  engine-independent), and an Arrow mapInPandas kernel applies the
+  merge.  Unbounded vocab capacity, but 2 Spark jobs per merge.
 
-This is an inherently iterative algorithm (each merge depends on the
-previous), so it carries a pytest pin against a pure-python reference
-implementation instead of a SQL oracle (the driver records its
-catalogue entry as a rows-only check).
-
-Scale notes: the distinct-word table at web scale is ~1e8 rows — the
-merge loop's per-step cost is bounded by it, not the corpus; the
-symbol-pair aggregate is map-side combined; `n_merges` Spark jobs of
-that size are the honest cost of exact BPE (the reference engine has
-no tokenizer training at all).
+Both loops are merge-for-merge identical (pinned in tests/test_bpe.py
+against a pure-python reference and against each other).  This is an
+inherently iterative algorithm (each merge depends on the previous), so
+the catalogue entry is a rows-only check rather than a SQL oracle.
 """
 
 from __future__ import annotations
 
+from collections import Counter, defaultdict
 from typing import Iterator
 
 import pandas as pd
@@ -38,6 +39,10 @@ from pyspark.sql import functions as F
 from vectordb_retrieval_spark.operators.dedup import tokens_expr
 
 _EOW = "</w>"
+
+# above this many distinct words the driver loop would collect tens of
+# GB — fall back to the fully distributed merge loop
+DRIVER_VOCAB_LIMIT = 20_000_000
 
 
 def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -84,14 +89,62 @@ def _apply_merge_kernel(a: str, b: str):
     return kernel
 
 
-def bpe_train(
-    df: DataFrame,
-    n_merges: int = 50,
-    text_col: str = "text",
+def _merge_word(syms: list[str], a: str, b: str) -> list[str]:
+    res, i, n = [], 0, len(syms)
+    merged = a + b
+    while i < n:
+        if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+            res.append(merged)
+            i += 2
+        else:
+            res.append(syms[i])
+            i += 1
+    return res
+
+
+def _driver_merge_loop(
+    words: list[tuple[list[str], int]], n_merges: int
 ) -> list[tuple[str, str]]:
-    """Learn ``n_merges`` BPE merges from the corpus; returns the merge
-    list in order.  Stops early when no adjacent pair occurs twice."""
-    syms = _initial_symbols(word_counts(df, text_col)).cache()
+    """Incremental-statistics merge loop over an in-memory vocabulary
+    (subword-nmt scheme): pair counts and a pair→{word index} inverted
+    index are maintained across merges, so each step touches only the
+    words that actually contain the winning pair."""
+    stats: Counter = Counter()
+    indices: dict[tuple[str, str], set[int]] = defaultdict(set)
+    for j, (syms, cnt) in enumerate(words):
+        for p in zip(syms, syms[1:]):
+            stats[p] += cnt
+            indices[p].add(j)
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        # winner: max count, ties by lexicographically smallest (a, b) —
+        # identical to the distributed orderBy(n desc, a, b)
+        best, best_n = None, 1
+        for p, n in stats.items():
+            if n > best_n or (n == best_n and best is not None and p < best):
+                best, best_n = p, n
+        if best is None:
+            break
+        a, b = best
+        merges.append(best)
+        for j in list(indices[best]):
+            syms, cnt = words[j]
+            for p in zip(syms, syms[1:]):
+                stats[p] -= cnt
+                if stats[p] <= 0:
+                    del stats[p]
+                indices[p].discard(j)
+            new_syms = _merge_word(syms, a, b)
+            words[j] = (new_syms, cnt)
+            for p in zip(new_syms, new_syms[1:]):
+                stats[p] += cnt
+                indices[p].add(j)
+    return merges
+
+
+def _distributed_merge_loop(syms: DataFrame, n_merges: int) -> list[tuple[str, str]]:
+    syms = syms.cache()
     syms.count()
     merges: list[tuple[str, str]] = []
     try:
@@ -121,6 +174,36 @@ def bpe_train(
             syms = new_syms
     finally:
         syms.unpersist()
+    return merges
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = 50,
+    text_col: str = "text",
+    driver_vocab_limit: int = DRIVER_VOCAB_LIMIT,
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges from the corpus; returns the merge
+    list in order.  Stops early when no adjacent pair occurs twice.
+
+    One distributed word-count aggregate; then the merge loop runs
+    driver-side over the distinct-word table when it has at most
+    ``driver_vocab_limit`` rows (pass ``0`` to force the distributed
+    per-merge loop — unbounded vocabulary, 2 Spark jobs per merge)."""
+    wc = word_counts(df, text_col)
+    if driver_vocab_limit:
+        wc = wc.cache()
+        n_words = wc.count()
+        if n_words <= driver_vocab_limit:
+            rows = wc.collect()
+            wc.unpersist()
+            words = [
+                (list(r["word"]) + [_EOW], int(r["count"])) for r in rows
+            ]
+            return _driver_merge_loop(words, n_merges)
+    merges = _distributed_merge_loop(_initial_symbols(wc), n_merges)
+    if driver_vocab_limit:
+        wc.unpersist()
     return merges
 
 

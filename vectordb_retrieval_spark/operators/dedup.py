@@ -592,6 +592,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     max_cluster_rows: int = 100_000,
     allow_quadratic: bool = False,
+    pair_plan: str = "gemm",
 ) -> DataFrame:
     """SemDeDup-style cluster-scoped semantic deduplication.
 
@@ -607,12 +608,24 @@ def semantic_dedup(
     the SemDeDup shape (cluster count grows with corpus size so cluster
     population stays bounded; the paper uses k ~ sqrt(n)).  Assignment
     reuses the IVF fixed-centroid kernel (broadcast centroids, one
-    mapInArrow pass); the pair stage is a single self-join shuffled on
-    cluster_id; cosine is a float64 column-expression fold — no
-    per-pair Python.  Keeper choice is the deterministic lower-id rule
+    mapInArrow pass).  Keeper choice is the deterministic lower-id rule
     rather than the paper's farthest-from-centroid rule so an external
     SQL engine reproduces the survivor set exactly.
+
+    Two physical pair plans (IVF serving dual-plan convention — both
+    pinned equal in tests/test_dedup_text.py):
+
+    - ``pair_plan="gemm"`` (default, the scale route): one shuffle of
+    the vectors on cluster_id into an applyInPandas kernel that scores
+    each cluster's pairs as a tiled float64 matmul (BLAS), rechecking
+    entries within 1e-6 of the threshold with the sequential fold so
+    boundary decisions match the fold plan bit-for-bit.
+    - ``pair_plan="fold"`` (the oracle twin): a cluster_id self-join
+    whose cosine is a float64 column-expression fold — exactly what an
+    external SQL engine computes, at O(d) expression cost per pair.
     """
+    if pair_plan not in ("gemm", "fold"):
+        raise ValueError(f"unknown pair_plan {pair_plan!r}")
     from vectordb_retrieval_spark.operators.ivf import FixedCentroidIVFIndexer
 
     art = FixedCentroidIVFIndexer(centroids, metric="l2").build(
@@ -641,6 +654,12 @@ def semantic_dedup(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
+    if pair_plan == "gemm":
+        dropped = _semantic_dropped_gemm(assign.join(vecs, on="id"), threshold)
+        return assign.join(dropped, on="id", how="left_anti").select(
+            F.col("id").alias("vec_id"), "cluster_id"
+        )
+
     def _fold(arr: Column) -> Column:
         return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
 
@@ -669,4 +688,62 @@ def semantic_dedup(
     )
     return assign.join(dropped, on="id", how="left_anti").select(
         F.col("id").alias("vec_id"), "cluster_id"
+    )
+
+
+def _semantic_dropped_gemm(sub: DataFrame, threshold: float) -> DataFrame:
+    """(id): vectors with a lower-id cluster-mate at cosine >= threshold
+    — the GEMM physical plan for ``semantic_dedup``'s pair stage.
+
+    One shuffle of (id, cluster_id, v) into applyInPandas; per cluster
+    the pair scores are a tiled float64 matmul over unit-normalized rows
+    (tile bounded at ~4M Gram elements so a runaway cluster degrades to
+    streaming tiles, not an OOM).  Entries within 1e-6 of the threshold
+    are re-scored with the strictly sequential float64 sum — the
+    association order the column-expression fold and external SQL
+    engines use — so the survivor set is bit-identical to the fold plan
+    (pinned in tests/test_dedup_text.py)."""
+    import numpy as np
+    import pandas as pd
+
+    def seq_cos(x: np.ndarray, y: np.ndarray) -> float:
+        dot = nx = ny = 0.0
+        for xi, yi in zip(x, y):
+            dot += float(xi) * float(yi)
+        for xi in x:
+            nx += float(xi) * float(xi)
+        for yi in y:
+            ny += float(yi) * float(yi)
+        return dot / ((nx**0.5) * (ny**0.5))
+
+    def per_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id": []}).astype({"id": "int64"})
+        ids = pdf["id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        x = np.stack(pdf["v"].to_numpy()[order]).astype(np.float64)
+        norms = np.sqrt((x * x).sum(axis=1))
+        unit = x / np.where(norms == 0.0, 1.0, norms)[:, None]
+        dropped = np.zeros(n, dtype=bool)
+        tile = max(1, 4_000_000 // n)
+        for s in range(0, n, tile):
+            e = min(n, s + tile)
+            sims = unit[s:e] @ unit.T  # (tile, n)
+            # candidate (i, j) with i global row s+r, j > i
+            cand_r, cand_j = np.nonzero(sims >= threshold - 1e-6)
+            for r, j in zip(cand_r, cand_j):
+                i = s + r
+                if i >= j or dropped[j]:
+                    continue
+                sim = sims[r, j]
+                if abs(sim - threshold) <= 1e-6:
+                    sim = seq_cos(x[i], x[j])
+                if sim >= threshold:
+                    dropped[j] = True
+        return pd.DataFrame({"id": ids[dropped].astype("int64")})
+
+    return sub.select("id", "cluster_id", "v").groupBy("cluster_id").applyInPandas(
+        per_cluster, schema="id long"
     )

@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 from vectordb_retrieval_spark.artifacts import IndexArtifact
 from vectordb_retrieval_spark.functions.distance import (
+    assign_nearest,
     normalize_rows,
     pairwise_distances,
 )
@@ -231,9 +232,13 @@ class FixedCentroidIVFIndexer(IVFIndexer):
                 if len(pdf) == 0:
                     continue
                 mat = np.vstack(pdf["vec"].to_numpy()).astype(np.float32)
-                d = pairwise_distances(mat, cents, "l2")
+                # argmin-only chunked kernel: at web-scale centroid
+                # counts (SemDeDup k ~ n/200) the full (batch, k)
+                # distance matrix is GBs of page-faulted temporaries
+                # per batch — see functions/distance.py:assign_nearest
+                cid = assign_nearest(mat, cents)
                 pdf = pdf[["id", "vec"]].copy()
-                pdf.insert(0, "cluster_id", d.argmin(axis=1).astype(np.int32))
+                pdf.insert(0, "cluster_id", cid)
                 yield pdf
 
         assigned = base.mapInPandas(
