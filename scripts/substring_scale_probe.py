@@ -180,9 +180,67 @@ def probe_semantic(spark, n_vecs: int, dim: int = 32) -> dict:
     }
 
 
+def probe_hot_gram(spark, n_docs: int, repeat: int = 4) -> dict:
+    """The degenerate-boilerplate skew case: every doc starts with the
+    same 10-token notice repeated ``repeat`` times, so each hot 6-gram
+    occurs ~n_docs x repeat times corpus-wide (n_docs=250k, repeat=4
+    -> million-occurrence grams).  Without the guard the count window
+    hash-partitions by gram, landing every occurrence of a hot gram on
+    ONE partition; the probe records the window-input partition skew
+    (max/mean rows) and the wall with and without ``max_gram_df``."""
+    from vectordb_retrieval_spark.operators.substring import (
+        duplicated_spans,
+        gram_positions,
+    )
+
+    boiler = " ".join(
+        ["all rights reserved worldwide by the provider of this site ok"]
+        * repeat
+    )
+    docs = (
+        synth_docs(spark, n_docs)
+        .select(
+            "doc_id",
+            F.concat(F.lit(boiler + " "), F.col("text")).alias("text"),
+        )
+        .repartition(32)
+        .cache()
+    )
+    docs.count()
+    out: dict = {"n_docs": n_docs, "repeat": repeat}
+    # window-input skew: the unguarded window shuffles the raw gram
+    # table by gram hash — measure rows per shuffle partition
+    g = gram_positions(docs, 6)
+    sizes = (
+        g.repartition(32, "gh")
+        .select(F.spark_partition_id().alias("p"))
+        .groupBy("p")
+        .count()
+        .agg(F.max("count").alias("mx"), F.avg("count").alias("mean"))
+        .collect()[0]
+    )
+    out["window_input_skew_unguarded"] = round(sizes["mx"] / sizes["mean"], 2)
+    for label, kw in (
+        ("unguarded", {}),
+        ("guarded", {"max_gram_df": 100_000}),
+    ):
+        t0 = time.time()
+        out[f"spans_{label}"] = duplicated_spans(
+            docs, k=6, min_count=2, **kw
+        ).count()
+        out[f"wall_{label}_s"] = round(time.time() - t0, 1)
+    docs.unpersist()
+    assert out["spans_guarded"] == out["spans_unguarded"]
+    return out
+
+
 def main() -> int:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     spark = get_spark("substring_scale_probe", master="local[32]")
+    if "--hot" in sys.argv:
+        out = {"hot_gram": probe_hot_gram(spark, n_docs)}
+        print("SUBSTRING_SCALE_PROBE " + json.dumps(out))
+        return 0
     out = {"substring": probe_substring(spark, n_docs)}
     if "--skip-sem" not in sys.argv:
         out["semantic"] = probe_semantic(spark, n_docs)

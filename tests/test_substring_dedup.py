@@ -232,3 +232,56 @@ def test_semantic_dedup_gemm_and_fold_plans_identical(spark):
     assert g == f == {0, 2}
     with pytest.raises(ValueError, match="pair_plan"):
         semantic_dedup(df, cents, pair_plan="nope")
+
+
+def test_substring_hot_gram_guard_parity_and_plan(spark):
+    """max_gram_df hot-key guard: a corpus dominated by one boilerplate
+    gram produces the identical span set with the guard on, and the
+    guarded plan routes hot grams through broadcast joins (the count
+    window only ever sees cold keys)."""
+    from pyspark.sql import functions as F
+
+    from vectordb_retrieval_spark.operators.substring import (
+        duplicated_spans,
+        substring_dedup,
+    )
+
+    # every doc shares the boilerplate prefix (the hot gram, df = n);
+    # docs also pairwise-share a planted 8-token run every 10 ids
+    n = 2000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("terms of service apply to all content here "),
+            F.lit("u"), F.col("id").cast("string"), F.lit(" "),
+            F.when(
+                F.col("id") % 10 < 2,
+                F.lit("shared run alpha beta gamma delta epsilon zeta"),
+            ).otherwise(
+                F.concat(F.lit("tail "), (F.col("id") * 7).cast("string"))
+            ),
+        ).alias("text"),
+    )
+    plain = {
+        tuple(r) for r in duplicated_spans(df, k=6, min_count=2).collect()
+    }
+    guarded_df = duplicated_spans(df, k=6, min_count=2, max_gram_df=100)
+    guarded = {tuple(r) for r in guarded_df.collect()}
+    assert guarded == plain and len(plain) >= n  # hot prefix spans every doc
+    # the guarded plan broadcasts the hot-key flag and salts the count
+    # window so hot grams spread across sub-buckets
+    plan = guarded_df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 1, plan
+    assert "salt" in plan, plan
+    # the cut composes identically
+    cut_plain = {
+        (r.doc_id, r.n_removed, r.text_hash)
+        for r in substring_dedup(df, k=6, min_count=2).collect()
+    }
+    cut_guard = {
+        (r.doc_id, r.n_removed, r.text_hash)
+        for r in substring_dedup(df, k=6, min_count=2, max_gram_df=100).collect()
+    }
+    assert cut_guard == cut_plain
+    with pytest.raises(ValueError, match="max_gram_df"):
+        duplicated_spans(df, k=6, min_count=5, max_gram_df=3).collect()

@@ -64,7 +64,12 @@ def gram_positions(
 
 
 def _dup_positions(
-    df: DataFrame, k: int, min_count: int, id_col: str, text_col: str
+    df: DataFrame,
+    k: int,
+    min_count: int,
+    id_col: str,
+    text_col: str,
+    max_gram_df: int | None = None,
 ) -> DataFrame:
     """(id, pos) of every window whose gram hash repeats >= min_count
     times corpus-wide.  One shuffle (count window on the gram hash).
@@ -74,8 +79,53 @@ def _dup_positions(
     join-back 24.4s (the join side recomputes the md5 gram pass, which
     dominates); groupBy + collect_list + slice-explode 13.5s (same
     shuffle, heavier aggregate).  The window's sort is NOT the
-    bottleneck at this row width."""
+    bottleneck at this row width.
+
+    ``max_gram_df`` is the hot-key guard (same convention as decontam's
+    ``max_bench_gram_df``, textops.py): the count window partitions by
+    the gram hash, so a degenerate gram repeated millions of times
+    (boilerplate) lands every occurrence on ONE partition — a straggler
+    locally, an un-fittable task at 100 TB.  With the guard, gram
+    frequencies above the bound are found first by a map-side-
+    combinable aggregate (partial aggregation collapses hot keys on the
+    map side — aggregation has no skew problem), the (tiny) hot set is
+    broadcast back as a flag, and ONE window partitioned by
+    ``(gh, salt)`` runs with hot rows salted across 64 sub-buckets:
+    a hot row's sub-bucket count is meaningless but unused — the flag
+    alone marks it duplicated (df > bound >= min_count) — while cold
+    rows keep salt 0 and exact counts.  No partition ever receives more
+    than max(cold-key df, hot-key df / 64) rows of one gram.  Result
+    set is identical with or without the guard (pinned in
+    tests/test_substring_dedup.py); the price is one extra evaluation
+    of the gram-hash projection for the hot-set aggregate, so the
+    guard defaults off for small corpora and on in the scale probes."""
     g = gram_positions(df, k, id_col, text_col)
+    if max_gram_df is not None:
+        if max_gram_df < min_count:
+            raise ValueError(
+                f"max_gram_df={max_gram_df} must be >= min_count="
+                f"{min_count}: grams above the bound are emitted as "
+                "duplicated without passing the count window"
+            )
+        hot = (
+            g.groupBy("gh")
+            .agg(F.count("*").alias("c"))
+            .filter(F.col("c") > max_gram_df)
+            .select("gh", F.lit(True).alias("is_hot"))
+        )
+        flagged = g.join(F.broadcast(hot), on="gh", how="left").withColumn(
+            "salt",
+            F.when(
+                F.col("is_hot"),
+                F.pmod(F.xxhash64(F.col("id"), F.col("pos")), F.lit(64)),
+            ).otherwise(F.lit(0)),
+        )
+        cnt_s = F.count("*").over(Window.partitionBy("gh", "salt"))
+        return (
+            flagged.withColumn("cnt", cnt_s)
+            .filter(F.col("is_hot").isNotNull() | (F.col("cnt") >= min_count))
+            .select("id", "pos")
+        )
     cnt = F.count("*").over(Window.partitionBy("gh"))
     return g.withColumn("cnt", cnt).filter(F.col("cnt") >= min_count).select("id", "pos")
 
@@ -86,6 +136,7 @@ def duplicated_spans(
     min_count: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_gram_df: int | None = None,
 ) -> DataFrame:
     """Maximal duplicated spans per document.
 
@@ -95,7 +146,7 @@ def duplicated_spans(
     windows at positions p < q merge iff q - p <= k (their coverage
     [p, p+k-1] and [q, q+k-1] touches or overlaps).
     """
-    d = _dup_positions(df, k, min_count, id_col, text_col)
+    d = _dup_positions(df, k, min_count, id_col, text_col, max_gram_df)
     w = Window.partitionBy("id").orderBy("pos")
     lag_pos = F.lag("pos", 1).over(w)
     brk = F.when(
@@ -128,6 +179,7 @@ def substring_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     with_text: bool = False,
+    max_gram_df: int | None = None,
 ) -> DataFrame:
     """Cut every duplicated span out of every document.
 
@@ -145,7 +197,7 @@ def substring_dedup(
     feeding it here — the cut itself is policy-free.
     """
     cov = (
-        _dup_positions(df, k, min_count, id_col, text_col)
+        _dup_positions(df, k, min_count, id_col, text_col, max_gram_df)
         .select(
             "id",
             F.explode(
