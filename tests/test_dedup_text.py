@@ -603,3 +603,52 @@ def test_dhash_empty_payload(spark):
     )
     got = {r.id: r.dhash for r in dhash(df).collect()}
     assert got[0] == 0 and got[1] != 0
+
+
+def test_video_near_dup_frame_vote(spark):
+    """frame_dhash + video_near_dup_pairs: a tail-mutated copy of a
+    video shares all leading frames (match count = n_frames - 1), and
+    the band join equals brute force over frames."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from vectordb_retrieval_spark.operators.multimodal import (
+        attach_binary_payload,
+        frame_dhash,
+        video_near_dup_pairs,
+    )
+
+    base = "frame content block %02d " * 10  # 240 chars -> 5 frames @48
+    rows = [
+        (0, base % tuple(range(10))),
+        (1, (base % tuple(range(10)))[:-20] + "mutated tail xxxxxxx"),
+        (2, "completely different video payload bytes " * 6),
+    ]
+    df = attach_binary_payload(
+        spark.createDataFrame(rows, "doc_id long, text string")
+    )
+    fr = frame_dhash(df, every_n_bytes=48)
+    frames = {(r.id, r.frame_idx): r.dhash for r in fr.collect()}
+    assert max(i for (_, i) in frames) >= 3  # multiple frames per video
+    got = {
+        (r.a, r.b): r.n_matched
+        for r in video_near_dup_pairs(
+            fr, max_hamming=4, min_matched_frames=3
+        ).collect()
+    }
+    # brute force vote
+    vids = sorted({v for (v, _) in frames})
+    want = {}
+    for a, b in itertools.combinations(vids, 2):
+        m = sum(
+            1
+            for (v, i), h in frames.items()
+            if v == a
+            and (b, i) in frames
+            and bin(h ^ frames[(b, i)]).count("1") <= 4
+        )
+        if m >= 3:
+            want[(a, b)] = m
+    assert got == want and (0, 1) in got
+    assert not any(2 in p for p in got)

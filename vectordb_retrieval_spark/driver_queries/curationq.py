@@ -450,18 +450,24 @@ def q_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hamming_near_dup_pairs(h, max_hamming=DHASH_HAMMING).orderBy("a", "b")
 
 
-def _dhash_oracle() -> str:
+def _dhash_terms(col: str) -> str:
+    """The 63 difference-hash bit terms over a string column — the SQL
+    twin of operators/multimodal._stub_pixels + dhash bit packing.
+    greatest(..., 1) guards the modulo against empty strings (the
+    engine side maps an empty payload to a zero grid -> dhash 0,
+    matched by an outer CASE at the call sites)."""
     terms = []
     for j in range(63):
         r, c = divmod(j, 9)
         p0, p1 = r * 10 + c, r * 10 + c + 1
-        # greatest(..., 1) guards the modulo against empty text (the
-        # engine side maps an empty payload to a zero grid -> dhash 0,
-        # matched by the outer CASE)
-        u0 = f"unicode(substr(text, ({p0} % greatest(length(text), 1)) + 1, 1))"
-        u1 = f"unicode(substr(text, ({p1} % greatest(length(text), 1)) + 1, 1))"
+        u0 = f"unicode(substr({col}, ({p0} % greatest(length({col}), 1)) + 1, 1))"
+        u1 = f"unicode(substr({col}, ({p1} % greatest(length({col}), 1)) + 1, 1))"
         terms.append(f"CASE WHEN {u0} > {u1} THEN {1 << (62 - j)} ELSE 0 END")
-    dh = " + ".join(terms)
+    return " + ".join(terms)
+
+
+def _dhash_oracle() -> str:
+    dh = _dhash_terms("text")
     return f"""
 WITH h AS (SELECT doc_id,
            CASE WHEN length(text) = 0 THEN 0
@@ -793,6 +799,82 @@ ORDER BY qid, role, rank
 """
 
 
+VIDEO_FRAME_BYTES, VIDEO_MAX_H, VIDEO_MIN_MATCH = 48, 4, 3
+
+
+def q_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-level near-dup by frame vote: each document becomes TWO
+    synthetic 'videos' (the original and a tail-mutated copy — their
+    leading frames are byte-identical), frames are sampled at a fixed
+    byte stride, per-frame 63-bit dhashes feed the pigeonhole Hamming
+    band join keyed by frame position, and videos pair when >=
+    VIDEO_MIN_MATCH frame positions match within VIDEO_MAX_H bits.
+    Composes frame_sample's chunking, dhash, and the band-join — the
+    whole pipeline reproduced by the SQL oracle on the byte stand-in
+    frames; a real pipeline swaps the frame extractor only."""
+    from pyspark.sql import functions as F
+
+    from vectordb_retrieval_spark.operators.multimodal import (
+        attach_binary_payload,
+        frame_dhash,
+        video_near_dup_pairs,
+    )
+
+    d = docs(spark, sf_dir)
+    vids = d.select(
+        (F.col("doc_id") * 2).alias("doc_id"), "text"
+    ).unionByName(
+        d.select(
+            (F.col("doc_id") * 2 + 1).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" v2 extra tail marker")).alias(
+                "text"
+            ),
+        )
+    )
+    frames = frame_dhash(
+        attach_binary_payload(vids), every_n_bytes=VIDEO_FRAME_BYTES
+    )
+    return video_near_dup_pairs(
+        frames, max_hamming=VIDEO_MAX_H, min_matched_frames=VIDEO_MIN_MATCH
+    ).orderBy("a", "b")
+
+
+def _video_neardup_oracle() -> str:
+    dh = _dhash_terms("chunk")
+    return f"""
+WITH vids AS (
+  SELECT doc_id * 2 AS vid, text FROM documents
+  UNION ALL
+  SELECT doc_id * 2 + 1, text || ' v2 extra tail marker' FROM documents
+),
+fr AS (
+  SELECT vid, text,
+         unnest(generate_series(0, (length(text) - 1) // {VIDEO_FRAME_BYTES})) AS f
+  FROM vids WHERE length(text) >= 1
+),
+frames AS (
+  SELECT vid, CAST(f AS INT) AS frame_idx,
+         substr(text, CAST(f * {VIDEO_FRAME_BYTES} + 1 AS BIGINT), {VIDEO_FRAME_BYTES}) AS chunk
+  FROM fr
+),
+h AS (
+  SELECT vid, frame_idx,
+         CASE WHEN length(chunk) = 0 THEN 0
+              ELSE CAST({dh} AS BIGINT) END AS dh
+  FROM frames
+),
+m AS (
+  SELECT a.vid AS a, b.vid AS b, a.frame_idx
+  FROM h a JOIN h b ON a.frame_idx = b.frame_idx AND a.vid < b.vid
+  WHERE bit_count(xor(a.dh, b.dh)) <= {VIDEO_MAX_H}
+)
+SELECT a, b, CAST(count(DISTINCT frame_idx) AS BIGINT) AS n_matched
+FROM m GROUP BY a, b
+HAVING count(DISTINCT frame_idx) >= {VIDEO_MIN_MATCH}
+ORDER BY a, b
+"""
+
+
 def _knn_oracles():
     from vectordb_retrieval_spark.driver_queries.knn import DIST_EXPRS, KNN_ORACLE
 
@@ -822,6 +904,7 @@ QUERIES = {
     "events_resample_ffill": q_events_resample,
     "multimodal_dhash_pairs": q_dhash_pairs,
     "quality_nb_classifier": q_nb_quality,
+    "multimodal_video_neardup": q_video_neardup,
 }
 
 ORACLES = {
@@ -839,4 +922,5 @@ ORACLES = {
     "events_resample_ffill": _RESAMPLE_ORACLE,
     "multimodal_dhash_pairs": _dhash_oracle(),
     "quality_nb_classifier": _nb_quality_oracle(),
+    "multimodal_video_neardup": _video_neardup_oracle(),
 }

@@ -382,3 +382,109 @@ def hamming_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )
+
+
+def frame_dhash(
+    df: DataFrame,
+    every_n_bytes: int = 48,
+    pixels_fn: Callable[[bytes], np.ndarray] | None = None,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """(id, frame_idx, dhash): the 63-bit difference hash of every
+    sampled frame of a video payload — ``frame_sample``'s fixed-stride
+    chunking composed with ``dhash``'s perceptual fingerprint in one
+    Arrow pass.  ``pixels_fn=None`` uses the deterministic byte
+    stand-in (SQL-reproducible); a real pipeline swaps in a codec
+    frame extractor with the identical batch shape.  Empty payloads
+    contribute no frames."""
+    fn = pixels_fn or _stub_pixels
+    powers = (np.int64(1) << np.arange(62, -1, -1, dtype=np.int64))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for did, p in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(p)
+                for fi, off in enumerate(range(0, len(raw), every_n_bytes)):
+                    px = fn(raw[off : off + every_n_bytes])
+                    bits = (px[:, :-1] > px[:, 1:]).reshape(-1)[:63]
+                    ids.append(did)
+                    idxs.append(fi)
+                    hashes.append(int(bits.astype(np.int64) @ powers))
+            if ids:
+                yield pd.DataFrame(
+                    {"id": ids, "frame_idx": idxs, "dhash": hashes}
+                )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        kernel, schema="id long, frame_idx int, dhash long"
+    )
+
+
+def video_near_dup_pairs(
+    frames: DataFrame,
+    max_hamming: int = 4,
+    min_matched_frames: int = 3,
+    bits: int = 63,
+) -> DataFrame:
+    """Video-level near-dup by frame vote: pairs (a < b, n_matched) of
+    videos with at least ``min_matched_frames`` frame positions whose
+    per-frame dhashes differ by at most ``max_hamming`` bits.
+
+    Scale shape: the per-frame candidate generation is the pigeonhole
+    Hamming band trick keyed by (frame_idx, band, chunk) — one
+    equi-join shuffle, never an all-pairs join across videos — followed
+    by a popcount verify on candidates and one map-side-combinable
+    groupBy vote.  The same shape FAISS-less frame-vote video dedup
+    uses at corpus scale."""
+    sh = frames.select("id", "frame_idx", F.col("dhash").alias("h"))
+    n_bands = max_hamming + 1
+    widths = [
+        bits // n_bands + (1 if i < bits % n_bands else 0)
+        for i in range(n_bands)
+    ]
+    offs = [sum(widths[:i]) for i in range(n_bands)]
+    bands = sh.select(
+        "id",
+        "frame_idx",
+        "h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("h"), offs[i])
+                        .bitwiseAND(F.lit((1 << widths[i]) - 1))
+                        .alias("chunk"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("bc"),
+    ).select(
+        "id", "frame_idx", "h",
+        F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"),
+    )
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["frame_idx", "band", "chunk"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("a"),
+            F.col("y.id").alias("b"),
+            "frame_idx",
+            F.col("x.h").alias("_ha"),
+            F.col("y.h").alias("_hb"),
+        )
+        .distinct()
+    )
+    matched = cand.filter(
+        F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))) <= max_hamming
+    )
+    return (
+        matched.groupBy("a", "b")
+        .agg(F.count_distinct("frame_idx").cast("long").alias("n_matched"))
+        .filter(F.col("n_matched") >= min_matched_frames)
+        .select("a", "b", "n_matched")
+    )
