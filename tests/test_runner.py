@@ -575,3 +575,50 @@ def test_config_resolves_index_spec_strings():
     assert sq8["indexer"]["metric"] == "cosine"  # dataset metric forced
     assert sq8["searcher"] == {"type": "ivf", "nprobe": 8}
     assert cfg.algorithms["flat"]["indexer"]["type"] == "brute_force"
+
+
+def test_png_plot_writers_env_gate(tmp_path):
+    """Without matplotlib the PNG writers return [] and write nothing;
+    with it (skip-marked real branch) they emit the PNG twins."""
+    import importlib.util
+
+    from vectordb_retrieval_spark.runner import save_png_plots
+    from vectordb_retrieval_spark.sweep import save_sweep_png
+
+    results = {
+        "ds": {
+            "results": {
+                "exact": {"qps": 100.0, "recall": 1.0, "ndis": 2000},
+                "ivf": {"qps": 900.0, "recall": 0.93},
+            }
+        }
+    }
+    sweep_rows = [
+        {"algorithm": "ivf_p1", "family": "ivf", "qps": 500.0, "recall": 0.9},
+        {"algorithm": "ivf_p2", "family": "ivf", "qps": 250.0, "recall": 0.97},
+    ]
+    have_mpl = importlib.util.find_spec("matplotlib") is not None
+    got = save_png_plots(results, str(tmp_path))
+    got_sweep = save_sweep_png(sweep_rows, str(tmp_path))
+    if not have_mpl:
+        assert got == [] and got_sweep == []
+        assert list(tmp_path.iterdir()) == []
+    else:  # pragma: no cover - env-dependent real branch
+        assert len(got) == 2 and len(got_sweep) == 1
+        for p in got + got_sweep:
+            with open(p, "rb") as fh:
+                assert fh.read(8) == b"\x89PNG\r\n\x1a\n"
+
+
+@pytest.mark.skipif(
+    __import__("importlib.util", fromlist=["util"]).find_spec("matplotlib")
+    is None,
+    reason="matplotlib not installed in this environment",
+)
+def test_png_plot_writers_real_branch(tmp_path):  # pragma: no cover
+    from vectordb_retrieval_spark.runner import save_png_plots
+
+    results = {"ds": {"results": {"exact": {"qps": 10.0, "recall": 1.0}}}}
+    (out,) = save_png_plots(results, str(tmp_path))[:1]
+    with open(out, "rb") as fh:
+        assert fh.read(8) == b"\x89PNG\r\n\x1a\n"

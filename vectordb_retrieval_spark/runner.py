@@ -333,17 +333,44 @@ def summary_markdown(all_results: dict[str, dict[str, Any]]) -> str:
     return "\n".join(lines) + "\n"
 
 
+def _qps_recall_points(
+    all_results: dict[str, dict[str, Any]]
+) -> list[tuple[str, float, float]]:
+    pts = []
+    for ds_name, combined in all_results.items():
+        for algo, m in combined["results"].items():
+            if m.get("qps") and m.get("recall") is not None:
+                pts.append((f"{ds_name}/{algo}", float(m["qps"]), float(m["recall"])))
+    return pts
+
+
+def _ops_points(
+    all_results: dict[str, dict[str, Any]]
+) -> tuple[list[tuple[str, float, float]], str]:
+    """Distance-ops points with the reference's QPS fallback; returns
+    (points, xlabel)."""
+    pts = []
+    fallback = False
+    for ds_name, combined in all_results.items():
+        for algo, m in combined["results"].items():
+            if m.get("recall") is None:
+                continue
+            if m.get("ndis"):
+                pts.append((f"{ds_name}/{algo}", float(m["ndis"]), float(m["recall"])))
+            elif m.get("qps"):
+                fallback = True
+                pts.append((f"{ds_name}/{algo}", float(m["qps"]), float(m["recall"])))
+    xlabel = "qps (log, fallback)" if fallback else "distance ops (ndis, log)"
+    return pts, xlabel
+
+
 def qps_recall_svg(all_results: dict[str, dict[str, Any]]) -> str:
     """Hand-rolled QPS-vs-recall SVG scatter (reference:
     runner.py:402-521) — log-x QPS, linear-y recall, one labeled point
     per (dataset, algorithm)."""
     import math
 
-    pts = []
-    for ds_name, combined in all_results.items():
-        for algo, m in combined["results"].items():
-            if m.get("qps") and m.get("recall") is not None:
-                pts.append((f"{ds_name}/{algo}", float(m["qps"]), float(m["recall"])))
+    pts = _qps_recall_points(all_results)
     w, h, pad = 640, 420, 56
     if not pts:
         return f'<svg xmlns="http://www.w3.org/2000/svg" width="{w}" height="{h}"/>'
@@ -421,19 +448,44 @@ def operations_recall_svg(all_results: dict[str, dict[str, Any]]) -> str:
     tests/test_operations_recall_plot.py:15-107): x = ndis (the
     similarity-op accumulator) when the searcher reports one, falling
     back to QPS — same fallback the reference implements."""
-    pts = []
-    fallback = False
-    for ds_name, combined in all_results.items():
-        for algo, m in combined["results"].items():
-            if m.get("recall") is None:
-                continue
-            if m.get("ndis"):
-                pts.append((f"{ds_name}/{algo}", float(m["ndis"]), float(m["recall"])))
-            elif m.get("qps"):
-                fallback = True
-                pts.append((f"{ds_name}/{algo}", float(m["qps"]), float(m["recall"])))
-    xlabel = "qps (log, fallback)" if fallback else "distance ops (ndis, log)"
+    pts, xlabel = _ops_points(all_results)
     return _scatter_svg(pts, xlabel, "recall")
+
+
+def save_png_plots(
+    all_results: dict[str, dict[str, Any]], output_dir: str
+) -> list[str]:
+    """matplotlib PNG twins of the SVG scatters (the reference emits
+    PNGs, experiment_runner.py:764-780).  Env-gated exactly like the
+    Pillow codec branches: lazily imports matplotlib (Agg backend) and
+    returns the written paths, or [] when the library is absent — the
+    SVGs remain the always-available record."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:  # pragma: no cover - env-dependent
+        return []
+    ops_pts, ops_xlabel = _ops_points(all_results)
+    written: list[str] = []
+    for fname, pts, xlabel in (
+        ("qps_vs_recall.png", _qps_recall_points(all_results), "QPS (log)"),
+        ("operations_vs_recall.png", ops_pts, ops_xlabel),
+    ):
+        fig, ax = plt.subplots(figsize=(6.4, 4.2))
+        if pts:
+            ax.scatter([p[1] for p in pts], [p[2] for p in pts], c="steelblue")
+            for label, x, y in pts:
+                ax.annotate(label, (x, y), fontsize=7)
+            ax.set_xscale("log")
+        ax.set_xlabel(xlabel)
+        ax.set_ylabel("recall")
+        path = os.path.join(output_dir, fname)
+        fig.savefig(path, format="png")
+        plt.close(fig)
+        written.append(path)
+    return written
 
 
 def one_page_summary(all_results: dict[str, dict[str, Any]]) -> str:
@@ -545,4 +597,5 @@ class BenchmarkRunner:
             os.path.join(self.output_dir, "operations_vs_recall.svg"), "w"
         ) as fh:
             fh.write(operations_recall_svg(all_results))
+        save_png_plots(all_results, self.output_dir)
         return all_results

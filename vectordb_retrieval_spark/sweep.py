@@ -140,7 +140,43 @@ def run_parameter_sweep(
         os.path.join(output_dir, "recall_vs_qps_curves.svg"), "w"
     ) as fh:
         fh.write(sweep_curves_svg(results))
+    save_sweep_png(results, output_dir)
     return out
+
+
+def save_sweep_png(results: list[dict[str, Any]], output_dir: str) -> list[str]:
+    """matplotlib PNG twin of ``recall_vs_qps_curves.svg`` (one
+    polyline per family).  Env-gated like runner.save_png_plots —
+    returns [] without matplotlib."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:  # pragma: no cover - env-dependent
+        return []
+    fig, ax = plt.subplots(figsize=(6.4, 4.2))
+    families: dict[str, list[tuple[float, float]]] = {}
+    for r in results:
+        if r.get("qps") and r.get("recall") is not None:
+            families.setdefault(r.get("family", ""), []).append(
+                (float(r["qps"]), float(r["recall"]))
+            )
+    for family, pts in sorted(families.items()):
+        pts = sorted(pts)
+        ax.plot(
+            [p[0] for p in pts], [p[1] for p in pts],
+            marker="o", label=family or "(default)",
+        )
+    if families:
+        ax.set_xscale("log")
+        ax.legend(fontsize=8)
+    ax.set_xlabel("QPS (log)")
+    ax.set_ylabel("recall")
+    path = os.path.join(output_dir, "recall_vs_qps_curves.png")
+    fig.savefig(path, format="png")
+    plt.close(fig)
+    return [path]
 
 
 def analyze_sweep(results: list[dict[str, Any]]) -> dict[str, Any]:
