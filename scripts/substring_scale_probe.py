@@ -235,7 +235,8 @@ def probe_hot_gram(spark, n_docs: int, repeat: int = 4) -> dict:
 
 
 def main() -> int:
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    nums = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_docs = int(nums[0]) if nums else 100_000
     spark = get_spark("substring_scale_probe", master="local[32]")
     if "--hot" in sys.argv:
         out = {"hot_gram": probe_hot_gram(spark, n_docs)}

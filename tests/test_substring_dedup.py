@@ -285,3 +285,23 @@ def test_substring_hot_gram_guard_parity_and_plan(spark):
     assert cut_guard == cut_plain
     with pytest.raises(ValueError, match="max_gram_df"):
         duplicated_spans(df, k=6, min_count=5, max_gram_df=3).collect()
+
+
+def test_semantic_dedup_degenerate_rows_plan_parity(spark):
+    """Degenerate embeddings, pinned on BOTH plans: a zero-norm vector
+    has an undefined cosine (fold nulls the division instead of an
+    ANSI divide-by-zero crash) and SURVIVES; a NaN vector's cosine is
+    NaN, which Spark orders above every number, so NaN pairs DROP the
+    higher id."""
+    c1 = np.array([[1.0, 0.0]], dtype=np.float32)
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 0.0]),           # zero-norm -> undefined cos -> keep
+        (2, [0.1, 0.9]),           # genuinely dissimilar -> keep
+        (3, [float("nan"), 1.0]),  # NaN -> drops (pair with id 0)
+        (4, [-1.0, 0.1]),          # dissimilar, but pairs with NaN id 3
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    g = semantic_dedup(df, c1, threshold=0.9, pair_plan="gemm").toPandas()
+    f = semantic_dedup(df, c1, threshold=0.9, pair_plan="fold").toPandas()
+    assert set(g["vec_id"]) == set(f["vec_id"]) == {0, 1, 2}

@@ -252,7 +252,7 @@ _SYNTH_URL_SQL = (
 _URL_PARTS_CTES = f"""
 u0 AS (SELECT doc_id, {_SYNTH_URL_SQL} AS u FROM documents),
 parts AS (
-  SELECT doc_id,
+  SELECT doc_id, trim(u) AS raw_u,
     lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
     regexp_replace(regexp_replace(
       lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
@@ -269,8 +269,13 @@ _URL_DEDUP_ORACLE = f"""
 WITH {_URL_PARTS_CTES},
 norm AS (
   SELECT doc_id,
-         scheme || '://' || host || path ||
-         CASE WHEN qn <> '' THEN '?' || qn ELSE '' END AS norm_url
+         -- scheme-less/malformed fallback mirrors urlops.normalize_url:
+         -- rows whose host extraction is empty keep their trimmed raw
+         -- form instead of collapsing onto '://'
+         CASE WHEN host = '' THEN raw_u
+              ELSE scheme || '://' || host || path ||
+                   CASE WHEN qn <> '' THEN '?' || qn ELSE '' END
+         END AS norm_url
   FROM (
     SELECT *, array_to_string(list_sort(list_filter(string_split(q, '&'),
       p -> NOT (starts_with(p, 'utm_') OR starts_with(p, 'fbclid=')
@@ -670,8 +675,13 @@ def _curate_web_oracle() -> str:
 WITH {_URL_PARTS_CTES},
 norm AS (
   SELECT doc_id,
-         scheme || '://' || host || path ||
-         CASE WHEN qn <> '' THEN '?' || qn ELSE '' END AS norm_url
+         -- scheme-less/malformed fallback mirrors urlops.normalize_url:
+         -- rows whose host extraction is empty keep their trimmed raw
+         -- form instead of collapsing onto '://'
+         CASE WHEN host = '' THEN raw_u
+              ELSE scheme || '://' || host || path ||
+                   CASE WHEN qn <> '' THEN '?' || qn ELSE '' END
+         END AS norm_url
   FROM (
     SELECT *, array_to_string(list_sort(list_filter(string_split(q, '&'),
       p -> NOT (starts_with(p, 'utm_') OR starts_with(p, 'fbclid=')

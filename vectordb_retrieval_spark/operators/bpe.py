@@ -12,8 +12,7 @@ over the (much smaller) distinct-word table.  Two loop strategies:
   step).  This turns "2 Spark jobs per merge" (~64k jobs for a 32k
   vocab — hours of pure scheduling floor) into one job + an in-memory
   loop; a 32k-merge vocab over any corpus whose distinct-word table
-  fits the driver (~1e8 rows is tens of GB — beyond that see below)
-  runs in minutes.
+  fits the driver (bounded by ``DRIVER_VOCAB_LIMIT``) runs in minutes.
 - **distributed loop** (``driver_vocab_limit=0`` or a vocabulary above
   the limit): per merge, explode each word's current symbol sequence
   into adjacent pairs weighted by corpus count, one map-side-combined
@@ -40,9 +39,12 @@ from vectordb_retrieval_spark.operators.dedup import tokens_expr
 
 _EOW = "</w>"
 
-# above this many distinct words the driver loop would collect tens of
-# GB — fall back to the fully distributed merge loop
-DRIVER_VOCAB_LIMIT = 20_000_000
+# above this many distinct words the driver loop's in-memory structures
+# (symbol lists + pair counter + pair->word inverted index, roughly an
+# order of magnitude over the raw strings as Python objects) stop
+# fitting a 16 GB driver comfortably — fall back to the fully
+# distributed merge loop
+DRIVER_VOCAB_LIMIT = 2_000_000
 
 
 def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:

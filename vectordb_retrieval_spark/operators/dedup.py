@@ -507,6 +507,25 @@ def embedding_lsh_near_dup_pairs(
     )
 
 
+def _seq_cos(x, y) -> float:
+    """Strictly sequential float64 cosine — the association order SQL
+    engines and the column-expression fold use, so near-threshold
+    boundary decisions match an external oracle bit-for-bit.  Shared by
+    both near-dup GEMM kernels (a fix here must hold for both).
+    Returns NaN for zero-norm inputs (the fold's 0/0)."""
+    dot = nx = ny = 0.0
+    for xi, yi in zip(x, y):
+        dot += float(xi) * float(yi)
+    for xi in x:
+        nx += float(xi) * float(xi)
+    for yi in y:
+        ny += float(yi) * float(yi)
+    denom = (nx**0.5) * (ny**0.5)
+    if denom == 0.0:
+        return float("nan")
+    return dot / denom
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.4,
@@ -543,16 +562,6 @@ def embedding_near_dup_pairs(
     m64 = mat.astype(np.float64)
     bc = spark.sparkContext.broadcast((ids, m64))
 
-    def seq_cos(x: np.ndarray, y: np.ndarray) -> float:
-        dot = nx = ny = 0.0
-        for xi, yi in zip(x, y):
-            dot += float(xi) * float(yi)
-        for xi in x:
-            nx += float(xi) * float(xi)
-        for yi in y:
-            ny += float(yi) * float(yi)
-        return dot / ((nx**0.5) * (ny**0.5))
-
     def kernel(batches):
         all_ids, all64 = bc.value
         norms = np.sqrt((all64 * all64).sum(axis=1))
@@ -574,7 +583,7 @@ def embedding_near_dup_pairs(
                         continue
                     s = arow[c]
                     if abs(s - threshold) <= 1e-6:
-                        s = seq_cos(all64[r], all64[c])
+                        s = _seq_cos(all64[r], all64[c])
                     if s > threshold:
                         out_a.append(ia)
                         out_b.append(ib)
@@ -678,7 +687,13 @@ def semantic_dedup(
         F.col("v").alias("vb"), F.col("n2").alias("nb"),
     )
     dot = _fold(F.zip_with("va", "vb", lambda x, y: x * y))
-    cos = dot / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb")))
+    # zero-safe: a zero-norm vector's cosine is undefined -> null ->
+    # the pair is NOT similar (survivor), instead of an ANSI
+    # divide-by-zero; NaN components still flow through as NaN, which
+    # Spark orders above every number, so NaN pairs DO drop.  The GEMM
+    # plan reproduces both rules (tests/test_substring_dedup.py).
+    denom = F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))
+    cos = F.when(denom != 0.0, dot / denom)
     dropped = (
         a.join(b, on="cluster_id")
         .filter(F.col("a") < F.col("b"))
@@ -706,16 +721,6 @@ def _semantic_dropped_gemm(sub: DataFrame, threshold: float) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    def seq_cos(x: np.ndarray, y: np.ndarray) -> float:
-        dot = nx = ny = 0.0
-        for xi, yi in zip(x, y):
-            dot += float(xi) * float(yi)
-        for xi in x:
-            nx += float(xi) * float(xi)
-        for yi in y:
-            ny += float(yi) * float(yi)
-        return dot / ((nx**0.5) * (ny**0.5))
-
     def per_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
         if n < 2:
@@ -727,6 +732,20 @@ def _semantic_dropped_gemm(sub: DataFrame, threshold: float) -> DataFrame:
         norms = np.sqrt((x * x).sum(axis=1))
         unit = x / np.where(norms == 0.0, 1.0, norms)[:, None]
         dropped = np.zeros(n, dtype=bool)
+        # Spark-fold parity on degenerate rows: the fold's cosine for
+        # any pair involving a NaN/Inf vector is NaN, and Spark orders
+        # NaN above every number, so its `cos >= threshold` predicate
+        # is TRUE — every higher id paired with such a row drops.
+        # numpy comparisons with NaN are False, so without this the
+        # plans would diverge exactly where the pinned bit-identical
+        # contract matters.  (Zero-norm rows are NOT poison: the fold
+        # nulls their undefined cosine — survivor — and here their
+        # zero unit rows score 0 against everything, same outcome.)
+        poison = ~np.isfinite(norms)
+        if poison.any():
+            first = int(np.argmax(poison))
+            idx = np.arange(n)
+            dropped |= (idx > first) | (poison & (idx >= 1))
         tile = max(1, 4_000_000 // n)
         for s in range(0, n, tile):
             e = min(n, s + tile)
@@ -739,7 +758,7 @@ def _semantic_dropped_gemm(sub: DataFrame, threshold: float) -> DataFrame:
                     continue
                 sim = sims[r, j]
                 if abs(sim - threshold) <= 1e-6:
-                    sim = seq_cos(x[i], x[j])
+                    sim = _seq_cos(x[i], x[j])
                 if sim >= threshold:
                     dropped[j] = True
         return pd.DataFrame({"id": ids[dropped].astype("int64")})

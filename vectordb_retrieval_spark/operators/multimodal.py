@@ -283,6 +283,16 @@ def _pil_pixels(payload: bytes, side: int = 9) -> np.ndarray:
     return np.asarray(img, dtype=np.float64)
 
 
+_DHASH_POWERS = np.int64(1) << np.arange(62, -1, -1, dtype=np.int64)
+
+
+def _dhash_bits(px: np.ndarray) -> np.ndarray:
+    """The 63 difference-hash bits of one pixel grid (bit j = pixel
+    brighter than its right neighbor) — the single packing both the
+    per-payload and per-frame hashes use, so they can never drift."""
+    return (px[:, :-1] > px[:, 1:]).reshape(-1)[:63]
+
+
 def dhash(
     df: DataFrame,
     pixels_fn: Callable[[bytes], np.ndarray] | None = None,
@@ -301,22 +311,15 @@ def dhash(
     """
     fn = pixels_fn or _stub_pixels
 
-    powers = (np.int64(1) << np.arange(62, -1, -1, dtype=np.int64))
-
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not len(pdf):
                 continue
             bits = np.stack(
-                [
-                    (lambda px: (px[:, :-1] > px[:, 1:]).reshape(-1)[:63])(
-                        fn(bytes(payload))
-                    )
-                    for payload in pdf[payload_col]
-                ]
+                [_dhash_bits(fn(bytes(payload))) for payload in pdf[payload_col]]
             )
             # one batch matmul packs the 63-bit fingerprints (long-safe)
-            out = bits.astype(np.int64) @ powers
+            out = bits.astype(np.int64) @ _DHASH_POWERS
             yield pd.DataFrame(
                 {"id": pdf[id_col].astype("int64"), "dhash": out}
             )
@@ -326,26 +329,33 @@ def dhash(
     )
 
 
-def hamming_near_dup_pairs(
-    hashes: DataFrame,
-    max_hamming: int = 4,
-    bits: int = 63,
-    id_col: str = "id",
-    hash_col: str = "dhash",
+def _hamming_band_candidates(
+    df: DataFrame,
+    max_hamming: int,
+    bits: int,
+    id_col: str,
+    hash_col: str,
+    extra_keys: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Pairs (a < b) of rows whose integer fingerprints differ in at
-    most ``max_hamming`` bits — the generic form of the simhash band
-    trick (operators/dedup.py): pigeonhole the fingerprint into
-    ``max_hamming + 1`` chunks, equi-join on (chunk_idx, chunk_value),
-    verify survivors with ``bit_count(a XOR b)``.  Sub-quadratic; one
-    band shuffle + candidate verify, never an all-pairs join."""
-    sh = hashes.select(F.col(id_col).alias("id"), F.col(hash_col).alias("h"))
+    """Candidate pairs (…extra_keys, a < b, _ha, _hb) sharing at least
+    one pigeonhole band chunk (and every ``extra_keys`` column) — the
+    simhash band trick (operators/dedup.py): split the fingerprint into
+    ``max_hamming + 1`` chunks; two fingerprints within the bound must
+    agree on at least one whole chunk.  One equi-join shuffle, never an
+    all-pairs join; shared by the flat pair form and the per-frame
+    video form so a band fix lands in both."""
+    sel = [F.col(k) for k in extra_keys] + [
+        F.col(id_col).alias("id"),
+        F.col(hash_col).alias("h"),
+    ]
+    sh = df.select(*sel)
     n_bands = max_hamming + 1
     widths = [
         bits // n_bands + (1 if i < bits % n_bands else 0) for i in range(n_bands)
     ]
     offs = [sum(widths[:i]) for i in range(n_bands)]
     bands = sh.select(
+        *extra_keys,
         "id",
         "h",
         F.explode(
@@ -361,12 +371,20 @@ def hamming_near_dup_pairs(
                 ]
             )
         ).alias("bc"),
-    ).select("id", "h", F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"))
-    cand = (
+    ).select(
+        *extra_keys,
+        "id",
+        "h",
+        F.col("bc.band").alias("band"),
+        F.col("bc.chunk").alias("chunk"),
+    )
+    join_keys = list(extra_keys) + ["band", "chunk"]
+    return (
         bands.alias("x")
-        .join(bands.alias("y"), ["band", "chunk"])
+        .join(bands.alias("y"), join_keys)
         .filter(F.col("x.id") < F.col("y.id"))
         .select(
+            *extra_keys,
             F.col("x.id").alias("a"),
             F.col("y.id").alias("b"),
             F.col("x.h").alias("_ha"),
@@ -374,6 +392,20 @@ def hamming_near_dup_pairs(
         )
         .distinct()
     )
+
+
+def hamming_near_dup_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 4,
+    bits: int = 63,
+    id_col: str = "id",
+    hash_col: str = "dhash",
+) -> DataFrame:
+    """Pairs (a < b, hamming) of rows whose integer fingerprints differ
+    in at most ``max_hamming`` bits: band candidates
+    (``_hamming_band_candidates``) verified with ``bit_count(a XOR b)``.
+    Sub-quadratic; one band shuffle + candidate verify."""
+    cand = _hamming_band_candidates(hashes, max_hamming, bits, id_col, hash_col)
     return (
         cand.withColumn(
             "hamming",
@@ -399,7 +431,6 @@ def frame_dhash(
     frame extractor with the identical batch shape.  Empty payloads
     contribute no frames."""
     fn = pixels_fn or _stub_pixels
-    powers = (np.int64(1) << np.arange(62, -1, -1, dtype=np.int64))
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -407,11 +438,10 @@ def frame_dhash(
             for did, p in zip(pdf[id_col], pdf[payload_col]):
                 raw = bytes(p)
                 for fi, off in enumerate(range(0, len(raw), every_n_bytes)):
-                    px = fn(raw[off : off + every_n_bytes])
-                    bits = (px[:, :-1] > px[:, 1:]).reshape(-1)[:63]
+                    bits = _dhash_bits(fn(raw[off : off + every_n_bytes]))
                     ids.append(did)
                     idxs.append(fi)
-                    hashes.append(int(bits.astype(np.int64) @ powers))
+                    hashes.append(int(bits.astype(np.int64) @ _DHASH_POWERS))
             if ids:
                 yield pd.DataFrame(
                     {"id": ids, "frame_idx": idxs, "dhash": hashes}
@@ -432,52 +462,14 @@ def video_near_dup_pairs(
     videos with at least ``min_matched_frames`` frame positions whose
     per-frame dhashes differ by at most ``max_hamming`` bits.
 
-    Scale shape: the per-frame candidate generation is the pigeonhole
-    Hamming band trick keyed by (frame_idx, band, chunk) — one
-    equi-join shuffle, never an all-pairs join across videos — followed
-    by a popcount verify on candidates and one map-side-combinable
-    groupBy vote.  The same shape FAISS-less frame-vote video dedup
-    uses at corpus scale."""
-    sh = frames.select("id", "frame_idx", F.col("dhash").alias("h"))
-    n_bands = max_hamming + 1
-    widths = [
-        bits // n_bands + (1 if i < bits % n_bands else 0)
-        for i in range(n_bands)
-    ]
-    offs = [sum(widths[:i]) for i in range(n_bands)]
-    bands = sh.select(
-        "id",
-        "frame_idx",
-        "h",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftright(F.col("h"), offs[i])
-                        .bitwiseAND(F.lit((1 << widths[i]) - 1))
-                        .alias("chunk"),
-                    )
-                    for i in range(n_bands)
-                ]
-            )
-        ).alias("bc"),
-    ).select(
-        "id", "frame_idx", "h",
-        F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"),
-    )
-    cand = (
-        bands.alias("x")
-        .join(bands.alias("y"), ["frame_idx", "band", "chunk"])
-        .filter(F.col("x.id") < F.col("y.id"))
-        .select(
-            F.col("x.id").alias("a"),
-            F.col("y.id").alias("b"),
-            "frame_idx",
-            F.col("x.h").alias("_ha"),
-            F.col("y.h").alias("_hb"),
-        )
-        .distinct()
+    Scale shape: per-frame candidates come from the shared pigeonhole
+    band join (``_hamming_band_candidates``) keyed by
+    (frame_idx, band, chunk) — one equi-join shuffle, never an
+    all-pairs join across videos — followed by a popcount verify on
+    candidates and one map-side-combinable groupBy vote."""
+    sh = frames.select("id", "frame_idx", F.col("dhash").alias("dhash"))
+    cand = _hamming_band_candidates(
+        sh, max_hamming, bits, "id", "dhash", extra_keys=("frame_idx",)
     )
     matched = cand.filter(
         F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))) <= max_hamming
