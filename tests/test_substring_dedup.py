@@ -305,3 +305,70 @@ def test_semantic_dedup_degenerate_rows_plan_parity(spark):
     g = semantic_dedup(df, c1, threshold=0.9, pair_plan="gemm").toPandas()
     f = semantic_dedup(df, c1, threshold=0.9, pair_plan="fold").toPandas()
     assert set(g["vec_id"]) == set(f["vec_id"]) == {0, 1, 2}
+
+
+def _py_winnow(texts, k, w):
+    """Pure-python winnowing reference: per window of w consecutive
+    k-gram hashes, pick the rightmost minimum (40-bit reduced hash)."""
+    import hashlib
+
+    out = set()
+    for did, t in texts:
+        toks = t.split()
+        hs = []
+        for p in range(len(toks) - k + 1):
+            gram = " ".join(toks[p : p + k])
+            h60 = int(hashlib.md5(gram.encode()).hexdigest()[:15], 16)
+            hs.append(h60 >> 20)
+        for s in range(len(hs) - w + 1):
+            win = hs[s : s + w]
+            m = min(win)
+            q = max(j for j in range(w) if win[j] == m)
+            out.add((did, s + q + 1, m))  # 1-based gram position
+    return out
+
+
+def test_winnow_fingerprints_matches_python_reference(spark):
+    from vectordb_retrieval_spark.operators.substring import (
+        winnow_fingerprints,
+    )
+
+    texts = [
+        (0, "the quick brown fox jumps over the lazy dog again and again"),
+        (1, "the quick brown fox jumps over a sleeping cat today"),
+        (2, "completely different words in every position of this doc"),
+        (3, "short doc"),  # fewer than k tokens -> no fingerprints
+        (4, "rep rep rep rep rep rep rep rep rep rep"),  # all-tie windows
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.pos, r.fp)
+        for r in winnow_fingerprints(df, k=5, window=4).collect()
+    }
+    want = _py_winnow(texts, 5, 4)
+    assert got == want
+    # the winnowing guarantee: docs 0 and 1 share the >= k+w-1 token
+    # prefix, so they must share at least one fingerprint hash at the
+    # same gram position inside it
+    shared = {
+        (p, f) for (d, p, f) in got if d == 0 and p <= 4
+    } & {(p, f) for (d, p, f) in got if d == 1 and p <= 4}
+    assert shared
+    assert not any(d == 3 for d, _, _ in got)
+    # all-tie doc: rightmost-min rule picks the last position of each
+    # window; selection is still ~1 per window, never every position
+    assert {p for d, p, _ in got if d == 4} == {4, 5, 6}
+
+
+def test_domain_cap(spark):
+    from vectordb_retrieval_spark.operators.urlops import domain_cap
+
+    rows = [
+        (i, f"http://{'big' if i < 6 else 'small'}.com/p{i}") for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    kept = sorted(r.doc_id for r in domain_cap(df, 3).collect())
+    # big.com has 6 docs -> lowest 3 ids kept; small.com has 2 -> both
+    assert kept == [0, 1, 2, 6, 7]
+    with pytest.raises(ValueError, match="max_per_domain"):
+        domain_cap(df, 0)

@@ -885,6 +885,109 @@ ORDER BY a, b
 """
 
 
+DOMAIN_CAP_N = 3
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-share cap (Gopher/MassiveWeb): keep at most DOMAIN_CAP_N
+    docs per registered domain, lowest id first — one row_number window
+    on the registered domain."""
+    from pyspark.sql import functions as F
+
+    from vectordb_retrieval_spark.operators.urlops import (
+        domain_cap,
+        registered_domain,
+    )
+
+    d = docs(spark, sf_dir).withColumn("url", _synth_url_col())
+    return (
+        domain_cap(d, DOMAIN_CAP_N)
+        .select(
+            "doc_id", registered_domain(F.col("url")).alias("domain")
+        )
+        .orderBy("doc_id")
+    )
+
+
+_DOMAIN_CAP_ORACLE = f"""
+WITH {_URL_PARTS_CTES},
+lab AS (SELECT doc_id, string_split(host, '.') AS labels FROM parts),
+dom AS (
+  SELECT doc_id,
+    CASE
+      WHEN len(labels) >= 3 AND length(labels[len(labels)]) = 2
+           AND labels[len(labels) - 1]
+               IN ('co','com','net','org','gov','ac','edu')
+        THEN array_to_string(labels[len(labels) - 2 : len(labels)], '.')
+      WHEN len(labels) >= 2
+        THEN array_to_string(labels[len(labels) - 1 : len(labels)], '.')
+      ELSE array_to_string(labels, '.')
+    END AS domain
+  FROM lab
+),
+rk AS (
+  SELECT doc_id, domain,
+         row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS r
+  FROM dom
+)
+SELECT doc_id, domain FROM rk WHERE r <= {DOMAIN_CAP_N} ORDER BY doc_id
+"""
+
+
+WINNOW_K, WINNOW_W = 5, 4
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al. 2003): min-hash of each
+    sliding window of WINNOW_W consecutive WINNOW_K-gram hashes,
+    rightmost on ties — the MOSS-style guaranteed-coverage document
+    fingerprint, selected by ONE integer min window per document."""
+    from vectordb_retrieval_spark.operators.substring import (
+        winnow_fingerprints,
+    )
+
+    return winnow_fingerprints(
+        docs(spark, sf_dir), k=WINNOW_K, window=WINNOW_W
+    ).orderBy("doc_id", "pos", "fp")
+
+
+_WINNOW_ORACLE = f"""
+WITH toks AS (SELECT doc_id AS id, {{toks}} AS toks FROM documents),
+gpos AS (
+  SELECT id, toks, unnest(generate_series(1, len(toks) - {WINNOW_K - 1})) AS pos
+  FROM toks WHERE len(toks) >= {WINNOW_K}
+),
+g AS (
+  SELECT id, pos,
+         {{h60}} AS gh
+  FROM gpos
+),
+enc AS (
+  SELECT id, pos,
+         (gh >> 20) * 1048576 + (1048575 - pos) AS e
+  FROM g
+),
+ng AS (SELECT id, max(pos) AS n FROM g GROUP BY id),
+wm AS (
+  SELECT id, pos,
+         min(e) OVER (PARTITION BY id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS wmin
+  FROM enc
+)
+SELECT DISTINCT w.id AS doc_id,
+       CAST(1048575 - (wmin % 1048576) AS BIGINT) AS pos,
+       CAST(wmin // 1048576 AS BIGINT) AS fp
+FROM wm w JOIN ng ON ng.id = w.id
+WHERE w.pos <= ng.n - {WINNOW_W - 1}
+ORDER BY doc_id, pos, fp
+"""
+
+
+def _winnow_oracle() -> str:
+    grams = f"array_to_string(toks[pos:pos+{WINNOW_K - 1}], ' ')"
+    return _WINNOW_ORACLE.format(toks=_TOKS, h60=_h60(grams))
+
+
 def _knn_oracles():
     from vectordb_retrieval_spark.driver_queries.knn import DIST_EXPRS, KNN_ORACLE
 
@@ -915,6 +1018,8 @@ QUERIES = {
     "multimodal_dhash_pairs": q_dhash_pairs,
     "quality_nb_classifier": q_nb_quality,
     "multimodal_video_neardup": q_video_neardup,
+    "url_domain_cap": q_domain_cap,
+    "text_winnow_fingerprints": q_winnow_fingerprints,
 }
 
 ORACLES = {
@@ -933,4 +1038,6 @@ ORACLES = {
     "multimodal_dhash_pairs": _dhash_oracle(),
     "quality_nb_classifier": _nb_quality_oracle(),
     "multimodal_video_neardup": _video_neardup_oracle(),
+    "url_domain_cap": _DOMAIN_CAP_ORACLE,
+    "text_winnow_fingerprints": _winnow_oracle(),
 }

@@ -239,3 +239,82 @@ def substring_dedup(
         .join(rebuilt, on="id", how="left")
         .select(*cols)
     )
+
+
+# winnowing packs (reduced hash, reversed position) into one orderable
+# BIGINT so the rightmost-minimum tie rule is pure integer MIN in any
+# engine: 40-bit hash above, 20-bit (2^20-1 - pos) below
+_WINNOW_POS_BITS = 20
+_WINNOW_POS_MAX = (1 << _WINNOW_POS_BITS) - 1
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 5,
+    window: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken
+    2003, "Winnowing: Local Algorithms for Document Fingerprinting"):
+    hash every k-token gram, slide a window of ``window`` consecutive
+    gram hashes over each document, and record each window's minimum
+    hash — rightmost position on ties (the paper's robust-winnowing
+    rule).  Guarantees every shared run of at least k + window - 1
+    tokens contributes a matching fingerprint, at ~2/(window+1)
+    selection density — the coverage/size trade MOSS-style overlap
+    detection is built on.
+
+    Returns (doc_id, pos, fp): 1-based gram position and the 40-bit
+    reduced gram hash of each selected fingerprint.
+
+    Scale: gram hashing is the same single projection as substring
+    dedup; selection is ONE min window partitioned by doc id (never
+    global) over an integer encoding of (hash, reversed pos), so the
+    rightmost-min tie rule costs nothing and an external SQL engine
+    reproduces the selection exactly.  Documents shorter than
+    k + window - 1 tokens contribute no fingerprints (no complete
+    window)."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    g = gram_positions(df, k, id_col, text_col)
+    # 40-bit reduction keeps (hash << 20 | reversed pos) inside int64;
+    # positions are capped by the encoding — far beyond any document's
+    # token count, and guarded so overflow is an error, not corruption
+    enc = (
+        F.shiftleft(F.shiftright(F.col("gh"), 20), _WINNOW_POS_BITS)
+        + (F.lit(_WINNOW_POS_MAX) - F.col("pos"))
+    )
+    n_grams = F.max("pos").over(Window.partitionBy("id"))
+    wmin = F.min("enc").over(
+        Window.partitionBy("id").orderBy("pos").rowsBetween(0, window - 1)
+    )
+    sel = (
+        g.withColumn(
+            "_pos_ok",
+            F.assert_true(
+                F.col("pos") <= F.lit(_WINNOW_POS_MAX),
+                F.lit(
+                    "winnow_fingerprints: document exceeds 2^20 grams — "
+                    "the (hash, pos) encoding would overflow"
+                ),
+            ),
+        )
+        .drop("_pos_ok")
+        .withColumn("enc", enc)
+        .withColumn("n_grams", n_grams)
+        .withColumn("wmin", wmin)
+        # only complete windows select fingerprints (the paper's rule)
+        .filter(F.col("pos") <= F.col("n_grams") - F.lit(window - 1))
+        .select(
+            "id",
+            (F.lit(_WINNOW_POS_MAX) - F.pmod(F.col("wmin"), F.lit(1 << _WINNOW_POS_BITS))).alias("pos"),
+            F.shiftright(F.col("wmin"), _WINNOW_POS_BITS).alias("fp"),
+        )
+        .distinct()
+    )
+    return sel.select(
+        F.col("id").alias("doc_id"),
+        F.col("pos").cast("long").alias("pos"),
+        F.col("fp").cast("long").alias("fp"),
+    )

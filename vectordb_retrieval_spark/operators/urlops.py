@@ -137,3 +137,34 @@ def domain_filter(
     if not blocklist:
         return df
     return df.filter(~registered_domain(F.col(url_col)).isin(*blocklist))
+
+
+def domain_cap(
+    df,
+    max_per_domain: int,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep at most ``max_per_domain`` documents per registered domain —
+    the domain-share cap every web-curation recipe applies so no single
+    site dominates the corpus (Gopher/MassiveWeb §A.2, RefinedWeb).
+    Deterministic first-writer priority: lowest id wins within a domain.
+
+    Scale: one row_number window partitioned by registered domain (a
+    single key shuffle); domains are numerous and individually small
+    after URL dedup, so the window has no hot-key problem at corpus
+    scale — a pathological single-domain corpus is exactly what the cap
+    exists to cut."""
+    if max_per_domain < 1:
+        raise ValueError(f"max_per_domain must be >= 1, got {max_per_domain}")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(registered_domain(F.col(url_col)))
+        .orderBy(F.col(id_col))
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= max_per_domain)
+        .drop("_rk")
+    )
