@@ -372,3 +372,26 @@ def test_domain_cap(spark):
     assert kept == [0, 1, 2, 6, 7]
     with pytest.raises(ValueError, match="max_per_domain"):
         domain_cap(df, 0)
+
+
+def test_gram_novelty(spark):
+    from vectordb_retrieval_spark.operators.substring import gram_novelty
+
+    run = " ".join(f"c{i}" for i in range(6))
+    df = spark.createDataFrame(
+        [
+            (0, f"{run} unique zero words here now"),   # shares the run
+            (1, f"{run} other one tail w x y z"),       # shares the run
+            (2, "all original content in this doc yes"),  # fully novel
+            (3, "tiny"),                                 # < k tokens
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in gram_novelty(df, k=6).collect()}
+    assert 3 not in out
+    assert out[2].novelty_pm == 1000 and out[2].n_novel == out[2].n_grams
+    # docs 0/1: exactly one shared 6-gram (the run itself); every other
+    # window mixes unique suffix tokens
+    for d in (0, 1):
+        assert out[d].n_grams - out[d].n_novel == 1
+        assert out[d].novelty_pm == (out[d].n_novel * 1000) // out[d].n_grams

@@ -988,6 +988,27 @@ def _winnow_oracle() -> str:
     return _WINNOW_ORACLE.format(toks=_TOKS, h60=_h60(grams))
 
 
+def q_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document k-gram novelty (share of windows unique corpus-wide,
+    integer per-mille) — the corpus-level duplication-fraction quality
+    signal; same gram projection + count window as substring dedup."""
+    from vectordb_retrieval_spark.operators.substring import gram_novelty
+
+    return gram_novelty(docs(spark, sf_dir), k=SPAN_K).orderBy("doc_id")
+
+
+_NOVELTY_ORACLE = f"""
+WITH {_GRAM_CTES}
+SELECT id AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) * 1000
+            // count(*) AS BIGINT) AS novelty_pm
+FROM (SELECT id, pos, count(*) OVER (PARTITION BY gh) AS cnt FROM g)
+GROUP BY id ORDER BY doc_id
+"""
+
+
 def _knn_oracles():
     from vectordb_retrieval_spark.driver_queries.knn import DIST_EXPRS, KNN_ORACLE
 
@@ -1020,6 +1041,7 @@ QUERIES = {
     "multimodal_video_neardup": q_video_neardup,
     "url_domain_cap": q_domain_cap,
     "text_winnow_fingerprints": q_winnow_fingerprints,
+    "text_gram_novelty": q_gram_novelty,
 }
 
 ORACLES = {
@@ -1040,4 +1062,5 @@ ORACLES = {
     "multimodal_video_neardup": _video_neardup_oracle(),
     "url_domain_cap": _DOMAIN_CAP_ORACLE,
     "text_winnow_fingerprints": _winnow_oracle(),
+    "text_gram_novelty": _NOVELTY_ORACLE,
 }

@@ -318,3 +318,39 @@ def winnow_fingerprints(
         F.col("pos").cast("long").alias("pos"),
         F.col("fp").cast("long").alias("fp"),
     )
+
+
+def gram_novelty(
+    df: DataFrame,
+    k: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_grams, n_novel, novelty_pm): per-document share of
+    k-gram windows whose hash occurs nowhere else in the corpus — the
+    corpus-level novelty signal behind duplication-fraction quality
+    gates (the inverse view of Lee et al.'s duplicated-span mass:
+    boilerplate-heavy documents score low, original text scores high).
+    ``novelty_pm`` is integer per-mille so the value hashes exactly in
+    an external engine.  Documents shorter than k tokens emit no row.
+
+    Scale: the same single gram projection substring dedup pays, one
+    count window partitioned by the gram hash (map-side-combinable
+    shuffle), one per-doc aggregate — no joins."""
+    g = gram_positions(df, k, id_col, text_col)
+    cnt = F.count("*").over(Window.partitionBy("gh"))
+    per = (
+        g.withColumn("cnt", cnt)
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0)).alias("n_novel"),
+        )
+    )
+    return per.select(
+        F.col("id").alias("doc_id"),
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_novel").cast("long").alias("n_novel"),
+        # integer division: no fp anywhere, so the value is engine-exact
+        F.expr("(n_novel * 1000) div n_grams").cast("long").alias("novelty_pm"),
+    )
