@@ -79,3 +79,62 @@ def test_cross_encoder_real_branch_gate(spark, rerank_tables):
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, NotImplementedError
     )
+
+
+def test_mmr_rerank_matches_python_greedy(spark):
+    """mmr_rerank == a pure-python greedy MMR, and diversification is
+    visible: a near-duplicate of the top hit is deferred below a less
+    relevant but novel candidate."""
+    import numpy as np
+
+    from vectordb_retrieval_spark.operators.rerank import mmr_rerank
+
+    vecs = {
+        10: [10.0, 0.0],   # top relevance
+        11: [9.9, 0.1],    # near-duplicate of 10
+        12: [0.0, 8.0],    # novel direction, lower relevance
+        13: [1.0, 7.0],    # close to 12
+    }
+    q = np.array([1.0, 0.5])
+    rows = [
+        (0, d, float(np.dot(q, v)), [float(x) for x in v])
+        for d, v in vecs.items()
+    ]
+    df = spark.createDataFrame(
+        rows, "qid long, doc_id long, rel double, vec array<double>"
+    )
+    got = [
+        (r.doc_id, r.mmr_rank)
+        for r in mmr_rerank(df, k=4, lambda_=0.5)
+        .orderBy("mmr_rank")
+        .collect()
+    ]
+
+    def py_mmr(lam, k):
+        ids = sorted(vecs)
+        rel = {d: float(np.dot(q, vecs[d])) for d in ids}
+        sim = {
+            (a, b): float(np.dot(vecs[a], vecs[b])) for a in ids for b in ids
+        }
+        picked = []
+        while len(picked) < k:
+            best, best_s = None, None
+            for d in ids:
+                if d in picked:
+                    continue
+                ms = max((sim[(d, p)] for p in picked), default=None)
+                s = lam * rel[d] - (1 - lam) * ms if picked else lam * rel[d]
+                if best is None or s > best_s or (s == best_s and d < best):
+                    best, best_s = d, s
+            picked.append(best)
+        return picked
+
+    assert [d for d, _ in got] == py_mmr(0.5, 4)
+    # diversification: the near-dup 11 is NOT rank 2
+    assert got[0][0] == 10 and got[1][0] != 11
+    # lambda=1 degenerates to pure relevance order
+    pure = [
+        r.doc_id
+        for r in mmr_rerank(df, k=4, lambda_=1.0).orderBy("mmr_rank").collect()
+    ]
+    assert pure == sorted(vecs, key=lambda d: -float(np.dot(q, vecs[d])))

@@ -1009,6 +1009,111 @@ GROUP BY id ORDER BY doc_id
 """
 
 
+MMR_K, MMR_CAND, MMR_DIM, MMR_NQ = 10, 30, 8, 5
+
+
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified rerank (Carbonell & Goldstein 1998) over
+    synthetic INTEGER embeddings (md5-derived components in -10..10 —
+    pipeline_embed_knn's trick): dot products and MMR scores are exact,
+    so the greedy selection reproduces bit-for-bit in the DuckDB
+    recursive-CTE oracle.  Per query: top-MMR_CAND candidates by dot
+    relevance, then greedy lambda=0.5 MMR for MMR_K."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from vectordb_retrieval_spark.operators.dedup import hash60
+    from vectordb_retrieval_spark.operators.rerank import mmr_rerank
+
+    def comp(i: int):
+        return (
+            hash60(F.concat(F.col("doc_id").cast("string"), F.lit(f":{i}")))
+            % 21
+            - 10
+        ).cast("double")
+
+    d = docs(spark, sf_dir)
+    e = d.select(
+        "doc_id", F.array(*[comp(i) for i in range(MMR_DIM)]).alias("vec")
+    )
+    q = e.filter(F.col("doc_id") < MMR_NQ).select(
+        F.col("doc_id").alias("qid"), F.col("vec").alias("qvec")
+    )
+    rel = (
+        q.crossJoin(e)
+        .filter(F.col("doc_id") != F.col("qid"))
+        .withColumn(
+            "rel",
+            F.expr(
+                "aggregate(zip_with(qvec, vec, (x, y) -> x * y), "
+                "0D, (a, x) -> a + x)"
+            ),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("rel").desc(), F.col("doc_id"))
+    cand = rel.withColumn("r", F.row_number().over(w)).filter(
+        F.col("r") <= MMR_CAND
+    )
+    return mmr_rerank(
+        cand.select("qid", "doc_id", "rel", "vec"), k=MMR_K
+    ).orderBy("qid", "mmr_rank")
+
+
+def _mmr_oracle() -> str:
+    def comp(tbl: str, i: int) -> str:
+        src = f"{tbl}.doc_id || ':{i}'"
+        return f"({_h60(src)} % 21 - 10)"
+
+    emb_cols = ", ".join(
+        f"{comp('documents', i)} AS c{i}" for i in range(MMR_DIM)
+    )
+    dot_qe = " + ".join(f"q.c{i} * e.c{i}" for i in range(MMR_DIM))
+    dot_ab = " + ".join(f"a.c{i} * b.c{i}" for i in range(MMR_DIM))
+    keep = ", ".join(f"e.c{i}" for i in range(MMR_DIM))
+    return f"""
+WITH RECURSIVE
+emb AS (SELECT doc_id, {emb_cols} FROM documents),
+q AS (SELECT * FROM emb WHERE doc_id < {MMR_NQ}),
+rel AS (
+  SELECT q.doc_id AS qid, e.doc_id, CAST({dot_qe} AS BIGINT) AS rel, {keep}
+  FROM q JOIN emb e ON e.doc_id <> q.doc_id
+),
+cand AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY qid ORDER BY rel DESC, doc_id) AS rk
+    FROM rel
+  ) WHERE rk <= {MMR_CAND}
+),
+psim AS (
+  SELECT a.qid, a.doc_id AS d1, b.doc_id AS d2, CAST({dot_ab} AS BIGINT) AS sim
+  FROM cand a JOIN cand b ON a.qid = b.qid AND a.doc_id <> b.doc_id
+),
+sel AS (
+  SELECT qid, [doc_id] AS picked, doc_id AS chosen, 1 AS step
+  FROM (SELECT qid, doc_id,
+               row_number() OVER (PARTITION BY qid ORDER BY rel DESC, doc_id) AS r
+        FROM cand) WHERE r = 1
+  UNION ALL
+  SELECT qid, list_append(picked, doc_id), doc_id, step + 1
+  FROM (
+    SELECT s.qid, s.picked, c.doc_id, s.step,
+           row_number() OVER (
+             PARTITION BY s.qid
+             ORDER BY c.rel - (SELECT max(p.sim) FROM psim p
+                        WHERE p.qid = s.qid AND p.d1 = c.doc_id
+                          AND list_contains(s.picked, p.d2)) DESC,
+                      c.doc_id
+           ) AS r
+    FROM sel s JOIN cand c ON c.qid = s.qid
+    WHERE NOT list_contains(s.picked, c.doc_id) AND s.step < {MMR_K}
+  ) WHERE r = 1
+)
+SELECT qid, chosen AS doc_id, CAST(step AS INT) AS mmr_rank
+FROM sel ORDER BY qid, mmr_rank
+"""
+
+
 def _knn_oracles():
     from vectordb_retrieval_spark.driver_queries.knn import DIST_EXPRS, KNN_ORACLE
 
@@ -1042,6 +1147,7 @@ QUERIES = {
     "url_domain_cap": q_domain_cap,
     "text_winnow_fingerprints": q_winnow_fingerprints,
     "text_gram_novelty": q_gram_novelty,
+    "rerank_mmr_diverse": q_mmr_rerank,
 }
 
 ORACLES = {
@@ -1063,4 +1169,5 @@ ORACLES = {
     "url_domain_cap": _DOMAIN_CAP_ORACLE,
     "text_winnow_fingerprints": _winnow_oracle(),
     "text_gram_novelty": _NOVELTY_ORACLE,
+    "rerank_mmr_diverse": _mmr_oracle(),
 }

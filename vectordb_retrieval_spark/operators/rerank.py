@@ -162,3 +162,75 @@ def cross_encoder_rerank(
         .filter(F.col("rank") <= top_k)
         .select("qid", "doc_id", "score", "rank")
     )
+
+
+def mmr_rerank(
+    cand: DataFrame,
+    k: int,
+    lambda_: float = 0.5,
+    qid_col: str = "qid",
+    id_col: str = "doc_id",
+    rel_col: str = "rel",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified selection (Carbonell &
+    Goldstein 1998): greedily pick, per query, the candidate maximizing
+    ``lambda * rel - (1 - lambda) * max_sim_to_already_picked`` until
+    ``k`` are chosen; ties break to the lower id.  Similarity is the
+    dot product of the candidate vectors (normalize upstream for
+    cosine).  The classic redundancy-killer between retrieval and
+    consumption — composes after any candidate generator
+    (``bm25_topk``, ANN search, ``jaccard_rerank``).
+
+    Scale shape: MMR only ever touches each query's SHORT candidate
+    list (the same contract as the other rerankers here), so the greedy
+    O(k * C) loop runs inside one applyInPandas over qid — one shuffle
+    of candidate rows, no driver loop.  With integer-valued vectors and
+    lambda = 0.5 every score is exactly representable, so an external
+    engine's greedy (recursive SQL) reproduces the selection
+    bit-for-bit — the driver query's oracle does exactly that.
+    """
+    import numpy as np
+    import pandas as pd
+
+    lam = float(lambda_)
+
+    def per_q(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        ids = pdf[id_col].to_numpy()
+        rel = pdf[rel_col].to_numpy().astype(np.float64)
+        x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        sims = x @ x.T
+        picked: list[int] = []
+        used = np.zeros(n, dtype=bool)
+        maxsim = None  # true max over picked — may be negative, so no
+        # zero-clamp: it starts only after the first pick
+        while len(picked) < min(k, n):
+            if maxsim is None:
+                score = lam * rel
+            else:
+                score = lam * rel - (1.0 - lam) * maxsim
+            score[used] = -np.inf
+            # argmax with lower-id tie-break: ids ascending by sort, so
+            # the FIRST max position is the lowest id
+            j = int(np.argmax(score))
+            picked.append(j)
+            used[j] = True
+            if maxsim is None:
+                maxsim = sims[:, j].copy()
+            else:
+                np.maximum(maxsim, sims[:, j], out=maxsim)
+        return pd.DataFrame(
+            {
+                "qid": pdf[qid_col].iloc[:1].repeat(len(picked)).to_numpy(),
+                "doc_id": ids[picked],
+                "mmr_rank": np.arange(1, len(picked) + 1, dtype=np.int32),
+            }
+        )
+
+    return (
+        cand.select(qid_col, id_col, rel_col, vec_col)
+        .groupBy(qid_col)
+        .applyInPandas(per_q, schema="qid long, doc_id long, mmr_rank int")
+    )
