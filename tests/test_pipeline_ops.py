@@ -367,3 +367,27 @@ def test_phone_scrub_skips_digit_runs(spark):
     for i in (3, 4, 5, 6):
         assert out[i]["n_phone"] == 1, out[i]
         assert "<PHONE>" in out[i]["text_clean"], out[i]
+
+
+def test_bigram_logprob(spark):
+    """Conditional bigram LM: repeated bigrams score higher than novel
+    ones; hand-check one document against the closed form."""
+    import math
+
+    from vectordb_retrieval_spark.operators.textops import bigram_logprob
+
+    df = spark.createDataFrame(
+        [
+            (0, "a b a b a b"),   # one dominant bigram pattern
+            (1, "c d e f g h"),   # all-singleton bigrams
+            (2, "solo"),          # < 2 tokens -> no row
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in bigram_logprob(df, alpha=0.5).collect()}
+    assert 2 not in out
+    assert out[0].n_bigrams == 5 and out[1].n_bigrams == 5
+    assert out[0].logprob > out[1].logprob
+    # closed form for doc 1: every bigram unique -> c2=1, c1=1, V=9
+    want = round(math.log10((1 + 0.5) / (1 + 0.5 * 9)), 6)
+    assert abs(out[1].logprob - want) < 1e-9

@@ -1114,6 +1114,41 @@ FROM sel ORDER BY qid, mmr_rank
 """
 
 
+BIGRAM_ALPHA = 0.5
+
+
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional bigram-LM quality score (the CCNet-style perplexity
+    gate, one n-gram order up from text_unigram_logprob)."""
+    from vectordb_retrieval_spark.operators.textops import bigram_logprob
+
+    return bigram_logprob(docs(spark, sf_dir), alpha=BIGRAM_ALPHA).orderBy(
+        "doc_id"
+    )
+
+
+_BIGRAM_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+big AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        FROM toks WHERE len(toks) >= 2)
+),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2),
+ctx AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY w1),
+v AS (SELECT count(DISTINCT t) AS v
+      FROM (SELECT unnest(toks) AS t FROM toks)),
+sc AS (
+  SELECT b.doc_id,
+         log10((c2.c2 + {BIGRAM_ALPHA}) / (ctx.c1 + {BIGRAM_ALPHA} * v.v)) AS lp
+  FROM big b JOIN c2 USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN v
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(lp), 6) AS logprob
+FROM sc GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def _knn_oracles():
     from vectordb_retrieval_spark.driver_queries.knn import DIST_EXPRS, KNN_ORACLE
 
@@ -1148,6 +1183,7 @@ QUERIES = {
     "text_winnow_fingerprints": q_winnow_fingerprints,
     "text_gram_novelty": q_gram_novelty,
     "rerank_mmr_diverse": q_mmr_rerank,
+    "text_bigram_logprob": q_bigram_logprob,
 }
 
 ORACLES = {
@@ -1170,4 +1206,5 @@ ORACLES = {
     "text_winnow_fingerprints": _winnow_oracle(),
     "text_gram_novelty": _NOVELTY_ORACLE,
     "rerank_mmr_diverse": _mmr_oracle(),
+    "text_bigram_logprob": _BIGRAM_ORACLE,
 }

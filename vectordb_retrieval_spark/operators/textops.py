@@ -443,3 +443,59 @@ def chunk_documents(
             ).alias("chunk_text")
         )
     return starts.select(*cols)
+
+
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Conditional bigram LM quality score — the next step up from
+    ``unigram_logprob`` toward the n-gram-LM perplexity filters CCNet
+    popularized: each doc's mean log10 of the corpus-estimated
+    add-alpha conditional probability p(w2 | w1) =
+    (c(w1 w2) + alpha) / (c(w1 ·) + alpha * V) over its adjacent token
+    pairs.  Repetitive or boilerplate text scores HIGH (its bigrams are
+    common), garbage scores LOW — combine with ``gram_novelty`` for the
+    two-sided gate.  Output (doc_id, n_bigrams, logprob), logprob
+    rounded to 6; documents with fewer than 2 tokens emit no row.
+
+    Plan shape: one bigram explode feeds the pair-count table (groupBy
+    (w1, w2)), the context table (its groupBy w1 re-aggregate), and the
+    scoring join; vocabulary size is a broadcast scalar.  Same 100 TB
+    notes as unigram_logprob — frequency tables scale sub-linearly;
+    broadcast when they fit, bucket by term when they don't."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), tokens_expr(F.col(text_col)).alias("toks")
+    ).filter(F.size("toks") >= 2)
+    big = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(toks, 1, size(toks) - 1), "
+                "(t, i) -> struct(t AS w1, toks[i + 1] AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    c2 = big.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    ctx = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    vocab = df.select(
+        F.explode(tokens_expr(F.col(text_col))).alias("t")
+    ).agg(F.count_distinct("t").alias("v"))
+    scored = (
+        big.join(c2, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(F.broadcast(vocab))
+        .withColumn(
+            "lp",
+            F.log10(
+                (F.col("c2") + F.lit(alpha))
+                / (F.col("c1") + F.lit(alpha) * F.col("v"))
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("lp"), 6).alias("logprob"),
+    )
