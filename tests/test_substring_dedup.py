@@ -395,3 +395,21 @@ def test_gram_novelty(spark):
     for d in (0, 1):
         assert out[d].n_grams - out[d].n_novel == 1
         assert out[d].novelty_pm == (out[d].n_novel * 1000) // out[d].n_grams
+
+
+def test_winnow_plan_windows_are_doc_partitioned(spark, corpus):
+    """Winnowing's selection windows must partition by doc id — a bare
+    window would funnel every gram through one task at scale."""
+    from vectordb_retrieval_spark.operators.substring import (
+        winnow_fingerprints,
+    )
+
+    plan = (
+        winnow_fingerprints(corpus, k=5, window=4)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    specs = plan.split("windowspecdefinition(")[1:]
+    assert specs, plan
+    assert all(s.startswith("id") for s in specs), plan
