@@ -335,7 +335,7 @@ def test_winnow_fingerprints_matches_python_reference(spark):
 
     texts = [
         (0, "the quick brown fox jumps over the lazy dog again and again"),
-        (1, "the quick brown fox jumps over a sleeping cat today"),
+        (1, "the quick brown fox jumps over the lazy dog while cats sleep"),
         (2, "completely different words in every position of this doc"),
         (3, "short doc"),  # fewer than k tokens -> no fingerprints
         (4, "rep rep rep rep rep rep rep rep rep rep"),  # all-tie windows
@@ -347,12 +347,13 @@ def test_winnow_fingerprints_matches_python_reference(spark):
     }
     want = _py_winnow(texts, 5, 4)
     assert got == want
-    # the winnowing guarantee: docs 0 and 1 share the >= k+w-1 token
-    # prefix, so they must share at least one fingerprint hash at the
-    # same gram position inside it
+    # the winnowing GUARANTEE applies: docs 0 and 1 share a 9-token
+    # prefix >= k + w - 1 = 8, i.e. grams 1..5 are shared and windows
+    # [1..4], [2..5] are fully shared — so a common (pos, fp) inside
+    # the prefix is guaranteed, not hash luck
     shared = {
-        (p, f) for (d, p, f) in got if d == 0 and p <= 4
-    } & {(p, f) for (d, p, f) in got if d == 1 and p <= 4}
+        (p, f) for (d, p, f) in got if d == 0 and p <= 5
+    } & {(p, f) for (d, p, f) in got if d == 1 and p <= 5}
     assert shared
     assert not any(d == 3 for d, _, _ in got)
     # all-tie doc: rightmost-min rule picks the last position of each

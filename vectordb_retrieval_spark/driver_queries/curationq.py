@@ -265,6 +265,25 @@ parts AS (
 )
 """
 
+# registered-domain CTEs (the SLD heuristic mirrors urlops._SLD) —
+# shared by the domain-stats and domain-cap oracles so the
+# public-suffix subset is maintained in ONE SQL copy
+_DOMAIN_CTES = """lab AS (SELECT doc_id, string_split(host, '.') AS labels FROM parts),
+dom AS (
+  SELECT doc_id,
+    CASE
+      WHEN len(labels) >= 3 AND length(labels[len(labels)]) = 2
+           AND labels[len(labels) - 1]
+               IN ('co','com','net','org','gov','ac','edu')
+        THEN array_to_string(labels[len(labels) - 2 : len(labels)], '.')
+      WHEN len(labels) >= 2
+        THEN array_to_string(labels[len(labels) - 1 : len(labels)], '.')
+      ELSE array_to_string(labels, '.')
+    END AS domain
+  FROM lab
+)"""
+
+
 _URL_DEDUP_ORACLE = f"""
 WITH {_URL_PARTS_CTES},
 norm AS (
@@ -289,20 +308,7 @@ FROM norm GROUP BY norm_url ORDER BY norm_url
 
 _DOMAIN_STATS_ORACLE = f"""
 WITH {_URL_PARTS_CTES},
-lab AS (SELECT doc_id, string_split(host, '.') AS labels FROM parts),
-dom AS (
-  SELECT doc_id,
-    CASE
-      WHEN len(labels) >= 3 AND length(labels[len(labels)]) = 2
-           AND labels[len(labels) - 1]
-               IN ('co','com','net','org','gov','ac','edu')
-        THEN array_to_string(labels[len(labels) - 2 : len(labels)], '.')
-      WHEN len(labels) >= 2
-        THEN array_to_string(labels[len(labels) - 1 : len(labels)], '.')
-      ELSE array_to_string(labels, '.')
-    END AS domain
-  FROM lab
-)
+{_DOMAIN_CTES}
 SELECT domain, count(*) AS n_docs FROM dom GROUP BY domain ORDER BY domain
 """
 
@@ -911,20 +917,7 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DOMAIN_CAP_ORACLE = f"""
 WITH {_URL_PARTS_CTES},
-lab AS (SELECT doc_id, string_split(host, '.') AS labels FROM parts),
-dom AS (
-  SELECT doc_id,
-    CASE
-      WHEN len(labels) >= 3 AND length(labels[len(labels)]) = 2
-           AND labels[len(labels) - 1]
-               IN ('co','com','net','org','gov','ac','edu')
-        THEN array_to_string(labels[len(labels) - 2 : len(labels)], '.')
-      WHEN len(labels) >= 2
-        THEN array_to_string(labels[len(labels) - 1 : len(labels)], '.')
-      ELSE array_to_string(labels, '.')
-    END AS domain
-  FROM lab
-),
+{_DOMAIN_CTES},
 rk AS (
   SELECT doc_id, domain,
          row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS r

@@ -201,7 +201,6 @@ def mmr_rerank(
         ids = pdf[id_col].to_numpy()
         rel = pdf[rel_col].to_numpy().astype(np.float64)
         x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-        sims = x @ x.T
         picked: list[int] = []
         used = np.zeros(n, dtype=bool)
         maxsim = None  # true max over picked — may be negative, so no
@@ -217,10 +216,13 @@ def mmr_rerank(
             j = int(np.argmax(score))
             picked.append(j)
             used[j] = True
+            # one matvec per pick (O(k*C*d) total) — the full C x C
+            # Gram matrix would compute C-k columns never read
+            sims_j = x @ x[j]
             if maxsim is None:
-                maxsim = sims[:, j].copy()
+                maxsim = sims_j
             else:
-                np.maximum(maxsim, sims[:, j], out=maxsim)
+                np.maximum(maxsim, sims_j, out=maxsim)
         return pd.DataFrame(
             {
                 "qid": pdf[qid_col].iloc[:1].repeat(len(picked)).to_numpy(),

@@ -279,29 +279,27 @@ def winnow_fingerprints(
         raise ValueError(f"window must be >= 1, got {window}")
     g = gram_positions(df, k, id_col, text_col)
     # 40-bit reduction keeps (hash << 20 | reversed pos) inside int64;
-    # positions are capped by the encoding — far beyond any document's
-    # token count, and guarded so overflow is an error, not corruption
-    enc = (
-        F.shiftleft(F.shiftright(F.col("gh"), 20), _WINNOW_POS_BITS)
-        + (F.lit(_WINNOW_POS_MAX) - F.col("pos"))
+    # the position guard lives INSIDE the consumed expression (a
+    # separate assert_true column would be pruned by Catalyst), so a
+    # 2^20+-gram document raises instead of silently corrupting the
+    # encoding
+    enc = F.shiftleft(F.shiftright(F.col("gh"), 20), _WINNOW_POS_BITS) + F.when(
+        F.col("pos") <= F.lit(_WINNOW_POS_MAX),
+        F.lit(_WINNOW_POS_MAX) - F.col("pos"),
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "winnow_fingerprints: document exceeds 2^20 grams — the "
+                "(hash, pos) encoding would overflow"
+            )
+        ).cast("long")
     )
     n_grams = F.max("pos").over(Window.partitionBy("id"))
     wmin = F.min("enc").over(
         Window.partitionBy("id").orderBy("pos").rowsBetween(0, window - 1)
     )
     sel = (
-        g.withColumn(
-            "_pos_ok",
-            F.assert_true(
-                F.col("pos") <= F.lit(_WINNOW_POS_MAX),
-                F.lit(
-                    "winnow_fingerprints: document exceeds 2^20 grams — "
-                    "the (hash, pos) encoding would overflow"
-                ),
-            ),
-        )
-        .drop("_pos_ok")
-        .withColumn("enc", enc)
+        g.withColumn("enc", enc)
         .withColumn("n_grams", n_grams)
         .withColumn("wmin", wmin)
         # only complete windows select fingerprints (the paper's rule)
