@@ -1121,3 +1121,67 @@ def test_pq_indexer_opq_with_preset_codebooks(spark):
     assert len(got) == 5
     rot = art.params["codec"].rotation
     assert rot is not None and np.allclose(rot, np.eye(m * dsub))
+
+
+def test_pca_codec_fit_and_roundtrip(spark):
+    """Trained PCA: rotation rows orthonormal, reconstruction error far
+    below a random projection's on anisotropic data, and vectors lying
+    in the principal subspace round-trip exactly (to fp)."""
+    import numpy as np
+
+    from vectordb_retrieval_spark.operators.quant import PCACodec
+
+    rng = np.random.default_rng(11)
+    # variance concentrated in 3 of 12 dims + small isotropic noise
+    basis = np.linalg.qr(rng.normal(size=(12, 12)))[0]
+    z = rng.normal(size=(400, 3)) * np.array([12.0, 7.0, 4.0])
+    x = z @ basis[:3] + rng.normal(size=(400, 12)) * 0.05 + 2.0
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(x)],
+        "id long, vec array<double>",
+    )
+    codec = PCACodec(3).fit(df, "vec")
+    r = codec.rotation
+    assert np.allclose(r @ r.T, np.eye(3), atol=1e-9)
+    err_pca = np.linalg.norm(codec.decode(codec.encode(x)) - x)
+    rnd = np.linalg.qr(rng.normal(size=(12, 12)))[0][:3]
+    rand_codec = PCACodec(3, rotation=rnd, mean=x.mean(axis=0))
+    err_rnd = np.linalg.norm(rand_codec.decode(rand_codec.encode(x)) - x)
+    assert err_pca < err_rnd * 0.2, (err_pca, err_rnd)
+    # deterministic across refits (sign convention)
+    codec2 = PCACodec(3).fit(df, "vec")
+    assert np.allclose(codec.rotation, codec2.rotation)
+
+
+def test_ivf_pca_factory_end_to_end(spark):
+    """'PCA{d},IVF{n},Flat' factory: IVF serving through the PCA codec.
+    Base vectors constructed INSIDE a 4-dim subspace reconstruct
+    exactly, so IVF-PCA search must equal IVF-Flat search on the same
+    data, plan for plan."""
+    import numpy as np
+
+    from vectordb_retrieval_spark.operators.ivf import IVFIndexer, IVFSearcher
+    from vectordb_retrieval_spark.registry import algorithm_from_spec
+
+    rng = np.random.default_rng(5)
+    basis = np.linalg.qr(rng.normal(size=(12, 12)))[0][:4]
+    x = (rng.normal(size=(300, 4)) * 5.0) @ basis
+    base = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(x)],
+        "id long, vec array<double>",
+    )
+    q = spark.createDataFrame(
+        [(j, (rng.normal(size=4) * 5.0 @ basis).tolist()) for j in range(8)],
+        "qid long, vec array<double>",
+    )
+    algo = algorithm_from_spec("PCA4,IVF8,Flat", nprobe=8)
+    algo.build_index(base)
+    got = {
+        (r.qid, r.rank): r.id for r in algo.batch_search(q, k=5).collect()
+    }
+    flat_art = IVFIndexer(nlist=8, seed=42).build(base)
+    want = {
+        (r.qid, r.rank): r.id
+        for r in IVFSearcher(nprobe=8).attach(flat_art).search(q, 5).collect()
+    }
+    assert got == want

@@ -1142,6 +1142,72 @@ FROM sc GROUP BY doc_id ORDER BY doc_id
 """
 
 
+PCA_DIM, PCA_OUT = 16, 4
+
+
+def _hadamard_sign(r: int, j: int) -> int:
+    return 1 if bin(r & j).count("1") % 2 == 0 else -1
+
+
+def q_pca_fixed_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA-transform plumbing check (the fixed-rotation analogue of
+    sq8_calibration): project md5-derived INTEGER 16-d vectors through
+    a preset orthonormal rotation (4 Hadamard rows / 4 — entries ±0.25,
+    so every coordinate is an exact multiple of 0.25) via
+    PCACodec.encode_df, and emit the 4x-scaled integer coordinates.
+    Exercises the exact encode path IVF-PCA serving decodes."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from vectordb_retrieval_spark.operators.dedup import hash60
+    from vectordb_retrieval_spark.operators.quant import PCACodec
+
+    def comp(i: int):
+        return (
+            hash60(F.concat(F.col("doc_id").cast("string"), F.lit(f"#{i}")))
+            % 21
+            - 10
+        ).cast("double")
+
+    d = docs(spark, sf_dir)
+    e = d.select(
+        "doc_id", F.array(*[comp(i) for i in range(PCA_DIM)]).alias("vec")
+    )
+    rot = np.array(
+        [
+            [_hadamard_sign(r, j) / 4.0 for j in range(PCA_DIM)]
+            for r in (1, 2, 4, 8)
+        ]
+    )
+    enc = PCACodec(PCA_OUT, rotation=rot).encode_df(e, "vec")
+    return enc.select(
+        "doc_id",
+        *[
+            (F.element_at("codes", i + 1) * 4).cast("long").alias(f"y{i}")
+            for i in range(PCA_OUT)
+        ],
+    ).orderBy("doc_id")
+
+
+def _pca_oracle() -> str:
+    def comp(i: int) -> str:
+        src = f"documents.doc_id || '#{i}'"
+        return f"({_h60(src)} % 21 - 10)"
+
+    cols = []
+    for yi, r in enumerate((1, 2, 4, 8)):
+        terms = " + ".join(
+            f"({_hadamard_sign(r, j)}) * x{j}" for j in range(PCA_DIM)
+        )
+        cols.append(f"CAST({terms} AS BIGINT) AS y{yi}")
+    xs = ", ".join(f"{comp(i)} AS x{i}" for i in range(PCA_DIM))
+    return f"""
+WITH e AS (SELECT doc_id, {xs} FROM documents)
+SELECT doc_id, {', '.join(cols)}
+FROM e ORDER BY doc_id
+"""
+
+
 def _knn_oracles():
     from vectordb_retrieval_spark.driver_queries.knn import DIST_EXPRS, KNN_ORACLE
 
@@ -1177,6 +1243,7 @@ QUERIES = {
     "text_gram_novelty": q_gram_novelty,
     "rerank_mmr_diverse": q_mmr_rerank,
     "text_bigram_logprob": q_bigram_logprob,
+    "pca_fixed_project": q_pca_fixed_project,
 }
 
 ORACLES = {
@@ -1200,4 +1267,5 @@ ORACLES = {
     "text_gram_novelty": _NOVELTY_ORACLE,
     "rerank_mmr_diverse": _mmr_oracle(),
     "text_bigram_logprob": _BIGRAM_ORACLE,
+    "pca_fixed_project": _pca_oracle(),
 }

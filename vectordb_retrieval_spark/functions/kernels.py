@@ -251,7 +251,8 @@ def pack_assignment(
     """Assignment/code table → one row per cluster with flat binary
     blobs: (cluster_id, n, ids int64-bytes, payload matrix-bytes,
     width, dt).  ``dt`` is the payload's NumPy dtype char — float32
-    raw vectors, uint8 for SQ8/PQ(ksub≤256) codes, int16 otherwise.
+    for raw vectors AND float-coded codecs (PCA reduced coordinates),
+    uint8 for SQ8/PQ(ksub≤256) codes, int16 for other integer codes.
 
     This is the at-scale transport format for the partitioned scan
     (the same ``_pack_shard`` inversion graph_ann.py applies to its
@@ -295,7 +296,9 @@ def pack_assignment(
         for cid, grp in pdf.groupby("cluster_id", sort=False):
             ids = grp["id"].to_numpy(dtype=np.int64)
             raw = np.vstack(grp[payload_col].to_numpy())
-            if codec is None:
+            if codec is None or np.issubdtype(raw.dtype, np.floating):
+                # raw vectors, or float-coded codecs (PCA reduced
+                # coordinates) — integer truncation would corrupt them
                 mat = raw.astype(np.float32)
                 dt = "f4"
             elif raw.size and raw.min() >= 0 and raw.max() < 256:

@@ -441,3 +441,114 @@ class OPQCodec(PQCodec):
             d2 = (cb * cb).sum(axis=1)[None, :] - 2.0 * (sub @ cb.T)
             codes[:, j] = d2.argmin(axis=1)
         return codes
+
+
+class PCACodec:
+    """PCA dimensionality-reduction codec (FAISS ``PCA{d'}`` transform):
+    project vectors onto the top ``dim_out`` principal components and
+    store the reduced float32 coordinates as the code; decode
+    back-projects to the original space (the rank-d' reconstruction).
+    Plugs into the same duck-typed codec slot as SQ8/PQ (fit /
+    is_fitted / encode / decode / encode_df), so ``IVFIndexer(codec=
+    PCACodec(64))`` serves through every existing IVF plan untouched —
+    4 bytes x dim_out per vector instead of 4 x dim.
+
+    fit is one distributed pass of partial (count, sum, X^T X) moments
+    (map-side, no shuffle of vectors) combined on the driver, then a
+    d x d eigendecomposition — the classic big-n/small-d shape.
+    Eigenvector signs are pinned (largest-|component| positive) so the
+    learned rotation is run-reproducible.  Preset ``rotation`` /
+    ``mean`` skip fit — the SQL-reproducible fixed-transform path
+    (orthonormal rows assumed: decode uses R^T as the inverse)."""
+
+    def __init__(
+        self,
+        dim_out: int,
+        rotation: np.ndarray | None = None,
+        mean: np.ndarray | None = None,
+    ):
+        if dim_out < 1:
+            raise ValueError(f"dim_out must be >= 1, got {dim_out}")
+        self.dim_out = dim_out
+        self.rotation = (
+            None if rotation is None else np.asarray(rotation, dtype=np.float64)
+        )
+        if self.rotation is not None and self.rotation.shape[0] != dim_out:
+            raise ValueError(
+                f"rotation has {self.rotation.shape[0]} rows, expected {dim_out}"
+            )
+        if mean is None and self.rotation is not None:
+            mean = np.zeros(self.rotation.shape[1])
+        self.mean = None if mean is None else np.asarray(mean, dtype=np.float64)
+
+    def is_fitted(self) -> bool:
+        return self.rotation is not None
+
+    def fit(self, df: DataFrame, vec_col: str = "vec") -> "PCACodec":
+        def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            n, s, g = 0, None, None
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                mat = _stack(pdf[vec_col]).astype(np.float64)
+                n += len(mat)
+                bs = mat.sum(axis=0)
+                bg = mat.T @ mat
+                s = bs if s is None else s + bs
+                g = bg if g is None else g + bg
+            if n:
+                yield pd.DataFrame(
+                    {"n": [n], "s": [s.tolist()], "g": [g.reshape(-1).tolist()]}
+                )
+
+        parts = (
+            df.select(vec_col)
+            .mapInPandas(partial, schema="n long, s array<double>, g array<double>")
+            .collect()
+        )
+        n = sum(r["n"] for r in parts)
+        s = np.sum([r["s"] for r in parts], axis=0)
+        d = len(s)
+        g = np.sum([np.asarray(r["g"]).reshape(d, d) for r in parts], axis=0)
+        mean = s / n
+        cov = g / n - np.outer(mean, mean)
+        w, v = np.linalg.eigh(cov)  # ascending eigenvalues
+        comps = v[:, ::-1][:, : self.dim_out].T  # (dim_out, d), descending
+        # sign convention: the largest-|component| entry positive
+        for row in comps:
+            j = int(np.argmax(np.abs(row)))
+            if row[j] < 0:
+                row *= -1.0
+        self.rotation = np.ascontiguousarray(comps)
+        self.mean = mean
+        return self
+
+    def encode(self, mat: np.ndarray) -> np.ndarray:
+        y = (np.asarray(mat, dtype=np.float64) - self.mean) @ self.rotation.T
+        return y.astype(np.float32)
+
+    def decode(self, codes: np.ndarray) -> np.ndarray:
+        return self.mean + np.asarray(codes, dtype=np.float64) @ self.rotation
+
+    def encode_df(self, df: DataFrame, vec_col: str = "vec") -> DataFrame:
+        spark = df.sparkSession
+        bc = spark.sparkContext.broadcast((self.rotation, self.mean, self.dim_out))
+        other = [c for c in df.columns if c != vec_col]
+
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            rot, mean, dim_out = bc.value
+            codec = PCACodec(dim_out, rotation=rot, mean=mean)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                codes = codec.encode(_stack(pdf[vec_col]))
+                out = pdf[other].copy()
+                out["codes"] = list(codes)
+                yield out
+
+        schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in df.schema.fields
+            if f.name != vec_col
+        )
+        return df.mapInPandas(kernel, schema=f"{schema}, codes array<float>")

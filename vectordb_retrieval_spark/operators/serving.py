@@ -319,8 +319,15 @@ def pack_clusters(
     cid = cid[order]
     ids_all = pdf["id"].to_numpy(dtype=np.int64)[order]
     payload = np.vstack(pdf[payload_col].to_numpy())[order]
-    if codec is not None and payload.size and 0 <= payload.min() and payload.max() < 256:
+    if (
+        codec is not None
+        and payload.size
+        and not np.issubdtype(payload.dtype, np.floating)
+        and 0 <= payload.min()
+        and payload.max() < 256
+    ):
         payload = payload.astype(np.uint8)  # SQ8 / PQ(ksub<=256) codes
+        # (float-coded codecs like PCA keep their float payload)
     ucids, starts = np.unique(cid, return_index=True)
     bounds = np.r_[starts, len(cid)]
     ids = [ids_all[bounds[i] : bounds[i + 1]] for i in range(len(ucids))]

@@ -141,6 +141,12 @@ def _opq(m: int = 8, ksub: int = 256, **kw):
     return PQIndexer(m=m, ksub=ksub, opq=True, **kw)
 
 
+def _ivf_pca(dim_out: int = 8, **kw):
+    from vectordb_retrieval_spark.operators.quant import PCACodec
+
+    return IVFIndexer(codec=PCACodec(dim_out), **kw)
+
+
 register_indexer("brute_force", BruteForceIndexer)
 register_indexer("ivf_flat", IVFIndexer)
 register_indexer("ivf_fixed", FixedCentroidIVFIndexer)
@@ -148,6 +154,7 @@ register_indexer("ivf_sq8", _ivf_sq8)
 register_indexer("ivf_sqfp16", _ivf_sqfp16)
 register_indexer("ivf_pq", _ivf_pq)
 register_indexer("ivf_opq", _ivf_opq)
+register_indexer("ivf_pca", _ivf_pca)
 register_indexer("pq", PQIndexer)
 register_indexer("opq", _opq)
 register_indexer("lsh", LSHIndexer)
@@ -191,6 +198,9 @@ def parse_index_spec(
     - ``"PQ{m}[x{b}]"``          → pq(m=m, ksub=2^b) + pq_adc
     - ``"OPQ{m},PQ{m}[x{b}]"``   → opq (learned rotation + PQ) + pq_adc
     - ``"OPQ{m},IVF{n},PQ{m}"``  → ivf_opq(nlist=n, m=m) + ivf
+    - ``"PCA{d},IVF{n},Flat"``   → ivf_pca(nlist=n, dim_out=d) + ivf
+      (FAISS PCA pre-transform: vectors stored as top-d principal
+      coordinates, decoded to the rank-d reconstruction at scan time)
     - ``"HNSW{m}"``              → graph_ann(m=m) + graph_ann (the
       survey-sanctioned partitioned-graph HNSW replacement, SURVEY §7.1#8)
     - ``"LSH"``                  → lsh + lsh
@@ -226,6 +236,19 @@ def parse_index_spec(
     # FAISS "OPQ{m}" prefix: an orthogonal pre-rotation paired with the
     # PQ clause that follows ("OPQ16,PQ16", "OPQ16,IVF256,PQ16").  The
     # trailing PQ clause supplies m/ksub; the prefix's m must agree.
+    # FAISS "PCA{d}" prefix: a learned dimensionality-reduction
+    # transform ahead of the index; maps onto the PCACodec codec slot
+    mpca = re.fullmatch(r"PCA(\d+)", parts[0]) if len(parts) >= 2 else None
+    if mpca:
+        rest = parts[1:]
+        if len(rest) == 2 and rest[1] == "Flat":
+            mivf = re.fullmatch(r"IVF(\d+)", rest[0])
+            if mivf:
+                icfg["nlist"] = int(mivf.group(1))
+                icfg["dim_out"] = int(mpca.group(1))
+                return {"type": "ivf_pca", **icfg}, {"type": "ivf", **scfg}
+        raise ValueError(f"unsupported index spec {spec!r}")
+
     mopq = re.fullmatch(r"OPQ(\d+)", parts[0]) if len(parts) >= 2 else None
     if mopq:
         opq_m = int(mopq.group(1))
