@@ -1185,3 +1185,39 @@ def test_ivf_pca_factory_end_to_end(spark):
         for r in IVFSearcher(nprobe=8).attach(flat_art).search(q, 5).collect()
     }
     assert got == want
+
+
+def test_ivf_pca_partitioned_scan_and_fit_guard(spark):
+    """The partitioned scan (+ its shm decoded cache) must serve a
+    width-changing codec correctly — the decoded payload is full-dim
+    while the codes are dim_out-wide (the r10 _decoded_shm reshape
+    bug); and fit rejects dim_out > data dim like FAISS."""
+    import numpy as np
+    import pytest as _pytest
+
+    from vectordb_retrieval_spark.operators.ivf import IVFIndexer, IVFSearcher
+    from vectordb_retrieval_spark.operators.quant import PCACodec
+
+    rng = np.random.default_rng(9)
+    basis = np.linalg.qr(rng.normal(size=(12, 12)))[0][:4]
+    x = (rng.normal(size=(250, 4)) * 5.0) @ basis
+    base = spark.createDataFrame(
+        [(i, r.tolist()) for i, r in enumerate(x)], "id long, vec array<double>"
+    )
+    q = spark.createDataFrame(
+        [(0, x[7].tolist()), (1, x[123].tolist())],
+        "qid long, vec array<double>",
+    )
+    art = IVFIndexer(nlist=4, seed=42, codec=PCACodec(4)).build(base)
+    # broadcast_threshold=0 forces the partitioned scan plan
+    got = (
+        IVFSearcher(nprobe=4, broadcast_threshold=0)
+        .attach(art)
+        .search(q, k=1)
+        .collect()
+    )
+    by_q = {r.qid: (r.id, r.dist) for r in got}
+    assert by_q[0][0] == 7 and by_q[1][0] == 123
+    assert by_q[0][1] < 1e-5 and by_q[1][1] < 1e-5
+    with _pytest.raises(ValueError, match="dim_out"):
+        PCACodec(16).fit(base, "vec")

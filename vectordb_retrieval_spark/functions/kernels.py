@@ -214,7 +214,13 @@ def _decoded_shm(root: str, cid: int, sub: int, raw, cdc, metric: str):
         if len(_BLOB_MMAPS) >= 65536:
             _BLOB_MMAPS.clear()
         _BLOB_MMAPS[path] = mm
-    n, width = raw.shape
+    # decoded width comes from the PUBLISHED blob, not raw.shape[1]:
+    # width-changing codecs (PCA reduced coordinates, PQ codes) decode
+    # to the full dimension, so the code width would mis-reshape the
+    # cached float64 payload
+    n = raw.shape[0]
+    total = len(mm) // 8
+    width = total // n - (1 if metric == "l2" else 0)
     mat64 = np.frombuffer(mm, dtype=np.float64, count=n * width).reshape(
         n, width
     )

@@ -511,6 +511,12 @@ class PCACodec:
         d = len(s)
         g = np.sum([np.asarray(r["g"]).reshape(d, d) for r in parts], axis=0)
         mean = s / n
+        if self.dim_out > d:
+            raise ValueError(
+                f"PCACodec: dim_out={self.dim_out} exceeds the data "
+                f"dimension {d} — a reduction cannot add dimensions "
+                "(FAISS raises the same way at build time)"
+            )
         cov = g / n - np.outer(mean, mean)
         w, v = np.linalg.eigh(cov)  # ascending eigenvalues
         comps = v[:, ::-1][:, : self.dim_out].T  # (dim_out, d), descending

@@ -388,7 +388,11 @@ def artifact_serving_broadcast(
     payload width before any collect, so the driver never materializes
     an over-threshold index.  Underscore params are runtime-only: never
     persisted, never inherited by append/delete derivatives."""
-    from vectordb_retrieval_spark.operators.quant import PQCodec
+    from vectordb_retrieval_spark.operators.quant import (
+        PCACodec,
+        PQCodec,
+        SQfp16Codec,
+    )
 
     if "_serving_bc" in art.params:
         return art.params["_serving_bc"]
@@ -399,6 +403,10 @@ def artifact_serving_broadcast(
         width = 4 * cents.shape[1]
     elif isinstance(codec, PQCodec):
         width = codec.m * (1 if codec.ksub <= 256 else 2)
+    elif isinstance(codec, PCACodec):
+        width = 4 * codec.dim_out  # float32 reduced coordinates
+    elif isinstance(codec, SQfp16Codec):
+        width = 2 * cents.shape[1]  # fp16 bit patterns
     else:
         width = cents.shape[1]  # SQ8: one byte per dim packed
     # gate on what a worker actually holds: packed payload + ids PLUS
