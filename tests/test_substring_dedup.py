@@ -305,6 +305,15 @@ def test_semantic_dedup_degenerate_rows_plan_parity(spark):
     g = semantic_dedup(df, c1, threshold=0.9, pair_plan="gemm").toPandas()
     f = semantic_dedup(df, c1, threshold=0.9, pair_plan="fold").toPandas()
     assert set(g["vec_id"]) == set(f["vec_id"]) == {0, 1, 2}
+    # non-positive threshold (r10 advisor finding): a zero-norm pair
+    # scores 0 in the GEMM kernel, which passes `cos >= threshold` for
+    # threshold <= 0 — the fold's null cosine never does.  The GEMM
+    # plan masks zero-norm pairs, so the zero-norm row survives at ANY
+    # threshold on both plans; every finite pair has cos >= -0.5 here
+    # except (0,4), and NaN drops 3 and 4 regardless.
+    g2 = semantic_dedup(df, c1, threshold=-0.5, pair_plan="gemm").toPandas()
+    f2 = semantic_dedup(df, c1, threshold=-0.5, pair_plan="fold").toPandas()
+    assert set(g2["vec_id"]) == set(f2["vec_id"]) == {0, 1}
 
 
 def _py_winnow(texts, k, w):

@@ -219,6 +219,11 @@ def _decoded_shm(root: str, cid: int, sub: int, raw, cdc, metric: str):
     # to the full dimension, so the code width would mis-reshape the
     # cached float64 payload
     n = raw.shape[0]
+    if n == 0:
+        # pack_assignment/pack_clusters never emit empty clusters, but
+        # this function guards its own input: a zero-row blob must not
+        # reach the width division below
+        return None
     total = len(mm) // 8
     width = total // n - (1 if metric == "l2" else 0)
     mat64 = np.frombuffer(mm, dtype=np.float64, count=n * width).reshape(

@@ -740,16 +740,25 @@ def _semantic_dropped_gemm(sub: DataFrame, threshold: float) -> DataFrame:
         # plans would diverge exactly where the pinned bit-identical
         # contract matters.  (Zero-norm rows are NOT poison: the fold
         # nulls their undefined cosine — survivor — and here their
-        # zero unit rows score 0 against everything, same outcome.)
+        # pairs are masked out below, same outcome at any threshold.)
         poison = ~np.isfinite(norms)
         if poison.any():
             first = int(np.argmax(poison))
             idx = np.arange(n)
             dropped |= (idx > first) | (poison & (idx >= 1))
+        zero = norms == 0.0
         tile = max(1, 4_000_000 // n)
         for s in range(0, n, tile):
             e = min(n, s + tile)
             sims = unit[s:e] @ unit.T  # (tile, n)
+            # fold parity for zero-norm rows at ANY threshold: the
+            # fold nulls the undefined cosine (pair never similar),
+            # but a zero unit row scores 0 here, which would pass
+            # `sims >= threshold - 1e-6` for threshold <= 0 — mask
+            # those pairs out entirely (r10 advisor finding)
+            if zero.any():
+                sims[zero[s:e], :] = -np.inf
+                sims[:, zero] = -np.inf
             # candidate (i, j) with i global row s+r, j > i
             cand_r, cand_j = np.nonzero(sims >= threshold - 1e-6)
             for r, j in zip(cand_r, cand_j):
