@@ -1208,6 +1208,91 @@ FROM e ORDER BY doc_id
 """
 
 
+AUDIO_FRAME_SAMPLES, AUDIO_MAX_H, AUDIO_MIN_MATCH = 192, 2, 1
+
+
+def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acoustic-fingerprint audio near-dup (the third training-data
+    modality, alongside image dhash and video frame vote): each
+    document becomes TWO synthetic 'tracks' (original + tail-mutated —
+    leading samples byte-identical), frames of 192 PCM stand-in
+    samples get a 63-bit band-energy-delta fingerprint
+    (Haitsma-Kalker scheme over 64 contiguous bands), and tracks pair
+    when >= AUDIO_MIN_MATCH frame positions match within AUDIO_MAX_H
+    bits via the shared pigeonhole Hamming band join.  The whole
+    pipeline (sample stand-in → band energies → bit packing → band
+    join → frame vote) is reproduced by the SQL oracle; a real
+    pipeline swaps pcm_fn for the stdlib-WAV decoder
+    (multimodal._wav_pcm, exercised in tests)."""
+    from pyspark.sql import functions as F
+
+    from vectordb_retrieval_spark.operators.multimodal import (
+        attach_binary_payload,
+        audio_fingerprint,
+        audio_near_dup_pairs,
+    )
+
+    d = docs(spark, sf_dir)
+    tracks = d.select(
+        (F.col("doc_id") * 2).alias("doc_id"), "text"
+    ).unionByName(
+        d.select(
+            (F.col("doc_id") * 2 + 1).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" audio tail mutation")).alias(
+                "text"
+            ),
+        )
+    )
+    frames = audio_fingerprint(
+        attach_binary_payload(tracks, modality="audio"),
+        frame_samples=AUDIO_FRAME_SAMPLES,
+    )
+    return audio_near_dup_pairs(
+        frames, max_hamming=AUDIO_MAX_H, min_matched_frames=AUDIO_MIN_MATCH
+    ).orderBy("a", "b")
+
+
+def _audio_neardup_oracle() -> str:
+    band = AUDIO_FRAME_SAMPLES // 64
+    return f"""
+WITH tracks AS (
+  SELECT doc_id * 2 AS tid, text FROM documents
+  UNION ALL
+  SELECT doc_id * 2 + 1, text || ' audio tail mutation' FROM documents
+),
+pos AS (
+  SELECT tid, text, unnest(generate_series(0, length(text) - 1)) AS i
+  FROM tracks WHERE length(text) >= 1
+),
+samples AS (
+  SELECT tid, CAST(i AS BIGINT) AS i,
+         CAST(unicode(substr(text, CAST(i + 1 AS BIGINT), 1)) AS BIGINT) AS s
+  FROM pos
+),
+bands AS (
+  SELECT tid, i // {AUDIO_FRAME_SAMPLES} AS frame_idx,
+         (i % {AUDIO_FRAME_SAMPLES}) // {band} AS band, sum(s * s) AS e
+  FROM samples GROUP BY 1, 2, 3
+),
+fp AS (
+  SELECT x.tid, x.frame_idx,
+         CAST(sum(CASE WHEN x.e > coalesce(y.e, 0)
+                       THEN (CAST(1 AS BIGINT) << CAST(62 - x.band AS INT))
+                       ELSE 0 END) AS BIGINT) AS afp
+  FROM bands x LEFT JOIN bands y
+    ON y.tid = x.tid AND y.frame_idx = x.frame_idx AND y.band = x.band + 1
+  WHERE x.band < 63
+  GROUP BY 1, 2
+)
+SELECT p.tid AS a, q.tid AS b,
+       CAST(count(DISTINCT p.frame_idx) AS BIGINT) AS n_matched
+FROM fp p JOIN fp q ON p.frame_idx = q.frame_idx AND p.tid < q.tid
+WHERE bit_count(xor(p.afp, q.afp)) <= {AUDIO_MAX_H}
+GROUP BY 1, 2 HAVING count(DISTINCT p.frame_idx) >= {AUDIO_MIN_MATCH}
+ORDER BY a, b
+"""
+
+
 def _knn_oracles():
     from vectordb_retrieval_spark.driver_queries.knn import DIST_EXPRS, KNN_ORACLE
 
@@ -1244,6 +1329,7 @@ QUERIES = {
     "rerank_mmr_diverse": q_mmr_rerank,
     "text_bigram_logprob": q_bigram_logprob,
     "pca_fixed_project": q_pca_fixed_project,
+    "multimodal_audio_neardup": q_audio_neardup,
 }
 
 ORACLES = {
@@ -1268,4 +1354,5 @@ ORACLES = {
     "rerank_mmr_diverse": _mmr_oracle(),
     "text_bigram_logprob": _BIGRAM_ORACLE,
     "pca_fixed_project": _pca_oracle(),
+    "multimodal_audio_neardup": _audio_neardup_oracle(),
 }

@@ -480,3 +480,114 @@ def video_near_dup_pairs(
         .filter(F.col("n_matched") >= min_matched_frames)
         .select("a", "b", "n_matched")
     )
+
+
+def _stub_pcm(payload: bytes) -> np.ndarray:
+    """Deterministic PCM stand-in: payload bytes as int64 sample values
+    — the audio analogue of ``_stub_pixels`` (SQL twin:
+    ``unicode(substr(text, i, 1))`` per position), so the whole
+    fingerprint pipeline is oracle-reproducible without a codec."""
+    return np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+
+
+def _wav_pcm(payload: bytes) -> np.ndarray:
+    """Real decode branch: stdlib ``wave`` → int16 mono PCM samples
+    (first channel of multi-channel files).  Unlike the Pillow branch
+    this needs no third-party library, so it is exercised by the test
+    suite on a synthesized WAV."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload)) as w:
+        n = w.getnframes()
+        width = w.getsampwidth()
+        chans = w.getnchannels()
+        raw = w.readframes(n)
+    if width != 2:
+        raise NotImplementedError(
+            f"only 16-bit PCM WAV supported (got sample width {width})"
+        )
+    samples = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+    return samples[::chans] if chans > 1 else samples
+
+
+# 64 bands x band_samples per frame -> 63 adjacent-band energy bits,
+# packed with the shared 63-bit powers so the generic Hamming band
+# join composes unchanged
+_AUDIO_BANDS = 64
+
+
+def audio_fingerprint(
+    df: DataFrame,
+    frame_samples: int = 192,
+    pcm_fn: Callable[[bytes], np.ndarray] | None = None,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """(id, frame_idx, afp): a 63-bit energy-delta fingerprint of every
+    fixed-stride frame of an audio payload — the Haitsma-Kalker-style
+    acoustic fingerprint scheme reduced to its band-energy comparisons
+    (band j's energy > band j+1's), over 64 contiguous sample bands
+    per frame.  ``pcm_fn=None`` uses the deterministic byte stand-in
+    (SQL-reproducible); ``pcm_fn=_wav_pcm`` decodes real 16-bit WAV
+    with the identical batch shape.  Tail frames zero-pad (a missing
+    band's energy is 0, matching the SQL twin's coalesce); empty
+    payloads contribute no frames.
+
+    Reference scope note: the reference engine has no audio modality;
+    this extends the multimodal layer (SURVEY §2 extension set) with
+    the third training-data modality alongside image (dhash) and
+    video (frame vote)."""
+    if frame_samples % _AUDIO_BANDS:
+        raise ValueError(
+            f"frame_samples must be a multiple of {_AUDIO_BANDS}"
+        )
+    band = frame_samples // _AUDIO_BANDS
+    fn = pcm_fn or _stub_pcm
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, fps = [], [], []
+            for did, p in zip(pdf[id_col], pdf[payload_col]):
+                s = fn(bytes(p))
+                if len(s) == 0:
+                    continue
+                n_frames = -(-len(s) // frame_samples)
+                padded = np.zeros(n_frames * frame_samples, dtype=np.int64)
+                padded[: len(s)] = s
+                e = (
+                    (padded * padded)
+                    .reshape(n_frames, _AUDIO_BANDS, band)
+                    .sum(axis=2)
+                )
+                bits = (e[:, :-1] > e[:, 1:]).astype(np.int64)
+                packed = bits @ _DHASH_POWERS
+                ids.extend([did] * n_frames)
+                idxs.extend(range(n_frames))
+                fps.extend(int(x) for x in packed)
+            if ids:
+                yield pd.DataFrame(
+                    {"id": ids, "frame_idx": idxs, "afp": fps}
+                )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        kernel, schema="id long, frame_idx int, afp long"
+    )
+
+
+def audio_near_dup_pairs(
+    frames: DataFrame,
+    max_hamming: int = 2,
+    min_matched_frames: int = 1,
+    bits: int = 63,
+) -> DataFrame:
+    """Track-level near-dup by frame vote over acoustic fingerprints:
+    the identical sub-quadratic shape as ``video_near_dup_pairs``
+    (pigeonhole band join keyed by frame position → popcount verify →
+    per-pair frame vote), reused directly on the ``afp`` column."""
+    return video_near_dup_pairs(
+        frames.select("id", "frame_idx", F.col("afp").alias("dhash")),
+        max_hamming=max_hamming,
+        min_matched_frames=min_matched_frames,
+        bits=bits,
+    )
