@@ -1269,3 +1269,72 @@ def test_broadcast_query_plan_equals_scan_plan(dfs):
             finally:
                 K_mod.QUERY_BC_MAX_ROWS = old
         assert outs[0] == outs[1], metric
+
+
+def test_partitioned_paths_chunk_past_gate(dfs, monkeypatch):
+    """Every searcher's partitioned path routes a past-gate query frame
+    through the qid-hash chunked union (collect_or_chunk) with results
+    identical to the single-collect path — no serving path holds an
+    unbounded query frame on the driver."""
+    from vectordb_retrieval_spark.functions import kernels as K_mod
+    from vectordb_retrieval_spark.operators.cluster_pruned import (
+        ClusterPrunedExactIndexer,
+        ClusterPrunedExactSearcher,
+    )
+    from vectordb_retrieval_spark.operators.graph_ann import (
+        GraphANNIndexer,
+        GraphANNSearcher,
+    )
+    from vectordb_retrieval_spark.operators.ivf import IVFIndexer, IVFSearcher
+    from vectordb_retrieval_spark.operators.lsh import LSHIndexer, LSHSearcher
+    from vectordb_retrieval_spark.operators.pq import PQADCSearcher, PQIndexer
+
+    base_df, query_df = dfs
+    dim = len(base_df.select("vec").first()[0])
+    cases = [
+        (
+            IVFIndexer(nlist=8, seed=1).build(base_df),
+            IVFSearcher(nprobe=3, broadcast_threshold=0, node_local_cache=False),
+        ),
+        (
+            ClusterPrunedExactIndexer(nlist=8, seed=1).build(base_df),
+            ClusterPrunedExactSearcher(
+                nprobe=2, broadcast_threshold=0, node_local_cache=False
+            ),
+        ),
+        (
+            GraphANNIndexer(m=6, ef_construction=24, num_partitions=2).build(
+                base_df
+            ),
+            GraphANNSearcher(ef_search=32, broadcast_threshold=0),
+        ),
+        (
+            LSHIndexer(dimension=dim, num_tables=2, hash_size=4, seed=1).build(
+                base_df
+            ),
+            LSHSearcher(broadcast_threshold=0),
+        ),
+        (
+            PQIndexer(m=2, ksub=16, seed=1).build(base_df),
+            PQADCSearcher(broadcast_threshold=0),
+        ),
+    ]
+    for art, searcher in cases:
+        s = searcher.attach(art)
+        q1 = query_df.select("qid", "vec")
+        want = sorted(
+            map(tuple, s.search(q1, K).select("qid", "id", "rank").collect())
+        )
+        monkeypatch.setattr(K_mod, "QUERY_BC_MAX_ROWS", 3)
+        try:
+            q2 = query_df.select("qid", "vec")
+            assert K_mod.query_broadcast_cached(q2, "qid", "vec") is None
+            got = sorted(
+                map(
+                    tuple,
+                    s.search(q2, K).select("qid", "id", "rank").collect(),
+                )
+            )
+        finally:
+            monkeypatch.setattr(K_mod, "QUERY_BC_MAX_ROWS", 262144)
+        assert got == want, type(searcher).__name__

@@ -131,3 +131,27 @@ def test_driver_merge_loop_incremental_stats():
     want = _py_bpe(texts, 200)
     assert got == want
     assert dt < 30, dt
+
+
+def test_batched_distributed_loop_parity_stress(spark):
+    """The batched distributed rounds (parity-prefix selection) must be
+    merge-for-merge identical to the driver loop on a corpus built to
+    stress every break rule: a tiny alphabet (constant symbol sharing),
+    heavy count ties, repeated symbols inside words, and merges whose
+    concatenation equals an existing symbol ('ab' appears both as a
+    character pair and inside longer runs)."""
+    import random
+
+    rng = random.Random(11)
+    words = []
+    for _ in range(300):
+        words.append("".join(rng.choice("ab") for _ in range(rng.randint(1, 8))))
+    for _ in range(200):
+        words.append("".join(rng.choice("abc") for _ in range(rng.randint(2, 10))))
+    words += ["abab", "aabb", "abba", "ab", "ba"] * 30
+    text = " ".join(words)
+    df = spark.createDataFrame([(0, text)], "id long, text string")
+    want = bpe_train(df, n_merges=80)  # driver loop
+    got = bpe_train(df, n_merges=80, driver_vocab_limit=0)  # batched rounds
+    assert got == want
+    assert len(got) >= 40  # the corpus supports a deep merge sequence

@@ -132,13 +132,26 @@ def query_broadcast_cached(df: DataFrame, qid_col: str, vec_col: str):
     except TypeError:
         per_df = None
     pdf = (
-        df.select(qid_col, vec_col).limit(QUERY_BC_MAX_ROWS + 1).toPandas()
+        df.select(qid_col, vec_col)
+        .limit(max(1, QUERY_BC_MAX_ROWS) + 1)
+        .toPandas()
     )
     out = None
-    if 0 < len(pdf) <= QUERY_BC_MAX_ROWS:
+    if len(pdf) <= max(1, QUERY_BC_MAX_ROWS):
         qids = pdf[qid_col].to_numpy(dtype=np.int64)
-        qmat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float32)
-        if qmat.shape[0] * (4 * qmat.shape[1] + 8) <= QUERY_BC_MAX_BYTES:
+        qmat = (
+            np.empty((0, 0), dtype=np.float32)
+            if len(pdf) == 0
+            else np.vstack(pdf[vec_col].to_numpy()).astype(np.float32)
+        )
+        # <=1-row frames always collect — guarantees the chunked
+        # searcher recursion terminates under any gate configuration
+        if (
+            len(pdf) <= 1
+            or qmat.shape[0] * (4 * qmat.shape[1] + 8) <= QUERY_BC_MAX_BYTES
+        ):
+            # empty frames broadcast too: None strictly means
+            # "past the size gate", so callers can branch on it
             out = df.sparkSession.sparkContext.broadcast((qids, qmat))
     try:
         if per_df is None:
@@ -148,6 +161,106 @@ def query_broadcast_cached(df: DataFrame, qid_col: str, vec_col: str):
     except TypeError:
         pass
     return out
+
+
+# per-call salt for query_chunks: a recursive re-chunk MUST use a
+# different hash function than its parent — `hash(qid) % 4 == c`
+# implies `hash(qid) % 2 == c % 2`, so an unsalted sub-split by a
+# divisor modulus puts every row in ONE sub-chunk and never converges
+_CHUNK_SALT = [0]
+
+
+def query_chunks(
+    query_df: DataFrame, qid_col: str, vec_col: str
+) -> list[DataFrame]:
+    """Salted-qid-hash chunks of a past-gate query frame, each sized to
+    fit the broadcast gate — searchers recurse per chunk and union, so
+    no serving path ever materializes an unbounded query frame on the
+    driver.  Chunking by qid is result-exact: every query's results
+    are computed entirely within its own chunk."""
+    from pyspark.sql import functions as F
+
+    row = query_df.select(F.size(F.col(vec_col))).first()
+    dim = (row[0] if row else 0) or 1
+    bytes_per_q = 4 * dim + 8
+    chunk_rows = max(
+        1, min(QUERY_BC_MAX_ROWS, QUERY_BC_MAX_BYTES // bytes_per_q)
+    )
+    n = query_df.count()
+    n_chunks = max(2, -(-n // chunk_rows))
+    _CHUNK_SALT[0] += 1
+    salt = F.lit(_CHUNK_SALT[0])
+    return [
+        query_df.filter(
+            F.pmod(F.xxhash64(F.col(qid_col), salt), F.lit(n_chunks)) == c
+        )
+        for c in range(n_chunks)
+    ]
+
+
+def collect_or_chunk(
+    query_df: DataFrame, qid_col: str, vec_col: str, recurse
+):
+    """The shared searcher-side query-collect gate: returns
+    ``(qids, qmat, None)`` when the frame fits the broadcast gate
+    (memoized single-job collect), else ``(None, None, result)`` where
+    result is the union of ``recurse(chunk)`` over qid-hash chunks —
+    so no serving path ever materializes an unbounded query frame on
+    the driver."""
+    bcq = query_broadcast_cached(query_df, qid_col, vec_col)
+    if bcq is not None:
+        qids, qmat = bcq.value
+        return qids, qmat, None
+    from functools import reduce
+
+    return (
+        None,
+        None,
+        reduce(
+            DataFrame.unionByName,
+            [recurse(c) for c in query_chunks(query_df, qid_col, vec_col)],
+        ),
+    )
+
+
+def topk_cols_tiebreak(
+    dmat: np.ndarray, ids: np.ndarray, k: int, margin: int = 16
+):
+    """Per-row top-k column selection by (dist, id) — the serving tie
+    contract, enforced at CANDIDATE level: a plain argpartition keeps an
+    arbitrary subset of boundary-tied candidates, so which ids survive
+    per-partition pruning depends on batch shape (quantized codecs
+    produce exact distance ties routinely).  Fast path: argpartition to
+    k+margin, exact (dist, id) lexsort inside the slice; rows whose
+    boundary ties saturate the margin fall back to a full row sort.
+    ``ids`` may be 1-D (shared columns) or 2-D (per-row candidate ids).
+    Returns (dists, ids), each (n_rows, min(k, n_cols))."""
+    n_q, n = dmat.shape
+    kk = min(k, n)
+    ids_mat = ids if ids.ndim == 2 else np.broadcast_to(ids, dmat.shape)
+    if n <= k + margin:
+        order = np.lexsort((ids_mat, dmat), axis=1)[:, :kk]
+        return (
+            np.take_along_axis(dmat, order, axis=1),
+            np.take_along_axis(ids_mat, order, axis=1),
+        )
+    m = min(n - 1, k + margin)
+    part = np.argpartition(dmat, m - 1, axis=1)[:, :m]
+    pdm = np.take_along_axis(dmat, part, axis=1)
+    pim = np.take_along_axis(ids_mat, part, axis=1)
+    sub = np.lexsort((pim, pdm), axis=1)
+    pdm = np.take_along_axis(pdm, sub, axis=1)
+    pim = np.take_along_axis(pim, sub, axis=1)
+    out_d = pdm[:, :kk].copy()
+    out_i = pim[:, :kk].copy()
+    sat = pdm[:, m - 1] <= out_d[:, kk - 1]
+    for r in np.nonzero(sat)[0]:
+        row = dmat[r]
+        cols = np.nonzero(row <= out_d[r, kk - 1])[0]
+        order = np.lexsort((ids_mat[r][cols], row[cols]))[:kk]
+        out_d[r] = row[cols][order]
+        out_i[r] = ids_mat[r][cols][order]
+    return out_d, out_i
 
 
 def num_partitions_cached(df: DataFrame) -> int:

@@ -31,7 +31,6 @@ from vectordb_retrieval_spark.artifacts import IndexArtifact
 from vectordb_retrieval_spark.functions.distance import pairwise_distances
 from vectordb_retrieval_spark.functions.kernels import (
     cluster_scan_topk,
-    collect_vectors_cached,
     merge_fragment_topk,
     num_partitions_cached,
     packed_assignment_cached,
@@ -264,7 +263,22 @@ class ClusterPrunedExactSearcher:
                 bc_index, query_df, k, qid_col, vec_col, accum
             )
 
-        qids, qmat = collect_vectors_cached(query_df, qid_col, vec_col)
+        from vectordb_retrieval_spark.functions.kernels import (
+            collect_or_chunk,
+        )
+
+        qids, qmat, chunked = collect_or_chunk(
+            query_df,
+            qid_col,
+            vec_col,
+            lambda c: self.search(c, k, qid_col, vec_col),
+        )
+        if chunked is not None:  # past-gate frame: chunked union
+            return chunked
+        if len(qids) == 0:  # empty serving batch: empty result
+            return spark.createDataFrame(
+                [], "qid long, id long, dist double, rank int"
+            )
         if metric == "cosine":
             from vectordb_retrieval_spark.functions.distance import normalize_rows
 

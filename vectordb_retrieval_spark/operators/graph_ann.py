@@ -1080,10 +1080,21 @@ class GraphANNSearcher:
         force_beam = self.force_beam
 
         from vectordb_retrieval_spark.functions.kernels import (
-            collect_vectors_cached,
+            collect_or_chunk,
         )
 
-        qids, qmat = collect_vectors_cached(query_df, qid_col, vec_col)
+        qids, qmat, chunked = collect_or_chunk(
+            query_df,
+            qid_col,
+            vec_col,
+            lambda c: self.search(c, k, qid_col, vec_col),
+        )
+        if chunked is not None:  # past-gate frame: chunked union
+            return chunked
+        if len(qids) == 0:  # empty serving batch: empty result
+            return spark.createDataFrame(
+                [], "qid long, id long, dist double, rank int"
+            )
         if metric == "cosine":
             qmat = normalize_rows(qmat.astype(np.float64)).astype(np.float32)
 

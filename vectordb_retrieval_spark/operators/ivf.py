@@ -42,7 +42,6 @@ from vectordb_retrieval_spark.functions.distance import (
 )
 from vectordb_retrieval_spark.functions.kernels import (
     cluster_scan_topk,
-    collect_vectors_cached,
     merge_fragment_topk,
     pack_assignment,
     packed_assignment_cached,
@@ -515,7 +514,27 @@ class IVFSearcher:
                 ),
             )
 
-        qids, qmat = collect_vectors_cached(query_df, qid_col, vec_col)
+        # query-collect gate (same contract as exact_knn / the
+        # broadcast-query serving plan): past-gate frames chunk by qid
+        # hash and union, never an unbounded driver collect
+        from vectordb_retrieval_spark.functions.kernels import (
+            collect_or_chunk,
+        )
+
+        qids, qmat, chunked = collect_or_chunk(
+            query_df,
+            qid_col,
+            vec_col,
+            lambda c: self.search(
+                c, k, qid_col, vec_col, allowed_df, allowed_id_col
+            ),
+        )
+        if chunked is not None:  # past-gate frame: chunked union
+            return chunked
+        if len(qids) == 0:  # empty serving batch: empty result
+            return spark.createDataFrame(
+                [], "qid long, id long, dist double, rank int"
+            )
         if metric == "cosine":
             qmat = normalize_rows(qmat.astype(np.float64)).astype(np.float32)
         probe = self.probe_clusters(qids, qmat)

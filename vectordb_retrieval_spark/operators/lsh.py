@@ -37,7 +37,6 @@ from vectordb_retrieval_spark.functions.hashing import (
 )
 from vectordb_retrieval_spark.functions.kernels import (
     attach_query_distance,
-    collect_vectors_cached,
     num_partitions_cached,
 )
 from vectordb_retrieval_spark.operators.exact import exact_knn
@@ -417,7 +416,22 @@ class LSHSearcher:
         if bc_index is not None:
             return self._broadcast_search(query_df, bc_index, k, qid_col, vec_col)
 
-        qids, qmat = collect_vectors_cached(query_df, qid_col, vec_col)
+        from vectordb_retrieval_spark.functions.kernels import (
+            collect_or_chunk,
+        )
+
+        qids, qmat, chunked = collect_or_chunk(
+            query_df,
+            qid_col,
+            vec_col,
+            lambda c: self.search(c, k, qid_col, vec_col),
+        )
+        if chunked is not None:  # past-gate frame: chunked union
+            return chunked
+        if len(qids) == 0:  # empty serving batch: empty result
+            return spark.createDataFrame(
+                [], "qid long, id long, dist double, rank int"
+            )
         if self.n_probes > 1:
             from vectordb_retrieval_spark.functions.hashing import (
                 e2lsh_multiprobe_buckets,

@@ -19,7 +19,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from vectordb_retrieval_spark.artifacts import IndexArtifact
-from vectordb_retrieval_spark.functions.kernels import collect_vectors_cached
 from vectordb_retrieval_spark.operators.quant import PQCodec
 from vectordb_retrieval_spark.operators.topk import topk_per_query
 
@@ -147,7 +146,23 @@ class PQADCSearcher:
                 normalize_queries=codec.normalize,
             )
 
-        qids, qmat = collect_vectors_cached(query_df, qid_col, vec_col)
+        from vectordb_retrieval_spark.functions.kernels import (
+            collect_or_chunk,
+            topk_cols_tiebreak,
+        )
+
+        qids, qmat, chunked = collect_or_chunk(
+            query_df,
+            qid_col,
+            vec_col,
+            lambda c: self.search(c, k, qid_col, vec_col),
+        )
+        if chunked is not None:  # past-gate frame: chunked union
+            return chunked
+        if len(qids) == 0:  # empty serving batch: empty result
+            return spark.createDataFrame(
+                [], "qid long, id long, dist double, rank int"
+            )
         q64 = qmat.astype(np.float64)
         if codec.normalize:
             from vectordb_retrieval_spark.functions.distance import normalize_rows
@@ -175,23 +190,79 @@ class PQADCSearcher:
                 # FAISS-parity config is ~50× faster this way; the LUT
                 # form only wins when codes are scanned many times per
                 # materialized decode, which an exhaustive scan isn't)
-                dmat = pairwise_distances(qm, cdc.decode(codes), "l2")
-                if len(ids) > k:
-                    part = np.argpartition(dmat, k - 1, axis=1)[:, :k]
-                    cand_d.append(np.take_along_axis(dmat, part, axis=1))
-                    cand_i.append(ids[part])
+                dec = cdc.decode(codes)
+                n_b = len(ids)
+                # Selection must be deterministic across serving batch
+                # shapes: BLAS GEMM blocking varies with the batch's row
+                # count, so two logically-tied candidates (identical
+                # decoded vectors — routine under quantization) can land
+                # ULPs apart in one shape and exactly equal in another,
+                # flipping which survives pruning.  The elementwise
+                # squared-diff sum below is a fixed-depth pairwise
+                # reduction over dim — bitwise shape-independent — so
+                # the kept candidates and their dists are stable, and
+                # ties resolve by the (dist, id) contract
+                # (kernels.topk_cols_tiebreak).
+                def det_rows(qrows: np.ndarray, cand: np.ndarray) -> np.ndarray:
+                    # (len(qrows), cand.shape[1]) deterministic dists;
+                    # tiled so the (q, cand, dim) cube stays ~40 MB
+                    out = np.empty(cand.shape[:2])
+                    step = max(1, 40_000_000 // (cand.shape[1] * qm.shape[1] * 8))
+                    for s in range(0, len(qrows), step):
+                        e = min(len(qrows), s + step)
+                        diff = qm[qrows[s:e], None, :] - dec[cand[s:e]]
+                        out[s:e] = (diff * diff).sum(-1)
+                    return np.sqrt(out)
+
+                all_rows = np.arange(n_q)
+                margin = 16
+                if n_b > k + margin:
+                    dmat = pairwise_distances(qm, dec, "l2")  # prune scores
+                    m_sl = k + margin
+                    pp = np.partition(dmat, m_sl, axis=1)
+                    excl_min = pp[:, m_sl]  # smallest EXCLUDED prune score
+                    part = np.argpartition(dmat, m_sl - 1, axis=1)[:, :m_sl]
+                    det = det_rows(all_rows, part)
+                    bd, bi = topk_cols_tiebreak(det, ids[part], k)
+                    # certify the prune: an excluded candidate could only
+                    # beat the kth refined dist if the boundary gap is
+                    # inside GEMM's fp noise — those rows re-rank against
+                    # the full block deterministically (rare; common only
+                    # under degenerate tiny-codebook configs)
+                    eps = 1e-7 * (1.0 + np.abs(excl_min))
+                    unsafe = np.nonzero(bd[:, -1] >= excl_min - eps)[0]
+                    if len(unsafe):
+                        full = det_rows(
+                            unsafe,
+                            np.broadcast_to(
+                                np.arange(n_b), (len(unsafe), n_b)
+                            ),
+                        )
+                        fd, fi = topk_cols_tiebreak(full, ids, k)
+                        bd[unsafe], bi[unsafe] = fd, fi
+                    cand_d.append(bd)
+                    cand_i.append(bi)
                 else:
-                    cand_d.append(dmat)
-                    cand_i.append(np.broadcast_to(ids, (n_q, len(ids))).copy())
+                    det = det_rows(
+                        all_rows,
+                        np.broadcast_to(np.arange(n_b), (n_q, n_b)),
+                    )
+                    if n_b > k:
+                        bd, bi = topk_cols_tiebreak(det, ids, k)
+                        cand_d.append(bd)
+                        cand_i.append(bi)
+                    else:
+                        cand_d.append(det)
+                        cand_i.append(
+                            np.broadcast_to(ids, (n_q, n_b)).copy()
+                        )
             if not cand_d:
                 return
             dall = np.concatenate(cand_d, axis=1)
             iall = np.concatenate(cand_i, axis=1)
             kk = min(k, dall.shape[1])
             if dall.shape[1] > kk:
-                part = np.argpartition(dall, kk - 1, axis=1)[:, :kk]
-                dall = np.take_along_axis(dall, part, axis=1)
-                iall = np.take_along_axis(iall, part, axis=1)
+                dall, iall = topk_cols_tiebreak(dall, iall, kk)
             yield pd.DataFrame(
                 {
                     "qid": np.repeat(q_ids, kk),
