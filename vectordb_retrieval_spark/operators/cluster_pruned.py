@@ -32,7 +32,6 @@ from vectordb_retrieval_spark.functions.distance import pairwise_distances
 from vectordb_retrieval_spark.functions.kernels import (
     cluster_scan_topk,
     merge_fragment_topk,
-    num_partitions_cached,
     packed_assignment_cached,
     packed_shm_cached,
 )
@@ -136,23 +135,14 @@ class ClusterPrunedExactSearcher:
         radii = np.asarray(art.params["radii"], dtype=np.float64)
         metric = art.params["metric"]
         nprobe = self.nprobe
-        spark = query_df.sparkSession
-        q = query_df.select(F.col(qid_col).alias("qid"), F.col(vec_col).alias("vec"))
-        par = spark.sparkContext.defaultParallelism
-        # memoized partition count: the narrow select preserves the
-        # caller frame's partitioning, so key the memo on query_df and
-        # skip the per-search DataFrame→RDD conversion
-        if num_partitions_cached(query_df) < par:
-            q = q.repartition(par)
+        from vectordb_retrieval_spark.operators.serving import (
+            query_driven_job,
+        )
 
-        def kernel(batches):
+        def batch_fn(qids: np.ndarray, qmat: np.ndarray):
             idx = bc_index.value
             cents = idx.centroids
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                qids = pdf["qid"].to_numpy(dtype=np.int64)
-                qmat = np.vstack(pdf["vec"].to_numpy()).astype(np.float32)
+            if True:
                 if metric == "cosine":
                     qmat = normalize_rows(qmat.astype(np.float64)).astype(
                         np.float32
@@ -216,7 +206,7 @@ class ClusterPrunedExactSearcher:
                 if len(extra_q):
                     scan(extra_q, extra_c, acc_q, acc_i, acc_d)
                 if not acc_q:
-                    continue
+                    return None
                 aq = np.concatenate(acc_q)
                 ai = np.concatenate(acc_i)
                 ad = np.concatenate(acc_d)
@@ -226,7 +216,7 @@ class ClusterPrunedExactSearcher:
                 counts = np.diff(np.r_[starts, len(aq)])
                 rank = np.arange(len(aq)) - np.repeat(starts, counts)
                 keep = rank < k
-                yield pd.DataFrame(
+                return pd.DataFrame(
                     {
                         "qid": qids[aq[keep]],
                         "id": ai[keep],
@@ -235,9 +225,10 @@ class ClusterPrunedExactSearcher:
                     }
                 )
 
-        return q.mapInPandas(
-            kernel, schema="qid long, id long, dist double, rank int"
-        )
+        # both phases run inside the generic query-driven job: gate-
+        # passing frames slice a broadcast query matrix (no per-search
+        # query Arrow transfer)
+        return query_driven_job(query_df, qid_col, vec_col, batch_fn)
 
     def search(
         self, query_df: DataFrame, k: int, qid_col: str = "qid", vec_col: str = "vec"

@@ -37,7 +37,6 @@ from vectordb_retrieval_spark.functions.hashing import (
 )
 from vectordb_retrieval_spark.functions.kernels import (
     attach_query_distance,
-    num_partitions_cached,
 )
 from vectordb_retrieval_spark.operators.exact import exact_knn
 from vectordb_retrieval_spark.operators.topk import topk_per_query
@@ -249,18 +248,11 @@ class LSHSearcher:
         )
         n_probes = self.n_probes
         fallback = self.exact_fallback
-        spark = query_df.sparkSession
-        q = query_df.select(
-            F.col(qid_col).alias("qid"), F.col(vec_col).alias("vec")
+        from vectordb_retrieval_spark.operators.serving import (
+            query_driven_job,
         )
-        par = spark.sparkContext.defaultParallelism
-        # memoized partition count keyed on the caller's frame (the
-        # narrow select preserves partitioning) — avoids a per-search
-        # DataFrame→RDD plan conversion
-        if num_partitions_cached(query_df) < par:
-            q = q.repartition(par)
 
-        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def batch_fn(qids: np.ndarray, qmat: np.ndarray):
             from vectordb_retrieval_spark.functions.distance import (
                 pairwise_distances,
             )
@@ -274,11 +266,7 @@ class LSHSearcher:
 
             idx: PackedLSH = bc_index.value
             indexer = idx.indexer
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                qids = pdf["qid"].to_numpy(dtype=np.int64)
-                qmat = np.vstack(pdf["vec"].to_numpy()).astype(np.float32)
+            if True:
                 n_q = len(qids)
                 if n_probes > 1:
                     if metric == "l2":
@@ -392,11 +380,13 @@ class LSHSearcher:
                         )
                     )
                 if out_frames:
-                    yield pd.concat(out_frames, ignore_index=True)
+                    return pd.concat(out_frames, ignore_index=True)
+            return None
 
-        return q.mapInPandas(
-            kernel, schema="qid long, id long, dist double, rank int"
-        )
+        # the whole hash→probe→vote→cap→rerank pipeline runs inside the
+        # generic query-driven job: gate-passing frames slice a
+        # broadcast query matrix (no per-search query Arrow transfer)
+        return query_driven_job(query_df, qid_col, vec_col, batch_fn)
 
     def search(
         self,

@@ -1107,6 +1107,80 @@ def _search_batch_exact(
     )
 
 
+def query_driven_job(
+    query_df: DataFrame,
+    qid_col: str,
+    vec_col: str,
+    batch_fn,
+) -> DataFrame:
+    """Generic serving-job driver for kernels of the shape
+    ``batch_fn(qids, float32 qmat) -> pd.DataFrame(qid,id,dist,rank)``:
+    gate-passing query frames broadcast their collected matrix once
+    (WeakKey memo) and the job is a range frame whose tasks slice the
+    broadcast — no query bytes cross the JVM→Python boundary per
+    search; past-gate frames scan the query table.  Per-query results
+    must be batch-independent (every searcher kernel here is)."""
+    import pyarrow as pa
+
+    from vectordb_retrieval_spark.functions.kernels import (
+        num_partitions_cached,
+        query_broadcast_cached,
+    )
+
+    spark = query_df.sparkSession
+    schema = "qid long, id long, dist double, rank int"
+    bcq = query_broadcast_cached(query_df, qid_col, vec_col)
+    if bcq is not None:
+        n = len(bcq.value[0])
+        par = spark.sparkContext.defaultParallelism
+        n_tasks = max(1, min(par, -(-n // 512)))
+        rng = spark.range(0, n_tasks, 1, n_tasks)
+
+        def kernel(batches):
+            qids_all, qmat_all = bcq.value
+            for rb in batches:
+                for c in rb.column(0).to_pylist():
+                    s = (c * n) // n_tasks
+                    e = ((c + 1) * n) // n_tasks
+                    if e <= s:
+                        continue
+                    out = batch_fn(qids_all[s:e], qmat_all[s:e])
+                    if out is not None and len(out):
+                        yield pa.RecordBatch.from_arrays(
+                            [
+                                pa.array(out["qid"].to_numpy()),
+                                pa.array(out["id"].to_numpy()),
+                                pa.array(out["dist"].to_numpy()),
+                                pa.array(
+                                    out["rank"].to_numpy().astype("int32")
+                                ),
+                            ],
+                            names=["qid", "id", "dist", "rank"],
+                        )
+
+        return rng.mapInArrow(kernel, schema=schema)
+
+    q = query_df.select(
+        F.col(qid_col).alias("qid"), F.col(vec_col).alias("vec")
+    )
+    par = spark.sparkContext.defaultParallelism
+    if num_partitions_cached(query_df) < par:
+        q = q.repartition(par)
+
+    def kernel_scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = batch_fn(
+                pdf["qid"].to_numpy(dtype=np.int64),
+                np.vstack(pdf["vec"].to_numpy()).astype(np.float32),
+            )
+            if out is not None and len(out):
+                yield out
+
+    return q.mapInPandas(kernel_scan, schema=schema)
+
+
 def _broadcast_query_plan(
     spark,
     bcq,
