@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from vectordb_retrieval_spark.operators.classifier import nb_quality_classifier
 
@@ -41,3 +42,33 @@ def test_nb_classifier_single_class_raises(spark):
     )
     with pytest.raises(ValueError, match="single-class"):
         nb_quality_classifier(df)
+
+
+def test_roc_curve_matches_manual(spark):
+    """ROC curve vs a hand-computed cumulative table, including a score
+    tie that must stay one threshold group."""
+    from vectordb_retrieval_spark.operators.classifier import roc_curve
+
+    rows = [  # (label, score)
+        (1, 0.9), (0, 0.9), (1, 0.7), (1, 0.5), (0, 0.3), (0, 0.1),
+    ]
+    df = spark.createDataFrame(rows, "label long, score double")
+    got = [
+        tuple(r)
+        for r in roc_curve(df).orderBy(F.col("score").desc()).collect()
+    ]
+    want = [
+        (0.9, 1, 1, 2, 2),   # threshold 0.9: tp=1 fp=1
+        (0.7, 2, 1, 1, 2),
+        (0.5, 3, 1, 0, 2),
+        (0.3, 3, 2, 0, 1),
+        (0.1, 3, 3, 0, 0),
+    ]
+    assert got == want
+    # trapezoid AUC from the curve: this labeling's true AUC
+    pts = [(0.0, 0.0)] + [(fp / 3, tp / 3) for _, tp, fp, _, _ in got]
+    auc = sum(
+        (x2 - x1) * (y1 + y2) / 2
+        for (x1, y1), (x2, y2) in zip(pts, pts[1:])
+    )
+    assert abs(auc - (6.5 / 9)) < 1e-9

@@ -391,3 +391,43 @@ def test_bigram_logprob(spark):
     # closed form for doc 1: every bigram unique -> c2=1, c1=1, V=9
     want = round(math.log10((1 + 0.5) / (1 + 0.5 * 9)), 6)
     assert abs(out[1].logprob - want) < 1e-9
+
+
+def test_sentence_bleu_matches_python_model(spark):
+    """sentence_bleu vs a pure-python BLEU implementation (Lin-Och
+    add-one smoothing, brevity penalty), including empty-candidate and
+    no-overlap rows pinned to 0."""
+    import math
+
+    from vectordb_retrieval_spark.operators.textops import sentence_bleu
+
+    rows = [
+        (0, ["the", "cat", "sat", "on", "the", "mat"],
+            ["the", "cat", "is", "on", "the", "mat"]),
+        (1, ["a", "b"], ["the", "cat"]),                # no overlap -> 0
+        (2, [], ["the", "cat"]),                        # empty cand -> 0
+        (3, ["x", "y", "z"], ["x", "y", "z"]),          # identical -> 1
+        (4, ["short"], ["a", "much", "longer", "reference", "short"]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, cand array<string>, ref array<string>")
+    got = {r["doc_id"]: r.asDict() for r in sentence_bleu(df, "cand", "ref").collect()}
+
+    def py_bleu(cand, ref):
+        if not cand:
+            return 0.0
+        c1 = sum(min(cand.count(g), ref.count(g)) for g in set(cand))
+        if not c1:
+            return 0.0
+        logs = []
+        for n in range(1, 5):
+            cg = [" ".join(cand[i:i+n]) for i in range(len(cand)-n+1)]
+            rg = [" ".join(ref[i:i+n]) for i in range(len(ref)-n+1)]
+            clip = sum(min(cg.count(g), rg.count(g)) for g in set(cg))
+            sm = 0 if n == 1 else 1
+            logs.append(math.log((clip+sm)/(len(cg)+sm)))
+        bp = math.exp(min(0.0, 1.0 - len(ref)/len(cand)))
+        return round(bp * math.exp(sum(logs)/4.0), 6)
+
+    for did, cand, ref in rows:
+        assert got[did]["bleu"] == py_bleu(cand, ref), did
+    assert got[3]["bleu"] == 1.0 and got[1]["bleu"] == 0.0 == got[2]["bleu"]

@@ -1293,6 +1293,113 @@ ORDER BY a, b
 """
 
 
+def q_classifier_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full ROC operating curve of the NB quality classifier: (score
+    threshold, tp, fp, fn, tn) per distinct rounded score, descending —
+    AUC / precision / recall / F1 at every threshold derive from it.
+    Scores group on round(score, 6) so threshold groups are engine-
+    independent (raw log-odds sums differ at ULP level)."""
+    from vectordb_retrieval_spark.operators.classifier import (
+        nb_quality_classifier,
+        roc_curve,
+    )
+
+    from pyspark.sql import functions as F
+
+    scored = nb_quality_classifier(docs(spark, sf_dir))
+    return roc_curve(scored).orderBy(F.col("score").desc())
+
+
+def _classifier_roc_oracle() -> str:
+    nb = _nb_quality_oracle().strip().rstrip()
+    # reuse the whole NB train+score oracle as a subquery, then the
+    # cumulative curve over distinct rounded scores
+    inner = nb[: nb.rindex("ORDER BY")]
+    return f"""
+WITH scored AS ({inner}),
+g AS (
+  SELECT score, sum(label) AS pos, sum(1 - label) AS neg
+  FROM scored GROUP BY score
+),
+tot AS (SELECT sum(label) AS n_pos, sum(1 - label) AS n_neg FROM scored)
+SELECT g.score,
+       CAST(sum(pos) OVER (ORDER BY score DESC) AS BIGINT) AS tp,
+       CAST(sum(neg) OVER (ORDER BY score DESC) AS BIGINT) AS fp,
+       CAST(n_pos - sum(pos) OVER (ORDER BY score DESC) AS BIGINT) AS fn,
+       CAST(n_neg - sum(neg) OVER (ORDER BY score DESC) AS BIGINT) AS tn
+FROM g CROSS JOIN tot
+ORDER BY score DESC
+"""
+
+
+BLEU_N = 4
+
+
+def q_sentence_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document smoothed sentence BLEU-{BLEU_N} between a
+    deterministic candidate (all 3-letter tokens dropped — shorter AND
+    lexically different, so both the brevity penalty and the clipped
+    n-gram precisions do real work) and the original text as reference.
+    Integer clipped/total counts per n plus the rounded score — the
+    whole eval metric under one hash check, computed as pure per-row
+    column expressions (no shuffle)."""
+    from vectordb_retrieval_spark.operators.dedup import tokens_expr
+    from vectordb_retrieval_spark.operators.textops import sentence_bleu
+
+    from pyspark.sql import functions as F
+
+    d = (
+        docs(spark, sf_dir)
+        .select("doc_id", tokens_expr(F.col("text")).alias("ref"))
+        .withColumn("cand", F.expr("filter(ref, x -> length(x) != 3)"))
+    )
+    return sentence_bleu(d, "cand", "ref", n_max=BLEU_N).orderBy("doc_id")
+
+
+def _sentence_bleu_oracle() -> str:
+    def grams(col: str, n: int) -> str:
+        if n == 1:
+            return col
+        return (
+            f"list_transform(generate_series(1, len({col}) - {n - 1}), "
+            f"i -> array_to_string({col}[i:i+{n - 1}], ' '))"
+        )
+
+    cols, logs = [], []
+    for n in range(1, BLEU_N + 1):
+        cg, rg = grams("cand", n), grams("ref", n)
+        clip = (
+            f"coalesce(list_sum(list_transform(list_distinct({cg}), "
+            f"g -> least(len(list_filter({cg}, x -> x = g)), "
+            f"len(list_filter({rg}, x -> x = g))))), 0)"
+        )
+        cols.append(f"CAST({clip} AS BIGINT) AS clip_{n}")
+        cols.append(f"CAST(len({cg}) AS BIGINT) AS tot_{n}")
+        smooth = 0 if n == 1 else 1
+        logs.append(
+            f"ln((clip_{n} + {smooth}) / CAST(tot_{n} + {smooth} AS DOUBLE))"
+        )
+    mean_log = "(" + " + ".join(logs) + f") / {float(BLEU_N)}"
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS ref FROM documents),
+tc AS (
+  SELECT doc_id, ref, list_filter(ref, x -> length(x) != 3) AS cand FROM t
+),
+counted AS (
+  SELECT doc_id, len(cand) AS cand_len, len(ref) AS ref_len,
+         {', '.join(cols)}
+  FROM tc
+)
+SELECT doc_id, cand_len, ref_len,
+       {', '.join(f'clip_{n}, tot_{n}' for n in range(1, BLEU_N + 1))},
+       CASE WHEN cand_len > 0 AND clip_1 > 0 THEN
+         round(exp(least(0.0, 1.0 - ref_len / CAST(cand_len AS DOUBLE)))
+               * exp({mean_log}), 6)
+       ELSE 0.0 END AS bleu
+FROM counted ORDER BY doc_id
+"""
+
+
 def _knn_oracles():
     from vectordb_retrieval_spark.driver_queries.knn import DIST_EXPRS, KNN_ORACLE
 
@@ -1330,6 +1437,8 @@ QUERIES = {
     "text_bigram_logprob": q_bigram_logprob,
     "pca_fixed_project": q_pca_fixed_project,
     "multimodal_audio_neardup": q_audio_neardup,
+    "eval_classifier_roc": q_classifier_roc,
+    "eval_sentence_bleu": q_sentence_bleu,
 }
 
 ORACLES = {
@@ -1355,4 +1464,6 @@ ORACLES = {
     "text_bigram_logprob": _BIGRAM_ORACLE,
     "pca_fixed_project": _pca_oracle(),
     "multimodal_audio_neardup": _audio_neardup_oracle(),
+    "eval_classifier_roc": _classifier_roc_oracle(),
+    "eval_sentence_bleu": _sentence_bleu_oracle(),
 }

@@ -108,3 +108,54 @@ def nb_quality_classifier(
         )
     )
     return out
+
+
+def roc_curve(
+    scored: DataFrame,
+    label_col: str = "label",
+    score_col: str = "score",
+    round_digits: int = 6,
+) -> DataFrame:
+    """(score, tp, fp, fn, tn) per distinct score threshold, ordered by
+    score descending — the full ROC/PR operating curve of a scored,
+    binary-labeled frame (predict positive when score >= threshold).
+    AUC, precision/recall/F1 at any threshold all derive from it.
+
+    Scores are rounded to ``round_digits`` BEFORE grouping so threshold
+    groups are engine-independent (raw log-odds sums differ across
+    engines at ULP level and would split tie groups differently).
+
+    Scale note: the cumulative sums run in one global window over the
+    DISTINCT-score table — curve cardinality, not corpus cardinality.
+    For corpora where even distinct thresholds are huge, coarsen
+    ``round_digits`` (the curve itself is the requested output)."""
+    from pyspark.sql import Window
+
+    s = scored.select(
+        F.round(F.col(score_col), round_digits).alias("score"),
+        F.col(label_col).cast("long").alias("label"),
+    )
+    g = s.groupBy("score").agg(
+        F.sum("label").alias("pos"),
+        F.sum(F.lit(1) - F.col("label")).alias("neg"),
+    )
+    tot = s.agg(
+        F.sum("label").alias("n_pos"),
+        F.sum(F.lit(1) - F.col("label")).alias("n_neg"),
+    )
+    w = Window.orderBy(F.col("score").desc())
+    return (
+        g.select(
+            "score",
+            F.sum("pos").over(w).alias("tp"),
+            F.sum("neg").over(w).alias("fp"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "score",
+            "tp",
+            "fp",
+            (F.col("n_pos") - F.col("tp")).alias("fn"),
+            (F.col("n_neg") - F.col("fp")).alias("tn"),
+        )
+    )

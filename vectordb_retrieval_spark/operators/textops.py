@@ -499,3 +499,80 @@ def bigram_logprob(
         F.count("*").alias("n_bigrams"),
         F.round(F.avg("lp"), 6).alias("logprob"),
     )
+
+
+def sentence_bleu(
+    df: DataFrame,
+    cand_col: str,
+    ref_col: str,
+    n_max: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-row smoothed sentence BLEU-``n_max`` between two token-array
+    columns (Papineni et al. 2002; Lin-Och add-one smoothing for n>1):
+    (id, cand_len, ref_len, clip_1..clip_n, tot_1..tot_n, bleu) with
+    integer clipped/total n-gram counts (hash-exact) and the final
+    score rounded to 6 digits.
+
+    Spark-first shape: pure per-row column expressions — no explode, no
+    shuffle, whole-stage codegen end to end.  The per-row distinct-gram
+    × filter scan is O(L²) in document length — the right trade for a
+    row-local metric at corpus scale (reference corpora are sentences
+    to a few hundred tokens).
+
+    BLEU is 0 when the candidate is empty or shares no unigram with the
+    reference (log p1 undefined); brevity penalty
+    exp(min(0, 1 - ref_len/cand_len))."""
+    base = df.select(
+        F.col(id_col).alias(id_col),
+        F.col(cand_col).alias("_c"),
+        F.col(ref_col).alias("_r"),
+    )
+
+    def grams(col: str, n: int) -> str:
+        if n == 1:
+            return col
+        return (
+            f"CASE WHEN size({col}) >= {n} THEN "
+            f"transform(sequence(1, size({col}) - {n - 1}), "
+            f"i -> concat_ws(' ', slice({col}, i, {n}))) "
+            f"ELSE array() END"
+        )
+
+    sel = [
+        F.col(id_col),
+        F.expr("size(_c)").alias("cand_len"),
+        F.expr("size(_r)").alias("ref_len"),
+    ]
+    for n in range(1, n_max + 1):
+        cg, rg = grams("_c", n), grams("_r", n)
+        clip = (
+            f"aggregate(transform(array_distinct({cg}), "
+            f"g -> least(size(filter({cg}, x -> x = g)), "
+            f"size(filter({rg}, x -> x = g)))), 0, (a, x) -> a + x)"
+        )
+        sel.append(F.expr(clip).cast("long").alias(f"clip_{n}"))
+        sel.append(F.expr(f"size({cg})").cast("long").alias(f"tot_{n}"))
+    scored = base.select(*sel)
+    logs = []
+    for n in range(1, n_max + 1):
+        smooth = 0 if n == 1 else 1
+        logs.append(
+            F.log(
+                (F.col(f"clip_{n}") + F.lit(smooth))
+                / (F.col(f"tot_{n}") + F.lit(smooth))
+            )
+        )
+    mean_log = sum(logs) / F.lit(float(n_max))
+    bp = F.exp(
+        F.least(
+            F.lit(0.0),
+            F.lit(1.0)
+            - F.col("ref_len") / F.col("cand_len").cast("double"),
+        )
+    )
+    bleu = F.when(
+        (F.col("cand_len") > 0) & (F.col("clip_1") > 0),
+        F.round(bp * F.exp(mean_log), 6),
+    ).otherwise(F.lit(0.0))
+    return scored.withColumn("bleu", bleu)
