@@ -263,6 +263,36 @@ def topk_cols_tiebreak(
     return out_d, out_i
 
 
+class SearchPlanMemo:
+    """WeakKey search-plan memo (the IVFSearcher pattern, shared):
+    repeated searches of the same query frame rebuild an identical lazy
+    plan — ~60 ms of driver-side pyspark object construction per call
+    at serving rates, plus any per-plan broadcasts.  Results are
+    deterministic per (artifact, query frame, key); execution still
+    runs in full on every materialization."""
+
+    def __init__(self) -> None:
+        self._m: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+    def get(self, query_df: DataFrame, key):
+        try:
+            per_df = self._m.get(query_df)
+        except TypeError:
+            return None
+        return per_df.get(key) if per_df is not None else None
+
+    def put(self, query_df: DataFrame, key, value):
+        try:
+            per_df = self._m.get(query_df)
+            if per_df is None:
+                per_df = {}
+                self._m[query_df] = per_df
+            per_df[key] = value
+        except TypeError:
+            pass
+        return value
+
+
 def num_partitions_cached(df: DataFrame) -> int:
     """``df.rdd.getNumPartitions()`` with a WeakKey memo on the
     DataFrame object; falls back to the plain call for unweakrefable

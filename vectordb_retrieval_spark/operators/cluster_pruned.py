@@ -119,6 +119,14 @@ class ClusterPrunedExactSearcher:
         self.node_local_cache = node_local_cache
         self.artifact: IndexArtifact | None = None
         self.ndis_accum = None  # LongAccumulator, set on first search
+        from vectordb_retrieval_spark.functions.kernels import (
+            SearchPlanMemo,
+        )
+
+        # per-frame plan reuse; BROADCAST path only (the partitioned
+        # path's phase-1 T_q collect is an eager per-search action and
+        # its packed blobs live under a TTL-swept shm root)
+        self._plans = SearchPlanMemo()
 
     def attach(self, artifact: IndexArtifact) -> "ClusterPrunedExactSearcher":
         self.artifact = artifact
@@ -250,8 +258,16 @@ class ClusterPrunedExactSearcher:
             art, spark, self.broadcast_threshold
         )
         if bc_index is not None:
-            return self._search_broadcast(
-                bc_index, query_df, k, qid_col, vec_col, accum
+            mk = (k, qid_col, vec_col, self.nprobe, id(art))
+            memo = self._plans.get(query_df, mk)
+            if memo is not None:
+                return memo
+            return self._plans.put(
+                query_df,
+                mk,
+                self._search_broadcast(
+                    bc_index, query_df, k, qid_col, vec_col, accum
+                ),
             )
 
         from vectordb_retrieval_spark.functions.kernels import (

@@ -71,6 +71,7 @@ from __future__ import annotations
 
 import os
 import uuid
+import weakref
 from typing import Iterator
 
 import numpy as np
@@ -1060,10 +1061,29 @@ class GraphANNSearcher:
         self.node_local_cache = node_local_cache
         self.artifact: IndexArtifact | None = None
         self.ndis_accum = None
+        # search-plan memo (the IVFSearcher pattern): repeated searches
+        # of the same query frame rebuild an identical lazy plan AND a
+        # fresh query broadcast + driver-side routing pass per call at
+        # serving rates.  Keyed weakly on the query DataFrame; values
+        # carry the plan's shm root so a TTL-swept publish invalidates.
+        self._plan_memo: "weakref.WeakKeyDictionary" = (
+            weakref.WeakKeyDictionary()
+        )
 
     def attach(self, artifact: IndexArtifact) -> "GraphANNSearcher":
         self.artifact = artifact
         return self
+
+    def _memo_store(self, query_df, mk, result, shm_root):
+        try:
+            per_df = self._plan_memo.get(query_df)
+            if per_df is None:
+                per_df = {}
+                self._plan_memo[query_df] = per_df
+            per_df[mk] = (result, shm_root)
+        except TypeError:
+            pass
+        return result
 
     def search(
         self, query_df: DataFrame, k: int, qid_col: str = "qid", vec_col: str = "vec"
@@ -1078,6 +1098,18 @@ class GraphANNSearcher:
             self.ndis_accum = spark.sparkContext.accumulator(0)
         accum = self.ndis_accum
         force_beam = self.force_beam
+        mk = (
+            k, qid_col, vec_col, self.ef_search, self.probe_partitions,
+            force_beam, id(art),
+        )
+        try:
+            per_df = self._plan_memo.get(query_df)
+        except TypeError:
+            per_df = None
+        if per_df is not None and mk in per_df:
+            res, shm_root = per_df[mk]
+            if shm_root is None or os.path.isdir(shm_root):
+                return res
 
         from vectordb_retrieval_spark.functions.kernels import (
             collect_or_chunk,
@@ -1377,8 +1409,14 @@ class GraphANNSearcher:
                             }
                         )
 
-            return tasks.mapInPandas(
-                kernel, schema="qid long, id long, dist double, rank int"
+            return self._memo_store(
+                query_df,
+                mk,
+                tasks.mapInPandas(
+                    kernel,
+                    schema="qid long, id long, dist double, rank int",
+                ),
+                None if bc_shards is not None else shm_shards[0],
             )
 
         def search_shard(
@@ -1420,4 +1458,4 @@ class GraphANNSearcher:
         cands = tasks.mapInPandas(
             kernel, schema="qid long, id long, dist double"
         )
-        return topk_per_query(cands, k)
+        return self._memo_store(query_df, mk, topk_per_query(cands, k), None)

@@ -188,6 +188,14 @@ class LSHSearcher:
         self.n_probes = n_probes
         self.broadcast_threshold = broadcast_threshold
         self.artifact: IndexArtifact | None = None
+        from vectordb_retrieval_spark.functions.kernels import (
+            SearchPlanMemo,
+        )
+
+        # repeated searches of one query frame: reuse the whole plan —
+        # including the persisted candidate frame and the already-run
+        # zero-candidate fallback check (an eager action per build)
+        self._plans = SearchPlanMemo()
 
     def attach(self, artifact: IndexArtifact) -> "LSHSearcher":
         self.artifact = artifact
@@ -401,10 +409,21 @@ class LSHSearcher:
         indexer: LSHIndexer = art.params["indexer"]
         metric = indexer.metric
         spark = query_df.sparkSession
+        mk = (
+            k, qid_col, vec_col, self.n_probes, self.candidate_multiplier,
+            self.max_candidates, self.exact_fallback, id(art),
+        )
+        memo = self._plans.get(query_df, mk)
+        if memo is not None:
+            return memo
 
         bc_index = self._serving_broadcast(spark)
         if bc_index is not None:
-            return self._broadcast_search(query_df, bc_index, k, qid_col, vec_col)
+            return self._plans.put(
+                query_df,
+                mk,
+                self._broadcast_search(query_df, bc_index, k, qid_col, vec_col),
+            )
 
         from vectordb_retrieval_spark.functions.kernels import (
             collect_or_chunk,
@@ -527,4 +546,8 @@ class LSHSearcher:
                     qvec_col="_v",
                 )
                 result = result.unionByName(fb)
+        # NOT memoized: this path persists `result` and the fallback
+        # check executes it eagerly — a memoized return would hand
+        # repeated searches a cached frame (reps would measure cache
+        # reads, not the search).  The broadcast path above memoizes.
         return result

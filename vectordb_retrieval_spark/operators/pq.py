@@ -85,6 +85,11 @@ class PQADCSearcher:
     def __init__(self, broadcast_threshold: int = 128 << 20):
         self.broadcast_threshold = broadcast_threshold
         self.artifact: IndexArtifact | None = None
+        from vectordb_retrieval_spark.functions.kernels import (
+            SearchPlanMemo,
+        )
+
+        self._plans = SearchPlanMemo()  # per-frame plan reuse
 
     def attach(self, artifact: IndexArtifact) -> "PQADCSearcher":
         self.artifact = artifact
@@ -125,6 +130,10 @@ class PQADCSearcher:
         art = self.artifact
         codec: PQCodec = art.params["codec"]
         spark = query_df.sparkSession
+        mk = (k, qid_col, vec_col, id(art))
+        memo = self._plans.get(query_df, mk)
+        if memo is not None:
+            return memo
 
         bc_index = self._serving_broadcast(spark)
         if bc_index is not None:
@@ -135,15 +144,19 @@ class PQADCSearcher:
             # ADC runs in L2 over decoded vectors; cosine is absorbed
             # by the codec's normalize flag, so the queries normalize
             # exactly when the codec does
-            return broadcast_probe_search(
+            return self._plans.put(
                 query_df,
-                bc_index,
-                None,
-                k,
-                "l2",
-                qid_col=qid_col,
-                vec_col=vec_col,
-                normalize_queries=codec.normalize,
+                mk,
+                broadcast_probe_search(
+                    query_df,
+                    bc_index,
+                    None,
+                    k,
+                    "l2",
+                    qid_col=qid_col,
+                    vec_col=vec_col,
+                    normalize_queries=codec.normalize,
+                ),
             )
 
         from vectordb_retrieval_spark.functions.kernels import (
@@ -274,4 +287,4 @@ class PQADCSearcher:
         scored = art.tables["codes"].select("id", "codes").mapInPandas(
             kernel, schema="qid long, id long, dist double"
         )
-        return topk_per_query(scored, k)
+        return self._plans.put(query_df, mk, topk_per_query(scored, k))
