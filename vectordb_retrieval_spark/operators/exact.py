@@ -61,16 +61,27 @@ SCORE_TILE_ELEMS = 2_000_000
 # Query-collect gate (r10 judge "what's wrong" #2): the broadcast-
 # queries design collects the query batch to the driver, which is the
 # right plan for serving-sized batches but OOMs the driver on a
-# 100×-scale query frame.  MAX_COLLECT_ROWS is the single-job fast
-# path: the collect runs with LIMIT rows+1 (same one Spark job as the
-# ungated collect), and only a past-limit batch pays any extra jobs —
-# it is then split by qid hash into chunks sized to
-# COLLECT_BYTES_THRESHOLD driver bytes and the per-chunk results are
-# unioned (each chunk re-broadcasts; the base table is scanned once
-# per chunk — the scale-correct trade vs a driver OOM).  Module-level
-# so tests pin the gated path at a tiny threshold.
-MAX_COLLECT_ROWS = 65536
-COLLECT_BYTES_THRESHOLD = 256 << 20
+# 100×-scale query frame.  The gate, the memoized single-probe-job
+# collect+broadcast, and the salted qid-hash chunking are the shared
+# serving machinery in functions/kernels.py (query_broadcast_cached /
+# query_chunks): gate-passing frames collect and broadcast ONCE per
+# frame and every subsequent exact_knn call over the same frame reuses
+# both; past-gate frames chunk and union (each chunk re-broadcasts;
+# the base table is scanned once per chunk — the scale-correct trade
+# vs a driver OOM).  Plans are memoized per (base, query frame, key)
+# so serving-rate callers pay plan construction once.
+_EXACT_PLANS = None  # lazy SearchPlanMemo (module import order)
+
+
+def _plans():
+    global _EXACT_PLANS
+    if _EXACT_PLANS is None:
+        from vectordb_retrieval_spark.functions.kernels import (
+            SearchPlanMemo,
+        )
+
+        _EXACT_PLANS = SearchPlanMemo()
+    return _EXACT_PLANS
 
 
 def _collect_queries(
@@ -85,28 +96,6 @@ def _collect_queries(
         return qids, np.empty((0, 0), dtype=np.float32)
     qmat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float32)
     return qids, qmat
-
-
-def _query_chunks(
-    query_df: DataFrame, qid_col: str, dim: int
-) -> list[DataFrame]:
-    """Split a past-threshold query frame by qid hash into chunks whose
-    collected float32 matrix fits COLLECT_BYTES_THRESHOLD (capped at
-    MAX_COLLECT_ROWS rows so every chunk stays single-job collectable).
-    Chunking by qid is result-exact: each query's top-k/range rows are
-    computed entirely within its own chunk."""
-    bytes_per_q = 4 * dim + 8
-    chunk_rows = max(
-        1, min(MAX_COLLECT_ROWS, COLLECT_BYTES_THRESHOLD // bytes_per_q)
-    )
-    n = query_df.count()
-    n_chunks = max(2, -(-n // chunk_rows))
-    return [
-        query_df.filter(
-            F.pmod(F.hash(F.col(qid_col)), F.lit(n_chunks)) == c
-        )
-        for c in range(n_chunks)
-    ]
 
 
 def exact_knn(
@@ -135,15 +124,24 @@ def exact_knn(
     custom = CUSTOM_METRICS.get(metric)
     qvec_col = qvec_col or vec_col
     spark = base_df.sparkSession
-    qids, qmat = _collect_queries(
-        query_df,
-        qid_col,
-        qvec_col,
-        limit=MAX_COLLECT_ROWS + 1 if _gate else None,
+    import weakref
+
+    from vectordb_retrieval_spark.functions.kernels import (
+        query_broadcast_cached,
+        query_chunks,
     )
-    if len(qids) == 0:  # empty serving batch: empty result, same schema
-        return spark.createDataFrame([], _CAND_SCHEMA + ", rank int")
-    if _gate and len(qids) > MAX_COLLECT_ROWS:
+
+    mk = (
+        "knn", k, metric, id_col, vec_col, qid_col, qvec_col, pad,
+        id(base_df), id(custom),
+    )
+    hit = _plans().get(query_df, mk)
+    # id() keys can be recycled after GC — the stored weakref proves
+    # the plan's base frame (and custom metric) are the same objects
+    if hit is not None and hit[0]() is base_df:
+        return hit[1]
+    bc = query_broadcast_cached(query_df, qid_col, qvec_col) if _gate else None
+    if _gate and bc is None:
         # past-threshold batch: never materialize the full query frame
         # on the driver — chunk by qid hash and union the chunk top-ks
         from functools import reduce
@@ -161,7 +159,7 @@ def exact_knn(
                 pad=False,
                 _gate=False,
             )
-            for chunk in _query_chunks(query_df, qid_col, qmat.shape[1])
+            for chunk in query_chunks(query_df, qid_col, qvec_col)
         ]
         result = reduce(DataFrame.unionByName, parts)
         if pad:
@@ -169,7 +167,14 @@ def exact_knn(
                 result, query_df.select(F.col(qid_col).alias("qid")), k
             )
         return result
-    bc = spark.sparkContext.broadcast((qids, qmat))
+    if bc is not None:
+        qids, qmat = bc.value
+    else:
+        qids, qmat = _collect_queries(query_df, qid_col, qvec_col)
+    if len(qids) == 0:  # empty serving batch: empty result, same schema
+        return spark.createDataFrame([], _CAND_SCHEMA + ", rank int")
+    if bc is None:
+        bc = spark.sparkContext.broadcast((qids, qmat))
     tile_elems = SCORE_TILE_ELEMS  # driver-time capture, A/B-able
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -233,6 +238,7 @@ def exact_knn(
     result = topk_per_query(candidates, k)
     if pad:
         result = pad_topk(result, query_df.select(F.col(qid_col).alias("qid")), k)
+    _plans().put(query_df, mk, (weakref.ref(base_df), result))
     return result
 
 
@@ -262,15 +268,22 @@ def exact_range_search(
         raise ValueError(f"unknown metric {metric!r}; expected one of {METRICS}")
     qvec_col = qvec_col or vec_col
     spark = base_df.sparkSession
-    qids, qmat = _collect_queries(
-        query_df,
-        qid_col,
-        qvec_col,
-        limit=MAX_COLLECT_ROWS + 1 if _gate else None,
+    import weakref
+
+    from vectordb_retrieval_spark.functions.kernels import (
+        query_broadcast_cached,
+        query_chunks,
     )
-    if len(qids) == 0:  # empty serving batch: empty result, same schema
-        return spark.createDataFrame([], _CAND_SCHEMA)
-    if _gate and len(qids) > MAX_COLLECT_ROWS:
+
+    mk = (
+        "range", radius, metric, id_col, vec_col, qid_col, qvec_col,
+        id(base_df),
+    )
+    hit = _plans().get(query_df, mk)
+    if hit is not None and hit[0]() is base_df:
+        return hit[1]
+    bc = query_broadcast_cached(query_df, qid_col, qvec_col) if _gate else None
+    if _gate and bc is None:
         from functools import reduce
 
         return reduce(
@@ -287,10 +300,17 @@ def exact_range_search(
                     qvec_col,
                     _gate=False,
                 )
-                for chunk in _query_chunks(query_df, qid_col, qmat.shape[1])
+                for chunk in query_chunks(query_df, qid_col, qvec_col)
             ],
         )
-    bc = spark.sparkContext.broadcast((qids, qmat))
+    if bc is not None:
+        qids, qmat = bc.value
+    else:
+        qids, qmat = _collect_queries(query_df, qid_col, qvec_col)
+    if len(qids) == 0:  # empty serving batch: empty result, same schema
+        return spark.createDataFrame([], _CAND_SCHEMA)
+    if bc is None:
+        bc = spark.sparkContext.broadcast((qids, qmat))
 
     def seq_dist(x: np.ndarray, y: np.ndarray, m: str) -> float:
         if m == "l2":
@@ -338,9 +358,11 @@ def exact_range_search(
                 }
             )
 
-    return base_df.select(
+    result = base_df.select(
         F.col(id_col).alias(id_col), F.col(vec_col).alias(vec_col)
     ).mapInPandas(kernel, schema=_CAND_SCHEMA)
+    _plans().put(query_df, mk, (weakref.ref(base_df), result))
+    return result
 
 
 def exact_knn_expr(
