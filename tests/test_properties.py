@@ -573,3 +573,31 @@ def test_substring_ops_match_python_model(spark, n_docs, doc_len, vocab, k, seed
         for i, (nt, nr, kept) in want_cut.items()
     }
     assert got_cut == want_hashed
+
+
+@given(
+    n_rows=st.integers(1, 6),
+    n_cols=st.integers(1, 40),
+    k=st.integers(1, 12),
+    n_vals=st.integers(1, 4),
+    seed=st.integers(0, 10_000),
+)
+@settings(max_examples=120, deadline=None)
+def test_topk_cols_tiebreak_matches_full_sort(n_rows, n_cols, k, n_vals, seed):
+    """topk_cols_tiebreak == per-row full (dist, id) lexsort prefix for
+    any shape, margin saturation, and tie density (few distinct values
+    force massive boundary tie groups — the hard case)."""
+    import numpy as np
+
+    from vectordb_retrieval_spark.functions.kernels import topk_cols_tiebreak
+
+    rng = np.random.RandomState(seed)
+    vals = np.sort(rng.randn(n_vals))
+    dmat = vals[rng.randint(0, n_vals, size=(n_rows, n_cols))]
+    ids = rng.permutation(n_cols * 3)[:n_cols].astype(np.int64)
+    got_d, got_i = topk_cols_tiebreak(dmat, ids, k, margin=4)
+    kk = min(k, n_cols)
+    for r in range(n_rows):
+        order = np.lexsort((ids, dmat[r]))[:kk]
+        assert (got_d[r] == dmat[r][order]).all(), r
+        assert (got_i[r] == ids[order]).all(), r
