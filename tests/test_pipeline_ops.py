@@ -431,3 +431,26 @@ def test_sentence_bleu_matches_python_model(spark):
     for did, cand, ref in rows:
         assert got[did]["bleu"] == py_bleu(cand, ref), did
     assert got[3]["bleu"] == 1.0 and got[1]["bleu"] == 0.0 == got[2]["bleu"]
+
+
+def test_zipf_fit_recovers_planted_slope(spark):
+    """zipf_fit on an exactly Zipfian corpus (freq(rank) = C/rank)
+    recovers slope -1 with r2 ~ 1; numpy polyfit agrees."""
+    import numpy as np
+
+    from vectordb_retrieval_spark.operators.textops import zipf_fit
+
+    words = []
+    for r in range(1, 41):
+        words += [f"w{r:02d}"] * (1200 // r)
+    text = " ".join(words)
+    df = spark.createDataFrame([(0, text)], "id long, text string")
+    row = zipf_fit(df).first()
+    assert row["n_types"] == 40
+    assert row["n_tokens"] == len(words)
+    x = np.log(np.arange(1, 41))
+    y = np.log(np.array([1200 // r for r in range(1, 41)], dtype=float))
+    slope, intercept = np.polyfit(x, y, 1)
+    assert abs(row["slope"] - round(float(slope), 6)) <= 1e-6
+    assert abs(row["intercept"] - round(float(intercept), 6)) <= 1e-6
+    assert row["r2"] > 0.999

@@ -1400,6 +1400,39 @@ FROM counted ORDER BY doc_id
 """
 
 
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency law fit over the documents corpus: one-row
+    (n_types, n_tokens, slope, intercept, r2) least-squares diagnostic
+    — natural-language corpora fit slope ~ -1, so drift flags
+    machine-generated or duplication-heavy data.  Closed-form moment
+    sums, so the whole fit sits under one hash check."""
+    from vectordb_retrieval_spark.operators.textops import zipf_fit
+
+    return zipf_fit(docs(spark, sf_dir))
+
+
+_ZIPF_ORACLE = f"""
+WITH t AS (SELECT {_TOKS} AS toks FROM documents),
+w AS (SELECT unnest(toks) AS w FROM t),
+c AS (SELECT w, count(*) AS cnt FROM w GROUP BY w),
+r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, w) AS rnk FROM c),
+s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         sum(ln(rnk)) AS sx, sum(ln(cnt)) AS sy,
+         sum(ln(rnk) * ln(rnk)) AS sxx, sum(ln(rnk) * ln(cnt)) AS sxy,
+         sum(ln(cnt) * ln(cnt)) AS syy, sum(cnt) AS n_tokens
+  FROM r
+)
+SELECT CAST(n AS BIGINT) AS n_types, CAST(n_tokens AS BIGINT) AS n_tokens,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+         AS intercept,
+       round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM s
+"""
+
+
 def _knn_oracles():
     from vectordb_retrieval_spark.driver_queries.knn import DIST_EXPRS, KNN_ORACLE
 
@@ -1439,6 +1472,7 @@ QUERIES = {
     "multimodal_audio_neardup": q_audio_neardup,
     "eval_classifier_roc": q_classifier_roc,
     "eval_sentence_bleu": q_sentence_bleu,
+    "text_zipf_fit": q_zipf_fit,
 }
 
 ORACLES = {
@@ -1466,4 +1500,5 @@ ORACLES = {
     "multimodal_audio_neardup": _audio_neardup_oracle(),
     "eval_classifier_roc": _classifier_roc_oracle(),
     "eval_sentence_bleu": _sentence_bleu_oracle(),
+    "text_zipf_fit": _ZIPF_ORACLE,
 }

@@ -576,3 +576,55 @@ def sentence_bleu(
         F.round(bp * F.exp(mean_log), 6),
     ).otherwise(F.lit(0.0))
     return scored.withColumn("bleu", bleu)
+
+
+def zipf_fit(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-row corpus diagnostic: least-squares fit of ln(freq) on
+    ln(rank) over the word rank-frequency table — Zipf's law (natural-
+    language corpora fit slope ≈ −1; machine-generated or heavily
+    duplicated corpora drift off it, which makes the slope + r² a cheap
+    corpus-quality / contamination monitor).
+
+    Returns (n_types, n_tokens, slope, intercept, r2), floats rounded
+    to 6 digits.  One shuffle (the word count); the ranking window runs
+    over VOCABULARY cardinality, not corpus cardinality — for web-scale
+    vocabularies cap the table (fit the top-N ranks) before calling."""
+    from pyspark.sql import Window
+
+    from vectordb_retrieval_spark.operators.dedup import tokens_expr
+
+    counts = (
+        df.select(F.explode(tokens_expr(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    ranked = counts.select(
+        "cnt",
+        F.row_number()
+        .over(Window.orderBy(F.col("cnt").desc(), F.col("w")))
+        .alias("rnk"),
+    )
+    x = F.log(F.col("rnk").cast("double"))
+    y = F.log(F.col("cnt").cast("double"))
+    s = ranked.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(y * y).alias("syy"),
+        F.sum("cnt").alias("n_tokens"),
+    )
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov / varx
+    return s.select(
+        F.col("n").cast("long").alias("n_types"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+        F.round(cov * cov / (varx * vary), 6).alias("r2"),
+    )
