@@ -849,7 +849,14 @@ def _rebuild_shard_pdf(
 
 
 def _refresh_artifact(artifact: IndexArtifact, merged, flag: str) -> IndexArtifact:
-    merged = merged.cache()
+    # bound the merged table's partition count: each append unions the
+    # predecessor's partitions with the rebuild stage's, so a long
+    # ingestion chain would otherwise grow ~pool-width partitions PER
+    # micro-batch (measured 40→72→104 tasks over 3 batches) — every
+    # later scan pays the mostly-empty task dispatch.  coalesce is
+    # narrow (no blob shuffle) and never increases the count.
+    par = merged.sparkSession.sparkContext.defaultParallelism
+    merged = merged.coalesce(max(1, par)).cache()
     merged.count()
     if artifact.metadata.get("appended") or artifact.metadata.get("deleted"):
         # ingestion-chain memory bound: evict the predecessor's cache
@@ -919,9 +926,19 @@ def graph_append(
         )
         return _rebuild_shard_pdf(int(key[0]), olds, new_ids, new_mat, set(), pb)
 
+    # Pin the rebuild's parallelism to the executor pool, independent of
+    # ambient spark.sql.shuffle.partitions: streaming ingest loops run
+    # under a narrowed state-partition conf (streamq._state_partitions
+    # pins it to 2 for stateful-store hygiene), which would serialize
+    # the per-shard NSW rebuilds — the whole cost of an append — onto 2
+    # tasks.  An explicit pid repartition on both cogroup inputs
+    # satisfies the co-partitioning requirement at the chosen width.
+    par = new_df.sparkSession.sparkContext.defaultParallelism
+    n_tasks = max(1, min(par, 4 * max(1, len(affected))))
     rebuilt = (
-        old_aff.groupBy("pid")
-        .cogroup(assigned.groupBy("pid"))
+        old_aff.repartition(n_tasks, "pid")
+        .groupBy("pid")
+        .cogroup(assigned.repartition(n_tasks, "pid").groupBy("pid"))
         .applyInPandas(
             rebuild, schema="pid long, n long, centroid array<double>, blob binary"
         )
@@ -965,9 +982,14 @@ def _graph_delete_joined(graph: DataFrame, dels_df: DataFrame, pb: dict):
             set(int(x) for x in drops["id"]), pb,
         )
 
+    # pid-repartition both cogroup inputs: pins the per-shard rebuild
+    # parallelism to the pool regardless of ambient shuffle-partition
+    # conf (see the same pattern in graph_append)
+    par = graph.sparkSession.sparkContext.defaultParallelism
     return (
-        graph.groupBy("pid")
-        .cogroup(hits.groupBy("pid"))
+        graph.repartition(par, "pid")
+        .groupBy("pid")
+        .cogroup(hits.repartition(par, "pid").groupBy("pid"))
         .applyInPandas(
             rebuild, schema="pid long, n long, centroid array<double>, blob binary"
         )
