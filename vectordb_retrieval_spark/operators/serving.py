@@ -1202,17 +1202,30 @@ def _broadcast_query_plan(
     accum,
     allowed_bc,
     block_rows: int,
+    rows_per_task: int = 512,
 ) -> DataFrame:
     """Serving job over a broadcast query matrix: ``spark.range`` of
-    chunk indices drives one ``search_batch`` per task, each slicing
+    chunk indices drives ``search_batch`` calls per task, each slicing
     its queries from the broadcast — no query bytes cross the
-    JVM→Python boundary per search.  Chunk count targets one per core
-    with a ≥512-query floor so tiny batches don't pay full dispatch."""
+    JVM→Python boundary per search.  The query-slice grid targets one
+    ≥``rows_per_task``-row slice per core; when that needs more than 16
+    python tasks, slices are grouped TWO per task and run on a 2-thread
+    pool inside the task.  Rationale (measured on this pool): python
+    task dispatch is flat to ~16 in-flight tasks then costs ~5 ms/task
+    — a 32-task stage pays ~85 ms of dispatch tail, most of the fixed
+    cost of a 65k-query sq8 batch.  ``search_batch`` is NumPy
+    GEMM/ufunc/argpartition work that releases the GIL, so two slices
+    genuinely overlap in one worker (A/B: 158.5k → 175.2k QPS at 65k
+    queries; 4 threads/task regressed — GIL contention).  The slice
+    grid is UNCHANGED, so per-slice GEMM shapes — and therefore results
+    — are identical to the one-slice-per-task plan."""
     import pyarrow as pa
 
     n = len(bcq.value[0])  # driver-side broadcast read: no job
     par = spark.sparkContext.defaultParallelism
-    n_tasks = max(1, min(par, -(-n // 512)))
+    n_slices = max(1, min(par, -(-n // max(1, rows_per_task))))
+    threads_per_task = 2 if n_slices > 16 else 1
+    n_tasks = -(-n_slices // threads_per_task)
     rng = spark.range(0, n_tasks, 1, n_tasks)
 
     def kernel(batches):
@@ -1220,22 +1233,38 @@ def _broadcast_query_plan(
         if allowed_bc is not None:
             idx = idx.filtered(allowed_bc.value)
         qids_all, qmat_all = bcq.value
+
+        def one(slice_i: int):
+            s = (slice_i * n) // n_slices
+            e = ((slice_i + 1) * n) // n_slices
+            if e <= s:
+                return None
+            qmat = qmat_all[s:e]
+            if norm_q:
+                qmat = normalize_rows(
+                    qmat.astype(np.float64)
+                ).astype(np.float32)
+            return search_batch(
+                idx, qids_all[s:e], qmat, nprobe, k, metric,
+                accum=accum, block_rows=block_rows,
+            )
+
         for rb in batches:
             for c in rb.column(0).to_pylist():
-                s = (c * n) // n_tasks
-                e = ((c + 1) * n) // n_tasks
-                if e <= s:
-                    continue
-                qmat = qmat_all[s:e]
-                if norm_q:
-                    qmat = normalize_rows(
-                        qmat.astype(np.float64)
-                    ).astype(np.float32)
-                out = search_batch(
-                    idx, qids_all[s:e], qmat, nprobe, k, metric,
-                    accum=accum, block_rows=block_rows,
+                slices = range(
+                    c * threads_per_task,
+                    min((c + 1) * threads_per_task, n_slices),
                 )
-                if out is not None:
+                if threads_per_task == 1:
+                    outs = [one(i) for i in slices]
+                else:
+                    from concurrent.futures import ThreadPoolExecutor
+
+                    with ThreadPoolExecutor(len(slices)) as ex:
+                        outs = list(ex.map(one, slices))
+                for out in outs:
+                    if out is None:
+                        continue
                     yield pa.RecordBatch.from_arrays(
                         [
                             pa.array(out["qid"].to_numpy()),
