@@ -267,7 +267,7 @@ class ClusterPrunedExactSearcher:
         )
         if bc_index is not None:
             mk = (k, qid_col, vec_col, self.nprobe, id(art))
-            memo = self._plans.get(query_df, mk)
+            memo = self._plans.get(query_df, mk, guard=art)
             if memo is not None:
                 return memo
             return self._plans.put(
@@ -276,6 +276,7 @@ class ClusterPrunedExactSearcher:
                 self._search_broadcast(
                     bc_index, query_df, k, qid_col, vec_col, accum
                 ),
+                guard=art,
             )
 
         from vectordb_retrieval_spark.functions.kernels import (

@@ -84,20 +84,6 @@ def _plans():
     return _EXACT_PLANS
 
 
-def _collect_queries(
-    query_df: DataFrame, qid_col: str, vec_col: str, limit: int | None = None
-) -> tuple[np.ndarray, np.ndarray]:
-    sel = query_df.select(qid_col, vec_col)
-    if limit is not None:
-        sel = sel.limit(limit)
-    pdf = sel.toPandas()
-    qids = pdf[qid_col].to_numpy(dtype=np.int64)
-    if len(pdf) == 0:  # np.vstack rejects an empty sequence
-        return qids, np.empty((0, 0), dtype=np.float32)
-    qmat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float32)
-    return qids, qmat
-
-
 def exact_knn(
     base_df: DataFrame,
     query_df: DataFrame,
@@ -108,7 +94,6 @@ def exact_knn(
     qid_col: str = "qid",
     qvec_col: str | None = None,
     pad: bool = False,
-    _gate: bool = True,
 ) -> DataFrame:
     """Exact top-k neighbors for every query.
 
@@ -140,10 +125,14 @@ def exact_knn(
     # the plan's base frame (and custom metric) are the same objects
     if hit is not None and hit[0]() is base_df:
         return hit[1]
-    bc = query_broadcast_cached(query_df, qid_col, qvec_col) if _gate else None
-    if _gate and bc is None:
+    bc = query_broadcast_cached(query_df, qid_col, qvec_col)
+    if bc is None:
         # past-threshold batch: never materialize the full query frame
-        # on the driver — chunk by qid hash and union the chunk top-ks
+        # on the driver — chunk by qid hash and union the chunk top-ks.
+        # The recursion keeps the gate ENABLED (advisor r11): a hash-
+        # skewed chunk that still exceeds the gate re-chunks under a
+        # fresh salt instead of collecting anyway; ≤1-row frames always
+        # broadcast, so the recursion terminates.
         from functools import reduce
 
         parts = [
@@ -157,7 +146,6 @@ def exact_knn(
                 qid_col,
                 qvec_col,
                 pad=False,
-                _gate=False,
             )
             for chunk in query_chunks(query_df, qid_col, qvec_col)
         ]
@@ -167,14 +155,9 @@ def exact_knn(
                 result, query_df.select(F.col(qid_col).alias("qid")), k
             )
         return result
-    if bc is not None:
-        qids, qmat = bc.value
-    else:
-        qids, qmat = _collect_queries(query_df, qid_col, qvec_col)
+    qids, qmat = bc.value
     if len(qids) == 0:  # empty serving batch: empty result, same schema
         return spark.createDataFrame([], _CAND_SCHEMA + ", rank int")
-    if bc is None:
-        bc = spark.sparkContext.broadcast((qids, qmat))
     tile_elems = SCORE_TILE_ELEMS  # driver-time capture, A/B-able
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -251,7 +234,6 @@ def exact_range_search(
     vec_col: str = "vec",
     qid_col: str = "qid",
     qvec_col: str | None = None,
-    _gate: bool = True,
 ) -> DataFrame:
     """All neighbors within ``radius``: DataFrame(qid, id, dist ≤ radius)
     — FAISS ``range_search`` semantics, the radius-threshold complement
@@ -282,8 +264,10 @@ def exact_range_search(
     hit = _plans().get(query_df, mk)
     if hit is not None and hit[0]() is base_df:
         return hit[1]
-    bc = query_broadcast_cached(query_df, qid_col, qvec_col) if _gate else None
-    if _gate and bc is None:
+    bc = query_broadcast_cached(query_df, qid_col, qvec_col)
+    if bc is None:
+        # gate stays enabled in the recursion (see exact_knn): skewed
+        # chunks re-chunk under a fresh salt, never a forced collect
         from functools import reduce
 
         return reduce(
@@ -298,19 +282,13 @@ def exact_range_search(
                     vec_col,
                     qid_col,
                     qvec_col,
-                    _gate=False,
                 )
                 for chunk in query_chunks(query_df, qid_col, qvec_col)
             ],
         )
-    if bc is not None:
-        qids, qmat = bc.value
-    else:
-        qids, qmat = _collect_queries(query_df, qid_col, qvec_col)
+    qids, qmat = bc.value
     if len(qids) == 0:  # empty serving batch: empty result, same schema
         return spark.createDataFrame([], _CAND_SCHEMA)
-    if bc is None:
-        bc = spark.sparkContext.broadcast((qids, qmat))
 
     def seq_dist(x: np.ndarray, y: np.ndarray, m: str) -> float:
         if m == "l2":

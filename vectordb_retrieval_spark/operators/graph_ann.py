@@ -1102,7 +1102,11 @@ class GraphANNSearcher:
             if per_df is None:
                 per_df = {}
                 self._plan_memo[query_df] = per_df
-            per_df[mk] = (result, shm_root)
+            # artifact weakref: mk embeds id(artifact), and CPython can
+            # recycle the id after GC — a hit must prove the plan was
+            # built against the LIVE artifact (advisor r11; mirrors the
+            # exact.py guard)
+            per_df[mk] = (weakref.ref(self.artifact), result, shm_root)
         except TypeError:
             pass
         return result
@@ -1129,8 +1133,10 @@ class GraphANNSearcher:
         except TypeError:
             per_df = None
         if per_df is not None and mk in per_df:
-            res, shm_root = per_df[mk]
-            if shm_root is None or os.path.isdir(shm_root):
+            art_ref, res, shm_root = per_df[mk]
+            if art_ref() is art and (
+                shm_root is None or os.path.isdir(shm_root)
+            ):
                 return res
 
         from vectordb_retrieval_spark.functions.kernels import (

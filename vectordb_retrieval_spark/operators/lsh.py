@@ -413,7 +413,7 @@ class LSHSearcher:
             k, qid_col, vec_col, self.n_probes, self.candidate_multiplier,
             self.max_candidates, self.exact_fallback, id(art),
         )
-        memo = self._plans.get(query_df, mk)
+        memo = self._plans.get(query_df, mk, guard=art)
         if memo is not None:
             return memo
 
@@ -423,6 +423,7 @@ class LSHSearcher:
                 query_df,
                 mk,
                 self._broadcast_search(query_df, bc_index, k, qid_col, vec_col),
+                guard=art,
             )
 
         from vectordb_retrieval_spark.functions.kernels import (

@@ -131,7 +131,7 @@ class PQADCSearcher:
         codec: PQCodec = art.params["codec"]
         spark = query_df.sparkSession
         mk = (k, qid_col, vec_col, id(art))
-        memo = self._plans.get(query_df, mk)
+        memo = self._plans.get(query_df, mk, guard=art)
         if memo is not None:
             return memo
 
@@ -157,6 +157,7 @@ class PQADCSearcher:
                     vec_col=vec_col,
                     normalize_queries=codec.normalize,
                 ),
+                guard=art,
             )
 
         from vectordb_retrieval_spark.functions.kernels import (
@@ -287,4 +288,6 @@ class PQADCSearcher:
         scored = art.tables["codes"].select("id", "codes").mapInPandas(
             kernel, schema="qid long, id long, dist double"
         )
-        return self._plans.put(query_df, mk, topk_per_query(scored, k))
+        return self._plans.put(
+            query_df, mk, topk_per_query(scored, k), guard=art
+        )
