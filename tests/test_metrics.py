@@ -91,6 +91,74 @@ def test_multi_k_sweep(spark):
     assert rows[2]["recall"] == 1.0
 
 
+def test_serving_latency_stats_matches_numpy(spark):
+    """serving_latency_stats ≡ the reference arithmetic: per-query
+    times = wall/n per repeat (experiment_runner.py:434-437), stats =
+    numpy mean/percentile over the concatenated distribution
+    (metrics.py:222-234), qps = total queries / total wall."""
+    import numpy as np
+
+    from vectordb_retrieval_spark.metrics import serving_latency_stats
+
+    rows = [
+        ("a", 0, 4, 0.40),
+        ("a", 1, 4, 0.62),
+        ("a", 2, 4, 0.51),
+        ("b", 0, 3, 0.09),
+        ("b", 1, 3, 0.15),
+    ]
+    df = spark.createDataFrame(
+        rows, "algorithm string, rep long, n_queries long, wall_s double"
+    )
+    got = {
+        r["algorithm"]: r for r in serving_latency_stats(df).collect()
+    }
+    for algo in ("a", "b"):
+        walls = [w for a, _, _, w in rows if a == algo]
+        n = next(nq for a, _, nq, _ in rows if a == algo)
+        per = np.repeat([1000.0 * w / n for w in walls], n)
+        r = got[algo]
+        assert r["n"] == len(per)
+        assert r["mean_ms"] == pytest.approx(float(np.mean(per)), abs=1e-6)
+        assert r["p50_ms"] == pytest.approx(
+            float(np.percentile(per, 50)), abs=1e-6
+        )
+        assert r["p95_ms"] == pytest.approx(
+            float(np.percentile(per, 95)), abs=1e-6
+        )
+        assert r["p99_ms"] == pytest.approx(
+            float(np.percentile(per, 99)), abs=1e-6
+        )
+        assert r["min_ms"] == pytest.approx(float(per.min()), abs=1e-6)
+        assert r["max_ms"] == pytest.approx(float(per.max()), abs=1e-6)
+        assert r["qps"] == pytest.approx(len(per) / sum(walls), abs=1e-6)
+
+
+def test_serving_latency_recorded_artifact(spark):
+    """The committed timing recording behind the serving_latency_stats
+    catalogue slot: real wall-clock repeats (all positive, ≥2 reps per
+    algorithm) with the batch size the recorder pins, and the catalogue
+    query computes over it without error."""
+    import os
+
+    from vectordb_retrieval_spark.driver_queries.metricsq import (
+        TIMINGS_PATH,
+        serving_latency,
+    )
+
+    assert os.path.exists(TIMINGS_PATH)
+    t = spark.read.parquet(TIMINGS_PATH)
+    pdf = t.toPandas()
+    assert (pdf["wall_s"] > 0).all()
+    assert (pdf["n_queries"] == 2048).all()
+    assert pdf.groupby("algorithm")["rep"].count().min() >= 2
+    stats = {r["algorithm"]: r for r in serving_latency(spark, "").collect()}
+    assert set(stats) == set(pdf["algorithm"])
+    for r in stats.values():
+        assert r["min_ms"] > 0 and r["p50_ms"] <= r["p95_ms"] <= r["p99_ms"]
+        assert r["qps"] > 0
+
+
 def test_latency_stats(spark):
     from vectordb_retrieval_spark.metrics import latency_stats
 

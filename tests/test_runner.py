@@ -508,6 +508,10 @@ def test_experiment_runner_repeat_mean_std(spark, tmp_path):
     assert m["search_wall_std_s"] >= 0.0
     assert m["qps_std"] >= 0.0
     assert m["recall@5"] == pytest.approx(1.0)
+    # r12: per-query latency percentiles from the repeat walls
+    # (reference wall-clock-divided-batch semantics) ride along
+    assert 0 < m["query_ms_p50"] <= m["query_ms_p95"] <= m["query_ms_p99"]
+    assert m["query_ms_p99"] <= 1000.0 * max(m["search_wall_runs_s"]) + 1.0
     md = summary_markdown({"ds": combined})
     assert "±" in md
     onep = one_page_summary({"ds": combined})

@@ -1253,6 +1253,11 @@ def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _audio_neardup_oracle() -> str:
+    # ASCII-only contract (see multimodal._stub_pcm): this twin samples
+    # per-character CODEPOINTS (unicode(substr(...))) while the stub
+    # samples UTF-8 OCTETS — identical on the all-ASCII gate corpora,
+    # divergent on multi-byte characters.  Same convention as the
+    # image/video stub oracles.
     band = AUDIO_FRAME_SAMPLES // 64
     return f"""
 WITH tracks AS (

@@ -188,6 +188,60 @@ def retrieval_metrics_multi(pred: DataFrame, gt: DataFrame, ks: list[int]) -> Da
     )
 
 
+def serving_latency_stats(
+    timings: DataFrame,
+    wall_col: str = "wall_s",
+    n_col: str = "n_queries",
+    group_cols: tuple[str, ...] = ("algorithm",),
+) -> DataFrame:
+    """Per-query latency distribution from RECORDED batch-serving
+    timings, per the reference's wall-clock-divided-batch methodology
+    (experiment_runner.py:434-437: ``query_times[cursor:end] =
+    elapsed / batch_size``; percentile arithmetic metrics.py:222-234):
+    each recorded repeat of an ``n_queries``-row serving batch
+    contributes ``n_queries`` per-query latencies of ``wall / n``, and
+    mean / p50 / p95 / p99 / min / max (ms) are computed over the
+    concatenated distribution — plus ``qps`` = total queries served /
+    total wall, the reference's ``len(queries)/total_query_time``.
+
+    The explode keeps the arithmetic identical to the reference's
+    flat ``query_times`` array (and to a SQL twin via
+    ``unnest(generate_series(...))``) rather than hand-weighting
+    percentiles; at catalogue scale it is thousands of rows."""
+    g = [F.col(c) for c in group_cols]
+    per = timings.select(
+        *group_cols,
+        F.col(wall_col).cast("double").alias("_w"),
+        F.col(n_col).cast("long").alias("_n"),
+    ).select(
+        *group_cols,
+        F.col("_w"),
+        F.col("_n"),
+        F.explode(F.sequence(F.lit(1), F.col("_n"))).alias("_i"),
+    ).select(
+        *group_cols,
+        (F.col("_w") * 1000.0 / F.col("_n")).alias("_t_ms"),
+    )
+    c = F.col("_t_ms")
+    return (
+        per.groupBy(*g)
+        .agg(
+            F.count(c).alias("n"),
+            F.round(F.avg(c), 6).alias("mean_ms"),
+            F.round(F.expr("percentile(_t_ms, 0.5)"), 6).alias("p50_ms"),
+            F.round(F.expr("percentile(_t_ms, 0.95)"), 6).alias("p95_ms"),
+            F.round(F.expr("percentile(_t_ms, 0.99)"), 6).alias("p99_ms"),
+            F.round(F.min(c), 6).alias("min_ms"),
+            F.round(F.max(c), 6).alias("max_ms"),
+            # Σ t_ms over the exploded rows = 1000 × Σ rep walls, so
+            # count / (Σ t_ms / 1000) = total queries / total wall —
+            # the reference's len(queries)/total_query_time
+            F.round(F.count(c) / (F.sum(c) / 1000.0), 6).alias("qps"),
+        )
+        .orderBy(*g)
+    )
+
+
 def latency_stats(times: DataFrame, col: str = "t") -> DataFrame:
     """Latency statistics (reference: metrics.py:212-237): mean, median,
     p95, p99, min, max — exact percentiles with linear interpolation so

@@ -486,7 +486,15 @@ def _stub_pcm(payload: bytes) -> np.ndarray:
     """Deterministic PCM stand-in: payload bytes as int64 sample values
     — the audio analogue of ``_stub_pixels`` (SQL twin:
     ``unicode(substr(text, i, 1))`` per position), so the whole
-    fingerprint pipeline is oracle-reproducible without a codec."""
+    fingerprint pipeline is oracle-reproducible without a codec.
+
+    ASCII-only contract (shared with the image/video stubs): the stub
+    reads UTF-8 OCTETS while the SQL twin reads per-character
+    CODEPOINTS, which coincide exactly on ASCII text (every gate
+    corpus) and diverge on multi-byte characters — in both sample
+    count and values.  The stand-ins exist to oracle-check the
+    Spark-side plumbing, not to model text; real audio goes through
+    ``_wav_pcm``, which never sees this contract."""
     return np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
 
 

@@ -267,6 +267,29 @@ class ExperimentRunner:
             metrics["n_repeats"] = len(walls)
             metrics["search_wall_std_s"] = round(wall_std, 3)
             metrics["search_wall_runs_s"] = [round(w, 3) for w in walls]
+            # per-query latency distribution over the repeats, per the
+            # reference's wall-clock-divided-batch semantics
+            # (experiment_runner.py:434-437: every query in a batch is
+            # billed wall/n) and its percentile arithmetic
+            # (metrics.py:222-234, numpy linear interpolation) — the
+            # same derivation metrics.serving_latency_stats applies to
+            # recorded timing frames
+            if n_queries:
+                import numpy as np
+
+                per_ms = np.repeat(
+                    np.array([1000.0 * w / n_queries for w in walls]),
+                    n_queries,
+                )
+                metrics["query_ms_p50"] = round(
+                    float(np.percentile(per_ms, 50)), 6
+                )
+                metrics["query_ms_p95"] = round(
+                    float(np.percentile(per_ms, 95)), 6
+                )
+                metrics["query_ms_p99"] = round(
+                    float(np.percentile(per_ms, 99)), 6
+                )
             if search_time:
                 # delta-method spread of qps = n/wall around the mean wall
                 metrics["qps_std"] = round(
