@@ -159,6 +159,30 @@ def test_serving_latency_recorded_artifact(spark):
         assert r["qps"] > 0
 
 
+def test_serving_welch_t_frame_matches_welch_t(spark):
+    """The distributed Welch frame ≡ sweep.welch_t (t statistic and
+    Welch-Satterthwaite dof) on the same walls."""
+    from vectordb_retrieval_spark.metrics import serving_welch_t_frame
+    from vectordb_retrieval_spark.sweep import welch_t
+
+    xs = [0.40, 0.62, 0.51, 0.47]
+    ys = [0.09, 0.15, 0.11]
+    rows = [("a", i, 4, w) for i, w in enumerate(xs)] + [
+        ("b", i, 3, w) for i, w in enumerate(ys)
+    ]
+    df = spark.createDataFrame(
+        rows, "algorithm string, rep long, n_queries long, wall_s double"
+    )
+    r = serving_welch_t_frame(df).collect()
+    assert len(r) == 1
+    t, dof, _p = welch_t(xs, ys)
+    assert r[0]["algorithm_a"] == "a" and r[0]["algorithm_b"] == "b"
+    assert r[0]["n_a"] == 4 and r[0]["n_b"] == 3
+    assert r[0]["t_stat"] == pytest.approx(t, abs=1e-6)
+    assert r[0]["dof"] == pytest.approx(dof, abs=1e-6)
+    assert r[0]["mean_a_s"] == pytest.approx(sum(xs) / 4, abs=1e-6)
+
+
 def test_latency_stats(spark):
     from vectordb_retrieval_spark.metrics import latency_stats
 

@@ -172,11 +172,35 @@ SELECT algorithm,
 FROM per GROUP BY algorithm ORDER BY algorithm
 """
 
+def serving_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vectordb_retrieval_spark.metrics import serving_welch_t_frame
+
+    return serving_welch_t_frame(spark.read.parquet(TIMINGS_PATH))
+
+
+SERVING_WELCH_ORACLE = f"""
+WITH s AS (
+  SELECT algorithm, CAST(count(*) AS BIGINT) AS n,
+         avg(wall_s) AS m, var_samp(wall_s) AS v
+  FROM read_parquet('{TIMINGS_PATH}') GROUP BY algorithm
+)
+SELECT a.algorithm AS algorithm_a, b.algorithm AS algorithm_b,
+       a.n AS n_a, b.n AS n_b,
+       round(a.m, 6) AS mean_a_s, round(b.m, 6) AS mean_b_s,
+       round((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n), 6) AS t_stat,
+       round(pow(a.v / a.n + b.v / b.n, 2)
+             / (pow(a.v / a.n, 2) / (a.n - 1)
+                + pow(b.v / b.n, 2) / (b.n - 1)), 6) AS dof
+FROM s a JOIN s b ON a.algorithm < b.algorithm
+ORDER BY algorithm_a, algorithm_b
+"""
+
 QUERIES = {
     "retrieval_metrics_at_10": metrics_at_10,
     "retrieval_metrics_sweep": metrics_sweep,
     "latency_stats_events": latency_events,
     "serving_latency_stats": serving_latency,
+    "serving_welch_ttest": serving_welch,
 }
 
 ORACLES = {
@@ -186,4 +210,5 @@ ORACLES = {
     ),
     "latency_stats_events": LATENCY_ORACLE,
     "serving_latency_stats": SERVING_LATENCY_ORACLE,
+    "serving_welch_ttest": SERVING_WELCH_ORACLE,
 }

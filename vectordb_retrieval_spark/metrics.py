@@ -242,6 +242,59 @@ def serving_latency_stats(
     )
 
 
+def serving_welch_t_frame(
+    timings: DataFrame,
+    wall_col: str = "wall_s",
+    algo_col: str = "algorithm",
+) -> DataFrame:
+    """Pairwise Welch unequal-variance t statistic + Welch-Satterthwaite
+    dof between algorithms' recorded serving walls — the distributed
+    form of ``sweep.welch_t`` (reference: scripts/compare_algorithms.py
+    leans on scipy.stats.ttest_ind(equal_var=False)).  The p-value
+    needs the regularized incomplete beta (sweep.welch_t / the
+    one-pager carry it); (t, dof) is the SQL-reproducible arithmetic,
+    so that is what the hash-checked frame exposes."""
+    w = F.col(wall_col).cast("double")
+    s = timings.groupBy(algo_col).agg(
+        F.count(w).alias("n"),
+        F.avg(w).alias("m"),
+        F.var_samp(w).alias("v"),
+    )
+    a = s.select(
+        F.col(algo_col).alias("algorithm_a"),
+        F.col("n").alias("n_a"),
+        F.col("m").alias("m_a"),
+        F.col("v").alias("v_a"),
+    )
+    b = s.select(
+        F.col(algo_col).alias("algorithm_b"),
+        F.col("n").alias("n_b"),
+        F.col("m").alias("m_b"),
+        F.col("v").alias("v_b"),
+    )
+    se2 = F.col("v_a") / F.col("n_a") + F.col("v_b") / F.col("n_b")
+    dof = (se2 * se2) / (
+        (F.col("v_a") / F.col("n_a")) ** 2 / (F.col("n_a") - 1)
+        + (F.col("v_b") / F.col("n_b")) ** 2 / (F.col("n_b") - 1)
+    )
+    return (
+        a.join(b, F.col("algorithm_a") < F.col("algorithm_b"))
+        .select(
+            "algorithm_a",
+            "algorithm_b",
+            "n_a",
+            "n_b",
+            F.round("m_a", 6).alias("mean_a_s"),
+            F.round("m_b", 6).alias("mean_b_s"),
+            F.round(
+                (F.col("m_a") - F.col("m_b")) / F.sqrt(se2), 6
+            ).alias("t_stat"),
+            F.round(dof, 6).alias("dof"),
+        )
+        .orderBy("algorithm_a", "algorithm_b")
+    )
+
+
 def latency_stats(times: DataFrame, col: str = "t") -> DataFrame:
     """Latency statistics (reference: metrics.py:212-237): mean, median,
     p95, p99, min, max — exact percentiles with linear interpolation so
