@@ -472,6 +472,25 @@ def main() -> int:
     recall_cp = recall_vs_exact(cp_res)
     cp_res.unpersist()
 
+    # r12 multi-executor realism twin (see the graph nofastpath row):
+    # the same cluster-pruned artifact served WITHOUT the packed-index
+    # broadcast (threshold=0) and /dev/shm node-local blobs — the
+    # partitioned two-phase scan a real cluster would run, exactness
+    # unchanged (recall must stay 1.0)
+    saved_cp_bc = cp_art.params.pop("_serving_bc", None)
+    cpn_res, t_cpn = timed_search(
+        ClusterPrunedExactSearcher(
+            nprobe=8, broadcast_threshold=0, node_local_cache=False
+        ).attach(cp_art),
+        big_queries,
+        20,
+    )
+    recall_cpn = recall_vs_exact(cpn_res)
+    cpn_res.unpersist()
+    cp_art.params.pop("_serving_bc", None)  # drop the 0-threshold memo
+    if saved_cp_bc is not None:
+        cp_art.params["_serving_bc"] = saved_cp_bc
+
     # Amortized large-batch rows: the same artifacts serving a 16384-
     # query batch.  Spark's per-job floor dominates the 2048q numbers on
     # this toy corpus; batch throughput is the quantity that transfers
@@ -518,6 +537,33 @@ def main() -> int:
         amortized[f"qps_{label}_16384q"] = round(16_384 / t16, 2)
         amortized[f"recall_{label}_16384q"] = recall16(res16)
         res16.unpersist()
+
+    # r12 multi-executor realism row: the same graph artifact served
+    # WITHOUT the single-node fast paths — broadcast_threshold=0 skips
+    # the packed-shard broadcast, node_local_cache=False skips the
+    # /dev/shm mmap publish — so the shuffle-replicated partitioned
+    # plan (the one a 1000-executor cluster would run; the fast paths'
+    # documented fallback) gets a recorded cost instead of only a
+    # functional test.  The fast-path memos are popped for the
+    # measurement and restored after (they are artifact-scoped).
+    saved_fp = {
+        k_: g_art.params.pop(k_, None)
+        for k_ in ("_shard_bc", "_shard_bc_key", "_shard_pids", "_shm_shards")
+    }
+    res_nofp, t_nofp = timed_search(
+        GraphANNSearcher(
+            ef_search=24, broadcast_threshold=0, node_local_cache=False
+        ).attach(g_art),
+        big16,
+        20,
+    )
+    amortized["qps_graph_ef24_nofastpath_16384q"] = round(16_384 / t_nofp, 2)
+    amortized["recall_graph_ef24_nofastpath_16384q"] = recall16(res_nofp)
+    res_nofp.unpersist()
+    g_art.params.pop("_shard_bc", None)  # drop the 0-threshold None memo
+    for k_, v_ in saved_fp.items():
+        if v_ is not None:
+            g_art.params[k_] = v_
 
     # 65 536-query rows for the reference's fastest configs (ivf_sq8
     # 248 897 / ivf_flat 111 697 / ivf_pq 43 245 QPS in BASELINE.md):
@@ -594,6 +640,44 @@ def main() -> int:
     amortized["qps_ivf_sq8_nprobe24_262144q"] = round(262_144 / t256_best, 2)
     amortized["gemm_paired_sq8_65536q"] = gemm64_sq8
     amortized["gemm_paired_sq8_262144q"] = gemm256_sq8
+
+    # r12 standing tripwire for the past-gate chunked-union serving
+    # path: 786 432 queries = 3× the 262 144-row query-broadcast gate,
+    # so the sq8 searcher recurses through collect_or_chunk's salted
+    # qid-hash chunks (3 sub-plans unioned).  This path used to be
+    # probed only by a hand-run script (scripts/query_gate_scale_probe
+    # .py); a regression in chunking/union would have been invisible to
+    # BENCH_r{N}.  Acceptance: within ~2× of the in-gate 262k rate.
+    from vectordb_retrieval_spark.functions.kernels import (
+        query_broadcast_cached,
+    )
+
+    big786 = big256
+    for j in (16, 32):
+        big786 = big786.union(
+            big256.select((F.col("qid") + 1_000_000 * j).alias("qid"), "vec")
+        )
+    big786 = big786.repartition(int(cpus)).cache()
+    n786 = big786.count()
+    amortized["gate3x_n_queries"] = n786
+    amortized["gate3x_past_gate"] = bool(
+        query_broadcast_cached(big786, "qid", "vec") is None
+    )
+    materialize(
+        sq8_262.search(big786, 20, qid_col="qid", vec_col="vec").select(
+            "qid", "id"
+        )
+    )
+    t786 = timed_min(
+        lambda: materialize(
+            sq8_262.search(big786, 20, qid_col="qid", vec_col="vec").select(
+                "qid", "id"
+            )
+        ),
+        reps=2,
+    )
+    amortized["qps_ivf_sq8_nprobe24_gate3x_786432q"] = round(n786 / t786, 2)
+    big786.unpersist()
     big256.unpersist()
     big64.unpersist()
     for df in (big16, exact_16k):
@@ -623,6 +707,8 @@ def main() -> int:
         "cluster_pruned_build_s": round(t_cp_build, 3),
         "qps_cluster_pruned_2048q": round(2048 / t_cp, 2),
         "recall_cluster_pruned": recall_cp,
+        "qps_cluster_pruned_nofastpath_2048q": round(2048 / t_cpn, 2),
+        "recall_cluster_pruned_nofastpath": recall_cpn,
     }
     for df in (base, queries, big_queries, exact_big):
         df.unpersist()
@@ -1549,6 +1635,33 @@ def main() -> int:
     REF_GFLOPS_W = 423.0
     ANCHOR_W = 0.2
     ANCHOR_CLIP = 3.0
+    # The anchors were calibrated on ONE machine (the r10 official
+    # clean-window capture); on different hardware the clipped index
+    # can rescale the normalized headline by up to ~1.8× relative to
+    # raw, so normalized totals are only comparable across captures
+    # from the SAME machine.  The capture machine is pinned here and
+    # every run records its own fingerprint; a mismatch flags the
+    # normalized twins as cross-machine (read raw timings instead).
+    REF_MACHINE = "Intel(R) Xeon(R) Processor @ 2.10GHz/32c"
+
+    def _machine_fingerprint() -> str:
+        model = ""
+        try:
+            with open("/proc/cpuinfo") as fh:
+                for ln in fh:
+                    if ln.startswith("model name"):
+                        model = ln.split(":", 1)[1].strip()
+                        break
+        except OSError:
+            pass
+        if not model:
+            import platform
+
+            model = platform.processor() or platform.machine() or "unknown"
+        return f"{model}/{os.cpu_count()}c"
+
+    machine_fp = _machine_fingerprint()
+    norm_cross_machine = machine_fp != REF_MACHINE
 
     def _window_index(fl: float, gf: float) -> float:
         fr = min(
@@ -1622,6 +1735,9 @@ def main() -> int:
         "headline_ref_gflops": REF_GFLOPS_W,
         "headline_anchor_weight": ANCHOR_W,
         "headline_anchor_clip": ANCHOR_CLIP,
+        "headline_ref_machine": REF_MACHINE,
+        "machine_fingerprint": machine_fp,
+        "headline_norm_cross_machine": norm_cross_machine,
         "queries_normalized": queries_n,
         "queries_floor_s": row_floor,
         "queries_gemm_gflops": row_gemm,
@@ -1679,6 +1795,10 @@ def main() -> int:
             if t > 0 and abs(queries_n[n] - t) / t > 0.10
         },
     }
+    if norm_cross_machine:
+        # normalized twins were calibrated on a different machine —
+        # read the raw timings; full fingerprints in BENCH_DETAIL.json
+        compact["hl_n_cross_machine"] = True
     # BASELINE-comparable rows, highest-priority first; appended until
     # the byte budget is spent so truncation (if ever needed) drops the
     # least important keys, never the calibration or the headline.
@@ -1693,6 +1813,10 @@ def main() -> int:
         ("sq8_gemm_262k", amortized, "gemm_paired_sq8_262144q"),
         ("sq8_65k_n", normalized, "sq8_65k_n"),
         ("sq8_262k_n", normalized, "sq8_262k_n"),
+        # r12: past-gate chunked-union serving tripwire (3× the query-
+        # broadcast gate) and the multi-executor fallback plan's cost
+        ("gate3x_sq8", amortized, "qps_ivf_sq8_nprobe24_gate3x_786432q"),
+        ("g24_16k_nofp", amortized, "qps_graph_ef24_nofastpath_16384q"),
         # at-scale curve points (task: the round's scale evidence must
         # survive in the BENCH json, not just scripts/ + prose)
         ("curve_n", scale_curve, "ann_n"),
