@@ -183,6 +183,32 @@ def test_serving_welch_t_frame_matches_welch_t(spark):
     assert r[0]["mean_a_s"] == pytest.approx(sum(xs) / 4, abs=1e-6)
 
 
+def test_ranking_spearman(spark):
+    """Hand-checked truncated-list Spearman: identical lists ⇒ 1.0;
+    one swap + one substitution at k=3 ⇒ 0.4 (union n=4, Σd²=6);
+    disjoint lists ⇒ non-positive."""
+    from vectordb_retrieval_spark.metrics import ranking_spearman
+
+    a = make_ranked(
+        spark,
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3),
+         (1, 20, 1), (1, 21, 2), (1, 22, 3),
+         (2, 30, 1), (2, 31, 2)],
+    )
+    b = make_ranked(
+        spark,
+        [(0, 10, 1), (0, 12, 2), (0, 13, 3),
+         (1, 20, 1), (1, 21, 2), (1, 22, 3),
+         (2, 40, 1), (2, 41, 2)],
+    )
+    rows = {r["qid"]: r for r in ranking_spearman(a, b, 3).collect()}
+    # qid 0: union {10,11,12,13} -> ranks a(1,2,3,4) vs b(1,4,2,3),
+    # d2 = 0+4+1+1 = 6, rho = 1 - 36/(4*15) = 0.4
+    assert rows[0]["n"] == 4 and rows[0]["rho"] == pytest.approx(0.4)
+    assert rows[1]["rho"] == pytest.approx(1.0)
+    assert rows[2]["rho"] <= 0.0
+
+
 def test_latency_stats(spark):
     from vectordb_retrieval_spark.metrics import latency_stats
 

@@ -195,12 +195,70 @@ FROM s a JOIN s b ON a.algorithm < b.algorithm
 ORDER BY algorithm_a, algorithm_b
 """
 
+def rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query Spearman rho between the truncated-vector retriever's
+    top-K and the exact top-K — the ranking-agreement diagnostic over
+    the same pred/gt pair the metric slots grade."""
+    from vectordb_retrieval_spark.metrics import ranking_spearman
+
+    pred, gt = pred_gt(spark, sf_dir)
+    return ranking_spearman(pred, gt, K)
+
+
+RANK_CORR_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id % 10 = 0
+),
+dl AS (
+  SELECT q.qid, b.vec_id AS id,
+         row_number() OVER (
+           PARTITION BY q.qid
+           ORDER BY list_distance(q.qv, CAST(b.embedding AS DOUBLE[])), b.vec_id
+         ) AS rank
+  FROM q CROSS JOIN embeddings b
+),
+dp AS (
+  SELECT q.qid, b.vec_id AS id,
+         row_number() OVER (
+           PARTITION BY q.qid
+           ORDER BY list_distance(q.qv[1:8], CAST(b.embedding AS DOUBLE[])[1:8]),
+                    b.vec_id
+         ) AS rank
+  FROM q CROSS JOIN embeddings b
+),
+a AS (SELECT qid, id, rank FROM dp WHERE rank <= {K}),
+g AS (SELECT qid, id, rank FROM dl WHERE rank <= {K}),
+u AS (
+  SELECT coalesce(a.qid, g.qid) AS qid,
+         CAST(coalesce(a.rank, {K} + 1) AS DOUBLE) AS ra,
+         CAST(coalesce(g.rank, {K} + 1) AS DOUBLE) AS rb
+  FROM a FULL OUTER JOIN g ON a.qid = g.qid AND a.id = g.id
+),
+per AS (
+  SELECT qid, CAST(count(*) AS BIGINT) AS n,
+         sum(ra) AS sa, sum(rb) AS sb,
+         sum(ra * ra) AS saa, sum(rb * rb) AS sbb,
+         sum(ra * rb) AS sab
+  FROM u GROUP BY qid
+)
+SELECT qid, n,
+       round(CASE WHEN n > 1
+                   AND n * saa - sa * sa > 0
+                   AND n * sbb - sb * sb > 0
+                  THEN (n * sab - sa * sb)
+                       / sqrt((n * saa - sa * sa) * (n * sbb - sb * sb))
+                  ELSE 0.0 END, 6) AS rho
+FROM per ORDER BY qid
+"""
+
 QUERIES = {
     "retrieval_metrics_at_10": metrics_at_10,
     "retrieval_metrics_sweep": metrics_sweep,
     "latency_stats_events": latency_events,
     "serving_latency_stats": serving_latency,
     "serving_welch_ttest": serving_welch,
+    "eval_rank_correlation": rank_correlation,
 }
 
 ORACLES = {
@@ -211,4 +269,5 @@ ORACLES = {
     "latency_stats_events": LATENCY_ORACLE,
     "serving_latency_stats": SERVING_LATENCY_ORACLE,
     "serving_welch_ttest": SERVING_WELCH_ORACLE,
+    "eval_rank_correlation": RANK_CORR_ORACLE,
 }

@@ -242,6 +242,58 @@ def serving_latency_stats(
     )
 
 
+def ranking_spearman(pred_a: DataFrame, pred_b: DataFrame, k: int) -> DataFrame:
+    """Per-query Spearman rank correlation between two top-k rankings —
+    the ranking-agreement diagnostic for comparing two retrievers (e.g.
+    an ANN config against exact ground truth, or lexical vs dense):
+    DataFrame(qid, n, rho), one row per query, ordered by qid.
+
+    Truncated-list convention: ranks come from each ranking's top-k;
+    the union of retrieved ids is scored and an id absent from one
+    list takes the sentinel rank k+1 (ties allowed in the sentinel
+    only).  rho is the PEARSON correlation of the assigned rank
+    vectors — identical to the classic 1 − 6·Σd²/(n(n²−1)) whenever
+    both vectors are tie-free permutations, and (unlike that formula,
+    which escapes [−1, 1] under sentinel ties) correctly bounded when
+    they are not.  Identical lists ⇒ 1.0; disjoint ⇒ strongly
+    negative.  Degenerate queries — n ≤ 1, or one ranking empty so a
+    rank vector is constant — report 0.0 (no agreement signal)."""
+    a = pred_a.filter(F.col("rank") <= k).select(
+        "qid", "id", F.col("rank").cast("long").alias("rank_a")
+    )
+    b = pred_b.filter(F.col("rank") <= k).select(
+        "qid", "id", F.col("rank").cast("long").alias("rank_b")
+    )
+    j = a.join(b, ["qid", "id"], "full_outer").select(
+        "qid",
+        F.coalesce("rank_a", F.lit(k + 1)).cast("double").alias("ra"),
+        F.coalesce("rank_b", F.lit(k + 1)).cast("double").alias("rb"),
+    )
+    per = j.groupBy("qid").agg(
+        F.count("*").alias("n"),
+        F.sum("ra").alias("sa"),
+        F.sum("rb").alias("sb"),
+        F.sum(F.col("ra") * F.col("ra")).alias("saa"),
+        F.sum(F.col("rb") * F.col("rb")).alias("sbb"),
+        F.sum(F.col("ra") * F.col("rb")).alias("sab"),
+    )
+    n = F.col("n").cast("double")
+    cov = n * F.col("sab") - F.col("sa") * F.col("sb")
+    var_a = n * F.col("saa") - F.col("sa") * F.col("sa")
+    var_b = n * F.col("sbb") - F.col("sb") * F.col("sb")
+    return per.select(
+        "qid",
+        "n",
+        F.round(
+            F.when(
+                (F.col("n") > 1) & (var_a > 0) & (var_b > 0),
+                cov / F.sqrt(var_a * var_b),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("rho"),
+    ).orderBy("qid")
+
+
 def serving_welch_t_frame(
     timings: DataFrame,
     wall_col: str = "wall_s",
