@@ -1123,7 +1123,9 @@ def query_driven_job(
     must be batch-independent (every searcher kernel here is).
 
     ``rows_per_task`` sets the per-task query-slice floor for the
-    broadcast plan.  The 512 default amortizes Python-worker dispatch
+    broadcast plan — an int, or a callable ``n_queries -> int`` so a
+    kernel can pick the floor per batch size (the collected count is
+    only known here).  The 512 default amortizes Python-worker dispatch
     for CHEAP kernels (probe-few-clusters: sq8/IVF/LSH); compute-heavy
     kernels whose per-query work rivals an exact scan (cluster-pruned's
     two-phase bound search) pass a smaller floor so mid-size batches
@@ -1143,7 +1145,8 @@ def query_driven_job(
     if bcq is not None:
         n = len(bcq.value[0])
         par = spark.sparkContext.defaultParallelism
-        n_tasks = max(1, min(par, -(-n // max(1, rows_per_task))))
+        rpt = rows_per_task(n) if callable(rows_per_task) else rows_per_task
+        n_tasks = max(1, min(par, -(-n // max(1, rpt))))
         rng = spark.range(0, n_tasks, 1, n_tasks)
 
         def kernel(batches):
