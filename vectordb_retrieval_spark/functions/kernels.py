@@ -15,6 +15,7 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from vectordb_retrieval_spark.functions.distance import normalize_rows
 
@@ -515,6 +516,7 @@ def pack_assignment(
     payload_col: str,
     codec,
     max_rows_per_blob: int = 512,
+    cluster_sizes: dict[int, int] | None = None,
 ) -> DataFrame:
     """Assignment/code table → one row per cluster with flat binary
     blobs: (cluster_id, n, ids int64-bytes, payload matrix-bytes,
@@ -592,40 +594,98 @@ def pack_assignment(
                 )
 
     spark = assignment.sparkSession
-    blobs = (
+    n_parts = max(1, spark.sparkContext.defaultParallelism)
+    if cluster_sizes is None:
+        # lazy path (derived artifacts): one extra aggregate to learn
+        # cluster masses; build-time callers pass the sizes they already
+        # collected while materializing the assignment cache, making
+        # packing a SINGLE action
+        cluster_sizes = {
+            int(r["cluster_id"]): int(r["n"])
+            for r in assignment.groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+    units = []
+    for cid, n in cluster_sizes.items():
+        for sub, s in enumerate(range(0, n, max_rows_per_blob)):
+            units.append((cid, sub, min(n - s, max_rows_per_blob)))
+    order = sorted(units, key=lambda u: (-(u[2] ** 2), u[0], u[1]))
+    loads = [0] * n_parts
+    pre = _identity_preimages(spark, n_parts)
+    bucket: dict[tuple[int, int], int] = {}
+    for cid, sub, n in order:
+        b = min(range(n_parts), key=lambda i: (loads[i], i))
+        bucket[(cid, sub)] = pre[b]
+        loads[b] += n * n
+    bc = spark.sparkContext.broadcast(bucket)
+
+    def kernel_b(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bmap = bc.value
+        for pdf in kernel(batches):
+            pdf = pdf.copy()
+            pdf["bucket"] = [
+                bmap[(int(c), int(s))]
+                for c, s in zip(pdf["cluster_id"], pdf["sub"])
+            ]
+            yield pdf
+
+    placed = (
         assignment.select("cluster_id", "id", payload_col)
         # whole clusters per task — packing needs every row of a
         # cluster in one partition regardless of the input's layout
         .repartition("cluster_id")
         .mapInPandas(
-            kernel,
+            kernel_b,
             schema=(
                 "cluster_id long, n long, ids binary, payload binary, "
-                "width int, dt string, sub int"
+                "width int, dt string, sub int, bucket int"
             ),
         )
+        # bucket values are murmur3 preimages, so this hash repartition
+        # IS the greedy bin-packed placement (identity bucket→partition)
+        # — all-DataFrame, no RDD pickle round-trip, one action total
+        .repartition(n_parts, "bucket")
+        .drop("bucket")
         .cache()
     )
-    units = blobs.select("cluster_id", "sub", "n").collect()
-    n_parts = max(1, spark.sparkContext.defaultParallelism)
-    order = sorted(
-        units, key=lambda r: (-(r["n"] ** 2), r["cluster_id"], r["sub"])
-    )
-    loads = [0] * n_parts
-    bucket: dict[tuple[int, int], int] = {}
-    for r in order:
-        b = min(range(n_parts), key=lambda i: (loads[i], i))
-        bucket[(r["cluster_id"], r["sub"])] = b
-        loads[b] += r["n"] ** 2
-    placed = spark.createDataFrame(
-        blobs.rdd.map(
-            lambda row: (bucket[(row["cluster_id"], row["sub"])], row)
-        ).partitionBy(n_parts, lambda b: b).values(),
-        blobs.schema,
-    ).cache()
     placed.count()
-    blobs.unpersist()
     return placed
+
+
+# memo: partition-count → murmur3 preimage bucket ids (see
+# _identity_preimages); driver-side, tiny
+_HASH_PREIMAGES: dict[int, list[int]] = {}
+
+
+def _identity_preimages(spark, n: int) -> list[int]:
+    """For each partition p in 0..n-1, the smallest int b with
+    ``pmod(murmur3(b), n) == p`` — using b as a bucket value makes
+    ``repartition(n, col)`` place bucket p exactly in partition p
+    (hash placement turned into identity placement).  Evaluated with
+    Spark's own ``F.hash`` over a local relation (ConvertToLocalRelation
+    folds it driver-side: no job)."""
+    got = _HASH_PREIMAGES.get(n)
+    if got is not None:
+        return got
+    pre: list[int | None] = [None] * n
+    found, cand = 0, 0
+    while found < n:
+        batch = list(range(cand, cand + 8 * n))
+        cand += 8 * n
+        rows = (
+            spark.createDataFrame([(b,) for b in batch], "b int")
+            .select("b", F.pmod(F.hash("b"), F.lit(n)).alias("p"))
+            .collect()
+        )
+        for r in rows:
+            if pre[r["p"]] is None:
+                pre[r["p"]] = r["b"]
+                found += 1
+            if found == n:
+                break
+    _HASH_PREIMAGES[n] = pre  # type: ignore[assignment]
+    return pre  # type: ignore[return-value]
 
 
 def packed_assignment_cached(art, table: str = "assignment") -> DataFrame:

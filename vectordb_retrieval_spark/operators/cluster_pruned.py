@@ -55,36 +55,15 @@ class ClusterPrunedExactIndexer(IVFIndexer):
             codec=None, init_mode=init_mode,
         )
 
+    # covering radii ride the assignment kernel + the build's
+    # materializing aggregate (ivf.IVFIndexer.build) — no separate
+    # distance pass over the assignment table
+    _radii_in_assign = True
+
     def build(
         self, base_df: DataFrame, id_col: str = "id", vec_col: str = "vec"
     ) -> IndexArtifact:
         art = super().build(base_df, id_col, vec_col)
-        cents = art.params["centroids"]
-        spark = base_df.sparkSession
-        bc = spark.sparkContext.broadcast(cents)
-
-        def kernel(batches):
-            centroids = bc.value
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                mat = np.vstack(pdf["vec"].to_numpy()).astype(np.float64)
-                cid = pdf["cluster_id"].to_numpy(dtype=np.int64)
-                d = np.sqrt(((mat - centroids[cid]) ** 2).sum(axis=1))
-                yield pd.DataFrame({"cluster_id": cid, "r": d})
-
-        radii_rows = (
-            art.tables["assignment"]
-            .select("cluster_id", "vec")
-            .mapInPandas(kernel, schema="cluster_id long, r double")
-            .groupBy("cluster_id")
-            .agg(F.max("r").alias("r"))
-            .collect()
-        )
-        radii = np.zeros(len(cents))
-        for row in radii_rows:
-            radii[row["cluster_id"]] = row["r"]
-        art.params["radii"] = radii
         art.kind = "cluster_pruned_exact"
         return art
 

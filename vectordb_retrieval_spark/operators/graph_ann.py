@@ -634,9 +634,6 @@ class GraphANNIndexer:
 
             base = base.withColumn("pid", lsh_pid(F.col("vec")))
         elif self.partition_by == "kmeans":
-            from pyspark.ml.clustering import KMeans
-            from pyspark.ml.functions import array_to_vector
-
             if metric == "cosine":
                 # directional data: cluster on the sphere, or euclidean
                 # KMeans merges clusters by norm and shard sizes collapse
@@ -644,7 +641,11 @@ class GraphANNIndexer:
                 from vectordb_retrieval_spark.operators.ivf import _norm_df
 
                 base = _norm_df(base, "vec")
-            feats = base.withColumn("features", array_to_vector("vec"))
+            from vectordb_retrieval_spark.operators.ivf import (
+                _assign_df,
+                _sampled_kmeans_train,
+            )
+
             # Over-partition + bin-pack (the SPANN/DiskANN balanced-
             # posting-list design): k = n_parts KMeans inherits the
             # data's cluster-mass skew directly — observed 17% of a
@@ -655,13 +656,19 @@ class GraphANNIndexer:
             # by its member BALL centroids (not one merged mean), so
             # routing keeps true ball geometry while shard mass stays
             # bounded — the property that holds at any corpus size.
+            # The balls come from the sampled driver-side Lloyd (the
+            # FAISS max_points_per_centroid contract — one bounded
+            # TakeOrdered pass, no job-per-iteration MLlib fit).
             n_rows = base.count()
             k_sub = max(n_parts, min(4 * n_parts, n_rows))
-            km = KMeans(k=k_sub, seed=self.seed, maxIter=10).fit(feats)
-            assigned = km.transform(feats)
+            sub_cents = _sampled_kmeans_train(
+                base, k_sub, self.seed, 10, "k-means||"
+            )
+            k_sub = len(sub_cents)
+            assigned = _assign_df(base, sub_cents)
             sizes = {
-                int(r["prediction"]): int(r["count"])
-                for r in assigned.groupBy("prediction").count().collect()
+                int(r["cluster_id"]): int(r["count"])
+                for r in assigned.groupBy("cluster_id").count().collect()
             }
             # greedy bin-pack: heaviest ball first onto the lightest
             # shard — deterministic (ties by ball index, then shard id)
@@ -673,12 +680,9 @@ class GraphANNIndexer:
                 loads[p] += sizes.get(c, 0)
             pid_map = F.array(*[F.lit(int(x)) for x in sub_pid])
             base = assigned.withColumn(
-                "pid", F.element_at(pid_map, F.col("prediction") + 1).cast("long")
+                "pid",
+                F.element_at(pid_map, F.col("cluster_id") + 1).cast("long"),
             ).select("id", "vec", "pid")
-            # routing table: the k_sub ball centers with their shard ids
-            sub_cents = np.asarray(
-                [np.asarray(c, dtype=np.float64) for c in km.clusterCenters()]
-            )
         else:
             base = base.withColumn(
                 "pid", F.pmod(F.xxhash64("id"), F.lit(n_parts))

@@ -4,8 +4,10 @@ Reference counterpart: FAISS factory "IVF{nlist},Flat|SQ8|PQ{m}"
 (modular.py:224-309, configs/benchmark_config.yaml:36-72).  Spark-first
 re-design (SURVEY.md §7.1 step 6):
 
-- **build**: MLlib KMeans learns ``nlist`` centroids (the coarse
-  quantizer); the base table becomes an assignment table
+- **build**: a seeded driver-side Lloyd on a deterministic bounded
+  sample learns ``nlist`` centroids (the coarse quantizer — FAISS's
+  own max_points_per_centroid=256 training contract; one table scan,
+  not a job per iteration); the base table becomes an assignment table
   (cluster_id, id, vec-or-codes).  At cluster scale this table is
   written Parquet-partitioned by ``cluster_id`` so probing prunes
   partitions at the scan (Catalyst partition pruning) — locally it is
@@ -73,6 +75,86 @@ def _norm_df(df: DataFrame, vec_col: str) -> DataFrame:
     return df.mapInPandas(kernel, schema=schema)
 
 
+# FAISS trains its coarse quantizer on a bounded sample, not the full
+# table: Clustering.max_points_per_centroid defaults to 256, and index
+# training subsamples anything larger before running Lloyd
+# (faiss/Clustering.cpp).  Same contract here: a deterministic
+# hash-ordered sample of ≤ TRAIN_POINTS_PER_CENTROID × nlist rows is
+# collected (orderBy+limit ⇒ TakeOrdered: per-partition top-n + driver
+# merge — ONE scan of the table, no full sort, no job-per-iteration),
+# and the seeded Lloyd runs driver-side in NumPy.  At 100 TB this
+# replaces max_iter full-table passes with exactly one bounded pass;
+# the sample is partition-layout-independent (hash of id), so the
+# trained centroids are reproducible across cluster sizes.
+TRAIN_POINTS_PER_CENTROID = 256
+
+
+def _sampled_kmeans_train(
+    base: DataFrame, nlist: int, seed: int, max_iter: int, init_mode: str
+) -> np.ndarray:
+    from vectordb_retrieval_spark.operators.quant import lloyd_kmeans
+
+    n_train = TRAIN_POINTS_PER_CENTROID * nlist
+    if n_train > (1 << 18):
+        # big-nlist builds: probe the dim BEFORE collecting so the gate
+        # fires ahead of an oversized driver transfer; small builds skip
+        # the probe job (their sample can't breach the gate)
+        first = base.select(F.size("vec").alias("d")).first()
+        if first is None:
+            raise ValueError("IVF build: empty base table")
+        if n_train * int(first["d"]) > LLOYD_COLLECT_MAX_CELLS:
+            raise ValueError(
+                f"IVF train sample: {n_train:,} × {first['d']} cells "
+                f"exceeds the driver gate ({LLOYD_COLLECT_MAX_CELLS:,}); "
+                "lower nlist or train with FixedCentroidIVFIndexer on "
+                "external centroids"
+            )
+    pdf = (
+        base.select("id", "vec")
+        .orderBy(F.xxhash64(F.col("id"), F.lit(int(seed))), F.col("id"))
+        .limit(n_train)
+        .select("vec")
+        .toPandas()
+    )
+    if len(pdf) == 0:
+        raise ValueError("IVF build: empty base table")
+    mat = np.vstack(pdf["vec"].to_numpy()).astype(np.float64)
+    init = "++" if init_mode in ("k-means||", "k-means++", "++") else "random"
+    return lloyd_kmeans(mat, nlist, seed, iters=max_iter, init=init)
+
+
+def _assign_df(
+    base: DataFrame, centroids: np.ndarray, with_dist: bool = False
+) -> DataFrame:
+    """Distributed nearest-centroid assignment under broadcast centroids
+    (argmin-only chunked kernel — see functions/distance.assign_nearest
+    for why the full (batch, k) distance matrix is never materialized).
+    ``with_dist`` adds the member→centroid L2 distance ``r`` (float64
+    math on the stored float32 vectors), letting cluster-pruned's
+    covering-radii aggregate ride the same kernel pass."""
+    spark = base.sparkSession
+    bc = spark.sparkContext.broadcast(np.asarray(centroids, dtype=np.float64))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cents = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.vstack(pdf["vec"].to_numpy()).astype(np.float32)
+            cid = assign_nearest(mat, cents)
+            pdf = pdf[["id", "vec"]].copy()
+            pdf.insert(0, "cluster_id", cid)
+            if with_dist:
+                diff = mat.astype(np.float64) - cents[cid]
+                pdf["r"] = np.sqrt((diff * diff).sum(axis=1))
+            yield pdf
+
+    schema = "cluster_id int, id long, vec array<float>"
+    if with_dist:
+        schema += ", r double"
+    return base.mapInPandas(kernel, schema=schema)
+
+
 class IVFIndexer:
     """KMeans coarse quantizer + cluster-assigned base table."""
 
@@ -96,31 +178,14 @@ class IVFIndexer:
     def build(
         self, base_df: DataFrame, id_col: str = "id", vec_col: str = "vec"
     ) -> IndexArtifact:
-        from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector
-
         base = base_df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
         if self.metric == "cosine":
             base = _norm_df(base, "vec")
-        # cached: KMeans iterations, codec calibration, and the code/
-        # assignment pass each scan this — pay normalization once
-        feats = base.withColumn("features", array_to_vector("vec")).cache()
-        km = KMeans(
-            k=self.nlist,
-            seed=self.seed,
-            maxIter=self.max_iter,
-            initMode=self.init_mode,
+        self.centroids = _sampled_kmeans_train(
+            base, self.nlist, self.seed, self.max_iter, self.init_mode
         )
-        model = km.fit(feats)
-        self.centroids = np.vstack([c for c in model.clusterCenters()]).astype(
-            np.float64
-        )
-        assigned = (
-            model.transform(feats)
-            .withColumnRenamed("prediction", "cluster_id")
-            .select("cluster_id", "id", "vec")
-        )
-        radii = None
+        with_dist = self._radii_in_assign and self.codec is None
+        assigned = _assign_df(base, self.centroids, with_dist=with_dist)
         if self.codec is not None:
             if not self.codec.is_fitted():
                 self.codec.fit(assigned, vec_col="vec")
@@ -128,23 +193,42 @@ class IVFIndexer:
                 "cluster_id", "id", "codes"
             )
         # partition by cluster so probe joins scan only probed clusters;
-        # cache + eager count so the build lineage (normalize → KMeans
-        # transform → encode) runs exactly once AT BUILD TIME (build
+        # cache + eager materialization so the build lineage (normalize
+        # → assign → encode) runs exactly once AT BUILD TIME (build
         # timing stays honest, searches never re-run it) — the persisted
         # form (save_artifact → parquet partitioned by cluster_id) is
-        # the cluster-scale equivalent
+        # the cluster-scale equivalent.  The materializing action is a
+        # per-cluster stats aggregate, not a bare count: the cluster
+        # sizes feed pack_assignment's placement (sparing it its own
+        # collect) and, for cluster-pruned builds, max(r) IS the
+        # covering-radii aggregate — one action does all three jobs.
         assigned = assigned.repartition("cluster_id").cache()
-        assigned.count()
-        feats.unpersist()
+        aggs = [F.count(F.lit(1)).alias("n")]
+        if with_dist:
+            aggs.append(F.max("r").alias("rmax"))
+        stats = assigned.groupBy("cluster_id").agg(*aggs).collect()
+        sizes = {int(r["cluster_id"]): int(r["n"]) for r in stats}
+        radii = None
+        if with_dist:
+            radii = np.zeros(len(self.centroids))
+            for r in stats:
+                radii[r["cluster_id"]] = r["rmax"]
+            # strip r from the exposed assignment (a projection over the
+            # same cache — downstream append/delete/pack schemas stay
+            # radius-free)
+            assigned = assigned.drop("r")
         # packed per-cluster blobs — the partitioned scan's transport
         # format (kernels.pack_assignment, returned cached + placed) and
         # the fast source for the broadcast-serving collect; persisted
         # parquet-partitioned by cluster_id so probed searches prune
         # blob partitions on disk
         packed = pack_assignment(
-            assigned, "vec" if self.codec is None else "codes", self.codec
+            assigned,
+            "vec" if self.codec is None else "codes",
+            self.codec,
+            cluster_sizes=sizes,
         )
-        return IndexArtifact(
+        art = IndexArtifact(
             kind="ivf",
             tables={"assignment": assigned, "packed": packed},
             params={
@@ -162,6 +246,14 @@ class IVFIndexer:
                 },
             },
         )
+        if radii is not None:
+            art.params["radii"] = radii
+        return art
+
+    # subclass hook (ClusterPrunedExactIndexer): compute covering radii
+    # inside the assignment kernel + materializing aggregate instead of
+    # a separate post-build pass
+    _radii_in_assign = False
 
 
 # Driver-size gate for lloyd_refine's centroid refresh (r11 judge #5):
@@ -206,37 +298,69 @@ def lloyd_refine(
             "centroid array is driver-resident by design — reduce nlist "
             "or cluster hierarchically instead of raising the bound"
         )
+    spark = base_df.sparkSession
+    base = base_df.select(F.col(vec_col).alias("vec"))
     for _ in range(iters):
-        art = FixedCentroidIVFIndexer(cents).build(
-            base_df, id_col=id_col, vec_col=vec_col
-        )
-        assignment = art.tables["assignment"]
-        # collect one DENSE array row per cluster, not nlist × dim
-        # exploded Rows: per-Row driver overhead is ~10× the 8-byte
-        # payload, so the compact form keeps the refresh driver-small
-        # right up to the static gate above.  array_sort on
-        # struct(pos, v) orders by pos (unique per cluster), so the
-        # dense vector is position-exact; the averaged values are
-        # unchanged, keeping the kmeans oracles bit-identical.
+        # one job per iteration: the SAME assignment kernel as
+        # _assign_df (float32 matrix vs float64 centroids, ties to the
+        # lower cluster id) fused with a per-partition (Σvec, count)
+        # partial — each partition emits ≤ nlist compact rows, so the
+        # shuffle is npartitions × nlist dense arrays and the driver
+        # collects exactly nlist rows.  No per-iteration artifact build,
+        # no cache, and — unlike the previous posexplode plan — never
+        # n × dim exploded rows in flight.  The mean is partial sums /
+        # count instead of a flat avg(): a different float64 summation
+        # order, absorbed by the same round_dp grid that already makes
+        # the Spark and DuckDB-oracle averages coincide.
+        bc = spark.sparkContext.broadcast(cents)
+        k, d = cents.shape
+
+        def kernel(
+            batches: Iterator[pd.DataFrame], _bc=bc, _k=k, _d=d
+        ) -> Iterator[pd.DataFrame]:
+            c = _bc.value
+            sums = np.zeros((_k, _d))
+            cnts = np.zeros(_k, dtype=np.int64)
+            seen = False
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                seen = True
+                mat = np.vstack(pdf["vec"].to_numpy()).astype(np.float32)
+                cid = assign_nearest(mat, c)
+                cnts += np.bincount(cid, minlength=_k)
+                m64 = mat.astype(np.float64)
+                for t in range(_d):
+                    sums[:, t] += np.bincount(cid, weights=m64[:, t], minlength=_k)
+            if seen:
+                nz = cnts > 0
+                yield pd.DataFrame(
+                    {
+                        "cluster_id": np.arange(_k)[nz],
+                        "s": list(sums[nz]),
+                        "c": cnts[nz],
+                    }
+                )
+
+        zero = F.array_repeat(F.lit(0.0), d)
         rows = (
-            assignment
-            .select("cluster_id", F.posexplode("vec").alias("pos", "val"))
-            .groupBy("cluster_id", "pos")
-            .agg(F.avg(F.col("val").cast("double")).alias("v"))
+            base.mapInPandas(kernel, schema="cluster_id int, s array<double>, c long")
             .groupBy("cluster_id")
             .agg(
-                F.array_sort(
-                    F.collect_list(F.struct("pos", "v"))
-                ).alias("pv")
+                F.sum("c").alias("c"),
+                F.aggregate(
+                    F.collect_list("s"),
+                    zero,
+                    lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+                ).alias("s"),
             )
             .collect()
         )
-        # the intermediate assignment is consumed by this one aggregation
-        assignment.unpersist()
         new = cents.copy()  # empty clusters keep their old centroid
         for r in rows:
-            new[r["cluster_id"], :] = [x["v"] for x in r["pv"]]
+            new[r["cluster_id"], :] = np.asarray(r["s"]) / float(r["c"])
         cents = np.round(new, round_dp) if round_dp is not None else new
+        bc.destroy()
     return cents
 
 
@@ -254,27 +378,7 @@ class FixedCentroidIVFIndexer(IVFIndexer):
         base = base_df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
         if self.metric == "cosine":
             base = _norm_df(base, "vec")
-        spark = base.sparkSession
-        bc = spark.sparkContext.broadcast(self.centroids)
-
-        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            cents = bc.value
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                mat = np.vstack(pdf["vec"].to_numpy()).astype(np.float32)
-                # argmin-only chunked kernel: at web-scale centroid
-                # counts (SemDeDup k ~ n/200) the full (batch, k)
-                # distance matrix is GBs of page-faulted temporaries
-                # per batch — see functions/distance.py:assign_nearest
-                cid = assign_nearest(mat, cents)
-                pdf = pdf[["id", "vec"]].copy()
-                pdf.insert(0, "cluster_id", cid)
-                yield pdf
-
-        assigned = base.mapInPandas(
-            kernel, schema="cluster_id int, id long, vec array<float>"
-        )
+        assigned = _assign_df(base, self.centroids)
         if self.codec is not None:
             if not self.codec.is_fitted():
                 self.codec.fit(assigned, vec_col="vec")

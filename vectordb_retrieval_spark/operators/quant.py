@@ -155,20 +155,45 @@ class SQfp16Codec:
         return df.mapInPandas(kernel, schema=f"{schema}, codes array<smallint>")
 
 
-def lloyd_kmeans(
-    data: np.ndarray, k: int, seed: int, iters: int = 25
+def _kpp_init(
+    data: np.ndarray, k: int, rng: np.random.RandomState
 ) -> np.ndarray:
-    """Seeded Lloyd k-means (driver-side, for PQ sub-codebooks).
+    """Seeded k-means++ (D² sampling) initial centroids."""
+    n = data.shape[0]
+    cents = np.empty((k, data.shape[1]), dtype=np.float64)
+    cents[0] = data[rng.randint(n)]
+    d2 = ((data - cents[0]) ** 2).sum(axis=1)
+    for i in range(1, k):
+        tot = d2.sum()
+        if tot <= 0.0:
+            # all remaining mass identical to a chosen center (duplicate-
+            # heavy input): fall back to uniform picks for the rest
+            cents[i:] = data[rng.choice(n, size=k - i)]
+            break
+        cents[i] = data[rng.choice(n, p=d2 / tot)]
+        d2 = np.minimum(d2, ((data - cents[i]) ** 2).sum(axis=1))
+    return cents
+
+
+def lloyd_kmeans(
+    data: np.ndarray, k: int, seed: int, iters: int = 25, init: str = "random"
+) -> np.ndarray:
+    """Seeded Lloyd k-means (driver-side, for PQ sub-codebooks and the
+    sampled IVF coarse-quantizer trainer).
 
     GEMM assignment (‖x‖² − 2x·cᵀ + ‖c‖²) + bincount center update —
     same algorithm and seeding as the naive membership loop but ~50×
     faster at ksub=256, which is what makes FAISS-parity codebooks
-    (m=dim, ksub=256) trainable in seconds."""
+    (m=dim, ksub=256) trainable in seconds.  ``init='++'`` uses seeded
+    k-means++ D² sampling (the driver-side analogue of k-means||)."""
     rng = np.random.RandomState(seed)
     data = np.ascontiguousarray(data, dtype=np.float64)
     n, d = data.shape
     k = min(k, n)
-    cents = data[rng.choice(n, size=k, replace=False)].copy()
+    if init == "++":
+        cents = _kpp_init(data, k, rng)
+    else:
+        cents = data[rng.choice(n, size=k, replace=False)].copy()
     if d == 1:
         # 1-d fast path (PQ with dsub=1, e.g. FAISS PQ64 on 64-d data):
         # nearest centroid = binary search against sorted-centroid
