@@ -549,12 +549,15 @@ def pack_assignment(
     bin-packed into exactly ``defaultParallelism`` partitions by n²
     weight (expected scan work per cluster is rows × probing-query
     count, and popularity tracks mass for distribution-matched
-    queries, so n² is the static proxy) via an identity-partitioned
-    RDD.  Hash placement binned whole clusters so unevenly that the
-    straggler task dominated search wall; round-robin still clumped
-    popular clusters ~2-4×.  The unit list collected for packing is
-    one row per blob (≤ nlist × ceil(max_cluster/cap)) — driver-small
-    for any sane nlist; at cluster scale the persisted
+    queries, so n² is the static proxy).  Hash placement binned whole
+    clusters so unevenly that the straggler task dominated search wall;
+    round-robin still clumped popular clusters ~2-4×.  The bin-packed
+    bucket ids are murmur3 PREIMAGES (_identity_preimages), so a plain
+    ``repartition(n, bucket)`` realizes the placement exactly — one
+    action, no RDD round-trip.  The unit list is derived driver-side
+    from per-cluster sizes (≤ nlist × ceil(max_cluster/cap) units —
+    driver-small for any sane nlist), passed in by build-time callers
+    that already aggregated them; at cluster scale the persisted
     cluster_id-partitioned layout plus AQE skew handling replace this
     in-memory placement."""
 

@@ -158,11 +158,24 @@ class SQfp16Codec:
 def _kpp_init(
     data: np.ndarray, k: int, rng: np.random.RandomState
 ) -> np.ndarray:
-    """Seeded k-means++ (D² sampling) initial centroids."""
+    """Seeded k-means++ (D² sampling) initial centroids.
+
+    Distance refresh per picked center is the matvec expansion
+    ``‖x‖² − 2 x·c + ‖c‖²`` (clamped at 0 against fp cancellation), not
+    a broadcast ``(data − c)²`` pass — the latter allocates an n × d
+    temporary per step, which at a 65k × 384 training sample × k=256
+    steps is ~50 GB of page traffic and dominates the whole train."""
     n = data.shape[0]
     cents = np.empty((k, data.shape[1]), dtype=np.float64)
+    x2 = (data * data).sum(axis=1)
+
+    def dist2_to(c: np.ndarray) -> np.ndarray:
+        d2 = x2 - 2.0 * (data @ c) + float(c @ c)
+        np.maximum(d2, 0.0, out=d2)
+        return d2
+
     cents[0] = data[rng.randint(n)]
-    d2 = ((data - cents[0]) ** 2).sum(axis=1)
+    d2 = dist2_to(cents[0])
     for i in range(1, k):
         tot = d2.sum()
         if tot <= 0.0:
@@ -171,7 +184,7 @@ def _kpp_init(
             cents[i:] = data[rng.choice(n, size=k - i)]
             break
         cents[i] = data[rng.choice(n, p=d2 / tot)]
-        d2 = np.minimum(d2, ((data - cents[i]) ** 2).sum(axis=1))
+        np.minimum(d2, dist2_to(cents[i]), out=d2)
     return cents
 
 

@@ -52,6 +52,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # ORDER BY hash LIMIT n (the bounded k-means train sample) must
+        # plan as TakeOrdered (per-partition top-n + driver merge, one
+        # scan), not the full-sort fallback Spark switches to past 10k
+        # rows — 2^21 covers every sample the LLOYD_COLLECT gate admits
+        .config("spark.sql.execution.topKSortFallbackThreshold", str(1 << 21))
         .config("spark.ui.enabled", "false")
         # testdata events.parquet carries TIMESTAMP(NANOS) which Spark
         # rejects by default; read as long nanos and convert at use sites.
