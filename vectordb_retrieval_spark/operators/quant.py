@@ -373,8 +373,8 @@ def pq_refine(
     Same construction as ``ivf.lloyd_refine``, applied per subspace:
     encode every vector against the current codebooks (ties by lowest
     code), recompute each codebook entry as the per-dimension mean of
-    its assigned subvectors (posexplode + groupBy — map-side
-    combinable), keep unassigned entries, round to ``round_dp``
+    its assigned subvectors (fused encode + partial-sum kernel, one job
+    per iteration), keep unassigned entries, round to ``round_dp``
     decimals so an SQL engine summing in any order reproduces the
     codebooks bit-for-bit.  Seeded-data init + rounded Lloyd steps is
     the same train regime as ``lloyd_kmeans``, made cross-engine
@@ -382,29 +382,75 @@ def pq_refine(
     """
     cb = np.asarray(codebooks, dtype=np.float64)
     m, ksub, dsub = cb.shape
-    base = base_df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    spark = base_df.sparkSession
+    base = base_df.select(F.col(vec_col).alias("vec"))
     for _ in range(iters):
-        codec = PQCodec(m=m, ksub=ksub)
-        codec.codebooks = cb
-        enc = codec.encode_df(base, "vec")
-        sub = enc.join(base, "id")
+        # one job per iteration (the ivf.lloyd_refine construction):
+        # encode with the codec's own argmin (ties to the lowest code,
+        # identical to encode_df) and accumulate per-(subspace, code)
+        # float64 partial sums inside the same kernel — each partition
+        # emits ≤ m × ksub compact rows.  The old plan ran an encode
+        # job, an id-equi-join, and a DOUBLE posexplode (n × dim rows
+        # in flight) per iteration.  Partial-sums/count vs a flat avg()
+        # is a different float64 summation order, absorbed by the same
+        # round_dp grid that already aligns the Spark and DuckDB-oracle
+        # means.
+        bc = spark.sparkContext.broadcast(cb)
+
+        def kernel(
+            batches: Iterator[pd.DataFrame], _bc=bc, _m=m, _ks=ksub, _ds=dsub
+        ) -> Iterator[pd.DataFrame]:
+            codec = PQCodec(m=_m, ksub=_ks)
+            codec.codebooks = _bc.value
+            sums = np.zeros((_m, _ks, _ds))
+            cnts = np.zeros((_m, _ks), dtype=np.int64)
+            seen = False
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                seen = True
+                mat = _stack(pdf["vec"])
+                codes = codec.encode(mat)
+                m64 = mat.astype(np.float64)
+                for j in range(_m):
+                    sub = m64[:, j * _ds : (j + 1) * _ds]
+                    cj = codes[:, j]
+                    cnts[j] += np.bincount(cj, minlength=_ks)
+                    for t in range(_ds):
+                        sums[j, :, t] += np.bincount(
+                            cj, weights=sub[:, t], minlength=_ks
+                        )
+            if seen:
+                jj, cc = np.nonzero(cnts)
+                yield pd.DataFrame(
+                    {
+                        "j": jj,
+                        "code": cc,
+                        "s": [sums[a, b] for a, b in zip(jj, cc)],
+                        "c": cnts[jj, cc],
+                    }
+                )
+
         rows = (
-            sub.select("vec", F.posexplode("codes").alias("j", "code"))
-            .select(
-                "j",
-                "code",
-                F.posexplode(
-                    F.slice("vec", F.col("j") * dsub + F.lit(1), F.lit(dsub))
-                ).alias("pos", "val"),
+            base.mapInPandas(
+                kernel, schema="j int, code int, s array<double>, c long"
             )
-            .groupBy("j", "code", "pos")
-            .agg(F.avg(F.col("val").cast("double")).alias("v"))
+            .groupBy("j", "code")
+            .agg(
+                F.sum("c").alias("c"),
+                F.aggregate(
+                    F.collect_list("s"),
+                    F.array_repeat(F.lit(0.0), dsub),
+                    lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+                ).alias("s"),
+            )
             .collect()
         )
         new = cb.copy()  # entries with no assignments keep their value
         for r in rows:
-            new[r["j"], r["code"], r["pos"]] = r["v"]
+            new[r["j"], r["code"], :] = np.asarray(r["s"]) / float(r["c"])
         cb = np.round(new, round_dp) if round_dp is not None else new
+        bc.destroy()
     return cb
 
 
