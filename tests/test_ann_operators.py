@@ -1414,3 +1414,47 @@ def test_lloyd_refine_gates_oversized_centroid_collect(dfs, monkeypatch):
     monkeypatch.setattr(ivf_mod, "LLOYD_COLLECT_MAX_CELLS", 1 << 27)
     out = ivf_mod.lloyd_refine(base_df, init, iters=1)
     assert out.shape == init.shape and np.isfinite(out).all()
+
+
+def test_sampled_train_partition_layout_independent(dfs, vecs):
+    """The bounded k-means train sample orders by xxhash64(id, seed), so
+    the trained centroids must be BIT-IDENTICAL under any physical
+    partitioning of the base table — the property that makes a build
+    reproducible across cluster sizes (and across local[k] widths)."""
+    from vectordb_retrieval_spark.operators.ivf import _sampled_kmeans_train
+
+    base_df, _ = dfs
+    outs = []
+    for parts in (1, 7, 32):
+        b = base_df.repartition(parts)
+        sel = b.selectExpr("id", "vec")
+        outs.append(_sampled_kmeans_train(sel, 8, 3, 5, "k-means||"))
+    np.testing.assert_array_equal(outs[0], outs[1])
+    np.testing.assert_array_equal(outs[0], outs[2])
+
+
+def test_sampled_train_is_bounded_sample(spark):
+    """With more rows than TRAIN_POINTS_PER_CENTROID x nlist the trainer
+    must see exactly the hash-ordered prefix, not the whole table: the
+    centroids from the full build equal those trained on the manually
+    materialized prefix."""
+    from vectordb_retrieval_spark.operators import ivf as ivf_mod
+    from vectordb_retrieval_spark.operators.quant import lloyd_kmeans
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(11)
+    n, dim, nlist = 3000, 8, 4
+    rows = [(int(i), v.tolist()) for i, v in enumerate(rng.randn(n, dim).astype(np.float32))]
+    base = spark.createDataFrame(rows, "id long, vec array<float>")
+    seed = 5
+    got = ivf_mod._sampled_kmeans_train(base, nlist, seed, 6, "random")
+    n_train = ivf_mod.TRAIN_POINTS_PER_CENTROID * nlist
+    assert n_train < n
+    prefix = (
+        base.orderBy(F.xxhash64(F.col("id"), F.lit(seed)), F.col("id"))
+        .limit(n_train)
+        .toPandas()
+    )
+    mat = np.vstack(prefix["vec"].to_numpy()).astype(np.float64)
+    want = lloyd_kmeans(mat, nlist, seed, iters=6, init="random")
+    np.testing.assert_array_equal(got, want)
