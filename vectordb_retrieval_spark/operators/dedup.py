@@ -105,20 +105,35 @@ def _minhash_wide(
     text_col: str,
 ) -> DataFrame:
     """(id, m0..m{n_perm-1}): one row per document with its MinHash
-    signature as wide columns — a single shuffle (the per-id min agg).
+    signature as wide columns — computed entirely PER ROW (array
+    expressions), zero shuffles.
 
-    One md5 per distinct shingle occurrence; permutation j is
-    (a_j·(h mod p) + b_j) mod p — 64-bit-safe (a_j, h mod p < 2^31)."""
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s"),
-    ).withColumn("h", hash60(F.col("s")) % MERSENNE_P)
+    One md5 per distinct shingle; permutation j is the affine map
+    (a_j·(h mod p) + b_j) mod p — 64-bit-safe (a_j, h mod p < 2^31) —
+    and the per-document signature value is ``array_min`` over the
+    mapped hash array.  min over the same distinct-shingle hash set as
+    the previous explode → groupBy(min) plan, so values are identical;
+    the explode form shuffled a partial-aggregated row per document,
+    this form shuffles nothing at all (r13 optimization: guide §2.4,
+    remove shuffles outright).  The short-doc filter tests token count
+    (cheap) rather than size(sh) so Catalyst's filter pushdown cannot
+    duplicate the shingle+hash pipeline below the exchange."""
+    toks_ok = F.size(tokens_expr(F.col(text_col))) >= shingle_n
+    hs = F.transform(
+        word_shingles(F.col(text_col), shingle_n),
+        lambda s: hash60(s) % MERSENNE_P,
+    )
+    wide = df.filter(toks_ok).select(
+        F.col(id_col).alias("id"), hs.alias("hs")
+    )
     coeffs = perm_coeffs(n_perm)
     mins = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE_P).alias(f"m{j}")
+        F.array_min(
+            F.transform("hs", lambda h: (F.lit(a) * h + F.lit(b)) % MERSENNE_P)
+        ).alias(f"m{j}")
         for j, (a, b) in enumerate(coeffs)
     ]
-    return sh.groupBy("id").agg(*mins)
+    return wide.select("id", *mins)
 
 
 def minhash_signatures(
@@ -210,10 +225,17 @@ def minhash_verified_pairs(
     exact-Jaccard arithmetic runs on candidates alone.  Recall is the
     banding curve 1 − (1 − s^r)^b; precision is exact."""
     cand = minhash_lsh_pairs(df, n_perm, bands, shingle_n, id_col, text_col)
+    # no size(sh) > 0 filter here: a doc with no shingles has no MinHash
+    # signature, so it can never appear in the candidate list — the
+    # inner join below already excludes it.  The filter was worse than
+    # redundant: Catalyst pushed it below the scan-spread exchange and
+    # DUPLICATED the whole shingle transform (once in the pushed filter,
+    # once in the projection — the §4.4 double-evaluation shape, with
+    # JVM expressions instead of a UDF; seen in the r13 before-plan).
     t = df.select(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), shingle_n).alias("sh"),
-    ).filter(F.size("sh") > 0)
+    )
     # one join against the shingle table, not two: melt each candidate
     # pair to (a, b, id) rows, attach shingles by id, fold back.  The
     # two-join form evaluates the corpus-wide shingle scan once per
