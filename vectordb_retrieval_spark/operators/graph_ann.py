@@ -621,15 +621,18 @@ class GraphANNIndexer:
             F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
         )
         if self.partition_by == "lsh":
-            dim = base.select(F.size("vec").alias("d")).first()["d"]
             hash_size = max(1, (n_parts - 1).bit_length())
-            proj = make_projections(dim, 1, hash_size, self.seed)
-            bc_proj = spark.sparkContext.broadcast(proj)
+            seed = self.seed
 
             @F.pandas_udf("long")
             def lsh_pid(v: pd.Series) -> pd.Series:
+                # projections are rebuilt per batch from (dim, seed) —
+                # deterministic and a few µs, which removes the build's
+                # driver-side dim-probe job (a first() over the scan)
+                # and the projection broadcast entirely (r13)
                 vm = np.vstack(v.to_numpy()).astype(np.float64)
-                b = sign_buckets(vm, bc_proj.value)[:, 0]
+                proj = make_projections(vm.shape[1], 1, hash_size, seed)
+                b = sign_buckets(vm, proj)[:, 0]
                 return pd.Series(b % np.int64(n_parts))
 
             base = base.withColumn("pid", lsh_pid(F.col("vec")))

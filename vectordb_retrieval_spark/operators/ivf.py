@@ -342,23 +342,44 @@ def lloyd_refine(
                     }
                 )
 
-        zero = F.array_repeat(F.lit(0.0), d)
-        rows = (
-            base.mapInPandas(kernel, schema="cluster_id int, s array<double>, c long")
-            .groupBy("cluster_id")
-            .agg(
-                F.sum("c").alias("c"),
-                F.aggregate(
-                    F.collect_list("s"),
-                    zero,
-                    lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
-                ).alias("s"),
-            )
-            .collect()
+        part_rows = base.mapInPandas(
+            kernel, schema="cluster_id int, s array<double>, c long"
         )
-        new = cents.copy()  # empty clusters keep their old centroid
-        for r in rows:
-            new[r["cluster_id"], :] = np.asarray(r["s"]) / float(r["c"])
+        if cells * spark.sparkContext.defaultParallelism <= (1 << 25):
+            # small centroid arrays (every catalogue/IVF config): fold
+            # the ≤ npartitions × nlist partial rows on the DRIVER —
+            # one job instead of a shuffle stage + final-agg stage per
+            # iteration (r13).  A different float64 summation order than
+            # the zip_with fold, absorbed by the same round_dp grid
+            # (the fold's collect_list arrival order was itself
+            # nondeterministic); oracle-verified at all three SFs.
+            sums = np.zeros_like(cents)
+            cnts = np.zeros(k, dtype=np.int64)
+            for r in part_rows.collect():
+                sums[r["cluster_id"]] += np.asarray(r["s"])
+                cnts[r["cluster_id"]] += r["c"]
+            new = cents.copy()  # empty clusters keep their old centroid
+            nz = cnts > 0
+            new[nz] = sums[nz] / cnts[nz][:, None]
+        else:
+            # big nlist × dim: reduce to nlist rows IN Spark before the
+            # collect so the driver transfer stays nlist-bounded
+            zero = F.array_repeat(F.lit(0.0), d)
+            rows = (
+                part_rows.groupBy("cluster_id")
+                .agg(
+                    F.sum("c").alias("c"),
+                    F.aggregate(
+                        F.collect_list("s"),
+                        zero,
+                        lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+                    ).alias("s"),
+                )
+                .collect()
+            )
+            new = cents.copy()  # empty clusters keep their old centroid
+            for r in rows:
+                new[r["cluster_id"], :] = np.asarray(r["s"]) / float(r["c"])
         cents = np.round(new, round_dp) if round_dp is not None else new
         bc.destroy()
     return cents

@@ -211,34 +211,40 @@ class LSHSearcher:
         if "_serving_bc" in art.params:
             return art.params["_serving_bc"]
         indexer: LSHIndexer = art.params["indexer"]
-        n = art.tables["buckets"].count() // max(1, indexer.num_tables)
-        est = n * (4 * indexer.dimension + 8) + n * indexer.num_tables * 8
-        if est > self.broadcast_threshold:
-            art.params["_serving_bc"] = None
-            return None
-        vp = art.tables["vectors"].toPandas()
-        if len(vp) == 0:
+        # ONE action total (r13): collect the vectors row-capped (an
+        # over-threshold index never materializes on the driver — the
+        # query_broadcast_cached limit-gate convention) and recompute
+        # the bucket table DRIVER-side with the same seeded float32
+        # kernel the build ran (``bucket_of`` is deterministic, so the
+        # dict is identical to collecting art.tables["buckets"]).  The
+        # previous shape paid three driver round-trips per artifact:
+        # buckets.count() for the estimate, vectors.toPandas(), and
+        # buckets.toPandas().
+        per_row = 4 * indexer.dimension + 8 + indexer.num_tables * 8
+        cap = max(1, self.broadcast_threshold // per_row)
+        vp = art.tables["vectors"].limit(cap + 1).toPandas()
+        if len(vp) == 0 or len(vp) > cap:
             art.params["_serving_bc"] = None
             return None
         ids = vp["id"].to_numpy(dtype=np.int64)
         order = np.argsort(ids, kind="stable")
         ids = ids[order]
         vecs = np.vstack(vp["vec"].to_numpy()).astype(np.float32)[order]
-        bp = art.tables["buckets"].toPandas()
-        bt = bp["table_id"].to_numpy(dtype=np.int64)
-        bb = bp["bucket"].to_numpy()
-        bi = bp["id"].to_numpy(dtype=np.int64)
-        so = np.lexsort((bi, bb, bt))
-        bt, bb, bi = bt[so], bb[so], bi[so]
-        key_change = np.r_[
-            True, (bt[1:] != bt[:-1]) | (bb[1:] != bb[:-1])
-        ] if len(bt) else np.zeros(0, dtype=bool)
-        starts = np.nonzero(key_change)[0]
-        bounds = np.r_[starts, len(bt)]
-        buckets = {
-            (int(bt[s]), str(bb[s])): bi[s : bounds[j + 1]]
-            for j, s in enumerate(starts)
-        }
+        bk = indexer.bucket_of(vecs)  # (n, num_tables) bucket strings
+        buckets: dict = {}
+        for t in range(indexer.num_tables):
+            col = bk[:, t].astype(str)
+            # rows are id-ascending, so a stable sort on bucket keeps
+            # each bucket's id list ascending — same order the old
+            # (bi, bb, bt) lexsort produced
+            so = np.argsort(col, kind="stable")
+            sc, si = col[so], ids[so]
+            starts = np.r_[0, np.nonzero(sc[1:] != sc[:-1])[0] + 1] if len(
+                sc
+            ) else np.zeros(0, dtype=np.int64)
+            bounds = np.r_[starts, len(sc)]
+            for j, s in enumerate(starts):
+                buckets[(t, str(sc[s]))] = si[s : bounds[j + 1]]
         packed = PackedLSH(buckets, ids, vecs, indexer)
         if packed.nbytes() > self.broadcast_threshold:
             art.params["_serving_bc"] = None

@@ -431,24 +431,40 @@ def pq_refine(
                     }
                 )
 
-        rows = (
-            base.mapInPandas(
-                kernel, schema="j int, code int, s array<double>, c long"
-            )
-            .groupBy("j", "code")
-            .agg(
-                F.sum("c").alias("c"),
-                F.aggregate(
-                    F.collect_list("s"),
-                    F.array_repeat(F.lit(0.0), dsub),
-                    lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
-                ).alias("s"),
-            )
-            .collect()
+        part_rows = base.mapInPandas(
+            kernel, schema="j int, code int, s array<double>, c long"
         )
-        new = cb.copy()  # entries with no assignments keep their value
-        for r in rows:
-            new[r["j"], r["code"], :] = np.asarray(r["s"]) / float(r["c"])
+        cells = m * ksub * dsub
+        if cells * spark.sparkContext.defaultParallelism <= (1 << 25):
+            # small codebooks (every catalogue/PQ config): fold the
+            # ≤ npartitions × m × ksub partial rows on the DRIVER — one
+            # job instead of a shuffle + final-agg stage per iteration
+            # (r13; same construction and rounding-grid argument as
+            # ivf.lloyd_refine's direct fold)
+            sums = np.zeros((m, ksub, dsub))
+            cnts = np.zeros((m, ksub), dtype=np.int64)
+            for r in part_rows.collect():
+                sums[r["j"], r["code"]] += np.asarray(r["s"])
+                cnts[r["j"], r["code"]] += r["c"]
+            new = cb.copy()  # entries with no assignments keep their value
+            nz = cnts > 0
+            new[nz] = sums[nz] / cnts[nz][:, None]
+        else:
+            rows = (
+                part_rows.groupBy("j", "code")
+                .agg(
+                    F.sum("c").alias("c"),
+                    F.aggregate(
+                        F.collect_list("s"),
+                        F.array_repeat(F.lit(0.0), dsub),
+                        lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+                    ).alias("s"),
+                )
+                .collect()
+            )
+            new = cb.copy()  # entries with no assignments keep their value
+            for r in rows:
+                new[r["j"], r["code"], :] = np.asarray(r["s"]) / float(r["c"])
         cb = np.round(new, round_dp) if round_dp is not None else new
         bc.destroy()
     return cb

@@ -419,13 +419,37 @@ def artifact_serving_broadcast(
     if n * (width + decoded + 8) > threshold:
         art.params["_serving_bc"] = None
         return None
-    from vectordb_retrieval_spark.functions.kernels import (
-        packed_assignment_cached,
-    )
+    if (
+        art.tables.get("packed") is not None
+        or art.params.get("_packed_df") is not None
+    ):
+        from vectordb_retrieval_spark.functions.kernels import (
+            packed_assignment_cached,
+        )
 
-    packed = pack_clusters_from_packed(
-        packed_assignment_cached(art, table), cents, codec
-    )
+        packed = pack_clusters_from_packed(
+            packed_assignment_cached(art, table), cents, codec
+        )
+    else:
+        # fixed-centroid / derived artifacts carry no prebuilt blob
+        # table: collect the assignment rows directly — ONE action —
+        # instead of first materializing a packed blob DataFrame the
+        # broadcast immediately collects anyway (the lazy
+        # pack_assignment route costs a sizes aggregate + the pack
+        # shuffle + a cache count + the blob collect: four driver
+        # round-trips; r13 measured them as most of the fixed-centroid
+        # search wall at catalogue scale).  Bundle contents are
+        # identical (same dtypes, ascending cluster ids; within-cluster
+        # row order is irrelevant to results — distances are per-row
+        # and selection ties break on (dist, id)).  The over-threshold
+        # partitioned scan still packs lazily via
+        # packed_assignment_cached.
+        packed = pack_clusters(
+            art.tables[table],
+            "vec" if codec is None else "codes",
+            cents,
+            codec,
+        )
     if packed.nbytes() > threshold:
         art.params["_serving_bc"] = None
         return None
