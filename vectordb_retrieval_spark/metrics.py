@@ -112,29 +112,54 @@ def retrieval_metrics_multi(pred: DataFrame, gt: DataFrame, ks: list[int]) -> Da
     (usually exact-kNN crossJoins) execute once for ALL cutoffs, not
     once per cutoff as a per-k union would."""
     ks = sorted({int(k) for k in ks})
+    kmax = ks[-1]
     cuts = F.array(*[F.lit(k) for k in ks])
-    p = (
-        pred.select("qid", "id", "rank")
-        .withColumn("k", F.explode(cuts))
-        .filter(F.col("rank") <= F.col("k"))
-    )
+    # join FIRST on the un-exploded (qid, id) key, explode over the
+    # cutoff list AFTER (r13; guide §3.3: explode before a join
+    # multiplies the shuffle — here by len(ks)).  A pred row at cutoff
+    # k matches exactly the same gt row either way, so the exploded
+    # ``marked`` rows are identical to the old explode-then-join form.
+    p = pred.filter(F.col("rank") <= kmax).select("qid", "id", "rank")
     # gt is NOT truncated at k: non-recall metrics judge against the full
     # GT set (reference semantics); gt_rank carries the k-truncation info
-    g = (
-        gt.select("qid", "id", F.col("rank").alias("gt_rank"))
+    g = gt.select("qid", "id", F.col("rank").alias("gt_rank"))
+    # per-qid sizes with one per-k conditional sum each, exploded to the
+    # (k, qid) frame afterwards — one groupBy over n_gt rows instead of
+    # len(ks) × n_gt rows
+    gt_sizes = (
+        g.groupBy("qid")
+        .agg(
+            F.count("*").alias("n_gt"),
+            *[
+                F.sum((F.col("gt_rank") <= k).cast("long")).alias(f"_ngk{k}")
+                for k in ks
+            ],
+        )
+        .select(
+            "qid",
+            "n_gt",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(k).alias("k"), F.col(f"_ngk{k}").alias("n_gt_k")
+                    )
+                    for k in ks
+                ])
+            ).alias("_kn"),
+        )
+        .select(F.col("_kn.k").alias("k"), "qid", "n_gt", F.col("_kn.n_gt_k"))
+    )
+    marked = (
+        p.join(g, ["qid", "id"], "left")
         .withColumn("k", F.explode(cuts))
-        .select("k", "qid", "id", "gt_rank")
-    )
-    gt_sizes = g.groupBy("k", "qid").agg(
-        F.count("*").alias("n_gt"),
-        F.sum((F.col("gt_rank") <= F.col("k")).cast("long")).alias("n_gt_k"),
-    )
-    marked = p.join(g, ["k", "qid", "id"], "left").select(
-        "k",
-        "qid",
-        "rank",
-        F.when(F.col("gt_rank").isNotNull(), 1).otherwise(0).alias("hit"),
-        F.when(F.col("gt_rank") <= F.col("k"), 1).otherwise(0).alias("hit_k"),
+        .filter(F.col("rank") <= F.col("k"))
+        .select(
+            "k",
+            "qid",
+            "rank",
+            F.when(F.col("gt_rank").isNotNull(), 1).otherwise(0).alias("hit"),
+            F.when(F.col("gt_rank") <= F.col("k"), 1).otherwise(0).alias("hit_k"),
+        )
     )
     w = Window.partitionBy("k", "qid").orderBy("rank")
     scored = marked.withColumn("cum_hits", F.sum("hit").over(w)).select(
