@@ -251,7 +251,15 @@ FROM events
 # experiment_runner.py:434-437 + metrics.py:222-234) and the oracle
 # re-derives it from the SAME file — the timings stay honest
 # measurements while the stats arithmetic is hash-checked.
-TIMINGS_PATH = "/root/repo/bench_artifacts/serving_latency_timings.parquet"
+# repo-root-relative (advisor r12: the absolute literal was the only
+# absolute path in the package and broke any checkout not at /root/repo)
+import os as _os
+
+TIMINGS_PATH = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+    "bench_artifacts",
+    "serving_latency_timings.parquet",
+)
 
 
 def serving_latency(spark: SparkSession, sf_dir: str) -> DataFrame:

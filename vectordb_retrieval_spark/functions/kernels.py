@@ -625,10 +625,16 @@ def pack_assignment(
 
     def kernel_b(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bmap = bc.value
+        # .get with a deterministic fallback (advisor r12): if the
+        # caller-passed cluster_sizes ever disagreed with the rows the
+        # kernel actually sees, a missing (cluster, sub) unit degrades
+        # to hash-of-cluster placement (imbalanced but correct) instead
+        # of killing the whole pack job with an executor KeyError
+        n_pre = len(pre)
         for pdf in kernel(batches):
             pdf = pdf.copy()
             pdf["bucket"] = [
-                bmap[(int(c), int(s))]
+                bmap.get((int(c), int(s)), pre[int(c) % n_pre])
                 for c, s in zip(pdf["cluster_id"], pdf["sub"])
             ]
             yield pdf

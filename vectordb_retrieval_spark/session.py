@@ -55,7 +55,10 @@ def get_spark(
         # ORDER BY hash LIMIT n (the bounded k-means train sample) must
         # plan as TakeOrdered (per-partition top-n + driver merge, one
         # scan), not the full-sort fallback Spark switches to past 10k
-        # rows — 2^21 covers every sample the LLOYD_COLLECT gate admits
+        # rows.  2^21 covers every sample with dim >= 64 under the
+        # LLOYD_COLLECT gate (2^27 cells / 64); lower-dim high-nlist
+        # builds past 2^21 sampled rows fall back to the full-sort plan
+        # — a perf difference only, results unchanged (advisor r12).
         .config("spark.sql.execution.topKSortFallbackThreshold", str(1 << 21))
         .config("spark.ui.enabled", "false")
         # testdata events.parquet carries TIMESTAMP(NANOS) which Spark
