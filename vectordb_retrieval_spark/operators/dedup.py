@@ -681,12 +681,19 @@ def semantic_dedup(
                 "count (SemDeDup scales clusters with corpus size) or "
                 "pass allow_quadratic=True to force the join"
             )
-    vecs = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
+    # the assignment table ALREADY carries each vector (float32 — cast
+    # to double is exact, identical to casting the source column), so
+    # re-joining the source frame by id just added two exchanges and an
+    # SMJ; reading (id, cluster_id, v) straight off the cached
+    # cluster_id-partitioned assignment also lets the pair stage's
+    # groupBy(cluster_id) reuse that partitioning with no shuffle (r13)
+    sub_src = art.tables["assignment"].select(
+        "id",
+        F.col("cluster_id").cast("int").alias("cluster_id"),
+        F.col("vec").cast("array<double>").alias("v"),
     )
     if pair_plan == "gemm":
-        dropped = _semantic_dropped_gemm(assign.join(vecs, on="id"), threshold)
+        dropped = _semantic_dropped_gemm(sub_src, threshold)
         return assign.join(dropped, on="id", how="left_anti").select(
             F.col("id").alias("vec_id"), "cluster_id"
         )
@@ -697,7 +704,7 @@ def semantic_dedup(
     # self-norms once per ROW, not once per pair (the pair count is
     # ~cluster_size x the row count); same float64 fold order as the
     # per-pair form, so boundary decisions are unchanged
-    sub = assign.join(vecs, on="id").withColumn(
+    sub = sub_src.withColumn(
         "n2", _fold(F.transform("v", lambda x: x * x))
     )
     a = sub.select(

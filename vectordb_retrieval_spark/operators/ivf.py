@@ -95,22 +95,25 @@ def _sampled_kmeans_train(
     from vectordb_retrieval_spark.operators.quant import lloyd_kmeans
 
     n_train = TRAIN_POINTS_PER_CENTROID * nlist
-    # probe the dim and apply the cell gate UNCONDITIONALLY (advisor
-    # r12: the old n_train>2^18 shortcut assumed dim <= 512 — nlist=1024
-    # on 1536-d embeddings would have collected ~3 GiB ungated).  The
-    # probe is one cheap first(); the gate must fire BEFORE the sample
-    # transfer, so there is no row-count shortcut that is safe at every
-    # dimension.
-    first = base.select(F.size("vec").alias("d")).first()
-    if first is None:
-        raise ValueError("IVF build: empty base table")
-    if n_train * int(first["d"]) > LLOYD_COLLECT_MAX_CELLS:
-        raise ValueError(
-            f"IVF train sample: {n_train:,} × {first['d']} cells "
-            f"exceeds the driver gate ({LLOYD_COLLECT_MAX_CELLS:,}); "
-            "lower nlist or train with FixedCentroidIVFIndexer on "
-            "external centroids"
-        )
+    # probe the dim and apply the cell gate BEFORE the sample transfer
+    # (advisor r12: the old n_train>2^18 shortcut assumed dim <= 512 —
+    # nlist=1024 on 1536-d embeddings would have collected ~3 GiB
+    # ungated).  The probe job is skipped only when the sample is so
+    # small that even 32768-dim rows stay inside the gate (n_train ≤
+    # 2^27/2^15 = 4096, i.e. nlist ≤ 16) — wider-than-32k vectors are
+    # outside anything this engine's kernels support, and every larger
+    # sample pays the one cheap first().
+    if n_train * 32768 > LLOYD_COLLECT_MAX_CELLS:
+        first = base.select(F.size("vec").alias("d")).first()
+        if first is None:
+            raise ValueError("IVF build: empty base table")
+        if n_train * int(first["d"]) > LLOYD_COLLECT_MAX_CELLS:
+            raise ValueError(
+                f"IVF train sample: {n_train:,} × {first['d']} cells "
+                f"exceeds the driver gate ({LLOYD_COLLECT_MAX_CELLS:,}); "
+                "lower nlist or train with FixedCentroidIVFIndexer on "
+                "external centroids"
+            )
     pdf = (
         base.select("id", "vec")
         .orderBy(F.xxhash64(F.col("id"), F.lit(int(seed))), F.col("id"))

@@ -98,43 +98,70 @@ def bm25_rank(
     distributed TakeOrdered (orderBy + limit — partial top-k per
     partition, no global sort), so the plan holds at corpus scale:
 
-    - one explode + groupBy for document lengths (single shuffle on id),
-    - term frequencies for the (tiny) query-term subset only — the
-      explode output is filtered to the query terms BEFORE the groupBy,
-      so the tf shuffle carries matched rows only,
-    - document frequencies + corpus stats are scalar-sized aggregates
-      joined back via broadcast.
+    - document length and the per-query-term frequencies are PER-ROW
+      array expressions over one tokenization (r13: the previous shape
+      tokenized the corpus twice — an explode + groupBy for lengths and
+      a second explode + two groupBys for tf/df — i.e. two full passes
+      and three shuffles; this form reads the corpus once and shuffles
+      nothing but a one-row stats aggregate),
+    - document frequencies + corpus stats are one scalar-sized
+      aggregate over the per-row frame, broadcast back,
+    - per-document score = fixed-order sum of the per-term partials
+      (the old groupBy sum accumulated in shuffle-arrival order; both
+      land on the same 6-dp grid the callers round to).
     """
-    toks = doc_tokens(docs, id_col, text_col)
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    stats = dl.agg(
-        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    nt = len(query_terms)
+    toks_expr = F.filter(
+        F.split(F.col(text_col), TOKEN_PATTERN),
+        lambda x: F.length(x) > 0,
     )
-    matched = toks.filter(F.col("term").isin(query_terms))
-    tf = matched.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    # docs with zero tokens never reached the old dl aggregate; the
+    # trim-length test is equivalent (whitespace-only ⇒ no tokens) and
+    # cheap enough that Catalyst's filter pushdown can't hurt
+    def _tf_of(term: str):
+        # closure factory, NOT a default-arg lambda: pyspark treats a
+        # 2-parameter lambda as an (element, index) HOF signature
+        return F.size(F.filter("_toks", lambda x: x == F.lit(term)))
+
+    per = (
+        docs.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(id_col).alias("doc_id"), toks_expr.alias("_toks"))
+        .select(
+            "doc_id",
+            F.size("_toks").alias("dl"),
+            *[_tf_of(t).alias(f"_tf{i}") for i, t in enumerate(query_terms)],
+        )
+    )
+    stats = per.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(nt)
+        ],
+    )
+    any_match = None
+    for i in range(nt):
+        c = F.col(f"_tf{i}") > 0
+        any_match = c if any_match is None else (any_match | c)
+    score = F.lit(0.0)
+    for i in range(nt):
+        tf_i = F.col(f"_tf{i}").cast("double")
+        idf_i = F.log(
+            1.0
+            + (F.col("n_docs") - F.col(f"_df{i}") + 0.5)
+            / (F.col(f"_df{i}") + 0.5)
+        )
+        score_i = (
+            idf_i
+            * (tf_i * (k1 + 1.0))
+            / (tf_i + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+        )
+        score = score + F.when(F.col(f"_tf{i}") > 0, score_i).otherwise(0.0)
     scored = (
-        tf.join(dl, "doc_id")
-        .join(F.broadcast(dfreq), "term")
+        per.filter(any_match if any_match is not None else F.lit(False))
         .join(F.broadcast(stats))
-        .withColumn(
-            "idf",
-            F.log(
-                1.0
-                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-            ),
-        )
-        .withColumn(
-            "score_t",
-            F.col("idf")
-            * (F.col("tf") * (k1 + 1.0))
-            / (
-                F.col("tf")
-                + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
-            ),
-        )
-        .groupBy("doc_id")
-        .agg(F.sum("score_t").alias("score"))
+        .select("doc_id", score.alias("score"))
     )
     if round_scores is not None:
         scored = scored.withColumn(
