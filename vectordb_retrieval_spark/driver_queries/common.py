@@ -10,24 +10,39 @@ K = 10
 QUERY_FILTER = "vec_id % 10 = 0"
 
 
-def _spread(df: DataFrame) -> DataFrame:
+# scan partition counts per (path, parallelism): the count is a pure
+# function of the file layout and session conf, but reading it costs a
+# DataFrame→RDD plan conversion in the driver on EVERY catalogue-query
+# construction — memoized since r13
+_SCAN_NPARTS: dict = {}
+
+
+def _spread(df: DataFrame, memo_key=None) -> DataFrame:
     """Repartition a scan UP to the session's parallelism when the file
     layout gives fewer partitions than cores (a small local file is one
     row-group → one task, serializing every downstream expression and
     Arrow kernel).  At cluster scale the scan already has ≥ cores
     partitions and this is a no-op — never a down-shuffle of a big scan."""
     p = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < p:
+    key = (memo_key, p) if memo_key is not None else None
+    n = _SCAN_NPARTS.get(key)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        if key is not None:
+            _SCAN_NPARTS[key] = n
+    if n < p:
         return df.repartition(p)
     return df
 
 
 def emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    path = f"{sf_dir}/embeddings.parquet"
+    return _spread(spark.read.parquet(path), memo_key=path)
 
 
 def docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    path = f"{sf_dir}/documents.parquet"
+    return _spread(spark.read.parquet(path), memo_key=path)
 
 
 # events.parquet has stored ts as parquet TIMESTAMP(NANOS) in some data

@@ -458,6 +458,13 @@ def artifact_serving_broadcast(
     return bc
 
 
+# slice-grouping threshold for _broadcast_query_plan: past this many
+# query slices, two slices share one python task on a 2-thread pool
+# (GIL-free NumPy kernels overlap; dispatch tail halves).  Module-level
+# so the policy is A/B-able per kernel — r13 re-measured the r12 pq/lsh
+# serving rows under both settings (see OPTIMIZATION_r13.md).
+_SLICE_GROUP_THRESHOLD = 16
+
 # padding sentinel for ragged candidate blocks: sorts after every real
 # id at equal (infinite) distance, filtered from the emitted rows
 _PAD_ID = np.int64(1) << 62
@@ -1251,7 +1258,7 @@ def _broadcast_query_plan(
     n = len(bcq.value[0])  # driver-side broadcast read: no job
     par = spark.sparkContext.defaultParallelism
     n_slices = max(1, min(par, -(-n // max(1, rows_per_task))))
-    threads_per_task = 2 if n_slices > 16 else 1
+    threads_per_task = 2 if n_slices > _SLICE_GROUP_THRESHOLD else 1
     n_tasks = -(-n_slices // threads_per_task)
     rng = spark.range(0, n_tasks, 1, n_tasks)
 
