@@ -135,6 +135,16 @@ def pred_gt(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
         cands.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= K)
         .select("which", "qid", "id", "dist", "rank")
+        # pin the shared subtree: the metric consumers reference the
+        # ranked frame three times (pred, gt-sizes, gt-join) and
+        # runtime exchange reuse does not fire across these branches
+        # (verified on the final adaptive plan), so without the pin the
+        # scan + kernel + window executed three times.  localCheckpoint
+        # materializes ≤ 2·K·n_queries rows once per invocation —
+        # recomputed from parquet on every run, same convention as
+        # text_retrieval.global_rank (lost blocks fail loudly rather
+        # than silently recompute).
+        .localCheckpoint(eager=True)
     )
     pred = ranked.filter(F.col("which") == 1).drop("which")
     gt = ranked.filter(F.col("which") == 0).drop("which")
