@@ -22,6 +22,8 @@ counter (base_algorithm.py:91-96, covertree_v2_2.py:510-517).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -37,6 +39,46 @@ from vectordb_retrieval_spark.functions.kernels import (
 )
 from vectordb_retrieval_spark.operators.ivf import IVFIndexer
 from vectordb_retrieval_spark.operators.topk import topk_per_query
+
+
+# Fused-plan admission budget for the PARTITIONED search (guide §1.2
+# step 1 / §2.4): the two-phase plan pays one extra Spark job, a cache
+# materialization and a driver collect barrier between the phases —
+# ≥ 0.1 s of fixed cost on any cluster.  When a driver-side upper bound
+# T'_q (see ClusterPrunedExactSearcher.search) admits so few extra
+# cluster rows that scanning them costs less than that barrier, ONE
+# job scanning the admitted superset is strictly faster and still
+# exact.  10 GFLOP of f32 GEMM is well under 0.1 s on any pool this
+# engine targets; at real corpus sizes the admitted work blows past
+# the budget and the two-phase pruning plan is chosen — the decision
+# scales with the data, not with local[32].
+CP_FUSE_EXTRA_FLOPS = float(
+    os.environ.get("SPARK_GRAFT_CP_FUSE_FLOPS", 1e10)
+)
+
+
+def _cluster_sizes_cached(art) -> np.ndarray | None:
+    """Per-cluster row counts as a dense array indexed by cluster_id —
+    from the build's stats aggregate when fresh (zero extra actions),
+    else derived ONCE from the packed metadata (nlist × sub tiny rows)
+    and memoized.  Underscore param: runtime-only, dropped by
+    append/delete derivatives so they re-derive against their own
+    rows."""
+    nlist = len(art.params["centroids"])
+    sizes = art.params.get("_cluster_sizes")
+    if sizes is None:
+        packed = packed_assignment_cached(art)
+        rows = packed.select("cluster_id", "n").collect()
+        sizes = {}
+        for r in rows:
+            c = int(r["cluster_id"])
+            sizes[c] = sizes.get(c, 0) + int(r["n"])
+        art.params["_cluster_sizes"] = sizes
+    arr = np.zeros(nlist, dtype=np.float64)
+    for c, n in sizes.items():
+        if 0 <= c < nlist:
+            arr[c] = n
+    return arr
 
 
 class ClusterPrunedExactIndexer(IVFIndexer):
@@ -310,6 +352,47 @@ class ClusterPrunedExactSearcher:
                 packed, qids, qmat, probe_map, "l2", k, accum=accum,
                 n_tasks=scan_tasks, shm_root=shm_root,
             )
+
+        # --- fused single-job plan (scale-adaptive; guide §1.2/§2.4) ---
+        # A driver-computable upper bound on the true kth-NN distance:
+        # sort clusters by (d(q,c) + r_c) and take the cheapest prefix
+        # holding ≥ k members — every one of those members is within
+        # that prefix's max (d + r), so T'_q bounds the kth distance
+        # from above.  Clusters with d(q,c) − r_c > T'_q provably hold
+        # no top-k member (triangle inequality, same family as the
+        # phase-2 bound) — so ONE scan of the admitted set is exact,
+        # with no phase barrier, no cache materialization and no T_q
+        # collect.  T'_q is looser than phase-1's measured T_q, so the
+        # plan is only chosen when the extra admitted rows cost less
+        # than the barrier they remove (CP_FUSE_EXTRA_FLOPS); at real
+        # corpus sizes the estimate forces the two-phase pruning plan.
+        sizes = _cluster_sizes_cached(art)
+        if sizes is not None and sizes.sum() > 0:
+            ub = qc + radii[None, :]
+            order_ub = np.argsort(ub, axis=1, kind="stable")
+            csum = np.cumsum(
+                np.take_along_axis(
+                    np.broadcast_to(sizes, ub.shape), order_ub, axis=1
+                ),
+                axis=1,
+            )
+            has_k = csum[:, -1] >= k
+            pos = np.argmax(csum >= k, axis=1)
+            ub_sorted = np.take_along_axis(ub, order_ub, axis=1)
+            t_prime = np.where(
+                has_k, ub_sorted[np.arange(len(qids)), pos], np.inf
+            )
+            need1 = (qc - radii[None, :]) <= t_prime[:, None]
+            dim = qmat.shape[1]
+            fused_rows = float((need1 @ sizes).sum())
+            probed_rows = float(sizes[probed].sum())
+            extra_flops = 2.0 * dim * (fused_rows - probed_rows)
+            if extra_flops <= CP_FUSE_EXTRA_FLOPS:
+                fq, fc = np.nonzero(need1)
+                scanned = scan(to_map(fq, fc))
+                return merge_fragment_topk(
+                    scanned, k, n_queries=len(qids)
+                )
 
         scored1 = scan(
             to_map(np.repeat(np.arange(len(qids)), nprobe), probed.reshape(-1))

@@ -668,7 +668,13 @@ class GraphANNIndexer:
                 base, k_sub, self.seed, 10, "k-means||"
             )
             k_sub = len(sub_cents)
-            assigned = _assign_df(base, sub_cents)
+            # cache + materialize via the sizes aggregate: the ball
+            # assignment (scan + argmin GEMM) would otherwise run twice
+            # — once for the sizes collect and again under the graph
+            # kernel pass (separate actions recompute lineage).  Same
+            # pattern as IVFIndexer.build; unpersisted once the packed
+            # shards are materialized below.
+            assigned = _assign_df(base, sub_cents).cache()
             sizes = {
                 int(r["cluster_id"]): int(r["count"])
                 for r in assigned.groupBy("cluster_id").count().collect()
@@ -729,6 +735,10 @@ class GraphANNIndexer:
             schema="pid long, n long, centroid array<double>, blob binary",
         ).cache()
         graph.count()
+        if self.partition_by == "kmeans":
+            # the packed shards are materialized; the intermediate
+            # assignment cache has served both its consumers
+            assigned.unpersist()
 
         params = {"metric": metric, "m": m, "num_partitions": n_parts,
                   "partition_by": self.partition_by,

@@ -253,6 +253,14 @@ class IVFIndexer:
         )
         if radii is not None:
             art.params["radii"] = radii
+        # driver-side cluster sizes (nlist ints — driver-small at any
+        # scale): the partitioned cluster-pruned search derives its
+        # fused-plan admission bound from them without an extra action.
+        # Underscore param: runtime-only, dropped by append/delete
+        # derivatives (whose sizes change) and never persisted — loaded
+        # or derived artifacts re-derive it from their own packed
+        # metadata (see cluster_pruned._cluster_sizes_cached).
+        art.params["_cluster_sizes"] = sizes
         return art
 
     # subclass hook (ClusterPrunedExactIndexer): compute covering radii
