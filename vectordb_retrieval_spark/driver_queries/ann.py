@@ -102,10 +102,8 @@ def lsh_search_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ivf_fixed_centroids(spark: SparkSession, sf_dir: str):
-    cdf = emb(spark, sf_dir).filter(F.col("vec_id") < N_FIXED_CENTROIDS).orderBy(
-        "vec_id"
-    )
-    _, cents = collect_vectors(cdf, "vec_id", "embedding")
+    cdf = emb(spark, sf_dir).filter(F.col("vec_id") < N_FIXED_CENTROIDS)
+    _, cents = collect_vectors(cdf, "vec_id", "embedding", sort_ids=True)
     return cents
 
 
@@ -203,8 +201,8 @@ def ivf_pq_fixed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     table, search distances on decoded vectors; fully hash-checked."""
     base = emb(spark, sf_dir)
     cents = ivf_fixed_centroids(spark, sf_dir)
-    cdf = base.filter(F.col("vec_id") < PQ_KSUB_FIXED).orderBy("vec_id")
-    _, cmat = collect_vectors(cdf, "vec_id", "embedding")
+    cdf = base.filter(F.col("vec_id") < PQ_KSUB_FIXED)
+    _, cmat = collect_vectors(cdf, "vec_id", "embedding", sort_ids=True)
     cmat = cmat.astype(np.float64)
     codec = PQCodec(m=PQ_M, ksub=PQ_KSUB_FIXED)
     codec.codebooks = np.stack(
@@ -262,8 +260,8 @@ def ivf_kmeans_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checked against a DuckDB oracle that replays the same
     iterations."""
     base = emb(spark, sf_dir)
-    cdf = base.filter(F.col("vec_id") < KM_NLIST).orderBy("vec_id")
-    _, init = collect_vectors(cdf, "vec_id", "embedding")
+    cdf = base.filter(F.col("vec_id") < KM_NLIST)
+    _, init = collect_vectors(cdf, "vec_id", "embedding", sort_ids=True)
     cents = lloyd_refine(
         base, init, id_col="vec_id", vec_col="embedding", iters=KM_ITERS
     )
@@ -356,8 +354,8 @@ def pq_fixed_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic equals L2 to the decoded vector, which is what the
     oracle computes."""
     base = emb(spark, sf_dir)
-    cdf = base.filter(F.col("vec_id") < PQ_KSUB_FIXED).orderBy("vec_id")
-    _, cmat = collect_vectors(cdf, "vec_id", "embedding")
+    cdf = base.filter(F.col("vec_id") < PQ_KSUB_FIXED)
+    _, cmat = collect_vectors(cdf, "vec_id", "embedding", sort_ids=True)
     cmat = cmat.astype(np.float64)
     cb = np.stack(
         [cmat[:, j * DSUB : (j + 1) * DSUB] for j in range(PQ_M)]
@@ -382,8 +380,8 @@ def pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     updates, then exhaustive ADC — training and search both
     hash-checked against a DuckDB oracle replaying the same steps."""
     base = emb(spark, sf_dir)
-    cdf = base.filter(F.col("vec_id") < PQ_ADC_KSUB).orderBy("vec_id")
-    _, cmat = collect_vectors(cdf, "vec_id", "embedding")
+    cdf = base.filter(F.col("vec_id") < PQ_ADC_KSUB)
+    _, cmat = collect_vectors(cdf, "vec_id", "embedding", sort_ids=True)
     cmat = cmat.astype(np.float64)
     cb = np.stack([cmat[:, j * DSUB : (j + 1) * DSUB] for j in range(PQ_M)])
     cb = pq_refine(

@@ -189,10 +189,10 @@ def filtered_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     allowed-id mask applied inside the probed clusters before top-k —
     the DuckDB oracle reproduces probing AND the mask exactly."""
     base = emb(spark, sf_dir)
-    cdf = base.filter(F.col("vec_id") < N_FIXED_CENTROIDS).orderBy("vec_id")
+    cdf = base.filter(F.col("vec_id") < N_FIXED_CENTROIDS)
     from vectordb_retrieval_spark.functions.kernels import collect_vectors
 
-    _, cents = collect_vectors(cdf, "vec_id", "embedding")
+    _, cents = collect_vectors(cdf, "vec_id", "embedding", sort_ids=True)
     art = FixedCentroidIVFIndexer(cents, metric="l2").build(
         base, id_col="vec_id", vec_col="embedding"
     )

@@ -21,14 +21,22 @@ from vectordb_retrieval_spark.functions.distance import normalize_rows
 
 
 def collect_vectors(
-    df: DataFrame, id_col: str, vec_col: str
+    df: DataFrame, id_col: str, vec_col: str, sort_ids: bool = False
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Driver-side collect of a (small) vector table → (ids, float32 matrix)."""
+    """Driver-side collect of a (small) vector table → (ids, float32
+    matrix).  ``sort_ids`` sorts the collected rows by id in NumPy —
+    for the tiny deterministic-init collects this replaces a
+    distributed ``orderBy`` (whose range-partitioned sort costs a
+    sampling job + shuffle per invocation) with a free driver argsort;
+    ids are unique in every caller, so the result is identical."""
     pdf = df.select(id_col, vec_col).toPandas()
     ids = pdf[id_col].to_numpy(dtype=np.int64)
     if len(pdf) == 0:  # np.vstack rejects an empty sequence
         return ids, np.empty((0, 0), dtype=np.float32)
     mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float32)
+    if sort_ids:
+        order = np.argsort(ids, kind="stable")
+        ids, mat = ids[order], mat[order]
     return ids, mat
 
 
@@ -517,6 +525,7 @@ def pack_assignment(
     codec,
     max_rows_per_blob: int = 512,
     cluster_sizes: dict[int, int] | None = None,
+    pre_partitioned: bool = False,
 ) -> DataFrame:
     """Assignment/code table → one row per cluster with flat binary
     blobs: (cluster_id, n, ids int64-bytes, payload matrix-bytes,
@@ -639,12 +648,17 @@ def pack_assignment(
             ]
             yield pdf
 
-    placed = (
-        assignment.select("cluster_id", "id", payload_col)
+    src = assignment.select("cluster_id", "id", payload_col)
+    if not pre_partitioned:
         # whole clusters per task — packing needs every row of a
-        # cluster in one partition regardless of the input's layout
-        .repartition("cluster_id")
-        .mapInPandas(
+        # cluster in one partition regardless of the input's layout.
+        # Build-time callers whose assignment cache is already
+        # cluster_id-hash-partitioned pass pre_partitioned=True and
+        # skip this full-payload exchange outright (guide §2.4: the
+        # data is already partitioned as the operation needs).
+        src = src.repartition("cluster_id")
+    placed = (
+        src.mapInPandas(
             kernel_b,
             schema=(
                 "cluster_id long, n long, ids binary, payload binary, "
@@ -714,8 +728,19 @@ def packed_assignment_cached(art, table: str = "assignment") -> DataFrame:
         return cached
     codec = art.params.get("codec")
     payload_col = "vec" if codec is None else "codes"
-    # pack_assignment returns the placed table already cached + counted
-    packed = pack_assignment(art.tables[table], payload_col, codec)
+    # pack_assignment returns the placed table already cached + counted.
+    # _pack_pre_partitioned is a runtime-only marker set by builders
+    # whose IN-MEMORY assignment cache is cluster_id-hash-partitioned
+    # (a LOADED dir-partitioned parquet does NOT qualify: a big cluster
+    # spans several scan splits there); derivatives drop it with the
+    # other underscore params, so they re-shuffle their own rows.
+    packed = pack_assignment(
+        art.tables[table],
+        payload_col,
+        codec,
+        pre_partitioned=bool(art.params.get("_pack_pre_partitioned"))
+        and table == "assignment",
+    )
     art.params["_packed_df"] = packed
     return packed
 
