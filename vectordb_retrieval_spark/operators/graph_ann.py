@@ -662,10 +662,13 @@ class GraphANNIndexer:
             # The balls come from the sampled driver-side Lloyd (the
             # FAISS max_points_per_centroid contract — one bounded
             # TakeOrdered pass, no job-per-iteration MLlib fit).
-            n_rows = base.count()
-            k_sub = max(n_parts, min(4 * n_parts, n_rows))
+            # 4 × n_parts is requested unconditionally — no base.count()
+            # job (r13): when the table is smaller than the request the
+            # TakeOrdered sample IS the whole table in the same hash
+            # order and lloyd_kmeans caps k = min(k, n), so the trained
+            # balls are identical to the counted form in every regime.
             sub_cents = _sampled_kmeans_train(
-                base, k_sub, self.seed, 10, "k-means||"
+                base, 4 * n_parts, self.seed, 10, "k-means||"
             )
             k_sub = len(sub_cents)
             # cache + materialize via the sizes aggregate: the ball

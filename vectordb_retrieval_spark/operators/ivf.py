@@ -198,7 +198,20 @@ class IVFIndexer:
         assigned = _assign_df(base, self.centroids, with_dist=with_dist)
         if self.codec is not None:
             if not self.codec.is_fitted():
-                self.codec.fit(assigned, vec_col="vec")
+                # plan-invariant codecs (SQ8's exact min/max) calibrate
+                # on the raw base: same vectors, same result, but the
+                # calibration pass no longer re-executes the nearest-
+                # centroid assignment GEMM buried in ``assigned``'s
+                # lineage (guide §1.2 — at corpus scale that GEMM is
+                # nlist x dim FLOPs per row, the build's priciest step).
+                # Sample-based codecs (PQ) keep the assigned input: a
+                # different plan could surface different sample rows.
+                fit_src = (
+                    base
+                    if getattr(self.codec, "fit_plan_invariant", False)
+                    else assigned
+                )
+                self.codec.fit(fit_src, vec_col="vec")
             assigned = self.codec.encode_df(assigned, vec_col="vec").select(
                 "cluster_id", "id", "codes"
             )
@@ -424,7 +437,15 @@ class FixedCentroidIVFIndexer(IVFIndexer):
         assigned = _assign_df(base, self.centroids)
         if self.codec is not None:
             if not self.codec.is_fitted():
-                self.codec.fit(assigned, vec_col="vec")
+                # see IVFIndexer.build: plan-invariant codecs calibrate
+                # on the raw base so the fit pass skips the assignment
+                # GEMM in ``assigned``'s lineage
+                fit_src = (
+                    base
+                    if getattr(self.codec, "fit_plan_invariant", False)
+                    else assigned
+                )
+                self.codec.fit(fit_src, vec_col="vec")
             assigned = self.codec.encode_df(assigned, vec_col="vec").select(
                 "cluster_id", "id", "codes"
             )

@@ -41,6 +41,15 @@ def _stack(col: pd.Series) -> np.ndarray:
 class SQ8Codec:
     """Per-dimension 8-bit scalar quantizer."""
 
+    # fit() is an exact full-pass min/max — the result is independent of
+    # the input plan's row order or partitioning, so IVF builds may run
+    # it on the raw base table instead of the assigned table (guide
+    # §1.2: the calibration pass then skips the nearest-centroid GEMM
+    # the assignment lineage would re-execute).  Sample-based codecs
+    # (PQ: fit = limit(train_sample)) must NOT set this: a different
+    # input plan could surface different sample rows.
+    fit_plan_invariant = True
+
     def __init__(self):
         self.vmin: np.ndarray | None = None
         self.vmax: np.ndarray | None = None
@@ -117,6 +126,8 @@ class SQfp16Codec:
     no data-dependent state (unlike SQ8's per-dimension [min,max]).
     Plugs into the same duck-typed codec slot as SQ8Codec/PQCodec
     (fit / is_fitted / encode / decode / encode_df)."""
+
+    fit_plan_invariant = True  # fit is a no-op
 
     def is_fitted(self) -> bool:
         return True
