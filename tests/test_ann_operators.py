@@ -645,6 +645,28 @@ def test_cluster_pruned_broadcast_path_equals_partitioned_path(dfs):
         == sorted(map(tuple, shm))
         == sorted(map(tuple, slow))
     )
+    # force the TWO-PHASE partitioned plan (fused admission budget = 0)
+    # so the T'_q-clipped phase-1 scan, the min(T_q, T'_q) admission
+    # bound and the clipped phase-2 scan are all exercised — the
+    # triangle-inequality clip must never drop a true top-k member
+    from vectordb_retrieval_spark.operators import cluster_pruned as cp_mod
+
+    saved = cp_mod.CP_FUSE_EXTRA_FLOPS
+    cp_mod.CP_FUSE_EXTRA_FLOPS = 0.0
+    try:
+        art.params.pop("_serving_bc", None)
+        two_phase = (
+            ClusterPrunedExactSearcher(
+                nprobe=2, broadcast_threshold=0, node_local_cache=False
+            )
+            .attach(art)
+            .search(query_df, K)
+            .select("qid", "id", "rank")
+            .collect()
+        )
+    finally:
+        cp_mod.CP_FUSE_EXTRA_FLOPS = saved
+    assert sorted(map(tuple, fast)) == sorted(map(tuple, two_phase))
 
 
 def test_lsh_broadcast_path_equals_pipeline_path(dfs):

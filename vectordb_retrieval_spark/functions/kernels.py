@@ -845,6 +845,7 @@ def cluster_scan_topk(
     n_tasks: int | None = None,
     shm_root: str | None = None,
     allowed: np.ndarray | None = None,
+    qbounds: np.ndarray | None = None,
 ) -> DataFrame:
     """Scan the probed clusters of a PACKED assignment table (see
     ``pack_assignment``) and return fragment-local top-k rows
@@ -867,13 +868,26 @@ def cluster_scan_topk(
     map-side.  The probed ids double as a literal IN filter, which
     becomes a static partition filter on a cluster_id-partitioned
     index.  ``accum`` counts exact distance computations (the
-    reference's ``ndis``)."""
+    reference's ``ndis``).
+
+    ``qbounds`` (float64, indexed by query ROW) is an optional
+    per-query distance cutoff: candidates with dist > qbounds[qrow]
+    are dropped from the task's emission.  Caller contract: the bound
+    must provably exclude only rows that cannot enter the final
+    top-k (cluster-pruned passes its triangle-inequality T'_q / T_q,
+    which ≥ k candidates are ≤ by construction, so the merged result
+    is bit-identical) — the clip shrinks the fragment rows the merge
+    exchange carries, which on an index-partitioned scan is the whole
+    cross-task merge cost.  ``ndis`` accounting is unchanged (the clip
+    applies after distances are computed)."""
     from vectordb_retrieval_spark.functions.distance import pairwise_distances
     from pyspark.sql import functions as F
 
     spark = packed.sparkSession
     probed_ids = sorted(int(c) for c in probe_map)
-    bc = spark.sparkContext.broadcast((qids, qmat, codec, probe_map, allowed))
+    bc = spark.sparkContext.broadcast(
+        (qids, qmat, codec, probe_map, allowed, qbounds)
+    )
 
     def kernel(batches):
         # Arrow-native: blob cells are read as zero-copy buffer views
@@ -885,7 +899,7 @@ def cluster_scan_topk(
 
         from vectordb_retrieval_spark.operators.serving import topk_rows
 
-        q_ids, q_mat, cdc, probes, allow = bc.value
+        q_ids, q_mat, cdc, probes, allow, qb = bc.value
         acc_q: list[np.ndarray] = []
         acc_i: list[np.ndarray] = []
         acc_d: list[np.ndarray] = []
@@ -989,9 +1003,18 @@ def cluster_scan_topk(
                 # re-rank) instead of a full per-row lexsort — identical
                 # lexicographic (dist, id) output, O(n) per row
                 od, oi = topk_rows(d, ids, kk)
-                acc_q.append(np.repeat(qrows, kk))
-                acc_i.append(oi.ravel())
-                acc_d.append(od.ravel())
+                rq = np.repeat(qrows, kk)
+                fi = oi.ravel()
+                fd = od.ravel()
+                if qb is not None:
+                    keepb = fd <= qb[rq]
+                    if not keepb.all():
+                        rq, fi, fd = rq[keepb], fi[keepb], fd[keepb]
+                        if len(rq) == 0:
+                            continue
+                acc_q.append(rq)
+                acc_i.append(fi)
+                acc_d.append(fd)
         if not acc_q:
             return
         aq = np.concatenate(acc_q)
@@ -1087,16 +1110,24 @@ def merge_fragment_topk(
     handshake at all (a JVM-only stage costs ~0.07 s on this pool vs
     ~0.15-0.28 s for a python one), which is most of a small-batch
     search's wall.  Candidate counts there are bounded by
-    n_q × scan_tasks × k, so the exploded exchange stays tiny."""
+    n_q × scan_tasks × k, so the exchange stays tiny — and the
+    fragment LIST rows are repartitioned by qid BEFORE the explode
+    (guide §3.3: explode before an exchange multiplies it — here by
+    k), so the shuffle moves n_q × tasks packed rows, not
+    n_q × tasks × k exploded ones; the window then reuses that
+    partitioning (same key) instead of adding its own exchange."""
     if n_queries is not None and n_queries <= 4096:
         from pyspark.sql import Window
         from pyspark.sql import functions as F
 
+        par_ = frag.sparkSession.sparkContext.defaultParallelism
+        n_tasks_ = max(2, min(par_, -(-n_queries // 256)))
         w = Window.partitionBy("qid").orderBy(
             F.col("dist").asc(), F.col("id").asc()
         )
         return (
-            frag.select(
+            frag.repartition(n_tasks_, "qid")
+            .select(
                 "qid", F.explode(F.arrays_zip("ids", "dists")).alias("z")
             )
             .select(

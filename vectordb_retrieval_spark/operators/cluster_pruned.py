@@ -57,6 +57,15 @@ CP_FUSE_EXTRA_FLOPS = float(
 )
 
 
+def _scan_tasks(n_queries: int) -> int | None:
+    """Partitioned-scan stage width for a serving batch — module-level
+    so the policy is A/B-able per kernel (cf. serving's
+    _SLICE_GROUP_THRESHOLD).  Small batches shrink the stage so
+    per-task python dispatch doesn't dominate; past 4096 queries the
+    scan keeps the index's own partitioning."""
+    return max(8, n_queries // 64) if n_queries <= 4096 else None
+
+
 def _cluster_sizes_cached(art) -> np.ndarray | None:
     """Per-cluster row counts as a dense array indexed by cluster_id —
     from the build's stats aggregate when fresh (zero extra actions),
@@ -310,6 +319,18 @@ class ClusterPrunedExactSearcher:
             collect_or_chunk,
         )
 
+        # the FUSED single-job partitioned plan has no eager action, so
+        # it is memoizable exactly like the broadcast plan: a repeat
+        # search of the same frame reuses the plan DataFrame (skipping
+        # the per-search qc GEMM, bound computation and probe-map
+        # broadcast) while every materialization still recomputes the
+        # scan from the index.  The two-phase plan stays unmemoized
+        # (its T_q collect is an eager per-search action).
+        mk_part = (k, qid_col, vec_col, self.nprobe, id(art), "fused")
+        memo = self._plans.get(query_df, mk_part, guard=art)
+        if memo is not None:
+            return memo
+
         qids, qmat, chunked = collect_or_chunk(
             query_df,
             qid_col,
@@ -342,15 +363,21 @@ class ClusterPrunedExactSearcher:
         # small serving batches: shrink the scan stage so per-task
         # python dispatch doesn't dominate (same rationale as
         # IVFSearcher; merge_fragment_topk takes its JVM path too)
-        scan_tasks = max(8, len(qids) // 64) if len(qids) <= 4096 else None
+        scan_tasks = _scan_tasks(len(qids))
 
-        def scan(probe_map: dict[int, np.ndarray]) -> DataFrame:
+        def scan(
+            probe_map: dict[int, np.ndarray], bounds: np.ndarray | None = None
+        ) -> DataFrame:
             # per-cluster GEMM + fragment-local top-k (see kernels.py);
             # ndis counts every exact distance computed, parity with the
-            # reference's record_operation counter
+            # reference's record_operation counter.  ``bounds`` clips
+            # fragment emission at the per-query triangle-inequality
+            # bound — candidates above it provably miss the final top-k
+            # (≥ k members sit at or under the bound), so the merge
+            # exchange carries fewer rows and the result is unchanged.
             return cluster_scan_topk(
                 packed, qids, qmat, probe_map, "l2", k, accum=accum,
-                n_tasks=scan_tasks, shm_root=shm_root,
+                n_tasks=scan_tasks, shm_root=shm_root, qbounds=bounds,
             )
 
         # --- fused single-job plan (scale-adaptive; guide §1.2/§2.4) ---
@@ -367,6 +394,7 @@ class ClusterPrunedExactSearcher:
         # than the barrier they remove (CP_FUSE_EXTRA_FLOPS); at real
         # corpus sizes the estimate forces the two-phase pruning plan.
         sizes = _cluster_sizes_cached(art)
+        t_prime = None
         if sizes is not None and sizes.sum() > 0:
             ub = qc + radii[None, :]
             order_ub = np.argsort(ub, axis=1, kind="stable")
@@ -389,13 +417,24 @@ class ClusterPrunedExactSearcher:
             extra_flops = 2.0 * dim * (fused_rows - probed_rows)
             if extra_flops <= CP_FUSE_EXTRA_FLOPS:
                 fq, fc = np.nonzero(need1)
-                scanned = scan(to_map(fq, fc))
-                return merge_fragment_topk(
-                    scanned, k, n_queries=len(qids)
+                # clip fragment emission at T'_q: ≥ k members sit at or
+                # under it, so dropped rows cannot reach the top-k
+                scanned = scan(to_map(fq, fc), bounds=t_prime)
+                return self._plans.put(
+                    query_df,
+                    mk_part,
+                    merge_fragment_topk(scanned, k, n_queries=len(qids)),
+                    guard=art,
                 )
 
+        # phase 1 emission clipped at T'_q too (when available): a
+        # probed-cluster candidate above T'_q can't make the final
+        # top-k.  T_q below is then the kth-best of the CLIPPED probe
+        # set — fewer than k survivors ⇒ inf, and the admission bound
+        # falls back to T'_q, so exactness is unchanged either way.
         scored1 = scan(
-            to_map(np.repeat(np.arange(len(qids)), nprobe), probed.reshape(-1))
+            to_map(np.repeat(np.arange(len(qids)), nprobe), probed.reshape(-1)),
+            bounds=t_prime,
         ).cache()
         top1 = merge_fragment_topk(scored1, k, n_queries=len(qids))
         # per-query exact upper bound T_q = kth-best distance so far
@@ -404,6 +443,12 @@ class ClusterPrunedExactSearcher:
         )
         tq = {int(r["qid"]): (r["t"] if r["n"] >= k else np.inf) for r in tq_rows}
         t_arr = np.array([tq.get(int(q), np.inf) for q in qids])
+        if t_prime is not None:
+            # both are valid upper bounds on the true kth distance
+            # (T_q: k measured candidates at ≤ it; T'_q: ≥ k members at
+            # ≤ it by the triangle inequality) — the min is therefore a
+            # valid, tighter bound for admission AND emission clipping
+            t_arr = np.minimum(t_arr, t_prime)
 
         # lower bound per (query, cluster): d(q, c) − r_c; prune if > T_q
         lower = qc - radii[None, :]
@@ -412,7 +457,7 @@ class ClusterPrunedExactSearcher:
         extra_q, extra_c = np.nonzero(need)
         if len(extra_q) == 0:
             return top1
-        scored2 = scan(to_map(extra_q, extra_c))
+        scored2 = scan(to_map(extra_q, extra_c), bounds=t_arr)
         result = merge_fragment_topk(
             scored1.unionByName(scored2), k, n_queries=len(qids)
         )
