@@ -218,3 +218,62 @@ def test_latency_stats(spark):
     assert r["mean"] == pytest.approx(50.5)
     assert r["p50"] == pytest.approx(50.5)
     assert r["p95"] == pytest.approx(95.05)
+
+
+def test_labeled_sweep_matches_generic(spark):
+    """retrieval_metrics_multi_labeled (one-groupBy fused tail, r14)
+    must equal the generic pred/gt form — including a query with gt but
+    ZERO predicted rows (counts as zeros) and a pred id absent from
+    gt."""
+    from pyspark.sql import functions as F
+
+    from vectordb_retrieval_spark.metrics import (
+        retrieval_metrics_multi,
+        retrieval_metrics_multi_labeled,
+    )
+
+    gt_rows = [(0, 1, 1), (0, 2, 2), (0, 3, 3), (1, 9, 1), (2, 5, 1), (2, 6, 2)]
+    pred_rows = [(0, 2, 1), (0, 7, 2), (0, 1, 3), (2, 6, 1), (2, 8, 2)]
+    gt = make_ranked(spark, gt_rows)
+    pred = make_ranked(spark, pred_rows)
+    labeled = make_ranked(
+        spark, pred_rows
+    ).withColumn("which", F.lit(1)).unionByName(
+        make_ranked(spark, gt_rows).withColumn("which", F.lit(0))
+    )
+    for ks in ([1, 2, 3], [2]):
+        a = [tuple(r) for r in retrieval_metrics_multi(pred, gt, ks).collect()]
+        b = [
+            tuple(r)
+            for r in retrieval_metrics_multi_labeled(labeled, ks).collect()
+        ]
+        assert a == b
+        # qid 1 (no pred rows) still counts: n_queries = 3 at every k
+        assert all(r[1] == 3 for r in a)
+
+
+def test_labeled_single_k_matches_retrieval_metrics(spark):
+    """The at-10 slot's labeled fast path: multi-labeled at one cutoff
+    equals the classic retrieval_metrics frame."""
+    from pyspark.sql import functions as F
+
+    from vectordb_retrieval_spark.metrics import (
+        retrieval_metrics,
+        retrieval_metrics_multi_labeled,
+    )
+
+    gt_rows = [(0, 1, 1), (0, 2, 2), (1, 4, 1)]
+    pred_rows = [(0, 2, 1), (0, 3, 2), (1, 4, 1)]
+    labeled = make_ranked(
+        spark, pred_rows
+    ).withColumn("which", F.lit(1)).unionByName(
+        make_ranked(spark, gt_rows).withColumn("which", F.lit(0))
+    )
+    a = [
+        tuple(r)
+        for r in retrieval_metrics(
+            make_ranked(spark, pred_rows), make_ranked(spark, gt_rows), 2
+        ).collect()
+    ]
+    b = [tuple(r) for r in retrieval_metrics_multi_labeled(labeled, [2]).collect()]
+    assert a == b

@@ -473,3 +473,46 @@ def test_split_dataset_disjoint_complete_deterministic(spark):
     assert out.exceptAll(again).count() == 0  # retry-stable
     moved = split_dataset(df, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=5)
     assert out.exceptAll(moved).count() > 0  # seed matters
+
+
+def test_bm25_degenerate_and_tricky_terms(spark):
+    """r14 admission regex: terms that can never equal a token (empty,
+    whitespace-containing) contribute nothing and must not admit rows;
+    substring occurrences must not match; regex metacharacters in terms
+    are literal-quoted."""
+    docs = {
+        0: "sparkling water",          # 'spark' only as a substring
+        1: "spark water",              # whole-token 'spark'
+        2: "a+b c",                    # regex metachars as a token
+        3: "tab\tspark",               # tab-delimited token
+    }
+    df = spark.createDataFrame(
+        [(d, t) for d, t in docs.items()], schema="doc_id long, text string"
+    )
+    got = {r["doc_id"] for r in bm25_rank(df, ["spark"]).collect()}
+    assert got == {1, 3}  # substring doc 0 excluded, tab token found
+    # metachar term matches its literal token only
+    got2 = {r["doc_id"] for r in bm25_rank(df, ["a+b"]).collect()}
+    assert got2 == {2}
+    # degenerate terms alone -> empty result (no term can match a token)
+    assert bm25_rank(df, ["", "two words"]).count() == 0
+    # degenerate terms mixed with a real one behave as if absent
+    want = {
+        r["doc_id"]: r["score"] for r in bm25_rank(df, ["spark"]).collect()
+    }
+    mixed = {
+        r["doc_id"]: r["score"]
+        for r in bm25_rank(df, ["spark", "", "two words"]).collect()
+    }
+    assert mixed == want
+
+
+def test_term_match_pattern_edges():
+    from vectordb_retrieval_spark.operators.text_retrieval import (
+        _term_match_pattern,
+    )
+
+    assert _term_match_pattern([]) is None
+    assert _term_match_pattern(["", " ", "a b", "a\tb"]) is None
+    p = _term_match_pattern(["x", "x", "y"])  # deduped
+    assert p.count("\\Qx\\E") == 1 and "\\Qy\\E" in p

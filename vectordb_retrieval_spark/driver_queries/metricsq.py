@@ -17,6 +17,7 @@ from vectordb_retrieval_spark.metrics import (
     latency_stats,
     retrieval_metrics,
     retrieval_metrics_multi,
+    retrieval_metrics_multi_labeled,
 )
 from vectordb_retrieval_spark.operators.exact import exact_knn
 
@@ -25,6 +26,13 @@ TRUNC_DIM = 8
 
 
 def pred_gt(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    ranked, pred, gt = _pred_gt_labeled(spark, sf_dir)
+    return pred, gt
+
+
+def _pred_gt_labeled(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame | None, DataFrame, DataFrame]:
     """Both rankings — gt = exact L2 top-K on the full vectors, pred =
     exact L2 top-K on the first TRUNC_DIM dims — from ONE base-table
     kernel pass (r13 optimization).
@@ -67,7 +75,7 @@ def pred_gt(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
             base, qs, K, "l2",
             id_col="vec_id", vec_col="embedding", qid_col="vec_id",
         )
-        return pred, gt
+        return None, pred, gt
     k, tile_elems, td = K, SCORE_TILE_ELEMS, TRUNC_DIM
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -148,16 +156,23 @@ def pred_gt(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     )
     pred = ranked.filter(F.col("which") == 1).drop("which")
     gt = ranked.filter(F.col("which") == 0).drop("which")
-    return pred, gt
+    return ranked, pred, gt
 
 
 def metrics_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pred, gt = pred_gt(spark, sf_dir)
+    # labeled fast path (r14): both per-query lists off the pinned
+    # ranked frame in ONE groupBy — no pred×gt join; values identical
+    # (retrieval_metrics ≡ the k-sweep at a single cutoff)
+    ranked, pred, gt = _pred_gt_labeled(spark, sf_dir)
+    if ranked is not None:
+        return round6(retrieval_metrics_multi_labeled(ranked, [K]))
     return round6(retrieval_metrics(pred, gt, K))
 
 
 def metrics_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pred, gt = pred_gt(spark, sf_dir)
+    ranked, pred, gt = _pred_gt_labeled(spark, sf_dir)
+    if ranked is not None:
+        return round6(retrieval_metrics_multi_labeled(ranked, [1, 5, 10]))
     return round6(retrieval_metrics_multi(pred, gt, [1, 5, 10]))
 
 

@@ -113,91 +113,172 @@ def retrieval_metrics_multi(pred: DataFrame, gt: DataFrame, ks: list[int]) -> Da
     once per cutoff as a per-k union would."""
     ks = sorted({int(k) for k in ks})
     kmax = ks[-1]
-    cuts = F.array(*[F.lit(k) for k in ks])
-    # join FIRST on the un-exploded (qid, id) key, explode over the
-    # cutoff list AFTER (r13; guide §3.3: explode before a join
-    # multiplies the shuffle — here by len(ks)).  A pred row at cutoff
-    # k matches exactly the same gt row either way, so the exploded
-    # ``marked`` rows are identical to the old explode-then-join form.
+    # r14 (guide §2.4): the per-(k, qid) work is candidate-bounded
+    # (≤ kmax pred rows and one GT set per query), so the whole tail —
+    # pred×gt (qid, id) join, cutoff explode, (k, qid) window, (k, qid)
+    # groupBy, gt-sizes join — collapses into per-qid LIST FOLDS: one
+    # groupBy per side collects the ranked lists, a left join anchors
+    # the GT query set, and every per-cutoff metric is a higher-order
+    # fold over those tiny arrays.  The r13 shape carried 12 Exchange
+    # references; this one has one exchange per collect + the final
+    # per-k aggregate.  Arithmetic is identical: the fold accumulates
+    # ap/dcg terms in rank order — the same order the window fed the
+    # old hash aggregate — and every per-row flag (hit, hit_k, cum) is
+    # the same expression over the same matched gt row.
     p = pred.filter(F.col("rank") <= kmax).select("qid", "id", "rank")
     # gt is NOT truncated at k: non-recall metrics judge against the full
-    # GT set (reference semantics); gt_rank carries the k-truncation info
+    # GT set (reference semantics); the member rank carries truncation
     g = gt.select("qid", "id", F.col("rank").alias("gt_rank"))
-    # per-qid sizes with one per-k conditional sum each, exploded to the
-    # (k, qid) frame afterwards — one groupBy over n_gt rows instead of
-    # len(ks) × n_gt rows
-    gt_sizes = (
-        g.groupBy("qid")
+    pl = p.groupBy("qid").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("rank"), F.col("id")))
+        ).alias("pl")
+    )
+    gl = g.groupBy("qid").agg(
+        F.collect_list(
+            F.struct(F.col("gt_rank").alias("rank"), F.col("id"))
+        ).alias("gl")
+    )
+    # right-anchored on the ground-truth query set: queries with no
+    # predicted rows still count as zeros (the coalesces below)
+    joined = gl.join(pl, "qid", "left")
+    return _metrics_from_lists(joined, ks, kmax)
+
+
+def retrieval_metrics_multi_labeled(
+    ranked: DataFrame,
+    ks: list[int],
+    pred_which: int = 1,
+    gt_which: int = 0,
+) -> DataFrame:
+    """``retrieval_metrics_multi`` over a LABELED ranked frame —
+    DataFrame(which, qid, id, rank) where ``which`` distinguishes the
+    predicted ranking from the ground truth (the fused pred/gt kernel's
+    output shape, driver_queries/metricsq.pred_gt).  Identical result to
+    ``retrieval_metrics_multi(ranked[which=pred], ranked[which=gt], ks)``
+    but ONE groupBy collects both per-query lists — no pred×gt join, no
+    second aggregate over the shared frame (guide §2.4)."""
+    ks = sorted({int(k) for k in ks})
+    kmax = ks[-1]
+    lists = (
+        ranked.groupBy("qid")
         .agg(
-            F.count("*").alias("n_gt"),
-            *[
-                F.sum((F.col("gt_rank") <= k).cast("long")).alias(f"_ngk{k}")
-                for k in ks
-            ],
-        )
-        .select(
-            "qid",
-            "n_gt",
-            F.explode(
-                F.array(*[
-                    F.struct(
-                        F.lit(k).alias("k"), F.col(f"_ngk{k}").alias("n_gt_k")
+            F.sort_array(
+                F.collect_list(
+                    F.when(
+                        (F.col("which") == pred_which)
+                        & (F.col("rank") <= kmax),
+                        F.struct(F.col("rank"), F.col("id")),
                     )
-                    for k in ks
-                ])
-            ).alias("_kn"),
+                )
+            ).alias("pl"),
+            F.collect_list(
+                F.when(
+                    F.col("which") == gt_which,
+                    F.struct(F.col("rank"), F.col("id")),
+                )
+            ).alias("gl"),
         )
-        .select(F.col("_kn.k").alias("k"), "qid", "n_gt", F.col("_kn.n_gt_k"))
+        # right-anchored on the ground-truth query set, like the
+        # generic path's gt-side join anchor
+        .filter(F.size("gl") > 0)
     )
-    marked = (
-        p.join(g, ["qid", "id"], "left")
-        .withColumn("k", F.explode(cuts))
-        .filter(F.col("rank") <= F.col("k"))
-        .select(
-            "k",
-            "qid",
-            "rank",
-            F.when(F.col("gt_rank").isNotNull(), 1).otherwise(0).alias("hit"),
-            F.when(F.col("gt_rank") <= F.col("k"), 1).otherwise(0).alias("hit_k"),
+    return _metrics_from_lists(lists, ks, kmax)
+
+
+def _metrics_from_lists(
+    joined: DataFrame, ks: list[int], kmax: int
+) -> DataFrame:
+    """Per-cutoff metric rows from per-query ranked LISTS — the shared
+    tail of ``retrieval_metrics_multi`` / ``..._labeled``.  ``joined``
+    carries (qid, pl, gl): pl = rank-ascending predicted (rank, id)
+    structs truncated at kmax (null or empty when the query predicted
+    nothing), gl = the full ground-truth (rank, id) set.
+
+    Every per-(k, qid) quantity is a higher-order fold over those tiny
+    candidate-bounded arrays, so the whole tail is one projection —
+    the r13 shape's explode + (k, qid) window + (k, qid) groupBy +
+    gt-sizes join (12 Exchange references) collapses to the list
+    aggregates plus the final per-k mean.  The fold accumulates ap/dcg
+    terms in rank order — the same order the old window fed its hash
+    aggregate — and every flag (hit, hit_k, cum_hits) is the same
+    expression over the same matched gt row, so the values are
+    unchanged."""
+    # The HOF expressions below are single SQL ``F.expr`` strings, not
+    # nested Column-API calls: each Column operation is a py4j round
+    # trip, and the fold tree built via the API measured ~0.4 s of
+    # pure driver-side construction/analysis per invocation — more than
+    # the execution win (§1.1's "fresh ideal plan is slower at first"
+    # gotcha).  One expr string = one py4j call, parsed JVM-side.
+    #
+    # per-pred-item match flags, computed ONCE per qid (k-independent):
+    # hit = id ∈ gt set; gtr = that gt member's rank (kmax+1 sentinel
+    # when absent — ``get()`` not ``[0]`` so the empty no-match array
+    # yields null, not an ANSI index error — so ``gtr <= k`` reproduces
+    # ``gt_rank <= k`` exactly)
+    ml = F.expr(
+        "transform(coalesce(pl, array()), e -> struct("
+        "  e.rank as rank,"
+        "  cast(exists(gl, x -> x.id = e.id) as int) as hit,"
+        f" coalesce(get(filter(gl, x -> x.id = e.id), 0).rank, {kmax + 1})"
+        "    as gtr))"
+    )
+    marked = joined.select(
+        "qid", F.expr("size(gl)").alias("n_gt"), ml.alias("ml"), "gl"
+    )
+
+    def _fold(k: int):
+        # rank-ordered fold of the ≤ k marked pred items: running
+        # cum_hits, hits-in-truncated-gt, AP and DCG partials, first hit
+        return F.expr(
+            f"aggregate(filter(ml, e -> e.rank <= {k}),"
+            " struct(0 as cum, 0 as nk, cast(0 as double) as ap,"
+            "        cast(0 as double) as dcg, 0 as first),"
+            " (a, e) -> struct("
+            "   a.cum + e.hit as cum,"
+            f"  a.nk + if(e.hit = 1 and e.gtr <= {k}, 1, 0) as nk,"
+            "   a.ap + if(e.hit = 1,"
+            "             cast(a.cum + e.hit as double) / e.rank,"
+            "             cast(0 as double)) as ap,"
+            "   a.dcg + if(e.hit = 1,"
+            "              cast(1 as double) / log2(e.rank + 1),"
+            "              cast(0 as double)) as dcg,"
+            "   if(a.first = 0 and e.hit = 1, e.rank, a.first) as first))"
         )
-    )
-    w = Window.partitionBy("k", "qid").orderBy("rank")
-    scored = marked.withColumn("cum_hits", F.sum("hit").over(w)).select(
-        "k",
+
+    # fold ONCE per cutoff into a named column; the metric projection
+    # then reads fields off it (referencing the fold expression from
+    # every metric would re-evaluate it per field)
+    folded = marked.select(
         "qid",
-        "hit",
-        "hit_k",
-        "rank",
-        (F.col("hit") * F.col("cum_hits") / F.col("rank")).alias("ap_term"),
-        (F.col("hit") / F.log2(F.col("rank") + 1)).alias("dcg_term"),
-        F.when(F.col("hit") == 1, F.col("rank")).alias("hit_rank"),
+        "n_gt",
+        "gl",
+        *[_fold(k).alias(f"_a{k}") for k in ks],
     )
-    agg = scored.groupBy("k", "qid").agg(
-        F.sum("hit").alias("n_hit"),
-        F.sum("hit_k").alias("n_hit_k"),
-        F.sum("ap_term").alias("ap_sum"),
-        F.sum("dcg_term").alias("dcg"),
-        F.min("hit_rank").alias("first_hit"),
-    )
-    idcg = F.aggregate(
-        F.sequence(F.lit(1), F.least(F.col("n_gt"), F.col("k"))),
-        F.lit(0.0),
-        lambda acc, i: acc + 1.0 / F.log2(i.cast("double") + 1.0),
-    )
-    perq = (
-        gt_sizes.join(agg, ["k", "qid"], "left")
-        .fillna(0, subset=["n_hit", "n_hit_k", "ap_sum", "dcg"])
-        .select(
-            "k",
-            "qid",
-            (F.col("n_hit_k") / F.col("n_gt_k")).alias("recall"),
-            (F.col("n_hit") / F.col("k").cast("double")).alias("precision"),
-            (F.col("ap_sum") / F.col("n_gt")).alias("ap"),
-            (F.col("dcg") / idcg).alias("ndcg"),
-            (F.col("n_hit") > 0).cast("double").alias("any_hit"),
-            F.coalesce(1.0 / F.col("first_hit"), F.lit(0.0)).alias("rr"),
+
+    def _metrics_struct(k: int):
+        return F.expr(
+            "struct("
+            f" {k} as k,"
+            f" coalesce(_a{k}.nk, 0)"
+            f"   / size(filter(gl, x -> x.rank <= {k})) as recall,"
+            f" coalesce(_a{k}.cum, 0) / cast({k} as double) as precision,"
+            f" coalesce(_a{k}.ap, cast(0 as double)) / n_gt as ap,"
+            f" coalesce(_a{k}.dcg, cast(0 as double))"
+            "    / aggregate(sequence(1, least(n_gt, "
+            f"{k})), cast(0 as double),"
+            "       (acc, i) -> acc + cast(1 as double)"
+            "                         / log2(cast(i as double) + 1)) as ndcg,"
+            f" cast(coalesce(_a{k}.cum, 0) > 0 as double) as any_hit,"
+            f" if(_a{k}.first > 0,"
+            f"    cast(1 as double) / _a{k}.first,"
+            "     cast(0 as double)) as rr)"
         )
-    )
+
+    perq = folded.select(
+        "qid",
+        F.explode(F.array(*[_metrics_struct(k) for k in ks])).alias("m"),
+    ).select("qid", "m.*")
     return (
         perq.groupBy("k")
         .agg(

@@ -16,10 +16,47 @@ BM25 variant: Lucene's (k1=1.2, b=0.75, idf = ln(1 + (N-df+0.5)/(df+0.5)))
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 TOKEN_PATTERN = r"\s+"
+
+# Java-regex whitespace class (what TOKEN_PATTERN's \s matches): tokens
+# are maximal runs of characters OUTSIDE this set.  Python's \s is
+# unicode-wider, so term classification below must use THIS set.
+_JAVA_WS = " \t\n\x0b\f\r"
+
+
+def _java_quote(term: str) -> str:
+    """Literal-quote a term for a Java regex (\\Q...\\E, nested-safe)."""
+    return "\\Q" + term.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+
+def _term_match_pattern(terms: list[str]) -> str | None:
+    """Java regex matching texts that contain ≥ 1 whole token equal to a
+    term, or None when no term can ever match a token.
+
+    Tokens are the maximal non-whitespace runs TOKEN_PATTERN splits out,
+    so ``(?:^|\\s)(?:t1|t2|...)(?:$|\\s)`` finds a match exactly when
+    some token equals some term: the delimiters pin both token edges,
+    and any single occurrence suffices for row admission (consumed
+    whitespace can only hide ADDITIONAL occurrences, never the tested
+    one).  Terms that are empty or contain a Java-\\s character can
+    never equal a token and are excluded."""
+    matchable = [
+        t
+        for t in dict.fromkeys(terms)
+        if t and not any(c in _JAVA_WS for c in t)
+    ]
+    if not matchable:
+        return None
+    return (
+        "(?:^|\\s)(?:"
+        + "|".join(_java_quote(t) for t in matchable)
+        + ")(?:$|\\s)"
+    )
 
 
 def global_rank(df: DataFrame, order_cols: list) -> DataFrame:
@@ -99,13 +136,17 @@ def bm25_rank(
     partition, no global sort), so the plan holds at corpus scale:
 
     - document length and the per-query-term frequencies are PER-ROW
-      array expressions over one tokenization (r13: the previous shape
-      tokenized the corpus twice — an explode + groupBy for lengths and
-      a second explode + two groupBys for tf/df — i.e. two full passes
-      and three shuffles; this form reads the corpus once and shuffles
-      nothing but a one-row stats aggregate),
+      array expressions over one tokenization: one membership filter
+      narrows the token array to query-term hits and the per-term
+      counts traverse that near-empty array (r13 removed the token
+      shuffles; r14 removed the O(dl x nt) per-row HOF passes and the
+      pushdown-duplicated any-match filter — scoring-side admission is
+      now an equivalent whole-token regex on the raw text, evaluated
+      once per row at the scan),
     - document frequencies + corpus stats are one scalar-sized
-      aggregate over the per-row frame, broadcast back,
+      aggregate over the per-row frame, collected at construction and
+      inlined as constant-folded literals (one job; recomputed from the
+      input on every invocation),
     - per-document score = fixed-order sum of the per-term partials
       (the old groupBy sum accumulated in shuffle-arrival order; both
       land on the same 6-dp grid the callers round to).
@@ -115,54 +156,92 @@ def bm25_rank(
         F.split(F.col(text_col), TOKEN_PATTERN),
         lambda x: F.length(x) > 0,
     )
-    # docs with zero tokens never reached the old dl aggregate; the
-    # trim-length test is equivalent (whitespace-only ⇒ no tokens) and
-    # cheap enough that Catalyst's filter pushdown can't hurt
+    # one membership filter narrows the token array to QUERY-TERM hits
+    # (near-empty for most rows), so the nt per-term counts traverse the
+    # tiny ``_mt`` instead of the full token array — r14: the r13 shape
+    # ran nt independent HOF filter passes over every row's full array,
+    # and the any-match filter below additionally got pushed under the
+    # projection and expanded, re-tokenizing every row nt more times in
+    # the scan-stage Filter (guide §4.4's double-evaluation shape with
+    # JVM expressions; the r13 plan's node (2) held five split() calls)
+    terms_arr = F.array(*[F.lit(t) for t in dict.fromkeys(query_terms) if t])
+
     def _tf_of(term: str):
         # closure factory, NOT a default-arg lambda: pyspark treats a
         # 2-parameter lambda as an (element, index) HOF signature
-        return F.size(F.filter("_toks", lambda x: x == F.lit(term)))
+        return F.size(F.filter("_mt", lambda x: x == F.lit(term)))
 
-    per = (
-        docs.filter(F.length(F.trim(F.col(text_col))) > 0)
-        .select(F.col(id_col).alias("doc_id"), toks_expr.alias("_toks"))
-        .select(
-            "doc_id",
-            F.size("_toks").alias("dl"),
-            *[_tf_of(t).alias(f"_tf{i}") for i, t in enumerate(query_terms)],
+    def _per_frame(src: DataFrame) -> DataFrame:
+        # docs with zero tokens never reached the old dl aggregate; the
+        # trim-length test is equivalent (whitespace-only ⇒ no tokens)
+        # and cheap enough that Catalyst's filter pushdown can't hurt
+        return (
+            src.select(F.col(id_col).alias("doc_id"), toks_expr.alias("_toks"))
+            .select(
+                "doc_id",
+                F.size("_toks").alias("dl"),
+                F.filter(
+                    "_toks", lambda x: F.array_contains(terms_arr, x)
+                ).alias("_mt"),
+            )
+            .select(
+                "doc_id",
+                "dl",
+                *[
+                    _tf_of(t).alias(f"_tf{i}")
+                    for i, t in enumerate(query_terms)
+                ],
+            )
         )
-    )
-    stats = per.agg(
+
+    per = _per_frame(docs.filter(F.length(F.trim(F.col(text_col))) > 0))
+    # corpus stats are ONE scalar row — collect them at construction
+    # and inline as literals (r14): the broadcast-join form paid a
+    # separate broadcast-build job plus a BroadcastNestedLoopJoin node
+    # per invocation just to attach 7 constants to every row.  The
+    # collect is the same single aggregate job, Catalyst constant-folds
+    # the literal idf arithmetic with the same JVM double semantics the
+    # per-row columns had, and every invocation still recomputes the
+    # stats from the input (eager-at-construction, like global_rank).
+    srow = per.agg(
         F.count("*").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
         *[
             F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
             for i in range(nt)
         ],
-    )
-    any_match = None
-    for i in range(nt):
-        c = F.col(f"_tf{i}") > 0
-        any_match = c if any_match is None else (any_match | c)
+    ).first()
+    n_docs = int(srow["n_docs"]) if srow is not None else 0
+    avgdl = float(srow["avgdl"]) if srow is not None and srow["avgdl"] is not None else 0.0
+    dfs = [
+        int(srow[f"_df{i}"]) if srow is not None and srow[f"_df{i}"] is not None else 0
+        for i in range(nt)
+    ]
+    # scoring-side admission (∃i: tf_i > 0) as a regex on the RAW text —
+    # exactly equivalent to the per-term any-match disjunction (see
+    # _term_match_pattern) but evaluated once per row at the scan, so
+    # filter pushdown has nothing to duplicate.  A matching row is
+    # non-whitespace by construction, so the trim prefilter is implied.
+    pattern = _term_match_pattern(query_terms) if nt else None
+    if pattern is None:
+        matched = per.filter(F.lit(False))  # no term can match any token
+    else:
+        matched = _per_frame(docs.filter(F.col(text_col).rlike(pattern)))
     score = F.lit(0.0)
     for i in range(nt):
         tf_i = F.col(f"_tf{i}").cast("double")
         idf_i = F.log(
             1.0
-            + (F.col("n_docs") - F.col(f"_df{i}") + 0.5)
-            / (F.col(f"_df{i}") + 0.5)
+            + (F.lit(n_docs) - F.lit(dfs[i]) + 0.5)
+            / (F.lit(dfs[i]) + 0.5)
         )
         score_i = (
             idf_i
             * (tf_i * (k1 + 1.0))
-            / (tf_i + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+            / (tf_i + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
         )
         score = score + F.when(F.col(f"_tf{i}") > 0, score_i).otherwise(0.0)
-    scored = (
-        per.filter(any_match if any_match is not None else F.lit(False))
-        .join(F.broadcast(stats))
-        .select("doc_id", score.alias("score"))
-    )
+    scored = matched.select("doc_id", score.alias("score"))
     if round_scores is not None:
         scored = scored.withColumn(
             "score", F.round(F.col("score"), round_scores)
