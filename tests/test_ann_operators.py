@@ -645,14 +645,18 @@ def test_cluster_pruned_broadcast_path_equals_partitioned_path(dfs):
         == sorted(map(tuple, shm))
         == sorted(map(tuple, slow))
     )
-    # force the TWO-PHASE partitioned plan (fused admission budget = 0)
-    # so the T'_q-clipped phase-1 scan, the min(T_q, T'_q) admission
-    # bound and the clipped phase-2 scan are all exercised — the
-    # triangle-inequality clip must never drop a true top-k member
+    # force the TWO-PHASE partitioned plan (fused admission budget =
+    # -inf: ``extra_flops <= budget`` is then false for EVERY dataset —
+    # a 0.0 budget still picks the fused plan whenever the T'_q-admitted
+    # rows happen not to exceed the probed rows, which is data-dependent
+    # — advisor r13) so the T'_q-clipped phase-1 scan, the min(T_q,
+    # T'_q) admission bound and the clipped phase-2 scan are all
+    # exercised — the triangle-inequality clip must never drop a true
+    # top-k member
     from vectordb_retrieval_spark.operators import cluster_pruned as cp_mod
 
     saved = cp_mod.CP_FUSE_EXTRA_FLOPS
-    cp_mod.CP_FUSE_EXTRA_FLOPS = 0.0
+    cp_mod.CP_FUSE_EXTRA_FLOPS = float("-inf")
     try:
         art.params.pop("_serving_bc", None)
         two_phase = (
@@ -1480,3 +1484,53 @@ def test_sampled_train_is_bounded_sample(spark):
     mat = np.vstack(prefix["vec"].to_numpy()).astype(np.float64)
     want = lloyd_kmeans(mat, nlist, seed, iters=6, init="random")
     np.testing.assert_array_equal(got, want)
+
+
+def test_cluster_stats_collect_matches_groupby(spark):
+    """The shuffle-free per-partition stats fold (r14) must reproduce
+    the groupBy aggregate exactly: per-cluster counts and max r."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from vectordb_retrieval_spark.operators.ivf import _cluster_stats_collect
+
+    rng = np.random.RandomState(7)
+    rows = [
+        (int(rng.randint(0, 5)), i, [float(x) for x in rng.rand(4)],
+         float(rng.rand()))
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(
+        rows, "cluster_id int, id long, vec array<float>, r double"
+    ).repartition(7)
+    sizes, radii = _cluster_stats_collect(df, with_r=True)
+    want = {
+        int(r["cluster_id"]): (int(r["n"]), float(r["rmax"]))
+        for r in df.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("r").alias("rmax"))
+        .collect()
+    }
+    assert sizes == {c: n for c, (n, _) in want.items()}
+    assert radii == {c: m for c, (_, m) in want.items()}
+    sizes2, radii2 = _cluster_stats_collect(df.drop("r"))
+    assert sizes2 == sizes and radii2 == {}
+
+
+def test_lsh_serving_bucket_verify_guard(spark, monkeypatch):
+    """VR_LSH_VERIFY_BUCKETS=1 (r14): the driver-recomputed serving
+    bucket dict must cross-check clean against the build's buckets
+    table on this (homogeneous) deployment."""
+    import numpy as np
+
+    from tests.conftest import make_vector_df
+    from vectordb_retrieval_spark.operators.lsh import LSHIndexer, LSHSearcher
+
+    rng = np.random.RandomState(3)
+    base = make_vector_df(spark, rng.randn(200, 8).astype(np.float32))
+    art = LSHIndexer(
+        dimension=8, num_tables=2, hash_size=4, seed=1, metric="cosine"
+    ).build(base, id_col="id", vec_col="vec")
+    monkeypatch.setenv("VR_LSH_VERIFY_BUCKETS", "1")
+    s = LSHSearcher().attach(art)
+    bc = s._serving_broadcast(spark)
+    assert bc is not None  # guard ran without raising

@@ -667,21 +667,34 @@ class GraphANNIndexer:
             # TakeOrdered sample IS the whole table in the same hash
             # order and lloyd_kmeans caps k = min(k, n), so the trained
             # balls are identical to the counted form in every regime.
+            # Accepted trade-off (advisor r13): the driver-collect cell
+            # gate divides by the REQUESTED n_train, so when n_rows <
+            # 4·n_parts·256 the per-row width bound is up to 4× tighter
+            # than the counted form's — a small very-high-dim corpus
+            # that minimized under the old count could now fail the
+            # sample gate.  That is the conservative direction (it
+            # refuses a driver collect, never admits a bigger one), and
+            # the documented escape is a smaller num_partitions.
             sub_cents = _sampled_kmeans_train(
                 base, 4 * n_parts, self.seed, 10, "k-means||"
             )
             k_sub = len(sub_cents)
-            # cache + materialize via the sizes aggregate: the ball
+            # cache + materialize via the sizes collect: the ball
             # assignment (scan + argmin GEMM) would otherwise run twice
             # — once for the sizes collect and again under the graph
             # kernel pass (separate actions recompute lineage).  Same
             # pattern as IVFIndexer.build; unpersisted once the packed
-            # shards are materialized below.
+            # shards are materialized below.  r14: the sizes ride the
+            # materializing pass as shuffle-free per-partition partials
+            # folded on the driver (_cluster_stats_collect) — one job
+            # instead of the count-shuffle's partial + exchange + final
+            # AQE stages.
+            from vectordb_retrieval_spark.operators.ivf import (
+                _cluster_stats_collect,
+            )
+
             assigned = _assign_df(base, sub_cents).cache()
-            sizes = {
-                int(r["cluster_id"]): int(r["count"])
-                for r in assigned.groupBy("cluster_id").count().collect()
-            }
+            sizes, _ = _cluster_stats_collect(assigned)
             # greedy bin-pack: heaviest ball first onto the lightest
             # shard — deterministic (ties by ball index, then shard id)
             loads = [0] * n_parts
