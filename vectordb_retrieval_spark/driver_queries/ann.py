@@ -29,6 +29,8 @@ from vectordb_retrieval_spark.driver_queries.common import (
     K,
     QUERY_FILTER,
     emb,
+    emb_queries,
+    read_parquet_cached_schema,
     round6,
     sql_float_list,
 )
@@ -92,7 +94,7 @@ def _buckets_query(spark: SparkSession, sf_dir: str, indexer: LSHIndexer) -> Dat
 def lsh_search_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = emb(spark, sf_dir)
     art = _sign_indexer().build(base, id_col="vec_id", vec_col="embedding")
-    qs = base.filter(F.expr(QUERY_FILTER))
+    qs = emb_queries(spark, sf_dir)
     res = (
         LSHSearcher(candidate_multiplier=MULTIPLIER)
         .attach(art)
@@ -102,7 +104,7 @@ def lsh_search_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ivf_fixed_centroids(spark: SparkSession, sf_dir: str):
-    cdf = emb(spark, sf_dir).filter(F.col("vec_id") < N_FIXED_CENTROIDS)
+    cdf = read_parquet_cached_schema(spark, f"{sf_dir}/embeddings.parquet").filter(F.col("vec_id") < N_FIXED_CENTROIDS)  # collect-only: raw scan, see emb_queries
     _, cents = collect_vectors(cdf, "vec_id", "embedding", sort_ids=True)
     return cents
 
@@ -121,7 +123,7 @@ def ivf_fixed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     art = FixedCentroidIVFIndexer(cents, metric="l2").build(
         base, id_col="vec_id", vec_col="embedding"
     )
-    qs = base.filter(F.expr(QUERY_FILTER))
+    qs = emb_queries(spark, sf_dir)
     res = (
         IVFSearcher(nprobe=NPROBE_FIXED)
         .attach(art)
@@ -146,7 +148,7 @@ def ivf_append_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="vec_id",
         vec_col="embedding",
     )
-    qs = base.filter(F.expr(QUERY_FILTER))
+    qs = emb_queries(spark, sf_dir)
     res = (
         IVFSearcher(nprobe=NPROBE_FIXED)
         .attach(art)
@@ -166,7 +168,7 @@ def ivf_delete_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         base, id_col="vec_id", vec_col="embedding"
     )
     art = ivf_delete(art, base.filter(F.col("vec_id") % 2 == 1), id_col="vec_id")
-    qs = base.filter(F.expr(QUERY_FILTER))
+    qs = emb_queries(spark, sf_dir)
     res = (
         IVFSearcher(nprobe=N_FIXED_CENTROIDS)
         .attach(art)
@@ -186,7 +188,7 @@ def ivf_sq8_fixed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     art = FixedCentroidIVFIndexer(cents, metric="l2", codec=SQ8Codec()).build(
         base, id_col="vec_id", vec_col="embedding"
     )
-    qs = base.filter(F.expr(QUERY_FILTER))
+    qs = emb_queries(spark, sf_dir)
     res = (
         IVFSearcher(nprobe=NPROBE_FIXED)
         .attach(art)
@@ -201,7 +203,7 @@ def ivf_pq_fixed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     table, search distances on decoded vectors; fully hash-checked."""
     base = emb(spark, sf_dir)
     cents = ivf_fixed_centroids(spark, sf_dir)
-    cdf = base.filter(F.col("vec_id") < PQ_KSUB_FIXED)
+    cdf = read_parquet_cached_schema(spark, f"{sf_dir}/embeddings.parquet").filter(F.col("vec_id") < PQ_KSUB_FIXED)  # collect-only: raw scan, see emb_queries
     _, cmat = collect_vectors(cdf, "vec_id", "embedding", sort_ids=True)
     cmat = cmat.astype(np.float64)
     codec = PQCodec(m=PQ_M, ksub=PQ_KSUB_FIXED)
@@ -211,7 +213,7 @@ def ivf_pq_fixed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     art = FixedCentroidIVFIndexer(cents, metric="l2", codec=codec).build(
         base, id_col="vec_id", vec_col="embedding"
     )
-    qs = base.filter(F.expr(QUERY_FILTER))
+    qs = emb_queries(spark, sf_dir)
     res = (
         IVFSearcher(nprobe=NPROBE_FIXED)
         .attach(art)
@@ -240,7 +242,7 @@ def cluster_pruned_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).build(
         base, id_col="vec_id", vec_col="embedding"
     )
-    qs = base.filter(F.expr(QUERY_FILTER))
+    qs = emb_queries(spark, sf_dir)
     res = (
         ClusterPrunedExactSearcher(nprobe=2)
         .attach(art)
@@ -260,7 +262,7 @@ def ivf_kmeans_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checked against a DuckDB oracle that replays the same
     iterations."""
     base = emb(spark, sf_dir)
-    cdf = base.filter(F.col("vec_id") < KM_NLIST)
+    cdf = read_parquet_cached_schema(spark, f"{sf_dir}/embeddings.parquet").filter(F.col("vec_id") < KM_NLIST)  # collect-only: raw scan, see emb_queries
     _, init = collect_vectors(cdf, "vec_id", "embedding", sort_ids=True)
     cents = lloyd_refine(
         base, init, id_col="vec_id", vec_col="embedding", iters=KM_ITERS
@@ -268,7 +270,7 @@ def ivf_kmeans_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     art = FixedCentroidIVFIndexer(cents, metric="l2").build(
         base, id_col="vec_id", vec_col="embedding"
     )
-    qs = base.filter(F.expr(QUERY_FILTER))
+    qs = emb_queries(spark, sf_dir)
     res = IVFSearcher(nprobe=KM_NPROBE).attach(art).search(
         qs, K, qid_col="vec_id", vec_col="embedding"
     )
@@ -283,7 +285,7 @@ def ivf_kmeans_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     art = IVFIndexer(nlist=16, seed=SEED, max_iter=10, init_mode="random").build(
         base, id_col="vec_id", vec_col="embedding"
     )
-    qs = base.filter(F.expr(QUERY_FILTER))
+    qs = emb_queries(spark, sf_dir)
     res = IVFSearcher(nprobe=16).attach(art).search(
         qs, K, qid_col="vec_id", vec_col="embedding"
     )
@@ -314,7 +316,7 @@ def graph_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).build(base, id_col="vec_id", vec_col="embedding")
     # pin routing inputs to the 6 dp grid the SQL oracle recomputes
     art.params["centroids"] = np.round(art.params["centroids"], 6)
-    qs = base.filter(F.expr(QUERY_FILTER))
+    qs = emb_queries(spark, sf_dir)
     res = (
         GraphANNSearcher(ef_search=100_000, probe_partitions=GRAPH_PROBE)
         .attach(art)
@@ -333,7 +335,7 @@ def graph_ann_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     art = GraphANNIndexer(m=8, ef_construction=32, num_partitions=4).build(
         base, id_col="vec_id", vec_col="embedding"
     )
-    qs = base.filter(F.expr(QUERY_FILTER))
+    qs = emb_queries(spark, sf_dir)
     res = (
         GraphANNSearcher(ef_search=100_000, force_beam=True)
         .attach(art)
@@ -354,7 +356,7 @@ def pq_fixed_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic equals L2 to the decoded vector, which is what the
     oracle computes."""
     base = emb(spark, sf_dir)
-    cdf = base.filter(F.col("vec_id") < PQ_KSUB_FIXED)
+    cdf = read_parquet_cached_schema(spark, f"{sf_dir}/embeddings.parquet").filter(F.col("vec_id") < PQ_KSUB_FIXED)  # collect-only: raw scan, see emb_queries
     _, cmat = collect_vectors(cdf, "vec_id", "embedding", sort_ids=True)
     cmat = cmat.astype(np.float64)
     cb = np.stack(
@@ -363,7 +365,7 @@ def pq_fixed_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     art = PQIndexer(m=PQ_M, ksub=PQ_KSUB_FIXED, metric="l2", codebooks=cb).build(
         base, id_col="vec_id", vec_col="embedding"
     )
-    qs = base.filter(F.expr(QUERY_FILTER))
+    qs = emb_queries(spark, sf_dir)
     res = PQADCSearcher().attach(art).search(
         qs, K, qid_col="vec_id", vec_col="embedding"
     )
@@ -380,7 +382,7 @@ def pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     updates, then exhaustive ADC — training and search both
     hash-checked against a DuckDB oracle replaying the same steps."""
     base = emb(spark, sf_dir)
-    cdf = base.filter(F.col("vec_id") < PQ_ADC_KSUB)
+    cdf = read_parquet_cached_schema(spark, f"{sf_dir}/embeddings.parquet").filter(F.col("vec_id") < PQ_ADC_KSUB)  # collect-only: raw scan, see emb_queries
     _, cmat = collect_vectors(cdf, "vec_id", "embedding", sort_ids=True)
     cmat = cmat.astype(np.float64)
     cb = np.stack([cmat[:, j * DSUB : (j + 1) * DSUB] for j in range(PQ_M)])
@@ -390,7 +392,7 @@ def pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     art = PQIndexer(m=PQ_M, ksub=PQ_ADC_KSUB, metric="l2", codebooks=cb).build(
         base, id_col="vec_id", vec_col="embedding"
     )
-    qs = base.filter(F.expr(QUERY_FILTER))
+    qs = emb_queries(spark, sf_dir)
     res = PQADCSearcher().attach(art).search(
         qs, K, qid_col="vec_id", vec_col="embedding"
     )

@@ -16,6 +16,23 @@ QUERY_FILTER = "vec_id % 10 = 0"
 # construction — memoized since r13
 _SCAN_NPARTS: dict = {}
 
+# inferred parquet schemas per path: a bare ``spark.read.parquet(path)``
+# runs a 1-task footer-inference JOB per call, and the catalogue pays it
+# once per table reference per query invocation (the r14 job breakdown
+# showed it as the first 1-task job of every headline query).  The
+# schema is a pure function of the committed file, so infer once per
+# process and hand it to the reader explicitly afterwards — schema
+# metadata only, never data (every invocation still scans the parquet).
+_SCHEMA_MEMO: dict = {}
+
+
+def read_parquet_cached_schema(spark: SparkSession, path: str) -> DataFrame:
+    s = _SCHEMA_MEMO.get(path)
+    if s is None:
+        s = spark.read.parquet(path).schema
+        _SCHEMA_MEMO[path] = s
+    return spark.read.schema(s).parquet(path)
+
 
 def _spread(df: DataFrame, memo_key=None) -> DataFrame:
     """Repartition a scan UP to the session's parallelism when the file
@@ -37,12 +54,27 @@ def _spread(df: DataFrame, memo_key=None) -> DataFrame:
 
 def emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = f"{sf_dir}/embeddings.parquet"
-    return _spread(spark.read.parquet(path), memo_key=path)
+    return _spread(read_parquet_cached_schema(spark, path), memo_key=path)
+
+
+def emb_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The catalogue's serving query batch (QUERY_FILTER) off the RAW
+    embeddings scan, NOT the ``_spread`` frame: every consumer collects
+    or broadcasts this frame driver-side (query_broadcast_cached /
+    collect_or_chunk / an explicit broadcast-join build), so routing it
+    through the up-partition exchange adds an AQE stage job per collect
+    — at any scale — for zero kernel benefit; off the raw scan the
+    filter pushes into the parquet read and the collect is one job
+    (r14).  Same rows as ``emb(...).filter(QUERY_FILTER)``, and search
+    results depend only on the batch's rows, never its partitioning."""
+    return read_parquet_cached_schema(
+        spark, f"{sf_dir}/embeddings.parquet"
+    ).filter(F.expr(QUERY_FILTER))
 
 
 def docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = f"{sf_dir}/documents.parquet"
-    return _spread(spark.read.parquet(path), memo_key=path)
+    return _spread(read_parquet_cached_schema(spark, path), memo_key=path)
 
 
 # events.parquet has stored ts as parquet TIMESTAMP(NANOS) in some data

@@ -14,7 +14,11 @@ from vectordb_retrieval_spark.driver_queries.ann import (
     N_FIXED_CENTROIDS,
     ivf_fixed_centroids,
 )
-from vectordb_retrieval_spark.driver_queries.common import docs, emb
+from vectordb_retrieval_spark.driver_queries.common import (
+    docs,
+    emb,
+    read_parquet_cached_schema,
+)
 from vectordb_retrieval_spark.driver_queries.dedupq import _h60, _TOKS
 from vectordb_retrieval_spark.operators.dedup import semantic_dedup
 from vectordb_retrieval_spark.operators.substring import (
@@ -54,7 +58,7 @@ def q_graph_append_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle over ALL vectors."""
     from pyspark.sql import functions as F
 
-    from vectordb_retrieval_spark.driver_queries.common import K, QUERY_FILTER
+    from vectordb_retrieval_spark.driver_queries.common import K, QUERY_FILTER, emb_queries
     from vectordb_retrieval_spark.operators.graph_ann import (
         GraphANNIndexer,
         GraphANNSearcher,
@@ -71,7 +75,7 @@ def q_graph_append_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="vec_id",
         vec_col="embedding",
     )
-    qs = base.filter(F.expr(QUERY_FILTER))
+    qs = emb_queries(spark, sf_dir)
     res = (
         GraphANNSearcher(ef_search=100_000, force_beam=True)
         .attach(art2)
@@ -87,7 +91,7 @@ def q_graph_delete_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     even vec_ids."""
     from pyspark.sql import functions as F
 
-    from vectordb_retrieval_spark.driver_queries.common import K, QUERY_FILTER
+    from vectordb_retrieval_spark.driver_queries.common import K, QUERY_FILTER, emb_queries
     from vectordb_retrieval_spark.operators.graph_ann import (
         GraphANNIndexer,
         GraphANNSearcher,
@@ -101,7 +105,7 @@ def q_graph_delete_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     art2 = graph_delete(
         art, base.filter(F.col("vec_id") % 2 == 1), id_col="vec_id"
     )
-    qs = base.filter(F.expr(QUERY_FILTER))
+    qs = emb_queries(spark, sf_dir)
     res = (
         GraphANNSearcher(ef_search=100_000, force_beam=True)
         .attach(art2)
@@ -325,7 +329,7 @@ def q_streaming_graph_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import functions as F
 
-    from vectordb_retrieval_spark.driver_queries.common import K, QUERY_FILTER
+    from vectordb_retrieval_spark.driver_queries.common import K, QUERY_FILTER, emb_queries
     from vectordb_retrieval_spark.driver_queries.streamq import _state_partitions
     from vectordb_retrieval_spark.operators.graph_ann import (
         GraphANNIndexer,
@@ -372,7 +376,7 @@ def q_streaming_graph_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         await_or_raise(q, 600)
 
-    qs = base.filter(F.expr(QUERY_FILTER))
+    qs = emb_queries(spark, sf_dir)
     res = (
         GraphANNSearcher(ef_search=100_000, force_beam=True)
         .attach(art_holder[0])
@@ -502,7 +506,7 @@ def q_events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from vectordb_retrieval_spark.operators.temporal import resample
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+    ev = read_parquet_cached_schema(spark, f"{sf_dir}/events.parquet").withColumn(
         "ts", F.col("ts").cast("timestamp")
     )
     return resample(ev, interval_s=RESAMPLE_S, fill="ffill").orderBy(

@@ -32,7 +32,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from vectordb_retrieval_spark.driver_queries import ann
-from vectordb_retrieval_spark.driver_queries.common import K, QUERY_FILTER, emb
+from vectordb_retrieval_spark.driver_queries.common import (
+    K,
+    QUERY_FILTER,
+    emb,
+    emb_queries,
+    read_parquet_cached_schema,
+)
 from vectordb_retrieval_spark.operators.ivf import FixedCentroidIVFIndexer, IVFSearcher
 from vectordb_retrieval_spark.persistence import (
     artifact_size_bytes,
@@ -123,7 +129,7 @@ def q_npy_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     # semantics are still exercised against a longer file), never the
     # whole table — the oracle only checks the first NPY_LIMIT rows
     pdf = (
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        read_parquet_cached_schema(spark, f"{sf_dir}/embeddings.parquet")
         .orderBy("vec_id")
         .limit(2 * NPY_LIMIT)
         .select("embedding")
@@ -143,7 +149,7 @@ def q_schema_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector-column + id-column schema inference over the raw parquet
     (finds ``vec_id``/``embedding`` from the candidate lists and
     normalizes to the engine's (id, vec) contract)."""
-    raw = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    raw = read_parquet_cached_schema(spark, f"{sf_dir}/embeddings.parquet")
     tbl = load_vector_table(raw)
     return tbl.select(
         "id",
@@ -174,7 +180,7 @@ def q_persist_ivf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     if artifact_size_bytes(d) <= 0:
         raise RuntimeError(f"persisted artifact at {d} reports zero bytes")
     art2 = load_artifact(spark, d, expect_fingerprint=fp)
-    qs = base.filter(F.expr(QUERY_FILTER))
+    qs = emb_queries(spark, sf_dir)
     res = (
         IVFSearcher(nprobe=ann.NPROBE_FIXED)
         .attach(art2)

@@ -5,7 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from vectordb_retrieval_spark.driver_queries.common import K, QUERY_FILTER, emb
+from vectordb_retrieval_spark.driver_queries.common import K, QUERY_FILTER, emb, emb_queries
 from vectordb_retrieval_spark.operators.exact import exact_knn, exact_range_search
 
 RADIUS = 1.15  # ~0.5 % pair selectivity on the embeddings table
@@ -13,7 +13,7 @@ RADIUS = 1.15  # ~0.5 % pair selectivity on the embeddings table
 
 def knn_query(spark: SparkSession, sf_dir: str, metric: str) -> DataFrame:
     base = emb(spark, sf_dir)
-    queries = base.filter(F.expr(QUERY_FILTER))
+    queries = emb_queries(spark, sf_dir)
     res = exact_knn(
         base, queries, K, metric, id_col="vec_id", vec_col="embedding", qid_col="vec_id"
     )
@@ -24,7 +24,7 @@ def range_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FAISS range_search semantics: every (query, neighbor) pair within
     RADIUS, value-hash-checked including the distances."""
     base = emb(spark, sf_dir)
-    queries = base.filter(F.expr(QUERY_FILTER))
+    queries = emb_queries(spark, sf_dir)
     res = exact_range_search(
         base,
         queries,

@@ -10,7 +10,9 @@ from vectordb_retrieval_spark.driver_queries.common import (
     K,
     QUERY_FILTER,
     emb,
+    emb_queries,
     events,
+    read_parquet_cached_schema,
     round6,
 )
 from vectordb_retrieval_spark.metrics import (
@@ -62,7 +64,7 @@ def _pred_gt_labeled(
     from vectordb_retrieval_spark.operators.exact import SCORE_TILE_ELEMS
 
     base = emb(spark, sf_dir)
-    qs = base.filter(F.expr(QUERY_FILTER))
+    qs = emb_queries(spark, sf_dir)
     bc = query_broadcast_cached(qs, "vec_id", "embedding")
     if bc is None:  # past-gate query frame: fall back to the 2-plan form
         trunc = base.withColumn("trunc", F.slice("embedding", 1, TRUNC_DIM))
@@ -290,7 +292,7 @@ TIMINGS_PATH = _os.path.join(
 def serving_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectordb_retrieval_spark.metrics import serving_latency_stats
 
-    return serving_latency_stats(spark.read.parquet(TIMINGS_PATH))
+    return serving_latency_stats(read_parquet_cached_schema(spark, TIMINGS_PATH))
 
 
 SERVING_LATENCY_ORACLE = f"""
@@ -314,7 +316,7 @@ FROM per GROUP BY algorithm ORDER BY algorithm
 def serving_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectordb_retrieval_spark.metrics import serving_welch_t_frame
 
-    return serving_welch_t_frame(spark.read.parquet(TIMINGS_PATH))
+    return serving_welch_t_frame(read_parquet_cached_schema(spark, TIMINGS_PATH))
 
 
 SERVING_WELCH_ORACLE = f"""

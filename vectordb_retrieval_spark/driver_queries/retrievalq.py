@@ -25,7 +25,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from vectordb_retrieval_spark.driver_queries.common import K, QUERY_FILTER, emb
+from vectordb_retrieval_spark.driver_queries.common import (
+    K,
+    QUERY_FILTER,
+    emb,
+    emb_queries,
+    read_parquet_cached_schema,
+)
 from vectordb_retrieval_spark.operators.exact import exact_knn
 from vectordb_retrieval_spark.operators.ivf import FixedCentroidIVFIndexer, IVFSearcher
 from vectordb_retrieval_spark.operators.text_retrieval import (
@@ -51,7 +57,7 @@ NPROBE_FIXED = 3
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return read_parquet_cached_schema(spark, f"{sf_dir}/documents.parquet")
 
 
 def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -144,7 +150,7 @@ def filtered_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     the candidate matrix never holds a disallowed row."""
     base = emb(spark, sf_dir)
     allowed = base.filter(F.col("label").isin(*ALLOWED_LABELS))
-    qs = base.filter(F.expr(QUERY_FILTER))
+    qs = emb_queries(spark, sf_dir)
     res = exact_knn(
         allowed, qs, K, "l2",
         id_col="vec_id", vec_col="embedding", qid_col="vec_id",
@@ -171,7 +177,7 @@ def filtered_graph_postfilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     art = GraphANNIndexer(m=8, ef_construction=32, num_partitions=4).build(
         base, id_col="vec_id", vec_col="embedding"
     )
-    qs = base.filter(F.expr(QUERY_FILTER))
+    qs = emb_queries(spark, sf_dir)
     searcher = GraphANNSearcher(ef_search=100_000, force_beam=True).attach(art)
     allowed = base.filter(F.col("label").isin(*ALLOWED_LABELS)).select(
         F.col("vec_id").alias("id")
@@ -189,14 +195,14 @@ def filtered_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     allowed-id mask applied inside the probed clusters before top-k —
     the DuckDB oracle reproduces probing AND the mask exactly."""
     base = emb(spark, sf_dir)
-    cdf = base.filter(F.col("vec_id") < N_FIXED_CENTROIDS)
+    cdf = read_parquet_cached_schema(spark, f"{sf_dir}/embeddings.parquet").filter(F.col("vec_id") < N_FIXED_CENTROIDS)  # collect-only: raw scan, see emb_queries
     from vectordb_retrieval_spark.functions.kernels import collect_vectors
 
     _, cents = collect_vectors(cdf, "vec_id", "embedding", sort_ids=True)
     art = FixedCentroidIVFIndexer(cents, metric="l2").build(
         base, id_col="vec_id", vec_col="embedding"
     )
-    qs = base.filter(F.expr(QUERY_FILTER))
+    qs = emb_queries(spark, sf_dir)
     allowed = base.filter(F.col("label").isin(*ALLOWED_LABELS)).select(
         F.col("vec_id").alias("id")
     )

@@ -40,7 +40,14 @@ def _state_partitions(spark: SparkSession, n: int = 2):
         spark.conf.set("spark.sql.shuffle.partitions", old_p)
         spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", old_n)
 
-from vectordb_retrieval_spark.driver_queries.common import K, QUERY_FILTER, emb, events
+from vectordb_retrieval_spark.driver_queries.common import (
+    K,
+    QUERY_FILTER,
+    emb,
+    emb_queries,
+    events,
+    read_parquet_cached_schema,
+)
 from vectordb_retrieval_spark.driver_queries.knn import DIST_EXPRS, KNN_ORACLE
 from vectordb_retrieval_spark.functions.distance import distance_col
 from vectordb_retrieval_spark.streaming.serving import (
@@ -130,7 +137,7 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectordb_retrieval_spark.streaming.serving import streaming_dedup
 
     d = (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        read_parquet_cached_schema(spark, f"{sf_dir}/documents.parquet")
         .select("doc_id", "text")
         # fixed event time: no key ever crosses the watermark horizon
         # inside the run, so dedup state spans all micro-batches
@@ -266,7 +273,7 @@ def q_streaming_ingest_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         await_or_raise(q, 600)
 
-    qs = base.filter(F.expr(QUERY_FILTER))
+    qs = emb_queries(spark, sf_dir)
     res = (
         IVFSearcher(nprobe=NPROBE_FIXED)
         .attach(art_holder[0])
@@ -290,7 +297,7 @@ def q_streaming_bm25_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         bm25_append,
     )
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    d = read_parquet_cached_schema(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id", "text"
     )
     art_holder = [BM25Indexer().build(d.filter(F.col("doc_id") % 3 == 0))]

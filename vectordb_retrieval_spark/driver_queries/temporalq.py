@@ -5,6 +5,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from vectordb_retrieval_spark.driver_queries.common import (
+    read_parquet_cached_schema,
+)
 from vectordb_retrieval_spark.operators.temporal import (
     asof_join,
     range_join,
@@ -15,7 +18,7 @@ from vectordb_retrieval_spark.operators.temporal import (
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ts arrives TIMESTAMP_NTZ; cast for unix_micros (session TZ is
     # pinned UTC, so the cast is value-preserving)
-    return spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+    return read_parquet_cached_schema(spark, f"{sf_dir}/events.parquet").withColumn(
         "ts", F.col("ts").cast("timestamp")
     )
 
