@@ -1486,36 +1486,6 @@ def test_sampled_train_is_bounded_sample(spark):
     np.testing.assert_array_equal(got, want)
 
 
-def test_cluster_stats_collect_matches_groupby(spark):
-    """The shuffle-free per-partition stats fold (r14) must reproduce
-    the groupBy aggregate exactly: per-cluster counts and max r."""
-    import numpy as np
-    from pyspark.sql import functions as F
-
-    from vectordb_retrieval_spark.operators.ivf import _cluster_stats_collect
-
-    rng = np.random.RandomState(7)
-    rows = [
-        (int(rng.randint(0, 5)), i, [float(x) for x in rng.rand(4)],
-         float(rng.rand()))
-        for i in range(500)
-    ]
-    df = spark.createDataFrame(
-        rows, "cluster_id int, id long, vec array<float>, r double"
-    ).repartition(7)
-    sizes, radii = _cluster_stats_collect(df, with_r=True)
-    want = {
-        int(r["cluster_id"]): (int(r["n"]), float(r["rmax"]))
-        for r in df.groupBy("cluster_id")
-        .agg(F.count(F.lit(1)).alias("n"), F.max("r").alias("rmax"))
-        .collect()
-    }
-    assert sizes == {c: n for c, (n, _) in want.items()}
-    assert radii == {c: m for c, (_, m) in want.items()}
-    sizes2, radii2 = _cluster_stats_collect(df.drop("r"))
-    assert sizes2 == sizes and radii2 == {}
-
-
 def test_lsh_serving_bucket_verify_guard(spark, monkeypatch):
     """VR_LSH_VERIFY_BUCKETS=1 (r14): the driver-recomputed serving
     bucket dict must cross-check clean against the build's buckets

@@ -679,22 +679,21 @@ class GraphANNIndexer:
                 base, 4 * n_parts, self.seed, 10, "k-means||"
             )
             k_sub = len(sub_cents)
-            # cache + materialize via the sizes collect: the ball
+            # cache + materialize via the sizes aggregate: the ball
             # assignment (scan + argmin GEMM) would otherwise run twice
             # — once for the sizes collect and again under the graph
             # kernel pass (separate actions recompute lineage).  Same
             # pattern as IVFIndexer.build; unpersisted once the packed
-            # shards are materialized below.  r14: the sizes ride the
-            # materializing pass as shuffle-free per-partition partials
-            # folded on the driver (_cluster_stats_collect) — one job
-            # instead of the count-shuffle's partial + exchange + final
-            # AQE stages.
-            from vectordb_retrieval_spark.operators.ivf import (
-                _cluster_stats_collect,
-            )
-
+            # shards are materialized below.  (r14: a shuffle-free
+            # mapInPandas partial-fold sizes variant was interleave-
+            # measured slower on the cluster-pruned sibling — the
+            # Python stage outweighs the tiny JVM count exchange — so
+            # the groupBy count stays here too.)
             assigned = _assign_df(base, sub_cents).cache()
-            sizes, _ = _cluster_stats_collect(assigned)
+            sizes = {
+                int(r["cluster_id"]): int(r["count"])
+                for r in assigned.groupBy("cluster_id").count().collect()
+            }
             # greedy bin-pack: heaviest ball first onto the lightest
             # shard — deterministic (ties by ball index, then shard id)
             loads = [0] * n_parts

@@ -165,60 +165,6 @@ def _assign_df(
     return base.mapInPandas(kernel, schema=schema)
 
 
-def _cluster_stats_collect(
-    assigned: DataFrame, with_r: bool = False
-) -> tuple[dict[int, int], dict[int, float]]:
-    """Per-cluster sizes (and optionally max member→centroid distance)
-    via ONE shuffle-free job: each partition emits ≤ nlist compact
-    partial rows (pandas groupby count / max over its own rows) and the
-    driver folds them — both folds (integer sum, float max) are
-    order-independent, so the result is bit-identical to the groupBy
-    aggregate this replaces, whose exchange + final stage cost an extra
-    AQE job per build (r14; same driver-fold pattern as lloyd_refine's
-    partial sums).  The action doubles as the materializer for whatever
-    cache sits under ``assigned``."""
-    cols = ["cluster_id"] + (["r"] if with_r else [])
-
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cnt: dict[int, int] = {}
-        rmax: dict[int, float] = {}
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            g = pdf.groupby("cluster_id")
-            for c, n in g.size().items():
-                cnt[int(c)] = cnt.get(int(c), 0) + int(n)
-            if with_r:
-                for c, m in g["r"].max().items():
-                    prev = rmax.get(int(c))
-                    rmax[int(c)] = (
-                        float(m) if prev is None else max(prev, float(m))
-                    )
-        if cnt:
-            ids = sorted(cnt)
-            yield pd.DataFrame(
-                {
-                    "cluster_id": ids,
-                    "n": [cnt[c] for c in ids],
-                    "rmax": [rmax.get(c, 0.0) for c in ids],
-                }
-            )
-
-    rows = (
-        assigned.select(*cols)
-        .mapInPandas(kernel, schema="cluster_id int, n long, rmax double")
-        .collect()
-    )
-    sizes: dict[int, int] = {}
-    radii: dict[int, float] = {}
-    for r in rows:
-        c = int(r["cluster_id"])
-        sizes[c] = sizes.get(c, 0) + int(r["n"])
-        if with_r:
-            radii[c] = max(radii.get(c, 0.0), float(r["rmax"]))
-    return sizes, radii
-
-
 class IVFIndexer:
     """KMeans coarse quantizer + cluster-assigned base table."""
 
@@ -274,20 +220,26 @@ class IVFIndexer:
         # → assign → encode) runs exactly once AT BUILD TIME (build
         # timing stays honest, searches never re-run it) — the persisted
         # form (save_artifact → parquet partitioned by cluster_id) is
-        # the cluster-scale equivalent.  The materializing action is the
-        # shuffle-free per-cluster stats collect, not a bare count: the
-        # cluster sizes feed pack_assignment's placement (sparing it its
-        # own collect) and, for cluster-pruned builds, the max(r) fold
-        # IS the covering-radii aggregate — one exchange-free job does
-        # all three (r14: the groupBy form paid partial + exchange +
-        # final-stage AQE jobs for the same ≤ nlist rows).
+        # the cluster-scale equivalent.  The materializing action is a
+        # per-cluster stats aggregate, not a bare count: the cluster
+        # sizes feed pack_assignment's placement (sparing it its own
+        # collect) and, for cluster-pruned builds, max(r) IS the
+        # covering-radii aggregate — one action does all three jobs.
+        # (r14: a shuffle-free mapInPandas partial-fold variant cut 1-2
+        # AQE jobs here but interleave-measured ~0.2 s SLOWER — the
+        # Python-worker stage costs more than the tiny JVM map-side-
+        # combined exchange it removed — so the groupBy stays.)
         assigned = assigned.repartition("cluster_id").cache()
-        sizes, rmax_map = _cluster_stats_collect(assigned, with_r=with_dist)
+        aggs = [F.count(F.lit(1)).alias("n")]
+        if with_dist:
+            aggs.append(F.max("r").alias("rmax"))
+        stats = assigned.groupBy("cluster_id").agg(*aggs).collect()
+        sizes = {int(r["cluster_id"]): int(r["n"]) for r in stats}
         radii = None
         if with_dist:
             radii = np.zeros(len(self.centroids))
-            for c, m in rmax_map.items():
-                radii[c] = m
+            for r in stats:
+                radii[r["cluster_id"]] = r["rmax"]
             # strip r from the exposed assignment (a projection over the
             # same cache — downstream append/delete/pack schemas stay
             # radius-free)
